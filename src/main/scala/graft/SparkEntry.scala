@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import streamline.batch._
+
+/** Driver contract — see /root/repo/SURVEY.md §0.1 and §7.
+  *
+  * Every key declared in [[queries]] is one operator capability from
+  * SURVEY.md §2; [[oracleSql]] carries its DuckDB-equivalent ANSI SQL
+  * (omitted only for approx / semantics-only ops per the contract).
+  * Column names and ordering rules follow SURVEY.md §2.12.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Aggregates.aggGroup(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_group" -> (Aggregates.aggGroup _),
+    "q_agg_global" -> (Aggregates.aggGlobal _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_group" -> Aggregates.aggGroupSql,
+    "q_agg_global" -> Aggregates.aggGlobalSql
+  )
 }
