@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import streamline.Q
 import streamline.batch._
 
 /** Driver contract — see /root/repo/SURVEY.md §0.1 and §7.
@@ -12,17 +13,17 @@ import streamline.batch._
   */
 object SparkEntry {
 
+  private def modules: Seq[Q] =
+    Aggregates.all ++ Relational.all ++ Joins.all ++ Windows.all ++
+      Functions.all
+
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Aggregates.aggGroup(spark, "/root/testdata/sf0.001")
+    queries("q_agg_group")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_agg_group" -> (Aggregates.aggGroup _),
-    "q_agg_global" -> (Aggregates.aggGlobal _)
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.map(q => q.name -> q.fn).toMap
 
-  def oracleSql: Map[String, String] = Map(
-    "q_agg_group" -> Aggregates.aggGroupSql,
-    "q_agg_global" -> Aggregates.aggGlobalSql
-  )
+  def oracleSql: Map[String, String] =
+    modules.flatMap(q => q.sql.map(s => q.name -> s)).toMap
 }

@@ -69,9 +69,13 @@ object Tables {
     StructField("r_regionkey", IntegerType),
     StructField("r_name", StringType)))
 
+  /** `events.ts` is parquet timestamp[ns], which Spark 4 refuses to read
+    * as TimestampType; it is read as raw int64 nanos (legacy
+    * `nanosAsLong` flag) and floor-converted to a µs TimestampType in
+    * [[events]] — matching DuckDB's `date_trunc('microseconds', ts)`. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType), // parquet timestamp[ns]; Spark reads µs
+    StructField("ts", LongType), // raw ns since epoch (see above)
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -107,8 +111,14 @@ object Tables {
     read(spark, dir, "nation", nationSchema)
   def region(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "region", regionSchema)
-  def events(spark: SparkSession, dir: String): DataFrame =
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(spark, dir, "events", eventsSchema)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
   def documents(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "documents", documentsSchema)
   def embeddings(spark: SparkSession, dir: String): DataFrame =

@@ -75,4 +75,189 @@ object Aggregates {
       min(l_shipdate) AS min_ship,
       max(l_shipdate) AS max_ship
     FROM lineitem"""
+
+  /** q_agg_distinct — distinct + count-distinct (Flink `distinct`;
+    * Spark plans count(DISTINCT) as a two-phase expand+agg, partial
+    * per-partition dedup bounds the shuffle at scale). */
+  private def aggDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val aggDistinctSql = """
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** q_agg_argmax — minBy/maxBy (Flink SelectByMax/MinFunction). Ties on
+    * acctbal are broken by custkey via struct-valued ordering so the
+    * result is total in both engines. */
+  private def aggArgmax(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .groupBy($"c_nationkey")
+      .agg(
+        max_by($"c_name", struct($"c_acctbal", $"c_custkey")).as("top_name"),
+        min_by($"c_name", struct($"c_acctbal", $"c_custkey")).as("bot_name"),
+        max($"c_acctbal").as("max_bal"))
+      .orderBy($"c_nationkey")
+  }
+
+  // DuckDB arg_max has no composite-key overload, so the oracle spells
+  // the identical (value, pk) lexicographic tiebreak via row_number.
+  private val aggArgmaxSql = """
+    WITH r AS (
+      SELECT c_nationkey, c_name, c_acctbal,
+        row_number() OVER (PARTITION BY c_nationkey
+          ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+        row_number() OVER (PARTITION BY c_nationkey
+          ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+      FROM customer)
+    SELECT c_nationkey,
+      max(CASE WHEN rmax = 1 THEN c_name END) AS top_name,
+      max(CASE WHEN rmin = 1 THEN c_name END) AS bot_name,
+      max(c_acctbal) AS max_bal
+    FROM r GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+  /** q_agg_having — post-aggregation filter. */
+  private def aggHaving(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("sum_price"))
+      .where($"n_orders" >= 12)
+      .orderBy($"o_custkey")
+  }
+
+  private val aggHavingSql = """
+    SELECT o_custkey, count(*) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    ORDER BY o_custkey"""
+
+  /** q_agg_stats — stddev/variance. Both engines use pairwise/Welford
+    * merges whose last bits depend on partitioning, so outputs are
+    * rounded to 4dp (relative error of the merge ~1e-12 — far inside
+    * the rounding). */
+  private def aggStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+        round(var_samp($"l_quantity"), 4).as("var_qty"),
+        round(stddev_samp($"l_extendedprice"), 2).as("sd_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val aggStatsSql = """
+    SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty,
+      round(var_samp(l_quantity), 4) AS var_qty,
+      round(stddev_samp(l_extendedprice), 2) AS sd_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** q_agg_rollup — hierarchical subtotals; Spark plans rollup/cube via
+    * Expand (one shuffle, |grouping sets| × input map-side rows — fine
+    * at scale because partial aggregation collapses before shuffle). */
+  private def aggRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+      .rollup($"n_name", $"c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), dsum("c_acctbal").as("sum_bal"),
+        grouping_id().as("g_id"))
+      .orderBy($"g_id", $"n_name".asc_nulls_first,
+        $"c_mktsegment".asc_nulls_first)
+  }
+
+  private val aggRollupSql = """
+    SELECT n_name, c_mktsegment, count(*) AS n_cust,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+      GROUPING(n_name, c_mktsegment) AS g_id
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP(n_name, c_mktsegment)
+    ORDER BY g_id, n_name NULLS FIRST, c_mktsegment NULLS FIRST"""
+
+  /** q_agg_cube — all grouping combinations. */
+  private def aggCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("sum_price"),
+        grouping_id().as("g_id"))
+      .orderBy($"g_id", $"o_orderstatus".asc_nulls_first,
+        $"o_orderpriority".asc_nulls_first)
+  }
+
+  private val aggCubeSql = """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      GROUPING(o_orderstatus, o_orderpriority) AS g_id
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY g_id, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+
+  /** q_agg_gsets — explicit GROUPING SETS via Spark SQL. */
+  private def aggGsets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        grouping_id() AS g_id
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY g_id, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+  }
+
+  private val aggGsetsSql = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      GROUPING(l_returnflag, l_linestatus) AS g_id
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY g_id, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  /** q_agg_collect — multiset agg (Flink `collect`); array_sort for a
+    * deterministic element order (SURVEY §2.12.6). */
+  private def aggCollect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.supplier(spark, dir)
+      .groupBy($"s_nationkey")
+      .agg(array_sort(collect_list($"s_name")).as("names"),
+        count(lit(1)).as("n_supp"))
+      .orderBy($"s_nationkey")
+  }
+
+  private val aggCollectSql = """
+    SELECT s_nationkey, list_sort(list(s_name)) AS names, count(*) AS n_supp
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
+
+  /** q_agg_approx_distinct — HLL++ sketch distinct (Flink/DataSketches
+    * class op). Approximate ⇒ oracle omitted per contract; exactness is
+    * covered by q_agg_distinct. */
+  private def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  val all: Seq[streamline.Q] = Seq(
+    streamline.Q("q_agg_group", aggGroup _, aggGroupSql),
+    streamline.Q("q_agg_global", aggGlobal _, aggGlobalSql),
+    streamline.Q("q_agg_distinct", aggDistinct _, aggDistinctSql),
+    streamline.Q("q_agg_argmax", aggArgmax _, aggArgmaxSql),
+    streamline.Q("q_agg_having", aggHaving _, aggHavingSql),
+    streamline.Q("q_agg_stats", aggStats _, aggStatsSql),
+    streamline.Q("q_agg_rollup", aggRollup _, aggRollupSql),
+    streamline.Q("q_agg_cube", aggCube _, aggCubeSql),
+    streamline.Q("q_agg_gsets", aggGsets _, aggGsetsSql),
+    streamline.Q("q_agg_collect", aggCollect _, aggCollectSql),
+    streamline.Q.noOracle("q_agg_approx_distinct", aggApproxDistinct _))
 }

@@ -1,0 +1,243 @@
+package streamline.batch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
+import streamline.{Q, Tables}
+import streamline.util.Det._
+
+/** §2.8 scalar function families — the built-in function surface of the
+  * reference lineage (Flink 1.x Table API / Calcite standard library,
+  * codegen'd per expression; SURVEY.md §2.8). One query per family, each
+  * exercising 6–12 functions inside whole-stage codegen.
+  *
+  * Cross-engine dialect notes (vs the DuckDB oracle) are inline; the
+  * general rules: decimal-cast before round on doubles, truncate event
+  * timestamps to seconds, keep regexes POSIX-simple, never emit a raw
+  * MAP column (compare keys/values as sorted arrays instead).
+  */
+object Functions {
+
+  /** q_fn_string — concat/substring/case/trim/pad/replace/length/initcap/
+    * LIKE/regexp_extract/split. */
+  private def fnString(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select($"p_partkey",
+        concat($"p_brand", lit("-"), $"p_type").as("s_concat"),
+        substring($"p_name", 1, 8).as("s_substr"),
+        upper($"p_name").as("s_upper"),
+        lower($"p_brand").as("s_lower"),
+        trim(concat(lit("  "), $"p_type", lit("  "))).as("s_trim"),
+        lpad($"p_brand", 12, "*").as("s_lpad"),
+        expr("replace(p_name, ' ', '_')").as("s_replace"),
+        length($"p_name").as("s_len"),
+        initcap($"p_type").as("s_initcap"),
+        $"p_type".like("%AND%").as("s_like"),
+        regexp_extract($"p_name", "([a-z]+)", 1).as("s_re"),
+        split($"p_name", " ").getItem(0).as("s_split0"))
+      .orderBy($"p_partkey")
+  }
+
+  // initcap: p_type is a single uppercase word (measured domain), so the
+  // DuckDB emulation is first-upper + rest-lower.
+  private val fnStringSql = """
+    SELECT p_partkey,
+      p_brand || '-' || p_type AS s_concat,
+      substring(p_name, 1, 8) AS s_substr,
+      upper(p_name) AS s_upper,
+      lower(p_brand) AS s_lower,
+      trim('  ' || p_type || '  ') AS s_trim,
+      lpad(p_brand, 12, '*') AS s_lpad,
+      replace(p_name, ' ', '_') AS s_replace,
+      length(p_name) AS s_len,
+      upper(substring(p_type, 1, 1)) || lower(substring(p_type, 2))
+        AS s_initcap,
+      p_type LIKE '%AND%' AS s_like,
+      regexp_extract(p_name, '([a-z]+)', 1) AS s_re,
+      string_split(p_name, ' ')[1] AS s_split0
+    FROM part ORDER BY p_partkey"""
+
+  /** q_fn_date — extraction/trunc/arithmetic on dates. DuckDB dayofweek
+    * is 0=Sunday, Spark is 1=Sunday → oracle adds 1. */
+  private def fnDate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        year($"o_orderdate").as("d_year"),
+        month($"o_orderdate").as("d_month"),
+        dayofmonth($"o_orderdate").as("d_day"),
+        quarter($"o_orderdate").as("d_quarter"),
+        dayofweek($"o_orderdate").as("d_dow"),
+        dayofyear($"o_orderdate").as("d_doy"),
+        tsOut(date_trunc("month", $"o_orderdate")).as("d_month_start"),
+        date_add(to_date($"o_orderdate"), 30).as("d_plus30"),
+        last_day($"o_orderdate").as("d_month_end"),
+        datediff(to_date(lit("2000-01-01")), to_date($"o_orderdate"))
+          .as("d_to_y2k"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val fnDateSql = """
+    SELECT o_orderkey,
+      year(o_orderdate) AS d_year,
+      month(o_orderdate) AS d_month,
+      day(o_orderdate) AS d_day,
+      quarter(o_orderdate) AS d_quarter,
+      dayofweek(o_orderdate) + 1 AS d_dow,
+      dayofyear(o_orderdate) AS d_doy,
+      date_trunc('month', o_orderdate) AS d_month_start,
+      CAST(o_orderdate AS DATE) + 30 AS d_plus30,
+      last_day(CAST(o_orderdate AS DATE)) AS d_month_end,
+      date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+        AS d_to_y2k
+    FROM orders ORDER BY o_orderkey"""
+
+  /** q_fn_math — abs/round/floor/ceil/ln/exp/power/sqrt/mod/sign/
+    * greatest/least. Transcendentals (ln/exp) are libm-dependent in the
+    * last ulp → rounded to 6dp; round() goes through DECIMAL so the
+    * half-up boundary is exact in both engines. */
+  private def fnMath(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber",
+        abs($"l_quantity" - 25).as("m_abs"),
+        asDouble(round(dec("l_extendedprice"), 1)).as("m_round"),
+        floor($"l_extendedprice").as("m_floor"),
+        ceil($"l_extendedprice").as("m_ceil"),
+        round(log($"l_extendedprice"), 6).as("m_ln"),
+        round(exp($"l_discount"), 6).as("m_exp"),
+        round(pow($"l_quantity", 2), 4).as("m_pow"),
+        round(sqrt($"l_extendedprice"), 6).as("m_sqrt"),
+        ($"l_orderkey" % 7).as("m_mod"),
+        signum($"l_quantity" - 25).as("m_sign"),
+        greatest($"l_quantity", $"l_discount" * 100).as("m_great"),
+        least($"l_quantity", $"l_tax" * 100).as("m_least"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  private val fnMathSql = """
+    SELECT l_orderkey, l_linenumber,
+      abs(l_quantity - 25) AS m_abs,
+      CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)), 1) AS DOUBLE)
+        AS m_round,
+      CAST(floor(l_extendedprice) AS BIGINT) AS m_floor,
+      CAST(ceil(l_extendedprice) AS BIGINT) AS m_ceil,
+      round(ln(l_extendedprice), 6) AS m_ln,
+      round(exp(l_discount), 6) AS m_exp,
+      round(power(l_quantity, 2), 4) AS m_pow,
+      round(sqrt(l_extendedprice), 6) AS m_sqrt,
+      l_orderkey % 7 AS m_mod,
+      CAST(sign(l_quantity - 25) AS DOUBLE) AS m_sign,
+      greatest(l_quantity, l_discount * 100) AS m_great,
+      least(l_quantity, l_tax * 100) AS m_least
+    FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+
+  /** q_fn_cond — CASE WHEN / coalesce / nullif / if. */
+  private def fnCond(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .select($"c_custkey",
+        when($"c_acctbal" < 0, "neg")
+          .when($"c_acctbal" < 5000, "mid")
+          .otherwise("high").as("bal_class"),
+        coalesce(expr("nullif(c_mktsegment, 'BUILDING')"), lit("-"))
+          .as("seg_or_dash"),
+        expr("if(c_acctbal > 9000, 'vip', 'std')").as("tier"),
+        $"c_acctbal".isNull.as("bal_is_null"))
+      .orderBy($"c_custkey")
+  }
+
+  private val fnCondSql = """
+    SELECT c_custkey,
+      CASE WHEN c_acctbal < 0 THEN 'neg'
+           WHEN c_acctbal < 5000 THEN 'mid'
+           ELSE 'high' END AS bal_class,
+      coalesce(nullif(c_mktsegment, 'BUILDING'), '-') AS seg_or_dash,
+      CASE WHEN c_acctbal > 9000 THEN 'vip' ELSE 'std' END AS tier,
+      c_acctbal IS NULL AS bal_is_null
+    FROM customer ORDER BY c_custkey"""
+
+  /** q_fn_array — array ops on the embedding column (ArrayType(Float)).
+    * Elements are widened to double then rounded; the sum uses an
+    * explicit left fold in BOTH engines so accumulation order is
+    * identical. */
+  private def fnArray(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        size($"embedding").as("a_dim"),
+        round(element_at($"embedding", 1).cast("double"), 6).as("a_first"),
+        transform(slice($"embedding", 1, 3),
+          x => round(x.cast("double"), 6)).as("a_head"),
+        transform(sort_array(slice($"embedding", 1, 5)),
+          x => round(x.cast("double"), 6)).as("a_sorted_head"),
+        round(aggregate($"embedding", lit(0.0d),
+          (acc, x) => acc + x.cast("double")), 4).as("a_sum"),
+        array_contains($"embedding", lit(0.0f)).as("a_has_zero"))
+      .orderBy($"vec_id")
+  }
+
+  private val fnArraySql = """
+    SELECT vec_id,
+      len(embedding) AS a_dim,
+      round(CAST(embedding[1] AS DOUBLE), 6) AS a_first,
+      list_transform(embedding[1:3],
+        x -> round(CAST(x AS DOUBLE), 6)) AS a_head,
+      list_transform(list_sort(embedding[1:5]),
+        x -> round(CAST(x AS DOUBLE), 6)) AS a_sorted_head,
+      round(list_reduce(
+        list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(embedding, x -> CAST(x AS DOUBLE))),
+        (acc, x) -> acc + x), 4) AS a_sum,
+      list_contains(embedding, 0.0) AS a_has_zero
+    FROM embeddings ORDER BY vec_id"""
+
+  /** q_fn_map — JSON → MAP, then key/value ops. The map itself is never
+    * emitted (engine-specific rendering); keys come out as a sorted
+    * array. */
+  private def fnMap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = from_json($"props", MapType(StringType, LongType))
+    Tables.events(spark, dir)
+      .select($"event_id",
+        sort_array(map_keys(m)).as("m_keys"),
+        element_at(m, "k").as("m_k"),
+        size(m).as("m_size"))
+      .orderBy($"event_id")
+  }
+
+  private val fnMapSql = """
+    SELECT event_id,
+      list_sort(json_keys(props)) AS m_keys,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS m_k,
+      len(json_keys(props)) AS m_size
+    FROM events ORDER BY event_id"""
+
+  /** q_fn_json — string-level JSON path access. */
+  private def fnJson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id",
+        get_json_object($"props", "$.k").as("js_k"),
+        from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k").as("k_num"),
+        ($"props".contains("k")).as("js_has_k"))
+      .orderBy($"event_id")
+  }
+
+  private val fnJsonSql = """
+    SELECT event_id,
+      json_extract_string(props, '$.k') AS js_k,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+      contains(props, 'k') AS js_has_k
+    FROM events ORDER BY event_id"""
+
+  val all: Seq[Q] = Seq(
+    Q("q_fn_string", fnString _, fnStringSql),
+    Q("q_fn_date", fnDate _, fnDateSql),
+    Q("q_fn_math", fnMath _, fnMathSql),
+    Q("q_fn_cond", fnCond _, fnCondSql),
+    Q("q_fn_array", fnArray _, fnArraySql),
+    Q("q_fn_map", fnMap _, fnMapSql),
+    Q("q_fn_json", fnJson _, fnJsonSql))
+}

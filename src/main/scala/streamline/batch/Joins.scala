@@ -1,0 +1,284 @@
+package streamline.batch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import streamline.{Q, Tables}
+import streamline.util.Det._
+
+/** §2.3 joins — the full join-strategy and join-type surface of the
+  * reference lineage (Flink 1.x hybrid-hash / sort-merge / broadcast-hash
+  * join drivers and the Table API's outer/semi/anti/theta variants;
+  * SURVEY.md §2.3).
+  *
+  * Strategy choice is declared via Spark join hints (`shuffle_hash`,
+  * `merge`, `broadcast`) — Catalyst's JoinSelection plays the role of
+  * Flink's cost-based optimizer, and AQE can re-plan at runtime from
+  * observed sizes. Scale posture per query:
+  *  - hash/merge joins shuffle both sides on the key → linear in input,
+  *    AQE coalesces post-shuffle partitions;
+  *  - broadcast joins never shuffle the big (fact) side — the dimension
+  *    is shipped to every executor (part/nation/region class tables);
+  *  - the theta and interval joins are keyed first (equi component) so
+  *    the non-equi predicate is evaluated inside a hash-partitioned
+  *    stream, never as a cross product;
+  *  - the as-of join is the window/row_number composition (SURVEY §4.3),
+  *    which shuffles each side once by key — no custom strategy needed.
+  */
+object Joins {
+
+  /** q_join_hash — repartition-hash equi join (Flink hybrid-hash). */
+  private def joinHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir).hint("shuffle_hash")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_custkey", $"c_name", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  private val joinHashSql = """
+    SELECT o_orderkey, c_custkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_orderkey"""
+
+  /** q_join_merge — sort-merge equi join (Flink sort-merge driver). */
+  private def joinMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir).hint("merge")
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), dsum("l_extendedprice").as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val joinMergeSql = """
+    SELECT o_orderpriority, count(*) AS n_items,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** q_join_broadcast — broadcast-hash join: the dimension (part) ships
+    * to executors, the fact (lineitem) never shuffles. The 100 TB plan. */
+  private def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        $"l_partkey" === $"p_partkey")
+      .where($"p_size" <= 15)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_items"), dsum("l_quantity").as("sum_qty"))
+      .orderBy($"p_brand")
+  }
+
+  private val joinBroadcastSql = """
+    SELECT p_brand, count(*) AS n_items,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 15
+    GROUP BY p_brand ORDER BY p_brand"""
+
+  /** q_join_left — left outer join; unmatched customers keep NULL order
+    * columns. */
+  private def joinLeft(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"o_totalprice")
+      .orderBy($"c_custkey".asc_nulls_first, $"o_orderkey".asc_nulls_first)
+  }
+
+  private val joinLeftSql = """
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST"""
+
+  /** q_join_right — right outer join; every nation survives. */
+  private def joinRight(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), $"s_nationkey" === $"n_nationkey",
+        "right")
+      .select($"n_nationkey", $"n_name", $"s_suppkey", $"s_name")
+      .orderBy($"n_nationkey".asc_nulls_first, $"s_suppkey".asc_nulls_first)
+  }
+
+  private val joinRightSql = """
+    SELECT n_nationkey, n_name, s_suppkey, s_name
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY n_nationkey ASC NULLS FIRST, s_suppkey ASC NULLS FIRST"""
+
+  /** q_join_full — full outer join with genuine unmatched rows on both
+    * sides (disjoint nationkey filters). USING-style coalesced key. */
+  private def joinFull(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cn = Tables.customer(spark, dir).where($"c_nationkey" < 20)
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
+      .select($"c_nationkey".as("nationkey"), $"n_cust")
+    val sn = Tables.supplier(spark, dir).where($"s_nationkey" >= 10)
+      .groupBy($"s_nationkey").agg(count(lit(1)).as("n_supp"))
+      .select($"s_nationkey".as("nationkey"), $"n_supp")
+    cn.join(sn, Seq("nationkey"), "full")
+      .orderBy($"nationkey".asc_nulls_first)
+  }
+
+  private val joinFullSql = """
+    SELECT nationkey, n_cust, n_supp
+    FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+          FROM customer WHERE c_nationkey < 20 GROUP BY c_nationkey) a
+    FULL JOIN
+         (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+          FROM supplier WHERE s_nationkey >= 10 GROUP BY s_nationkey) b
+    USING (nationkey)
+    ORDER BY nationkey ASC NULLS FIRST"""
+
+  /** q_join_semi — left semi join (SQL EXISTS). */
+  private def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).where($"o_totalprice" > 400000),
+        $"c_custkey" === $"o_custkey", "left_semi")
+      .orderBy($"c_custkey")
+  }
+
+  private val joinSemiSql = """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    ORDER BY c_custkey"""
+
+  /** q_join_anti — left anti join (SQL NOT EXISTS). */
+  private def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey",
+        "left_anti")
+      .orderBy($"c_custkey")
+  }
+
+  private val joinAntiSql = """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey"""
+
+  /** q_join_cross — cartesian product (bounded: 5×25 rows). */
+  private def joinCross(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.region(spark, dir).crossJoin(Tables.nation(spark, dir))
+      .select($"r_name", $"n_name")
+      .orderBy($"r_name", $"n_name")
+  }
+
+  private val joinCrossSql = """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    ORDER BY r_name, n_name"""
+
+  /** q_join_theta — non-equi predicate on top of an equi component, so
+    * execution stays hash-partitioned on nationkey (never a cross
+    * product at scale). */
+  private def joinTheta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.supplier(spark, dir)
+      .join(Tables.customer(spark, dir),
+        $"s_nationkey" === $"c_nationkey" && $"s_acctbal" < $"c_acctbal")
+      .select($"s_suppkey", $"c_custkey", $"s_acctbal", $"c_acctbal")
+      .orderBy($"s_suppkey", $"c_custkey")
+  }
+
+  private val joinThetaSql = """
+    SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
+    ORDER BY s_suppkey, c_custkey"""
+
+  /** q_join_interval — streaming interval-join semantics in batch form:
+    * keyed (user_id) + time-bounded (10 min) event pairing. The equi key
+    * keeps it a hash join with a residual range predicate — linear per
+    * key, never quadratic in the table. `events.ts` is ns in parquet and
+    * µs in Spark, so both engines truncate to µs explicitly.
+    */
+  private def joinInterval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val e1 = e.select($"event_id".as("id1"), $"user_id", $"ts".as("ts1"))
+    val e2 = e.select($"event_id".as("id2"), $"user_id".as("u2"),
+      $"ts".as("ts2"))
+    e1.join(e2,
+        $"user_id" === $"u2" && $"id1" < $"id2" &&
+          $"ts2" >= $"ts1" && $"ts2" <= $"ts1" + expr("INTERVAL 10 MINUTES"))
+      .select($"user_id", $"id1", $"id2",
+        tsSec($"ts1").as("t1"), tsSec($"ts2").as("t2"))
+      .orderBy($"user_id", $"id1", $"id2")
+  }
+
+  private val joinIntervalSql = """
+    WITH e AS (SELECT event_id, user_id,
+                      date_trunc('microseconds', ts) AS ts FROM events)
+    SELECT e1.user_id, e1.event_id AS id1, e2.event_id AS id2,
+           date_trunc('second', e1.ts) AS t1,
+           date_trunc('second', e2.ts) AS t2
+    FROM e e1 JOIN e e2
+      ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
+     AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+    ORDER BY e1.user_id, id1, id2"""
+
+  /** q_join_asof — as-of join: for each purchase event, the latest click
+    * event of the same user at or before it. Implemented as keyed range
+    * join + row_number (latest-ts, max-event_id tiebreak); at 100 TB the
+    * same semantics are the union-and-last-value composition — either
+    * way one shuffle per side on user_id, no custom strategy
+    * (SURVEY §4.3, §7.3.2). Oracle uses the identical ANSI row_number
+    * formulation (not DuckDB ASOF) so the tiebreak is bit-identical.
+    */
+  private def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+    val clicks = e.where($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_uid"),
+        $"ts".as("c_ts"))
+    val w = Window.partitionBy($"p_id")
+      .orderBy($"c_ts".desc_nulls_last, $"c_id".desc_nulls_last)
+    purchases
+      .join(clicks, $"user_id" === $"c_uid" && $"c_ts" <= $"p_ts", "left")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"user_id", $"p_id", tsSec($"p_ts").as("p_ts"),
+        $"c_id", tsSec($"c_ts").as("c_ts"))
+      .orderBy($"user_id", $"p_id")
+  }
+
+  private val joinAsofSql = """
+    WITH p AS (SELECT event_id AS p_id, user_id,
+                      date_trunc('microseconds', ts) AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS c_id, user_id AS c_uid,
+                      date_trunc('microseconds', ts) AS c_ts
+               FROM events WHERE event_type = 'click'),
+         j AS (SELECT p.user_id, p.p_id, p.p_ts, c.c_id, c.c_ts,
+                      row_number() OVER (PARTITION BY p.p_id
+                        ORDER BY c.c_ts DESC NULLS LAST,
+                                 c.c_id DESC NULLS LAST) AS rn
+               FROM p LEFT JOIN c
+                 ON p.user_id = c.c_uid AND c.c_ts <= p.p_ts)
+    SELECT user_id, p_id, date_trunc('second', p_ts) AS p_ts, c_id,
+           date_trunc('second', c_ts) AS c_ts
+    FROM j WHERE rn = 1
+    ORDER BY user_id, p_id"""
+
+  val all: Seq[Q] = Seq(
+    Q("q_join_hash", joinHash _, joinHashSql),
+    Q("q_join_merge", joinMerge _, joinMergeSql),
+    Q("q_join_broadcast", joinBroadcast _, joinBroadcastSql),
+    Q("q_join_left", joinLeft _, joinLeftSql),
+    Q("q_join_right", joinRight _, joinRightSql),
+    Q("q_join_full", joinFull _, joinFullSql),
+    Q("q_join_semi", joinSemi _, joinSemiSql),
+    Q("q_join_anti", joinAnti _, joinAntiSql),
+    Q("q_join_cross", joinCross _, joinCrossSql),
+    Q("q_join_theta", joinTheta _, joinThetaSql),
+    Q("q_join_interval", joinInterval _, joinIntervalSql),
+    Q("q_join_asof", joinAsof _, joinAsofSql))
+}

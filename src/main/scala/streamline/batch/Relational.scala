@@ -1,0 +1,291 @@
+package streamline.batch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import streamline.{Q, Tables}
+import streamline.util.Det._
+
+/** §2.1 scans/sources/sinks, §2.2 projection/filter/flatMap, §2.6
+  * sort/limit, §2.7 set operations — the row-pipeline surface of the
+  * reference lineage (Flink 1.x DataSet map/filter/flatMap operators and
+  * file input/output formats; SURVEY.md §2.1–2.2, §2.6–2.7).
+  *
+  * Scale posture: each of these is a single declarative pipeline, so
+  * Catalyst pushes predicates and projections into the Parquet scan
+  * (verified via .explain: PushedFilters / ReadSchema) and whole-stage
+  * codegen fuses project→filter chains into one stage — the analogue of
+  * Flink's operator chaining. The only shuffles are the final
+  * global sorts, which at cluster scale are range-partitioned
+  * (sample-based) and therefore scale linearly.
+  */
+object Relational {
+
+  // ---- §2.1 scans -------------------------------------------------------
+
+  /** q_scan_parquet — plain bounded columnar scan. */
+  private def scanParquet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+        tsOut($"o_orderdate").as("o_orderdate"), $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
+  private val scanParquetSql = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority
+    FROM orders ORDER BY o_orderkey"""
+
+  /** q_scan_prune — projection + predicate reach the Parquet reader
+    * (column pruning / filter pushdown; Flink's Projectable/
+    * FilterableTableSource equivalent, here free via Catalyst). */
+  private def scanPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .where($"l_quantity" >= 10 && $"l_quantity" <= 20 &&
+        $"l_returnflag" === "A")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  private val scanPruneSql = """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_returnflag = 'A'
+    ORDER BY l_orderkey, l_linenumber"""
+
+  /** q_source_json — JSON payload deserialization (Flink flink-json
+    * DeserializationSchema equivalent → from_json). */
+  private def sourceJson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id",
+        from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k").as("k"))
+      .where($"k".isNotNull)
+      .orderBy($"event_id")
+  }
+
+  private val sourceJsonSql = """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    ORDER BY event_id"""
+
+  /** q_sink_roundtrip — durable write + re-read (Flink file OutputFormat
+    * equivalent). The roundtrip is through real parquet on disk. */
+  private def sinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_roundtrip"
+    Tables.customer(spark, dir)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), dsum("c_acctbal").as("sum_bal"))
+      .write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).orderBy($"c_mktsegment")
+  }
+
+  private val sinkRoundtripSql = """
+    SELECT c_mktsegment, count(*) AS n_cust,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  // ---- §2.2 projection / filter / flatMap -------------------------------
+
+  /** q_project — derived-column projection (Flink MapOperator / Table
+    * select). Money math in exact DECIMAL per SURVEY §2.12. */
+  private def project(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber",
+        asDouble(dec("l_extendedprice") * (decLit(1) - dec("l_discount")))
+          .as("revenue"),
+        concat_ws("|", $"l_returnflag", $"l_linestatus").as("flag_status"),
+        ($"l_quantity" * lit(2.0)).as("qty2"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  private val projectSql = """
+    SELECT l_orderkey, l_linenumber,
+      CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+           AS DOUBLE) AS revenue,
+      l_returnflag || '|' || l_linestatus AS flag_status,
+      l_quantity * 2.0 AS qty2
+    FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+
+  /** q_filter — compound row predicate: AND/OR/NOT, IN, BETWEEN, LIKE,
+    * IS NOT NULL (Flink FilterOperator). */
+  private def filter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .where(($"o_orderstatus".isin("F", "P") &&
+          $"o_totalprice".between(1000, 100000) &&
+          $"o_orderpriority".like("%URGENT%")) ||
+        (!($"o_orderstatus" === "F") && $"o_orderpriority".isNotNull &&
+          $"o_totalprice" > 400000))
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
+  private val filterSql = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE (o_orderstatus IN ('F','P') AND o_totalprice BETWEEN 1000 AND 100000
+           AND o_orderpriority LIKE '%URGENT%')
+       OR (NOT (o_orderstatus = 'F') AND o_orderpriority IS NOT NULL
+           AND o_totalprice > 400000)
+    ORDER BY o_orderkey"""
+
+  /** q_flatmap — 1→N record expansion (Flink FlatMapOperator; also the
+    * UDTF/Generator witness per SURVEY §2.10). Duplicate (doc_id, word)
+    * rows are full duplicates, so ordering among them is immaterial to
+    * the hash compare. */
+  private def flatmap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .orderBy($"doc_id", $"word")
+  }
+
+  private val flatmapSql = """
+    SELECT * FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ) ORDER BY doc_id, word"""
+
+  /** q_udtf_explode — table-function expansion with generated rows
+    * (sequence → explode), the second Generator witness. */
+  private def udtfExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.region(spark, dir)
+      .select($"r_regionkey", $"r_name",
+        explode(sequence(lit(0), $"r_regionkey")).as("i"))
+      .orderBy($"r_regionkey", $"i")
+  }
+
+  private val udtfExplodeSql = """
+    SELECT * FROM (
+      SELECT r_regionkey, r_name,
+             unnest(generate_series(0, r_regionkey)) AS i
+      FROM region
+    ) ORDER BY r_regionkey, i"""
+
+  // ---- §2.6 sort / limit ------------------------------------------------
+
+  /** q_sort_multi — multi-key asc/desc total sort with explicit NULL
+    * ordering (Flink sortPartition / UnilateralSortMerger). At scale this
+    * is a range-partitioned sample sort. */
+  private def sortMulti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal",
+        $"c_mktsegment")
+      .orderBy($"c_mktsegment".asc_nulls_first, $"c_acctbal".desc_nulls_last,
+        $"c_custkey".asc)
+  }
+
+  private val sortMultiSql = """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    ORDER BY c_mktsegment ASC NULLS FIRST, c_acctbal DESC NULLS LAST,
+             c_custkey ASC"""
+
+  /** q_limit — ordered FETCH/OFFSET (Flink first(n)). Spark plans this as
+    * a TakeOrderedAndProject — no full sort materialization. */
+  private def limit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc_nulls_last, $"o_orderkey".asc)
+      .offset(20)
+      .limit(100)
+  }
+
+  private val limitSql = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC
+    LIMIT 100 OFFSET 20"""
+
+  // ---- §2.7 set operations ---------------------------------------------
+
+  private def unionAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+      .select($"c_custkey".as("id"), $"c_name".as("name"),
+        lit("customer").as("src"))
+    val s = Tables.supplier(spark, dir)
+      .select($"s_suppkey".as("id"), $"s_name".as("name"),
+        lit("supplier").as("src"))
+    c.unionByName(s).orderBy($"src", $"id")
+  }
+
+  private val unionAllSql = """
+    SELECT * FROM (
+      SELECT c_custkey AS id, c_name AS name, 'customer' AS src FROM customer
+      UNION ALL
+      SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src FROM supplier
+    ) ORDER BY src, id"""
+
+  private def unionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir).select($"c_nationkey".as("nationkey"))
+      .union(Tables.supplier(spark, dir).select($"s_nationkey".as("nationkey")))
+      .distinct()
+      .orderBy($"nationkey")
+  }
+
+  private val unionDistinctSql = """
+    SELECT * FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) ORDER BY nationkey"""
+
+  private def intersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .where($"c_acctbal" > 9000).select($"c_nationkey".as("nationkey"))
+      .intersect(Tables.supplier(spark, dir)
+        .where($"s_acctbal" > 0).select($"s_nationkey".as("nationkey")))
+      .orderBy($"nationkey")
+  }
+
+  private val intersectSql = """
+    SELECT * FROM (
+      SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+      INTERSECT
+      SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 0
+    ) ORDER BY nationkey"""
+
+  private def except(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir).select($"c_nationkey".as("nationkey"))
+      .except(Tables.supplier(spark, dir)
+        .where($"s_acctbal" > 5000).select($"s_nationkey".as("nationkey")))
+      .orderBy($"nationkey")
+  }
+
+  private val exceptSql = """
+    SELECT * FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
+    ) ORDER BY nationkey"""
+
+  val all: Seq[Q] = Seq(
+    Q("q_scan_parquet", scanParquet _, scanParquetSql),
+    Q("q_scan_prune", scanPrune _, scanPruneSql),
+    Q("q_source_json", sourceJson _, sourceJsonSql),
+    Q("q_sink_roundtrip", sinkRoundtrip _, sinkRoundtripSql),
+    Q("q_project", project _, projectSql),
+    Q("q_filter", filter _, filterSql),
+    Q("q_flatmap", flatmap _, flatmapSql),
+    Q("q_udtf_explode", udtfExplode _, udtfExplodeSql),
+    Q("q_sort_multi", sortMulti _, sortMultiSql),
+    Q("q_limit", limit _, limitSql),
+    Q("q_union_all", unionAll _, unionAllSql),
+    Q("q_union_distinct", unionDistinct _, unionDistinctSql),
+    Q("q_intersect", intersect _, intersectSql),
+    Q("q_except", except _, exceptSql))
+}

@@ -1,0 +1,181 @@
+package streamline.batch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import streamline.{Q, Tables}
+import streamline.util.Det._
+
+/** §2.5 analytic (OVER) windows — the Flink 1.x Table API over-aggregate
+  * surface (rows/range frames, keyed ordering; SURVEY.md §2.5).
+  *
+  * Scale posture: every window partitions on a real key (nation, custkey,
+  * user) so execution is one hash shuffle + per-partition sort; no window
+  * here is a single global partition, which would serialize on one task
+  * at 100 TB. Running sums use exact DECIMAL so frame-accumulation order
+  * can't produce engine-dependent low bits (SURVEY §2.12.2).
+  */
+object Windows {
+
+  /** q_win_rank — row_number/rank/dense_rank. row_number gets a total
+    * tiebreak; rank/dense_rank are value-deterministic under ties. */
+  private def winRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wFull = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc_nulls_last, $"c_custkey".asc)
+    val wVal = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc_nulls_last)
+    Tables.customer(spark, dir)
+      .select($"c_nationkey", $"c_custkey", $"c_acctbal",
+        row_number().over(wFull).as("rn"),
+        rank().over(wVal).as("rnk"),
+        dense_rank().over(wVal).as("drnk"))
+      .orderBy($"c_nationkey", $"rn")
+  }
+
+  private val winRankSql = """
+    SELECT c_nationkey, c_custkey, c_acctbal,
+      row_number() OVER (PARTITION BY c_nationkey
+        ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC) AS rn,
+      rank() OVER (PARTITION BY c_nationkey
+        ORDER BY c_acctbal DESC NULLS LAST) AS rnk,
+      dense_rank() OVER (PARTITION BY c_nationkey
+        ORDER BY c_acctbal DESC NULLS LAST) AS drnk
+    FROM customer ORDER BY c_nationkey, rn"""
+
+  /** q_win_running — ROWS UNBOUNDED PRECEDING running aggregate, exact
+    * DECIMAL accumulation. */
+  private def winRunning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", tsOut($"o_orderdate").as("o_orderdate"),
+        asDouble(sum(dec("o_totalprice")).over(w)).as("running_total"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  private val winRunningSql = """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_total,
+      count(*) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM orders ORDER BY o_custkey, o_orderkey"""
+
+  /** q_win_range — RANGE (value-based) frame: count of same-status orders
+    * within 1000 below the current total price. Value-based frames are
+    * tie-insensitive, so no row tiebreak is needed for the frame itself.
+    */
+  private def winRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice".asc)
+      .rangeBetween(-1000L, 0L)
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        count(lit(1)).over(w).as("n_in_range"),
+        asDouble(sum(dec("o_totalprice")).over(w)).as("sum_in_range"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val winRangeSql = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+      count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC
+        RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_in_range,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        PARTITION BY o_orderstatus ORDER BY o_totalprice ASC
+        RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS sum_in_range
+    FROM orders ORDER BY o_orderkey"""
+
+  /** q_win_lag — lag/lead over event time per user. `events.ts` is ns in
+    * parquet, µs in Spark: both engines order and compute on
+    * second-truncated time so sort keys are identical (SURVEY §7.3.4). */
+  private def winLag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sec = date_trunc("second", $"ts")
+    val w = Window.partitionBy($"user_id").orderBy(sec.asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", tsOut(sec).as("ts_sec"),
+        tsOut(lag(sec, 1).over(w)).as("prev_ts"),
+        tsOut(lead(sec, 1).over(w)).as("next_ts"),
+        (unix_timestamp(sec) - unix_timestamp(lag(sec, 1).over(w)))
+          .as("gap_s"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val winLagSql = """
+    WITH e AS (SELECT user_id, event_id,
+                      date_trunc('second', ts) AS ts_sec FROM events)
+    SELECT user_id, event_id, ts_sec,
+      lag(ts_sec, 1) OVER w AS prev_ts,
+      lead(ts_sec, 1) OVER w AS next_ts,
+      date_diff('second', lag(ts_sec, 1) OVER w, ts_sec) AS gap_s
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
+    ORDER BY user_id, event_id"""
+
+  /** q_win_ntile_first — ntile + first/last value with explicit full
+    * frame. */
+  private def winNtileFirst(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+    val wFrame = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.customer(spark, dir)
+      .select($"c_nationkey", $"c_custkey", $"c_acctbal",
+        ntile(4).over(w).as("tile"),
+        first($"c_name").over(wFrame).as("poorest"),
+        last($"c_name").over(wFrame).as("richest"))
+      .orderBy($"c_nationkey", $"c_custkey")
+  }
+
+  private val winNtileFirstSql = """
+    SELECT c_nationkey, c_custkey, c_acctbal,
+      ntile(4) OVER w AS tile,
+      first_value(c_name) OVER wf AS poorest,
+      last_value(c_name) OVER wf AS richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal ASC, c_custkey ASC),
+           wf AS (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal ASC, c_custkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY c_nationkey, c_custkey"""
+
+  /** q_topk — top-k per group via rank-and-filter (Flink's batch top-k
+    * idiom). Spark 4 rewrites rn<=k into a per-partition limit
+    * (WindowGroupLimit) — no full sort of each group at scale. */
+  private def topk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc_nulls_last, $"c_custkey".asc)
+    Tables.customer(spark, dir)
+      .select($"c_nationkey", $"c_custkey", $"c_name", $"c_acctbal",
+        row_number().over(w).as("rn"))
+      .where($"rn" <= 3)
+      .orderBy($"c_nationkey", $"rn")
+  }
+
+  private val topkSql = """
+    SELECT * FROM (
+      SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+        row_number() OVER (PARTITION BY c_nationkey
+          ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC) AS rn
+      FROM customer)
+    WHERE rn <= 3 ORDER BY c_nationkey, rn"""
+
+  val all: Seq[Q] = Seq(
+    Q("q_win_rank", winRank _, winRankSql),
+    Q("q_win_running", winRunning _, winRunningSql),
+    Q("q_win_range", winRange _, winRangeSql),
+    Q("q_win_lag", winLag _, winLagSql),
+    Q("q_win_ntile_first", winNtileFirst _, winNtileFirstSql),
+    Q("q_topk", topk _, topkSql))
+}

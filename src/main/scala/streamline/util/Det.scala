@@ -21,6 +21,9 @@ object Det {
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))
   def dec(name: String): Column = dec(col(name))
 
+  /** Exact fixed-point literal (e.g. the `1` in `1 - discount`). */
+  def decLit(v: Int): Column = lit(v).cast(DecimalType(18, 4))
+
   /** Final output conversion for an exact decimal aggregate. */
   def asDouble(c: Column): Column = c.cast("double")
 
