@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import streamline.Q
 import streamline.batch._
+import streamline.llm.{Dedup, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §0.1 and §7.
   *
@@ -15,7 +16,8 @@ object SparkEntry {
 
   private def modules: Seq[Q] =
     Aggregates.all ++ Relational.all ++ Joins.all ++ Windows.all ++
-      Functions.all
+      Functions.all ++ UdfSurface.all ++ Text.all ++ Dedup.all ++
+      Similarity.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

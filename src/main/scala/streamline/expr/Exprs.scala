@@ -1,0 +1,101 @@
+package streamline.expr
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Custom Catalyst expressions with whole-stage codegen — the witness of
+  * the reference lineage's codegen'd scalar-function surface (Flink 1.x
+  * generated Janino functions; SURVEY.md §2.10, §4). Both expressions
+  * implement `doGenCode`, so they fuse into whole-stage codegen instead
+  * of falling back to interpreted eval — the hot path stays compiled at
+  * 100 TB.
+  */
+
+/** revenue(price, discount) = price * (1 - discount), pure IEEE double
+  * per-row math (bit-identical in any engine). */
+case class Revenue(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Inputs are DoubleType by construction (call sites cast explicitly);
+  // ExpectsInputTypes is private[sql] and so not extendable from here.
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_revenue"
+
+  override protected def nullSafeEval(price: Any, discount: Any): Any =
+    price.asInstanceOf[Double] * (1.0 - discount.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, d) => s"$p * (1.0 - $d)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Revenue =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cosine(a, b) over two float vectors, accumulated in double with a
+  * single sequential loop (same element order as the oracle's fold).
+  * Zero-norm inputs yield 0.0. Codegen'd: the kNN scan stays inside
+  * whole-stage codegen — no UDF serialization per row. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Inputs are ArrayType(FloatType) by construction (see dataset schema).
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = (double) $a.getFloat($i);
+          double $yi = (double) $b.getFloat($i);
+          $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        }
+        ${ev.value} = ($nx == 0.0 || $ny == 0.0)
+          ? 0.0 : $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object Exprs {
+  /** Column-API entry points for the custom expressions. */
+  def revenue(price: Column, discount: Column): Column =
+    GraftShim.column(Revenue(GraftShim.expression(price.cast("double")),
+      GraftShim.expression(discount.cast("double"))))
+
+  def cosine(a: Column, b: Column): Column =
+    GraftShim.column(CosineSim(GraftShim.expression(a),
+      GraftShim.expression(b)))
+}

@@ -1,0 +1,155 @@
+package streamline.llm
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import streamline.{Q, Tables}
+import streamline.expr.Exprs
+
+/** §2.11 [C] embedding similarity search + multimodal columns.
+  *
+  * Baseline is brute-force cosine via the codegen'd [[streamline.expr
+  * .CosineSim]] expression (whole-stage codegen, no UDF boundary); the
+  * scale path is random-projection LSH bucketing (candidates only meet
+  * inside buckets). The probe vector is joined in via a broadcast of a
+  * one-row DataFrame — never collected through the driver.
+  */
+object Similarity {
+
+  private def probeDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Deterministic probe: the embedding with the lowest vec_id.
+    Tables.embeddings(spark, dir)
+      .orderBy($"vec_id".asc).limit(1)
+      .select($"embedding".as("probe"))
+  }
+
+  /** q_llm_knn — brute-force cosine top-k against a fixed probe vector:
+    * scan × codegen'd cosine → global top-k (TakeOrdered, no full
+    * sort). */
+  private def knn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(probeDf(spark, dir)))
+      .select($"vec_id",
+        round(Exprs.cosine($"embedding", $"probe"), 6).as("score"))
+      .orderBy($"score".desc, $"vec_id".asc)
+      .limit(10)
+  }
+
+  private val knnSql = """
+    WITH p AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+                 AS probe
+               FROM embeddings ORDER BY vec_id ASC LIMIT 1)
+    SELECT vec_id,
+      round(list_cosine_similarity(
+        list_transform(embedding, x -> CAST(x AS DOUBLE)), p.probe), 6)
+        AS score
+    FROM embeddings, p
+    ORDER BY score DESC, vec_id ASC LIMIT 10"""
+
+  /** q_llm_knn_lsh — the ANN scale path: random-projection LSH; only
+    * same-bucket pairs are scored. Approximate ⇒ no oracle (recall
+    * property unit-tested). */
+  private def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", array_to_vector($"embedding").as("vec"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("vec").setOutputCol("buckets")
+      .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
+    val model = lsh.fit(emb)
+    model.approxSimilarityJoin(emb, emb, 1.3, "dist")
+      .select(col("datasetA.vec_id").as("id_a"),
+        col("datasetB.vec_id").as("id_b"),
+        round(col("dist"), 6).as("dist"))
+      .where($"id_a" < $"id_b")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** q_llm_dedup_embed — exact embedding near-dup pairs by cosine ≥
+    * 0.35 (data max is ~0.51; random 64-dim pairs sit near 0). Brute
+    * all-pairs here as the exactness baseline — the LSH variant above
+    * is the 100 TB path. */
+  private def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.embeddings(spark, dir)
+      .select($"vec_id".as("id_a"), $"embedding".as("emb_a"))
+    val b = Tables.embeddings(spark, dir)
+      .select($"vec_id".as("id_b"), $"embedding".as("emb_b"))
+    a.crossJoin(b)
+      .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        round(Exprs.cosine($"emb_a", $"emb_b"), 6).as("cos"))
+      .where($"cos" >= 0.35)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val dedupEmbedSql = """
+    WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.35
+    ORDER BY id_a, id_b"""
+
+  /** q_llm_multimodal — text ⋈ embedding modality join (doc_id = vec_id;
+    * inner — not every document has an embedding at bench scale, see
+    * FIXTURES.md). Carries both modalities plus array math. */
+  private def multimodal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .join(Tables.embeddings(spark, dir), $"doc_id" === $"vec_id")
+      .select($"doc_id", $"lang", $"label",
+        length($"text").as("len_chars"),
+        size($"embedding").as("dim"),
+        round(element_at($"embedding", 1).cast("double"), 6).as("e_first"))
+      .orderBy($"doc_id")
+  }
+
+  private val multimodalSql = """
+    SELECT doc_id, lang, label, length(text) AS len_chars,
+      len(embedding) AS dim,
+      round(CAST(embedding[1] AS DOUBLE), 6) AS e_first
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    ORDER BY doc_id"""
+
+  /** q_llm_mm_features — multimodal binary-column pipeline: text bytes
+    * stand in for an opaque media payload; "decode"/feature-extract is
+    * the deterministic stub (real decoders aren't in this container —
+    * SURVEY §2.11), but the Spark plumbing — binary column, typed
+    * mapPartitions batch shape, explicit output schema — is real and
+    * oracle-checked (sha256/length are engine-independent). */
+  private def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, bytes) =>
+          md.reset()
+          val digest = md.digest(bytes).map("%02x".format(_)).mkString
+          (id, bytes.length.toLong, digest, bytes.headOption.fold(-1)(_.toInt))
+        }
+      }
+      .toDF("doc_id", "n_bytes", "sha_hex", "first_byte")
+      .orderBy($"doc_id")
+  }
+
+  private val mmFeaturesSql = """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      sha256(text) AS sha_hex,
+      ascii(substring(text, 1, 1)) AS first_byte
+    FROM documents ORDER BY doc_id"""
+
+  val all: Seq[Q] = Seq(
+    Q("q_llm_knn", knn _, knnSql),
+    Q.noOracle("q_llm_knn_lsh", knnLsh _),
+    Q("q_llm_dedup_embed", dedupEmbed _, dedupEmbedSql),
+    Q("q_llm_multimodal", multimodal _, multimodalSql),
+    Q("q_llm_mm_features", mmFeatures _, mmFeaturesSql))
+}

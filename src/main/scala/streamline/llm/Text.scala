@@ -1,0 +1,163 @@
+package streamline.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import streamline.{Q, Tables}
+
+/** §2.11 [C] text-analysis operators for a training-data pipeline:
+  * token counting, quality scoring, corpus profiling, language-ID
+  * heuristic, document fingerprinting.
+  *
+  * Everything here is a per-row projection or a keyed aggregation —
+  * embarrassingly parallel, no driver-side loops, no global state — so
+  * the same code runs unchanged on a 1000-executor cluster. Ratios are
+  * single IEEE divisions of exact integer counts (deterministic across
+  * engines); no transcendental math.
+  */
+object Text {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** q_llm_text_stats — tokenize + counts; also validates the n_chars
+    * metadata column against the actual text length. */
+  private def textStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        length($"text").as("len_chars"),
+        size(words($"text")).as("n_words"),
+        size(array_distinct(words($"text"))).as("n_uniq_words"),
+        ($"n_chars" === length($"text")).as("meta_len_ok"))
+      .orderBy($"doc_id")
+  }
+
+  private val textStatsSql = """
+    SELECT doc_id,
+      length(text) AS len_chars,
+      len(string_split(text, ' ')) AS n_words,
+      len(list_distinct(string_split(text, ' '))) AS n_uniq_words,
+      n_chars = length(text) AS meta_len_ok
+    FROM documents ORDER BY doc_id"""
+
+  /** q_llm_quality — quality scoring: stopword ratio, type-token ratio,
+    * average word length, length bucket. */
+  private def quality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = words($"text")
+    val nWords = size(w).cast("double")
+    val nStop = size(filter(w,
+      x => x.isin("the", "a", "of", "and", "to", "in"))).cast("double")
+    val nUniq = size(array_distinct(w)).cast("double")
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        (nStop / nWords).as("stop_ratio"),
+        (nUniq / nWords).as("ttr"),
+        ((length($"text") - (size(w) - 1)).cast("double") / nWords)
+          .as("avg_word_len"),
+        when(length($"text") < 200, "short")
+          .when(length($"text") < 400, "medium")
+          .otherwise("long").as("len_bucket"))
+      .orderBy($"doc_id")
+  }
+
+  private val qualitySql = """
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w
+               FROM documents)
+    SELECT doc_id,
+      CAST(len(list_filter(w,
+        x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        / CAST(len(w) AS DOUBLE) AS stop_ratio,
+      CAST(len(list_distinct(w)) AS DOUBLE)
+        / CAST(len(w) AS DOUBLE) AS ttr,
+      CAST(length(text) - (len(w) - 1) AS DOUBLE)
+        / CAST(len(w) AS DOUBLE) AS avg_word_len,
+      CASE WHEN length(text) < 200 THEN 'short'
+           WHEN length(text) < 400 THEN 'medium'
+           ELSE 'long' END AS len_bucket
+    FROM d ORDER BY doc_id"""
+
+  /** q_llm_lang_profile — corpus profiling: per (lang, source) volume
+    * and size stats. */
+  private def langProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        sum(size(words($"text"))).as("sum_words"),
+        min($"doc_id").as("first_doc"))
+      .orderBy($"lang", $"source")
+  }
+
+  private val langProfileSql = """
+    SELECT lang, source, count(*) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+      min(doc_id) AS first_doc
+    FROM documents GROUP BY lang, source ORDER BY lang, source"""
+
+  /** q_llm_lang_id — marker-word language-ID heuristic (n-gram-class
+    * detector): score each candidate language by marker hits, pick the
+    * argmax with a fixed precedence tiebreak. Deterministic and fully
+    * SQL-expressible, so it keeps an exact oracle. */
+  private def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = words($"text")
+    def score(markers: String*): Column =
+      size(filter(w, x => x.isin(markers.map(lit): _*)))
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        score("the", "and", "of").as("sc_en"),
+        score("der", "und", "die").as("sc_de"),
+        score("le", "la", "et").as("sc_fr"))
+      .withColumn("guessed",
+        when($"sc_de" > $"sc_en" && $"sc_de" >= $"sc_fr", "de")
+          .when($"sc_fr" > $"sc_en" && $"sc_fr" > $"sc_de", "fr")
+          .otherwise("en"))
+      .orderBy($"doc_id")
+  }
+
+  private val langIdSql = """
+    WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+               FROM documents),
+    s AS (SELECT doc_id, lang,
+      len(list_filter(w, x -> x IN ('the','and','of'))) AS sc_en,
+      len(list_filter(w, x -> x IN ('der','und','die'))) AS sc_de,
+      len(list_filter(w, x -> x IN ('le','la','et'))) AS sc_fr
+    FROM d)
+    SELECT doc_id, lang, sc_en, sc_de, sc_fr,
+      CASE WHEN sc_de > sc_en AND sc_de >= sc_fr THEN 'de'
+           WHEN sc_fr > sc_en AND sc_fr > sc_de THEN 'fr'
+           ELSE 'en' END AS guessed
+    FROM s ORDER BY doc_id"""
+
+  /** q_llm_fingerprint — canonical bag-of-words fingerprint (sorted
+    * distinct tokens → sha256): an order-insensitive document signature
+    * for shuffled-near-dup detection; n_same counts fingerprint
+    * collisions corpus-wide. */
+  private def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val fp = sha2(concat_ws(" ",
+      array_sort(array_distinct(words($"text")))), 256)
+    Tables.documents(spark, dir)
+      .select($"doc_id", fp.as("fp"))
+      .withColumn("n_same", count(lit(1)).over(Window.partitionBy($"fp")))
+      .orderBy($"doc_id")
+  }
+
+  private val fingerprintSql = """
+    WITH d AS (SELECT doc_id,
+      sha256(array_to_string(list_sort(list_distinct(
+        string_split(text, ' '))), ' ')) AS fp
+      FROM documents)
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
+    FROM d ORDER BY doc_id"""
+
+  val all: Seq[Q] = Seq(
+    Q("q_llm_text_stats", textStats _, textStatsSql),
+    Q("q_llm_quality", quality _, qualitySql),
+    Q("q_llm_lang_profile", langProfile _, langProfileSql),
+    Q("q_llm_lang_id", langId _, langIdSql),
+    Q("q_llm_fingerprint", fingerprint _, fingerprintSql))
+}
