@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import streamline.Q
 import streamline.batch._
 import streamline.llm.{Dedup, Similarity, Text}
+import streamline.stream.{Stateful, Streams}
 
 /** Driver contract — see /root/repo/SURVEY.md §0.1 and §7.
   *
@@ -17,7 +18,7 @@ object SparkEntry {
   private def modules: Seq[Q] =
     Aggregates.all ++ Relational.all ++ Joins.all ++ Windows.all ++
       Functions.all ++ UdfSurface.all ++ Text.all ++ Dedup.all ++
-      Similarity.all
+      Similarity.all ++ Streams.all ++ Stateful.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

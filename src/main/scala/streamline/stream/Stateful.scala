@@ -1,0 +1,101 @@
+package streamline.stream
+
+import scala.math.BigDecimal.RoundingMode
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import streamline.Q
+
+/** §2.9 keyed state + timers surface — the Flink KeyedProcessFunction /
+  * ValueState equivalent: `flatMapGroupsWithState` with a typed
+  * `GroupState` (SURVEY.md §2.9).
+  *
+  * Determinism: per-key state keeps an exact BigDecimal sum with each
+  * input quantized like `CAST(x AS DECIMAL(18,4))`, so neither arrival
+  * order nor batch boundaries can change the emitted totals; the final
+  * row per key is selected by the monotone event counter, so the query
+  * is correct even if AvailableNow splits the input into several
+  * micro-batches (each key's updates strictly increase in n_events).
+  */
+object Stateful {
+
+  case class EvRow(user_id: Long, value: Double)
+  case class UState(n: Long, sum: BigDecimal)
+  case class UOut(user_id: Long, n_events: Long, sum_val: Double)
+
+  private def dec4(v: Double): BigDecimal =
+    BigDecimal(v).setScale(4, RoundingMode.HALF_UP)
+
+  private def updateUser(uid: Long, rows: Iterator[EvRow],
+                         state: GroupState[UState]): Iterator[UOut] = {
+    val prev = state.getOption.getOrElse(UState(0L, BigDecimal(0)))
+    var n = prev.n
+    var sum = prev.sum
+    rows.foreach { r => n += 1; sum += dec4(r.value) }
+    state.update(UState(n, sum))
+    Iterator(UOut(uid, n, sum.toDouble))
+  }
+
+  /** q_stream_stateful — running per-key aggregate in keyed state,
+    * emitted as updates; the final (max-counter) update per key is the
+    * answer. */
+  private def streamStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val updates = Streams.eventsStream(spark, dir)
+      .select($"user_id", $"value").as[EvRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(updateUser)
+      .toDF()
+    val collected = Streams.runToTable(spark, "stateful", "update", updates)
+    val w = Window.partitionBy($"user_id").orderBy($"n_events".desc)
+    collected
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"user_id", $"n_events", $"sum_val")
+      .orderBy($"user_id")
+  }
+
+  private val streamStatefulSql = """
+    SELECT user_id, count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+    FROM events GROUP BY user_id ORDER BY user_id"""
+
+  /** q_stream_late — watermark semantics witness: a two-batch
+    * MemoryStream where the second batch carries an event far behind
+    * the watermark; the late row must NOT appear in the windowed
+    * counts. Not SQL-expressible ⇒ declared without oracle; also
+    * asserted in unit tests. */
+  private def streamLate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val name = s"late_${System.identityHashCode(input)}"
+    val agg = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".cast("timestamp_ntz").as("w_start"), $"n")
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // Batch 1: three on-time events; advances the watermark to 11:50.
+    input.addData((ts("2024-03-01 10:15:00"), 1L),
+      (ts("2024-03-01 11:10:00"), 2L), (ts("2024-03-01 12:00:00"), 3L))
+    q.processAllAvailable()
+    // Batch 2: one event at 09:30 — 2h20m behind the watermark → dropped.
+    input.addData((ts("2024-03-01 09:30:00"), 9L))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .groupBy($"w_start").agg(max($"n").as("n"))
+      .orderBy($"w_start")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q_stream_stateful", streamStateful _, streamStatefulSql),
+    Q.noOracle("q_stream_late", streamLate _))
+}
