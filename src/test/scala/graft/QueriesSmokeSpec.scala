@@ -1,0 +1,26 @@
+package graft
+
+/** Every declared query must run on sf0.001 without throwing — a query
+  * that throws under graft.Verify silently drops out of the driver's
+  * correctness score (SURVEY.md §0.1), so this is the guard. */
+class QueriesSmokeSpec extends SparkSuite {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has an oracle or is an allowed omission") {
+    val omitted = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val allowed = Set("q_agg_approx_distinct", "q_llm_dedup_near",
+      "q_llm_simhash", "q_llm_knn_lsh", "q_stream_late")
+    assert(omitted == allowed)
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs on sf0.001") {
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty)
+      df.count() // force full execution
+    }
+  }
+}

@@ -1,0 +1,98 @@
+package streamline
+
+import graft.SparkSuite
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.functions._
+import streamline.llm.Simhash
+
+class SimhashSpec extends SparkSuite {
+
+  test("identical texts get identical simhash") {
+    val a = Simhash.simhash64("the quick brown fox".split(' '))
+    val b = Simhash.simhash64("the quick brown fox".split(' '))
+    assert(a == b)
+  }
+
+  test("near-duplicates are close in hamming, unrelated texts far") {
+    val base = ("word" * 1).split(' ') // placeholder, replaced below
+    val t1 = (1 to 60).map(i => s"tok$i")
+    val t2 = t1.updated(5, "changed").updated(30, "other") // 2 word swap
+    val t3 = (1 to 60).map(i => s"zzz$i")
+    val h1 = Simhash.simhash64(t1)
+    val h2 = Simhash.simhash64(t2)
+    val h3 = Simhash.simhash64(t3)
+    assert(Simhash.hamming(h1, h2) < Simhash.hamming(h1, h3))
+    assert(Simhash.hamming(h1, h2) <= 16)
+  }
+}
+
+class MinHashNearDupSpec extends SparkSuite {
+
+  test("MinHashLSH finds a planted near-duplicate pair") {
+    import graft.SparkTestBase.spark.implicits._
+    val doc = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].head()
+    // Plant: the original doc and a copy with one word changed.
+    val near = doc._2.split(' ').updated(0, "PLANTED").mkString(" ")
+    val df = Seq((900001L, doc._2), (900002L, near)).toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("tokens"))
+    val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feat = tf.transform(df)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("mh")
+      .setNumHashTables(8).setSeed(42L)
+    val pairs = lsh.fit(feat)
+      .approxSimilarityJoin(feat, feat, 0.6, "jaccard_dist")
+      .select(col("datasetA.doc_id"), col("datasetB.doc_id"))
+      .where(col("datasetA.doc_id") === 900001L &&
+        col("datasetB.doc_id") === 900002L)
+    assert(pairs.count() == 1)
+  }
+}
+
+class WeightedAvgSpec extends SparkSuite {
+  import streamline.agg.{WBuf, WeightedAvg}
+
+  test("merge order cannot change the result") {
+    val xs = Seq((10.0, 2.0), (20.5, 1.0), (0.3333, 5.0), (99.99, 0.5))
+    val seq1 = xs.foldLeft(WeightedAvg.zero)(WeightedAvg.reduce)
+    val (l, r) = xs.splitAt(2)
+    val par = WeightedAvg.merge(
+      r.foldLeft(WeightedAvg.zero)(WeightedAvg.reduce),
+      l.foldLeft(WeightedAvg.zero)(WeightedAvg.reduce))
+    assert(WeightedAvg.finish(seq1) == WeightedAvg.finish(par))
+  }
+
+  test("matches the decimal-sum formula") {
+    val b = WeightedAvg.reduce(WeightedAvg.reduce(WeightedAvg.zero,
+      (10.0, 2.0)), (20.0, 2.0))
+    assert(WeightedAvg.finish(b) == 15.0)
+  }
+}
+
+class CosineExprSpec extends SparkSuite {
+
+  test("CosineSim matches a reference implementation (eval + codegen)") {
+    import graft.SparkTestBase.spark.implicits._
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(-1.0f, 0.5f, 2.0f)
+    def ref(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) {
+        dot += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(streamline.expr.Exprs.cosine(col("a"), col("b")))
+      .as[Double].head()
+    assert(got == ref(a, b))
+    // identical vectors → 1.0 within ulps
+    val self = Seq((a, a)).toDF("a", "b")
+      .select(streamline.expr.Exprs.cosine(col("a"), col("b")))
+      .as[Double].head()
+    assert(math.abs(self - 1.0) < 1e-12)
+  }
+}

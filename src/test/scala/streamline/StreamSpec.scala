@@ -1,0 +1,43 @@
+package streamline
+
+import graft.{SparkEntry, SparkSuite}
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics the DuckDB oracle can't see (SURVEY.md §5.2). */
+class StreamLateSpec extends SparkSuite {
+
+  test("q_stream_late: the late row is dropped by the watermark") {
+    import graft.SparkTestBase.spark.implicits._
+    val out = SparkEntry.queries("q_stream_late")(spark, sfDir)
+      .select($"w_start".cast("string"), $"n").as[(String, Long)]
+      .collect().toMap
+    // On-time rows: one per hour window at 10:00 / 11:00 / 12:00.
+    assert(out("2024-03-01 10:00:00") == 1L)
+    assert(out("2024-03-01 11:00:00") == 1L)
+    assert(out("2024-03-01 12:00:00") == 1L)
+    // The 09:30 event arrived behind the watermark → no 09:00 window.
+    assert(!out.contains("2024-03-01 09:00:00"))
+  }
+}
+
+class StreamBatchEquivSpec extends SparkSuite {
+
+  test("streaming tumble equals batch tumble on finite input") {
+    import graft.SparkTestBase.spark.implicits._
+    val streamed = SparkEntry.queries("q_stream_tumble")(spark, sfDir)
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(sum($"value".cast("decimal(18,4)")).cast("double").as("sum_val"),
+        count(lit(1)).as("n"))
+      .select($"window.start".cast("timestamp_ntz").as("w_start"),
+        $"event_type", $"sum_val", $"n")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming dedup equals DISTINCT on finite input") {
+    val streamed = SparkEntry.queries("q_stream_dedup")(spark, sfDir)
+    val batch = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct()
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}
