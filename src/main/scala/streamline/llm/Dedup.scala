@@ -37,18 +37,32 @@ object Dedup {
       FROM documents)
     SELECT doc_id, h FROM d WHERE rn = 1 ORDER BY doc_id"""
 
-  /** q_llm_dedup_near — MinHash+LSH near-dup pairs over token sets
-    * (spark.ml MinHashLSH, fixed seed). Approximate ⇒ no SQL oracle;
-    * planted-duplicate behavior is unit-tested instead. */
+  /** Word 3-shingles. Unigram token SETS are degenerate on a small
+    * vocabulary (the corpus has ~31 distinct words, so every pair of
+    * docs shares most tokens and LSH banding collapses to an all-pairs
+    * join); shingles restore set diversity — the standard
+    * shingle→minhash→band pipeline. */
+  private def shingles3(text: org.apache.spark.sql.Column) = {
+    val w = split(text, " ")
+    transform(sequence(lit(1), size(w) - 2),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+        element_at(w, i + 2)))
+  }
+
+  /** q_llm_dedup_near — MinHash+LSH near-dup pairs over 3-shingle sets
+    * (spark.ml MinHashLSH, fixed seed). Only same-bucket candidates are
+    * compared — at 100 TB the bucket join is the whole point.
+    * Approximate ⇒ no SQL oracle; planted-duplicate behavior is
+    * unit-tested instead. */
   private def dedupNear(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-      .select($"doc_id", split($"text", " ").as("tokens"))
+      .select($"doc_id", shingles3($"text").as("tokens"))
     val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
     val feat = tf.transform(docs)
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("mh")
-      .setNumHashTables(8).setSeed(42L)
+      .setNumHashTables(5).setSeed(42L)
     val model = lsh.fit(feat)
     model.approxSimilarityJoin(feat, feat, 0.6, "jaccard_dist")
       .select(col("datasetA.doc_id").as("id_a"),

@@ -56,11 +56,13 @@ object Similarity {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", array_to_vector($"embedding").as("vec"))
+    // Unit-scale vectors project to ~N(0,1); a 0.25 bucket keeps each
+    // hash table selective (vs an all-pairs collapse with wide buckets).
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("vec").setOutputCol("buckets")
-      .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
+      .setBucketLength(0.25).setNumHashTables(2).setSeed(42L)
     val model = lsh.fit(emb)
-    model.approxSimilarityJoin(emb, emb, 1.3, "dist")
+    model.approxSimilarityJoin(emb, emb, 1.1, "dist")
       .select(col("datasetA.vec_id").as("id_a"),
         col("datasetB.vec_id").as("id_b"),
         round(col("dist"), 6).as("dist"))
