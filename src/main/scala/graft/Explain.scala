@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-inspection tool: prints the formatted physical plan of the named
+  * queries (all queries when none given) at the given sf dir. Used to
+  * audit the scale posture — pushed filters, pruned read schemas,
+  * broadcast vs shuffle joins, whole-stage-codegen spans.
+  *
+  * Usage: graft.Explain <sfDir> [query ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+      } catch { case e: Throwable => println(s"EXPLAIN FAILED: $e") }
+    }
+    spark.stop()
+  }
+}

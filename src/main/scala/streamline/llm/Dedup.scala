@@ -41,12 +41,21 @@ object Dedup {
     * vocabulary (the corpus has ~31 distinct words, so every pair of
     * docs shares most tokens and LSH banding collapses to an all-pairs
     * join); shingles restore set diversity — the standard
-    * shingle→minhash→band pipeline. */
-  private def shingles3(text: org.apache.spark.sql.Column) = {
+    * shingle→minhash→band pipeline.
+    *
+    * Implemented as zip_with over three shifted slices — each slice
+    * evaluates `split` once per ROW. The naive
+    * `transform(sequence(1, n-2), i => element_at(split(text), i) ...)`
+    * form re-splits the whole text once per ELEMENT inside the lambda
+    * (O(words²) per doc, ~5× slower end-to-end at sf0.1). */
+  private[llm] def shingles3(text: org.apache.spark.sql.Column) = {
     val w = split(text, " ")
-    transform(sequence(lit(1), size(w) - 2),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-        element_at(w, i + 2)))
+    val n = greatest(size(w) - 2, lit(0))
+    zip_with(
+      zip_with(slice(w, lit(1), n), slice(w, lit(2), n),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(w, lit(3), n),
+      (ab, c) => concat(ab, lit(" "), c))
   }
 
   /** q_llm_dedup_near — MinHash+LSH near-dup pairs over 3-shingle sets
@@ -88,9 +97,67 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** q_llm_dedup_jaccard — EXACT n-gram Jaccard near-dup pairs via
+    * prefix filtering (AllPairs/PPJoin family): two sorted shingle sets
+    * with Jaccard ≥ τ must share an element of each other's first
+    * ⌊(1−τ)·|s|⌋+1 shingles, so candidate pairs are generated only from
+    * those prefixes — a keyed equi-join on shingle, never all-pairs, so
+    * the same plan holds at 100 TB. The exact counterpart of the
+    * MinHash path above; deterministic ⇒ full SQL oracle. */
+  private def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tau = 0.6
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", array_sort(array_distinct(shingles3($"text"))).as("sh"))
+    val pref = sh.select($"doc_id",
+      slice($"sh", lit(1),
+        (floor(size($"sh") * lit(1 - tau)) + 1).cast("int")).as("prefix"))
+    val ex = pref.select($"doc_id", explode($"prefix").as("p"))
+    val cand = ex.as("a").join(ex.as("b"),
+        $"a.p" === $"b.p" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+    // Broadcast the shingle table into both probe joins: the pair stream
+    // never shuffles and the two identical broadcast sub-plans collapse
+    // into one ReusedExchange, so shingling is computed once. Beyond
+    // broadcast size (the 100 TB regime) drop the hint — AQE picks a
+    // shuffled hash join on doc_id and the plan stays correct.
+    val inter = size(array_intersect($"sa.sh", $"sb.sh"))
+    cand.join(broadcast(sh.as("sa")), $"sa.doc_id" === $"id_a")
+      .join(broadcast(sh.as("sb")), $"sb.doc_id" === $"id_b")
+      .select($"id_a", $"id_b",
+        (inter.cast("double") /
+          (size($"sa.sh") + size($"sb.sh") - inter).cast("double")).as("jac"))
+      .where($"jac" >= tau)
+      .select($"id_a", $"id_b", round($"jac", 6).as("jac"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val dedupJaccardSql = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, list_sort(list_distinct(
+             list_transform(generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+           FROM w),
+    pref AS (SELECT doc_id,
+               sh[1 : CAST(floor(len(sh) * 0.4) AS INT) + 1] AS prefix
+             FROM sh),
+    ex AS (SELECT doc_id, unnest(prefix) AS p FROM pref),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM ex a JOIN ex b ON a.p = b.p AND a.doc_id < b.doc_id),
+    j AS (SELECT id_a, id_b,
+            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+            CAST(len(sa.sh) + len(sb.sh)
+                 - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jac
+          FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+                    JOIN sh sb ON sb.doc_id = cand.id_b)
+    SELECT id_a, id_b, round(jac, 6) AS jac FROM j
+    WHERE jac >= 0.6 ORDER BY id_a, id_b"""
+
   val all: Seq[Q] = Seq(
     Q("q_llm_dedup_exact", dedupExact _, dedupExactSql),
     Q.noOracle("q_llm_dedup_near", dedupNear _),
+    Q("q_llm_dedup_jaccard", dedupJaccard _, dedupJaccardSql),
     Q.noOracle("q_llm_simhash", simhash _))
 }
 

@@ -154,8 +154,39 @@ object Text {
     SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
     FROM d ORDER BY doc_id"""
 
+  /** q_llm_tokenize — BPE-ish token counting: regex pre-tokenization
+    * (letter runs / digit runs / single other char — the GPT-2 pattern
+    * class reduced to POSIX-safe classes shared by Java regex and RE2)
+    * plus a subword-unit estimate of ⌈len/4⌉ per token (the "a BPE
+    * token is ~4 chars" rule). Pure per-row projection — no shuffle. */
+  private def tokenize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        regexp_extract_all($"text",
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)).as("toks"))
+      .select($"doc_id",
+        size($"toks").as("n_tokens"),
+        size(array_distinct($"toks")).as("n_distinct"),
+        aggregate($"toks", lit(0L),
+          (acc, t) => acc + floor((length(t) + lit(3)) / lit(4)).cast("long"))
+          .as("n_units"))
+      .orderBy($"doc_id")
+  }
+
+  private val tokenizeSql = """
+    WITH t AS (SELECT doc_id,
+      regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
+      FROM documents)
+    SELECT doc_id, len(toks) AS n_tokens,
+      len(list_distinct(toks)) AS n_distinct,
+      CAST(list_sum(list_transform(toks, t -> (length(t)+3)//4)) AS BIGINT)
+        AS n_units
+    FROM t ORDER BY doc_id"""
+
   val all: Seq[Q] = Seq(
     Q("q_llm_text_stats", textStats _, textStatsSql),
+    Q("q_llm_tokenize", tokenize _, tokenizeSql),
     Q("q_llm_quality", quality _, qualitySql),
     Q("q_llm_lang_profile", langProfile _, langProfileSql),
     Q("q_llm_lang_id", langId _, langIdSql),
