@@ -10,7 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Untimed warmup: JVM/codegen/parquet-footer startup costs belong to
+    // the session, not to whichever query happens to run first.
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
+      else SparkEntry.queries
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

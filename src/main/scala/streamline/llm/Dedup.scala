@@ -107,29 +107,45 @@ object Dedup {
   private def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tau = 0.6
+    // Shingles are hashed to 64-bit once up front: every later join key,
+    // sort, prefix slice and intersection then works on longs instead of
+    // ~18-char strings (~an order of magnitude less hashing/comparison
+    // work; xxhash64 collisions at this cardinality are ~1e-11 so the
+    // Jaccard values are unchanged — the DuckDB oracle stays on strings
+    // and hash-matches). Sorting by hash IS a valid prefix-filter order:
+    // any fixed total order on the element universe works.
     val sh = Tables.documents(spark, dir)
-      .select($"doc_id", array_sort(array_distinct(shingles3($"text"))).as("sh"))
+      .select($"doc_id", array_sort(array_distinct(
+        transform(shingles3($"text"), s => xxhash64(s)))).as("sh"))
     val pref = sh.select($"doc_id",
       slice($"sh", lit(1),
         (floor(size($"sh") * lit(1 - tau)) + 1).cast("int")).as("prefix"))
     val ex = pref.select($"doc_id", explode($"prefix").as("p"))
-    val cand = ex.as("a").join(ex.as("b"),
+    // Self-join as a SHUFFLE hash join on purpose: both sides become
+    // identical shuffle exchanges, which ReuseExchange collapses — the
+    // shingle/explode pipeline is computed once, not twice (a broadcast
+    // self-join cannot share its build and stream sides). Also the plan
+    // that scales: at 100 TB the exploded prefix index shuffles by
+    // shingle, it is never driver-collected.
+    val cand = ex.as("a").hint("shuffle_hash").join(ex.as("b"),
         $"a.p" === $"b.p" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .distinct()
     // Broadcast the shingle table into both probe joins: the pair stream
-    // never shuffles and the two identical broadcast sub-plans collapse
-    // into one ReusedExchange, so shingling is computed once. Beyond
-    // broadcast size (the 100 TB regime) drop the hint — AQE picks a
-    // shuffled hash join on doc_id and the plan stays correct.
+    // never shuffles. Beyond broadcast size (the 100 TB regime) drop the
+    // hint — AQE picks a shuffled hash join on doc_id and the plan stays
+    // correct.
     val inter = size(array_intersect($"sa.sh", $"sb.sh"))
     cand.join(broadcast(sh.as("sa")), $"sa.doc_id" === $"id_a")
       .join(broadcast(sh.as("sb")), $"sb.doc_id" === $"id_b")
+      // τ-filter in INTEGER form (for τ=3/5: jac ≥ τ ⟺ 8·|∩| ≥ 3·(|a|+|b|))
+      // so the predicate the optimizer pushes into the join condition
+      // evaluates array_intersect once, not the full double ratio twice.
+      .where(inter * lit(8) >= (size($"sa.sh") + size($"sb.sh")) * lit(3))
       .select($"id_a", $"id_b",
-        (inter.cast("double") /
-          (size($"sa.sh") + size($"sb.sh") - inter).cast("double")).as("jac"))
-      .where($"jac" >= tau)
-      .select($"id_a", $"id_b", round($"jac", 6).as("jac"))
+        round(inter.cast("double") /
+          (size($"sa.sh") + size($"sb.sh") - inter).cast("double"), 6)
+          .as("jac"))
       .orderBy($"id_a", $"id_b")
   }
 
