@@ -1,0 +1,103 @@
+package streamline
+
+import java.nio.file.Files
+
+import graft.{SparkEntry, SparkSuite}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import streamline.llm.Simhash
+
+/** Property tests (SURVEY.md §5.2): invariants the DuckDB oracle cannot
+  * express, checked against brute-force references over GENERATED
+  * corpora — the declared query implementations are run end-to-end on a
+  * temp documents.parquet, so the properties exercise the exact code
+  * the driver verifies.
+  *
+  * ScalaCheck generators are sampled with fixed seeds (deterministic CI)
+  * rather than via forAll, because only scalacheck core is on the
+  * offline classpath.
+  */
+class PropertySpec extends SparkSuite {
+
+  private val vocab =
+    Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+
+  private val docGen: Gen[Seq[String]] = for {
+    base <- Gen.choose(4, 10)
+    docs <- Gen.listOfN(base, Gen.choose(5, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    // plant near-dups: copies of doc 0 with one word replaced
+    planted <- Gen.choose(0, 2).flatMap(k => Gen.listOfN(k,
+      Gen.choose(0, 4).map { i =>
+        val w = docs.head.split(' '); w(i % w.length) = "planted"
+        w.mkString(" ")
+      }))
+  } yield docs ++ planted
+
+  private def corpus(seed: Long): Seq[(Long, String)] =
+    docGen(Gen.Parameters.default, Seed(seed)).get
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  /** Write a generated corpus as a documents table the declared queries
+    * can read (same schema as Tables.documentsSchema). */
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import graft.SparkTestBase.spark.implicits._
+    val dir = Files.createTempDirectory("graft_prop").toString
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'gen' AS source",
+        "CAST(length(text) AS LONG) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def shingleSet(text: String): Set[String] =
+    text.split(' ').sliding(3).filter(_.length == 3)
+      .map(_.mkString(" ")).toSet
+
+  test("property: prefix-filtered Jaccard equals brute force (5 corpora)") {
+    for (seed <- 1L to 5L) {
+      val rows = writeThenRun(seed)
+      val (docs, got) = rows
+      val expect = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        u = (sa ++ sb).size if u > 0
+        jac = sa.intersect(sb).size.toDouble / u if jac >= 0.6
+      } yield (ia, ib, math.rint(jac * 1e6) / 1e6)).toSet
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  private def writeThenRun(seed: Long) = {
+    val docs = corpus(seed)
+    val dir = writeDocs(docs)
+    val got = SparkEntry.queries("q_llm_dedup_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    (docs, got)
+  }
+
+  test("property: exact dedup keeps exactly the min doc_id per text (5 corpora)") {
+    for (seed <- 11L to 15L) {
+      val docs = corpus(seed)
+      val dir = writeDocs(docs)
+      val got = SparkEntry.queries("q_llm_dedup_exact")(spark, dir)
+        .collect().map(_.getLong(0)).toSet
+      val expect = docs.groupBy(_._2).values.map(_.map(_._1).min).toSet
+      assert(got == expect, s"seed=$seed")
+      // idempotence: every survivor's text is unique => re-dedup is identity
+      val survivors = docs.filter(d => expect(d._1))
+      assert(survivors.map(_._2).distinct.size == survivors.size)
+    }
+  }
+
+  test("property: simhash is bag-of-words order-invariant") {
+    for (seed <- 21L to 40L) {
+      val words = Gen.listOfN(30, Gen.oneOf(vocab))
+        .apply(Gen.Parameters.default, Seed(seed)).get
+      val perm = new scala.util.Random(seed).shuffle(words)
+      assert(Simhash.simhash64(words) == Simhash.simhash64(perm))
+      assert(Simhash.hamming(Simhash.simhash64(words),
+        Simhash.simhash64(words)) == 0)
+    }
+  }
+}
