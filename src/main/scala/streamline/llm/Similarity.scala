@@ -1,5 +1,6 @@
 package streamline.llm
 
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -68,6 +69,47 @@ object Similarity {
         round(col("dist"), 6).as("dist"))
       .where($"id_a" < $"id_b")
       .orderBy($"id_a", $"id_b")
+  }
+
+  /** q_llm_knn_ivf — the other ANN scale path: IVF (inverted-file)
+    * search. A k-means coarse quantizer partitions the corpus into
+    * cells; a query scores only the nProbe cells nearest its probe
+    * vector, so the scan is 1/k-ish of the corpus and the cell
+    * assignment is the partition key at 100 TB. The quantizer
+    * (k centroids) is model metadata — driver-scale by design, like any
+    * broadcast dimension. Fixed seed ⇒ reproducible; approximate ⇒ no
+    * SQL oracle (recall vs the exact top-k is unit-tested). */
+  private def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 16
+    val nProbe = 6
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", array_to_vector($"embedding").as("vec"))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("vec").setPredictionCol("cell")
+      .fit(emb)
+    // The probe is the lowest-vec_id embedding (same convention as
+    // q_llm_knn); one-row lookup + k tiny centroids on the driver is the
+    // IVF coarse-quantization step, not a data collect.
+    val probe = emb.orderBy($"vec_id".asc).limit(1)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val cells = model.clusterCenters.zipWithIndex
+      .sortBy { case (c, _) =>
+        var d = 0.0
+        var i = 0
+        while (i < probe.length) {
+          val diff = c(i) - probe(i); d += diff * diff; i += 1
+        }
+        d
+      }
+      .take(nProbe).map(_._2)
+    model.transform(emb)
+      .where($"cell".isin(cells.toIndexedSeq: _*))
+      .crossJoin(broadcast(probeDf(spark, dir)))
+      .select($"vec_id",
+        round(Exprs.cosine($"embedding", $"probe"), 6).as("score"))
+      .orderBy($"score".desc, $"vec_id".asc)
+      .limit(10)
   }
 
   /** q_llm_dedup_embed — exact embedding near-dup pairs by cosine ≥
@@ -151,6 +193,7 @@ object Similarity {
   val all: Seq[Q] = Seq(
     Q("q_llm_knn", knn _, knnSql),
     Q.noOracle("q_llm_knn_lsh", knnLsh _),
+    Q.noOracle("q_llm_knn_ivf", knnIvf _),
     Q("q_llm_dedup_embed", dedupEmbed _, dedupEmbedSql),
     Q("q_llm_multimodal", multimodal _, multimodalSql),
     Q("q_llm_mm_features", mmFeatures _, mmFeaturesSql))
