@@ -190,11 +190,48 @@ object Similarity {
       ascii(substring(text, 1, 1)) AS first_byte
     FROM documents ORDER BY doc_id"""
 
+  /** q_llm_mm_sample — multimodal frame-sampling pipeline: the binary
+    * payload is treated as fixed-size frames (64-byte chunks standing in
+    * for decoded video frames — real codecs aren't in this container,
+    * SURVEY §2.11); every 4th frame is sampled and fingerprinted. The
+    * Spark plumbing — binary column, per-row chunking, sample stride,
+    * per-frame digest, explode to one row per sampled frame — is the
+    * real thing and fully oracle-checked (substring/sha are
+    * engine-independent). Pure projection + generate: no shuffle. */
+  private def mmSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frameLen = 64
+    val stride = 4
+    val nFrames = ceil(length($"text") / lit(frameLen.toDouble)).cast("int")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text", nFrames.as("n_frames"))
+      .select($"doc_id", $"text", $"n_frames",
+        explode(sequence(lit(0),
+          (($"n_frames" - 1) / lit(stride)).cast("int"))).as("sample_idx"))
+      .withColumn("frame_idx", $"sample_idx" * stride)
+      .select($"doc_id", $"n_frames", $"sample_idx", $"frame_idx",
+        sha2(substring($"text", $"frame_idx" * frameLen + 1, lit(frameLen)),
+          256).as("frame_sha"))
+      .orderBy($"doc_id", $"sample_idx")
+  }
+
+  private val mmSampleSql = """
+    WITH f AS (SELECT doc_id, text,
+                 CAST(ceil(length(text) / 64.0) AS INT) AS n_frames
+               FROM documents),
+    s AS (SELECT doc_id, text, n_frames,
+            unnest(generate_series(0, (n_frames - 1) // 4)) AS sample_idx
+          FROM f)
+    SELECT doc_id, n_frames, sample_idx, sample_idx * 4 AS frame_idx,
+      sha256(substring(text, sample_idx * 4 * 64 + 1, 64)) AS frame_sha
+    FROM s ORDER BY doc_id, sample_idx"""
+
   val all: Seq[Q] = Seq(
     Q("q_llm_knn", knn _, knnSql),
     Q.noOracle("q_llm_knn_lsh", knnLsh _),
     Q.noOracle("q_llm_knn_ivf", knnIvf _),
     Q("q_llm_dedup_embed", dedupEmbed _, dedupEmbedSql),
     Q("q_llm_multimodal", multimodal _, multimodalSql),
-    Q("q_llm_mm_features", mmFeatures _, mmFeaturesSql))
+    Q("q_llm_mm_features", mmFeatures _, mmFeaturesSql),
+    Q("q_llm_mm_sample", mmSample _, mmSampleSql))
 }
