@@ -248,8 +248,38 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** q_agg_salted — skew-resilient two-phase aggregation, the standard
+    * hot-key treatment at 100 TB: lineitem has only 3 return flags, so a
+    * single-phase shuffle would send each giant group to one reducer.
+    * Phase 1 groups by (key, salt = hash(row) mod 16) spreading each hot
+    * key over 16 reducers; phase 2 merges the 16 partials per key.
+    * DECIMAL sums make the two-phase result bit-identical to the
+    * one-phase oracle regardless of how rows split across salts. */
+  def aggSalted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val salted = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(hash($"l_orderkey", $"l_linenumber"), lit(16)))
+      .groupBy($"l_returnflag", $"salt")
+      .agg(sum(dec("l_quantity")).as("p_qty"),
+        sum(dec("l_extendedprice")).as("p_price"),
+        count(lit(1)).as("p_n"))
+    salted.groupBy($"l_returnflag")
+      .agg(asDouble(sum($"p_qty")).as("sum_qty"),
+        asDouble(sum($"p_price")).as("sum_price"),
+        sum($"p_n").as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggSaltedSql: String = """
+    SELECT l_returnflag,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val all: Seq[streamline.Q] = Seq(
     streamline.Q("q_agg_group", aggGroup _, aggGroupSql),
+    streamline.Q("q_agg_salted", aggSalted _, aggSaltedSql),
     streamline.Q("q_agg_global", aggGlobal _, aggGlobalSql),
     streamline.Q("q_agg_distinct", aggDistinct _, aggDistinctSql),
     streamline.Q("q_agg_argmax", aggArgmax _, aggArgmaxSql),

@@ -268,8 +268,51 @@ object Joins {
     FROM j WHERE rn = 1
     ORDER BY user_id, p_id"""
 
+  /** q_join_bucketed — co-located (shuffle-free) join via bucketing, the
+    * pre-partitioning story at 100 TB: both sides are written bucketed
+    * 8-ways on the join key (one file per bucket, sorted), so the
+    * sort-merge join reads matching buckets directly — zero Exchange on
+    * either side (asserted by BucketedJoinPlanSpec). The bucketed write
+    * happens once per call into a scratch location; in production the
+    * tables would be bucketed at ingest and every subsequent join on the
+    * key is shuffle-free. */
+  private def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bucketedTables(spark, dir)
+    val o = spark.table("graft_b_orders")
+    val c = spark.table("graft_b_customer")
+    o.hint("merge").join(c, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(asDouble(sum(dec("o_totalprice"))).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Write orders + customer bucketed on the join key (8 buckets, one
+    * sorted file each) and register them in the session catalog. */
+  def bucketedTables(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val base = "/tmp/graft_bucketed"
+    Tables.orders(spark, dir).repartition(8, $"o_custkey")
+      .write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$base/orders").saveAsTable("graft_b_orders")
+    Tables.customer(spark, dir).repartition(8, $"c_custkey")
+      .write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$base/customer").saveAsTable("graft_b_customer")
+  }
+
+  private val joinBucketedSql = """
+    SELECT c_mktsegment,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      count(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val all: Seq[Q] = Seq(
     Q("q_join_hash", joinHash _, joinHashSql),
+    Q("q_join_bucketed", joinBucketed _, joinBucketedSql),
     Q("q_join_merge", joinMerge _, joinMergeSql),
     Q("q_join_broadcast", joinBroadcast _, joinBroadcastSql),
     Q("q_join_left", joinLeft _, joinLeftSql),

@@ -1,0 +1,36 @@
+package streamline
+
+import graft.{SparkEntry, SparkSuite}
+import streamline.batch.Joins
+
+/** Plan-shape witness for the co-located join: with both sides bucketed
+  * 8-ways on the join key, the sort-merge join must read matching
+  * buckets directly — no shuffle Exchange under the join on either
+  * side. This is the property that makes repeated key-joins free at
+  * scale.
+  */
+class BucketedJoinPlanSpec extends SparkSuite {
+
+  test("bucketed sort-merge join has no shuffle exchange under the join") {
+    import graft.SparkTestBase.spark.implicits._
+    Joins.bucketedTables(spark, sfDir)
+    val joined = spark.table("graft_b_orders").hint("merge")
+      .join(spark.table("graft_b_customer"), $"o_custkey" === $"c_custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(500))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("q_join_bucketed equals the plain shuffled join result") {
+    import org.apache.spark.sql.functions._
+    import graft.SparkTestBase.spark.implicits._
+    val got = SparkEntry.queries("q_join_bucketed")(spark, sfDir).collect()
+    val plain = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(sum($"o_totalprice".cast("decimal(18,4)")).cast("double")
+        .as("sum_price"), count(lit(1)).as("n"))
+      .orderBy($"c_mktsegment").collect()
+    assert(got.toSeq == plain.toSeq)
+  }
+}
