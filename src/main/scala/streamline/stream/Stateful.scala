@@ -95,7 +95,66 @@ object Stateful {
       .orderBy($"w_start")
   }
 
+  case class CwRow(user_id: Long, ts: Long, event_id: Long, value: Double)
+  case class CwState(buf: List[CwRow], nextWin: Long)
+  case class CwOut(user_id: Long, win_id: Long, n: Long, sum_val: Double)
+
+  private val winSize = 5
+
+  /** Per-key count-window fire: buffer rows, emit one aggregate per
+    * COMPLETE window of `winSize` events in (ts, event_id) order —
+    * Flink's `countWindow(n)` semantics (trailing partial windows never
+    * fire). Rows within a batch are sorted before windowing so the
+    * result is scan-order independent. */
+  private def updateCw(uid: Long, rows: Iterator[CwRow],
+                       state: GroupState[CwState]): Iterator[CwOut] = {
+    val prev = state.getOption.getOrElse(CwState(Nil, 0L))
+    val all = (prev.buf ++ rows.toList).sortBy(r => (r.ts, r.event_id))
+    val (complete, rest) = all.splitAt(all.length - all.length % winSize)
+    val outs = complete.grouped(winSize).zipWithIndex.map { case (w, i) =>
+      val sum = w.foldLeft(BigDecimal(0))((a, r) => a + dec4(r.value))
+      CwOut(uid, prev.nextWin + i, winSize.toLong, sum.toDouble)
+    }.toList
+    state.update(CwState(rest, prev.nextWin + outs.length))
+    outs.iterator
+  }
+
+  /** q_stream_count_window — Flink `DataStream.countWindow(5)`: a window
+    * type Spark has no built-in for, composed from keyed state
+    * (`flatMapGroupsWithState`). State holds only the open (partial)
+    * window per key — bounded by winSize rows per key at any moment, so
+    * it scales like any keyed state op. Oracle: complete windows of the
+    * (ts, event_id)-ordered per-key sequence via row_number arithmetic. */
+  private def streamCountWindow(spark: SparkSession,
+                                dir: String): DataFrame = {
+    import spark.implicits._
+    val updates = Streams.eventsStream(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("ts"), $"event_id", $"value")
+      .as[CwRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(updateCw)
+      .toDF()
+    Streams.runToTable(spark, "cw", "append", updates)
+      .orderBy($"user_id", $"win_id")
+  }
+
+  private val streamCountWindowSql = """
+    WITH e AS (SELECT user_id, value, event_id,
+                 date_trunc('microseconds', ts) AS tsu FROM events),
+    o AS (SELECT user_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY tsu, event_id) - 1 AS rn,
+            count(*) OVER (PARTITION BY user_id) AS total
+          FROM e)
+    SELECT user_id, rn // 5 AS win_id, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+    FROM o WHERE rn < total - (total % 5)
+    GROUP BY user_id, rn // 5
+    ORDER BY user_id, win_id"""
+
   val all: Seq[Q] = Seq(
     Q("q_stream_stateful", streamStateful _, streamStatefulSql),
+    Q("q_stream_count_window", streamCountWindow _, streamCountWindowSql),
     Q.noOracle("q_stream_late", streamLate _))
 }
