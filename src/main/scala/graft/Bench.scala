@@ -18,9 +18,12 @@ object Bench {
       else SparkEntry.queries
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e"); false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $dt%8.2f s")
+      System.err.println(f"[bench] $name%-28s $dt%8.2f s${if (ok) "" else "  (FAILED)"}")
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
