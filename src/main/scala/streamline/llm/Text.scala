@@ -184,9 +184,66 @@ object Text {
         AS n_units
     FROM t ORDER BY doc_id"""
 
+  /** q_llm_winnow — winnowing fingerprints (the MOSS scheme): a rolling
+    * polynomial hash over character 5-grams, then the minimum hash of
+    * every 4-hash window; the distinct window-minima are the document's
+    * fingerprint set (two documents sharing a long-enough substring are
+    * guaranteed to share a fingerprint). The hash is plain integer math
+    * (Σ ascii·31^j — no overflow at these sizes), so BOTH engines
+    * compute identical values and the oracle is exact. Per-row
+    * projection only — no shuffle. */
+  private def winnow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 5
+    val w = 4
+    // Built entirely from zip_with over shifted slices so every array is
+    // evaluated once per ROW — a lambda that re-reads the source column
+    // per ELEMENT (transform(sequence(...), i => substring(text, i...)))
+    // is O(chars²) per doc and was measured ~100× slower.
+    def shifted(arr: Column, n: Int, j: Int, width: Column): Column =
+      slice(arr, lit(1 + j), width)
+    def horner(text: Column): Column = {
+      val codes = transform(split(text, ""), c => ascii(c).cast("long"))
+      val width = greatest(size(codes) - (k - 1), lit(0))
+      (1 until k).foldLeft(shifted(codes, k, 0, width)) { (acc, j) =>
+        zip_with(acc, shifted(codes, k, j, width),
+          (a, c) => a * lit(31L) + c)
+      }
+    }
+    def windowMins(hs: Column): Column = {
+      val width = greatest(size(hs) - (w - 1), lit(0))
+      (1 until w).foldLeft(shifted(hs, w, 0, width)) { (acc, j) =>
+        zip_with(acc, shifted(hs, w, j, width), (a, b) => least(a, b))
+      }
+    }
+    val fps = array_distinct(windowMins(horner($"text")))
+    Tables.documents(spark, dir)
+      .select($"doc_id", fps.as("fps"))
+      .select($"doc_id", size($"fps").as("n_fp"),
+        array_min($"fps").as("fp_min"), array_max($"fps").as("fp_max"))
+      .orderBy($"doc_id")
+  }
+
+  private val winnowSql = """
+    WITH h AS (SELECT doc_id,
+      list_transform(generate_series(1, greatest(length(text) - 4, 0)),
+        i -> list_sum(list_transform(generate_series(0, 4),
+          j -> ascii(substring(text, CAST(i + j AS INT), 1)) *
+               ([923521, 29791, 961, 31, 1])[j + 1]))) AS hs
+      FROM documents),
+    f AS (SELECT doc_id, list_distinct(
+            list_transform(generate_series(1, greatest(len(hs) - 3, 0)),
+              x -> list_min(hs[x : x + 3]))) AS fps
+          FROM h)
+    SELECT doc_id, len(fps) AS n_fp,
+      CAST(list_min(fps) AS BIGINT) AS fp_min,
+      CAST(list_max(fps) AS BIGINT) AS fp_max
+    FROM f ORDER BY doc_id"""
+
   val all: Seq[Q] = Seq(
     Q("q_llm_text_stats", textStats _, textStatsSql),
     Q("q_llm_tokenize", tokenize _, tokenizeSql),
+    Q("q_llm_winnow", winnow _, winnowSql),
     Q("q_llm_quality", quality _, qualitySql),
     Q("q_llm_lang_profile", langProfile _, langProfileSql),
     Q("q_llm_lang_id", langId _, langIdSql),
