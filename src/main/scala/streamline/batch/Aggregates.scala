@@ -277,9 +277,33 @@ object Aggregates {
       count(*) AS n_rows
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** q_agg_percentile — exact interpolated percentiles (median, p90) per
+    * group. Spark's `percentile` and DuckDB's `quantile_cont` use the
+    * same linear interpolation on the sorted values; 4-dp rounding
+    * absorbs any last-ulp formula difference. Exact percentile sorts
+    * within each group — at scale prefer approx_percentile sketches for
+    * one-pass aggregation; this is the exactness baseline. */
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .groupBy($"c_mktsegment")
+      .agg(round(expr("percentile(c_acctbal, 0.5)"), 4).as("med_bal"),
+        round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90_bal"),
+        count(lit(1)).as("n"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val aggPercentileSql: String = """
+    SELECT c_mktsegment,
+      round(quantile_cont(c_acctbal, 0.5), 4) AS med_bal,
+      round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+      count(*) AS n
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val all: Seq[streamline.Q] = Seq(
     streamline.Q("q_agg_group", aggGroup _, aggGroupSql),
     streamline.Q("q_agg_salted", aggSalted _, aggSaltedSql),
+    streamline.Q("q_agg_percentile", aggPercentile _, aggPercentileSql),
     streamline.Q("q_agg_global", aggGlobal _, aggGlobalSql),
     streamline.Q("q_agg_distinct", aggDistinct _, aggDistinctSql),
     streamline.Q("q_agg_argmax", aggArgmax _, aggArgmaxSql),
