@@ -171,7 +171,32 @@ object Windows {
       FROM customer)
     WHERE rn <= 3 ORDER BY c_nationkey, rn"""
 
+  /** q_win_dist — distribution window functions: percent_rank and
+    * cume_dist (rank-based, so exact in both engines) over a totally
+    * ordered per-nation frame; rounded to 6 dp to absorb the division's
+    * representation. */
+  private def winDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+    Tables.customer(spark, dir)
+      .select($"c_nationkey", $"c_custkey",
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy($"c_nationkey", $"c_custkey")
+  }
+
+  private val winDistSql = """
+    SELECT c_nationkey, c_custkey,
+      round(percent_rank() OVER w, 6) AS pr,
+      round(cume_dist() OVER w, 6) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal ASC, c_custkey ASC)
+    ORDER BY c_nationkey, c_custkey"""
+
   val all: Seq[Q] = Seq(
+    Q("q_win_dist", winDist _, winDistSql),
     Q("q_win_rank", winRank _, winRankSql),
     Q("q_win_running", winRunning _, winRunningSql),
     Q("q_win_range", winRange _, winRangeSql),
