@@ -172,8 +172,45 @@ object Streams {
     FROM events JOIN customer ON user_id = c_custkey
     ORDER BY event_id"""
 
+  /** q_join_stream_stream — stream ⋈ stream interval join (the Flink
+    * DataStream intervalJoin): both sides are unbounded event streams
+    * under watermarks, joined on user_id with a two-sided time-range
+    * condition. The watermark + range bound is what lets Spark evict
+    * join state — the state store never holds more than the 10-minute
+    * band per key, which is the property that makes this run forever at
+    * scale. Finite input ⇒ result equals the batch interval join, which
+    * is the oracle. */
+  private def joinStreamStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e1 = eventsStream(spark, dir)
+      .select($"event_id".as("id1"), $"user_id", $"ts".as("ts1"))
+      .withWatermark("ts1", "10 minutes")
+    val e2 = eventsStream(spark, dir)
+      .select($"event_id".as("id2"), $"user_id".as("u2"), $"ts".as("ts2"))
+      .withWatermark("ts2", "10 minutes")
+    val joined = e1.join(e2,
+        $"user_id" === $"u2" && $"id1" < $"id2" &&
+          $"ts2" >= $"ts1" && $"ts2" <= $"ts1" + expr("INTERVAL 10 MINUTES"))
+      .select($"user_id", $"id1", $"id2",
+        tsSec($"ts1").as("t1"), tsSec($"ts2").as("t2"))
+    runToTable(spark, "ss_interval", "append", joined)
+      .orderBy($"user_id", $"id1", $"id2")
+  }
+
+  private val joinStreamStreamSql = """
+    WITH e AS (SELECT event_id, user_id,
+                      date_trunc('microseconds', ts) AS ts FROM events)
+    SELECT e1.user_id, e1.event_id AS id1, e2.event_id AS id2,
+           date_trunc('second', e1.ts) AS t1,
+           date_trunc('second', e2.ts) AS t2
+    FROM e e1 JOIN e e2
+      ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
+     AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+    ORDER BY e1.user_id, id1, id2"""
+
   val all: Seq[Q] = Seq(
     Q("q_stream_tumble", streamTumble _, streamTumbleSql),
+    Q("q_join_stream_stream", joinStreamStream _, joinStreamStreamSql),
     Q("q_stream_slide", streamSlide _, streamSlideSql),
     Q("q_stream_session", streamSession _, streamSessionSql),
     Q("q_stream_dedup", streamDedup _, streamDedupSql),
