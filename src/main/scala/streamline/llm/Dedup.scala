@@ -1,6 +1,5 @@
 package streamline.llm
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -58,30 +57,45 @@ object Dedup {
       (ab, c) => concat(ab, lit(" "), c))
   }
 
-  /** q_llm_dedup_near — MinHash+LSH near-dup pairs over 3-shingle sets
-    * (spark.ml MinHashLSH, fixed seed). Only same-bucket candidates are
-    * compared — at 100 TB the bucket join is the whole point.
-    * Approximate ⇒ no SQL oracle; planted-duplicate behavior is
-    * unit-tested instead. */
+  /** q_llm_dedup_near — MinHash+LSH near-dup pairs over 3-shingle sets:
+    * the standard shingle → minhash → band → bucket-join pipeline,
+    * expressed natively in DataFrame ops (no mllib): per band b, the
+    * signature is min over shingles of xxhash64(shingle, b); docs
+    * colliding in ANY band become candidates (OR-amplification, 4 bands
+    * of 1 row — the same scheme as MinHashLSH with 4 hash tables), and
+    * candidates are verified with the exact Jaccard distance over the
+    * hashed shingle sets. Everything stays inside whole-stage codegen
+    * and the only joins are keyed bucket joins — at 100 TB the band join
+    * is the whole point. Output distance is exact, but the candidate set
+    * is probabilistic ⇒ no SQL oracle; planted-duplicate behavior is
+    * property-tested instead. */
   private def dedupNear(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", shingles3($"text").as("tokens"))
-    val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val feat = tf.transform(docs)
-    // 4 hash tables: at this shingle diversity the band join already
-    // surfaces every true pair (the 0.6 distance filter keeps precision
-    // exact — tables only affect candidate recall); 5 tables produced
-    // the identical pair set for ~2x the join cost.
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("mh")
-      .setNumHashTables(4).setSeed(42L)
-    val model = lsh.fit(feat)
-    model.approxSimilarityJoin(feat, feat, 0.6, "jaccard_dist")
-      .select(col("datasetA.doc_id").as("id_a"),
-        col("datasetB.doc_id").as("id_b"),
-        round(col("jaccard_dist"), 6).as("jaccard_dist"))
-      .where($"id_a" < $"id_b")
+    val nBands = 4
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", array_distinct(
+        transform(shingles3($"text"), s => xxhash64(s))).as("sh"))
+    val banded = sh.select($"doc_id", explode(
+        transform(sequence(lit(0), lit(nBands - 1)),
+          b => struct(b.as("band"),
+            array_min(transform($"sh", s => xxhash64(s, b))).as("mh"))))
+        .as("bm"))
+      .select($"doc_id", $"bm.band".as("band"), $"bm.mh".as("mh"))
+    val cand = banded.as("a").hint("shuffle_hash").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.mh" === $"b.mh" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+    val inter = size(array_intersect($"sa.sh", $"sb.sh"))
+    val union = size($"sa.sh") + size($"sb.sh") - inter
+    cand.join(broadcast(sh.as("sa")), $"sa.doc_id" === $"id_a")
+      .join(broadcast(sh.as("sb")), $"sb.doc_id" === $"id_b")
+      // τ-filter in integer form (dist ≤ 0.6 ⟺ 5·|∩| ≥ 2·|∪|), so the
+      // predicate pushed into the join evaluates one intersect.
+      .where(inter * lit(5) >= union * lit(2))
+      .select($"id_a", $"id_b",
+        round(lit(1.0) - inter.cast("double") / union.cast("double"), 6)
+          .as("jaccard_dist"))
       .orderBy($"id_a", $"id_b")
   }
 

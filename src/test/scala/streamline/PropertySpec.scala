@@ -90,6 +90,26 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: banded MinHash finds every strongly-near pair (5 corpora)") {
+    for (seed <- 31L to 35L) {
+      val docs = corpus(seed)
+      val dir = writeDocs(docs)
+      val found = SparkEntry.queries("q_llm_dedup_near")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute-force pairs with Jaccard similarity >= 0.8: each of the 4
+      // band-minhashes collides with prob >= 0.8, so recall is
+      // 1-(1-s)^4 >= 0.998 per pair — and fixed seeds make it stable.
+      val strong = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        u = (sa ++ sb).size if u > 0
+        if sa.intersect(sb).size.toDouble / u >= 0.8
+      } yield (ia, ib)).toSet
+      assert(strong.subsetOf(found),
+        s"seed=$seed missed ${strong -- found}")
+    }
+  }
+
   test("property: simhash is bag-of-words order-invariant") {
     for (seed <- 21L to 40L) {
       val words = Gen.listOfN(30, Gen.oneOf(vocab))
