@@ -188,11 +188,43 @@ object Dedup {
     SELECT id_a, id_b, round(jac, 6) AS jac FROM j
     WHERE jac >= 0.6 ORDER BY id_a, id_b"""
 
+  /** q_llm_simhash_pairs — SimHash near-pair SEARCH at scale: the 64-bit
+    * signature is cut into four 16-bit bands; two docs within hamming
+    * distance 3 must agree on at least one band (pigeonhole), so the
+    * keyed band join is a COMPLETE candidate generator for d ≤ 3, and
+    * candidates are verified exactly with bit_count(xor). All native
+    * codegen ops; no oracle (the signature is engine-specific) —
+    * completeness for planted duplicates is unit-tested. */
+  private def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, Simhash.simhash64(text.split(' ')))
+      })
+      .toDF("doc_id", "sig")
+    val banded = sigs.select($"doc_id", $"sig", explode(
+        array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright($"sig", b * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("bc"))
+      .select($"doc_id", $"sig", $"bc.band".as("band"), $"bc.chunk".as("chunk"))
+    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.chunk" === $"b.chunk" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        bit_count($"a.sig".bitwiseXOR($"b.sig")).as("hamming"))
+      .distinct()
+      .where($"hamming" <= 3)
+      .orderBy($"id_a", $"id_b")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_llm_dedup_exact", dedupExact _, dedupExactSql),
     Q.noOracle("q_llm_dedup_near", dedupNear _),
     Q("q_llm_dedup_jaccard", dedupJaccard _, dedupJaccardSql),
-    Q.noOracle("q_llm_simhash", simhash _))
+    Q.noOracle("q_llm_simhash", simhash _),
+    Q.noOracle("q_llm_simhash_pairs", simhashPairs _))
 }
 
 object Simhash {

@@ -110,6 +110,22 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: simhash band search finds every exact duplicate (3 corpora)") {
+    for (seed <- 41L to 43L) {
+      val base = corpus(seed)
+      // plant exact duplicates: identical text => identical simhash =>
+      // all four bands collide => the pair is found with certainty.
+      val docs = base ++ base.take(2).map { case (id, t) =>
+        (1000L + id, t)
+      }
+      val dir = writeDocs(docs)
+      val found = SparkEntry.queries("q_llm_simhash_pairs")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(found.contains((0L, 1000L)), s"seed=$seed: $found")
+      assert(found.contains((1L, 1001L)), s"seed=$seed: $found")
+    }
+  }
+
   test("property: simhash is bag-of-words order-invariant") {
     for (seed <- 21L to 40L) {
       val words = Gen.listOfN(30, Gen.oneOf(vocab))
