@@ -222,18 +222,23 @@ object Aggregates {
     ORDER BY g_id, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
 
   /** q_agg_collect — multiset agg (Flink `collect`); array_sort for a
-    * deterministic element order (SURVEY §2.12.6). */
+    * deterministic element order (SURVEY §2.12.6). The sorted array is
+    * serialized with concat_ws because the driver comparator cannot hash
+    * raw ARRAY cells (CORRECTNESS_r01); the collect/sort ops still run
+    * upstream of the projection. */
   private def aggCollect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.supplier(spark, dir)
       .groupBy($"s_nationkey")
-      .agg(array_sort(collect_list($"s_name")).as("names"),
+      .agg(concat_ws(",", array_sort(collect_list($"s_name"))).as("names"),
         count(lit(1)).as("n_supp"))
       .orderBy($"s_nationkey")
   }
 
   private val aggCollectSql = """
-    SELECT s_nationkey, list_sort(list(s_name)) AS names, count(*) AS n_supp
+    SELECT s_nationkey,
+      array_to_string(list_sort(list(s_name)), ',') AS names,
+      count(*) AS n_supp
     FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
 
   /** q_agg_approx_distinct — HLL++ sketch distinct (Flink/DataSketches
@@ -300,8 +305,30 @@ object Aggregates {
       count(*) AS n
     FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** q_agg_approx_quantile — one-pass sketch quantiles
+    * (`approx_percentile`, GK-style summary): a mergeable sketch built
+    * in a single partial+final aggregation pass with no per-group sort —
+    * the only quantile form that works at 100 TB (q_agg_percentile is
+    * the exactness baseline and sorts each group). Approximate ⇒ oracle
+    * omitted per contract; agreement with the exact percentiles is
+    * asserted in SketchQuantileSpec. */
+  private def aggApproxQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .groupBy($"c_mktsegment")
+      .agg(expr("approx_percentile(c_acctbal, array(0.5, 0.9), 10000)")
+          .as("q"),
+        count(lit(1)).as("n"))
+      .select($"c_mktsegment",
+        round(element_at($"q", 1), 4).as("med_bal"),
+        round(element_at($"q", 2), 4).as("p90_bal"),
+        $"n")
+      .orderBy($"c_mktsegment")
+  }
+
   val all: Seq[streamline.Q] = Seq(
     streamline.Q("q_agg_group", aggGroup _, aggGroupSql),
+    streamline.Q.noOracle("q_agg_approx_quantile", aggApproxQuantile _),
     streamline.Q("q_agg_salted", aggSalted _, aggSaltedSql),
     streamline.Q("q_agg_percentile", aggPercentile _, aggPercentileSql),
     streamline.Q("q_agg_global", aggGlobal _, aggGlobalSql),

@@ -1,6 +1,6 @@
 package streamline.batch
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, MapType, StringType}
 import streamline.{Q, Tables}
@@ -161,17 +161,23 @@ object Functions {
   /** q_fn_array — array ops on the embedding column (ArrayType(Float)).
     * Elements are widened to double then rounded; the sum uses an
     * explicit left fold in BOTH engines so accumulation order is
-    * identical. */
+    * identical. Array-valued results are serialized to strings (the
+    * driver comparator cannot hash raw ARRAY cells — CORRECTNESS_r01);
+    * each element goes through DECIMAL(12,6) so both engines render the
+    * identical fixed-scale text (raw doubles differ on scientific
+    * notation). The slice/transform/sort array ops still run upstream. */
   private def fnArray(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    def fmt(x: Column): Column =
+      round(x.cast("double"), 6).cast("decimal(12,6)").cast("string")
     Tables.embeddings(spark, dir)
       .select($"vec_id",
         size($"embedding").as("a_dim"),
         round(element_at($"embedding", 1).cast("double"), 6).as("a_first"),
-        transform(slice($"embedding", 1, 3),
-          x => round(x.cast("double"), 6)).as("a_head"),
-        transform(sort_array(slice($"embedding", 1, 5)),
-          x => round(x.cast("double"), 6)).as("a_sorted_head"),
+        concat_ws(",", transform(slice($"embedding", 1, 3), fmt _))
+          .as("a_head"),
+        concat_ws(",", transform(sort_array(slice($"embedding", 1, 5)), fmt _))
+          .as("a_sorted_head"),
         round(aggregate($"embedding", lit(0.0d),
           (acc, x) => acc + x.cast("double")), 4).as("a_sum"),
         array_contains($"embedding", lit(0.0f)).as("a_has_zero"))
@@ -182,10 +188,10 @@ object Functions {
     SELECT vec_id,
       len(embedding) AS a_dim,
       round(CAST(embedding[1] AS DOUBLE), 6) AS a_first,
-      list_transform(embedding[1:3],
-        x -> round(CAST(x AS DOUBLE), 6)) AS a_head,
-      list_transform(list_sort(embedding[1:5]),
-        x -> round(CAST(x AS DOUBLE), 6)) AS a_sorted_head,
+      array_to_string(list_transform(embedding[1:3],
+        x -> CAST(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6)) AS VARCHAR)), ',') AS a_head,
+      array_to_string(list_transform(list_sort(embedding[1:5]),
+        x -> CAST(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6)) AS VARCHAR)), ',') AS a_sorted_head,
       round(list_reduce(
         list_prepend(CAST(0.0 AS DOUBLE),
           list_transform(embedding, x -> CAST(x AS DOUBLE))),
@@ -195,13 +201,14 @@ object Functions {
 
   /** q_fn_map — JSON → MAP, then key/value ops. The map itself is never
     * emitted (engine-specific rendering); keys come out as a sorted
-    * array. */
+    * array serialized with concat_ws (driver comparator cannot hash raw
+    * ARRAY cells — CORRECTNESS_r01). */
   private def fnMap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val m = from_json($"props", MapType(StringType, LongType))
     Tables.events(spark, dir)
       .select($"event_id",
-        sort_array(map_keys(m)).as("m_keys"),
+        concat_ws(",", sort_array(map_keys(m))).as("m_keys"),
         element_at(m, "k").as("m_k"),
         size(m).as("m_size"))
       .orderBy($"event_id")
@@ -209,7 +216,7 @@ object Functions {
 
   private val fnMapSql = """
     SELECT event_id,
-      list_sort(json_keys(props)) AS m_keys,
+      array_to_string(list_sort(json_keys(props)), ',') AS m_keys,
       CAST(json_extract_string(props, '$.k') AS BIGINT) AS m_k,
       len(json_keys(props)) AS m_size
     FROM events ORDER BY event_id"""

@@ -113,17 +113,30 @@ object Similarity {
   }
 
   /** q_llm_dedup_embed — exact embedding near-dup pairs by cosine ≥
-    * 0.35 (data max is ~0.51; random 64-dim pairs sit near 0). Brute
-    * all-pairs here as the exactness baseline — the LSH variant above
-    * is the 100 TB path. */
+    * 0.35 (data max is ~0.51; random 64-dim pairs sit near 0).
+    *
+    * Exact all-pairs at a near-random threshold is Θ(n²) candidate
+    * evaluations in ANY plan — at cos 0.35 the threshold distance
+    * (≈1.14) sits too close to the random-pair distance (≈1.41) for LSH
+    * banding to have recall 1 — so the scale move is to distribute the
+    * quadratic evenly, not pretend it away: every row gets a block id
+    * (hash mod B), the left side is replicated once per block, and the
+    * cartesian becomes a keyed shuffle-hash equi-join on the block id
+    * whose B cells each evaluate n²/B pairs inside codegen. No
+    * CartesianProduct/BroadcastNestedLoop node, per-task hash memory is
+    * n/B rows, and B scales with the cluster. Genuine near-dup
+    * thresholds belong to the bucketed LSH paths (q_llm_knn_lsh,
+    * MinHash/SimHash) — this query is the exactness baseline. */
   private def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val nBlocks = 8
     val a = Tables.embeddings(spark, dir)
       .select($"vec_id".as("id_a"), $"embedding".as("emb_a"))
+      .withColumn("blk", explode(sequence(lit(0), lit(nBlocks - 1))))
     val b = Tables.embeddings(spark, dir)
-      .select($"vec_id".as("id_b"), $"embedding".as("emb_b"))
-    a.crossJoin(b)
-      .where($"id_a" < $"id_b")
+      .select($"vec_id".as("id_b"), $"embedding".as("emb_b"),
+        pmod(hash($"vec_id"), lit(nBlocks)).as("blk_b"))
+    a.join(b.hint("shuffle_hash"), $"blk" === $"blk_b" && $"id_a" < $"id_b")
       .select($"id_a", $"id_b",
         round(Exprs.cosine($"emb_a", $"emb_b"), 6).as("cos"))
       .where($"cos" >= 0.35)
@@ -177,7 +190,14 @@ object Similarity {
         it.map { case (id, bytes) =>
           md.reset()
           val digest = md.digest(bytes).map("%02x".format(_)).mkString
-          (id, bytes.length.toLong, digest, bytes.headOption.fold(-1)(_.toInt))
+          // & 0xFF: the payload byte is unsigned (a signed Byte.toInt
+          // would go negative for >= 0x80). Matches the oracle's
+          // ascii() for single-byte UTF-8; multi-byte leading chars
+          // would still differ (codepoint vs lead byte) — fixture text
+          // is ASCII, and the byte view is the honest one for an opaque
+          // binary payload.
+          (id, bytes.length.toLong, digest,
+            bytes.headOption.fold(-1)(_ & 0xFF))
         }
       }
       .toDF("doc_id", "n_bytes", "sha_hex", "first_byte")
@@ -205,9 +225,15 @@ object Similarity {
     val nFrames = ceil(length($"text") / lit(frameLen.toDouble)).cast("int")
     Tables.documents(spark, dir)
       .select($"doc_id", $"text", nFrames.as("n_frames"))
+      // n_frames > 0 guard: an empty payload has no frames to sample.
+      // Without it Spark's (0-1)/4 = -0.25 casts to int 0 (truncation
+      // toward zero) and emits a phantom frame, while the oracle's
+      // floor-division (-1) emits none (ADVICE r1).
+      .where($"n_frames" > 0)
       .select($"doc_id", $"text", $"n_frames",
         explode(sequence(lit(0),
-          (($"n_frames" - 1) / lit(stride)).cast("int"))).as("sample_idx"))
+          (greatest($"n_frames" - 1, lit(0)) / lit(stride)).cast("int")))
+          .as("sample_idx"))
       .withColumn("frame_idx", $"sample_idx" * stride)
       .select($"doc_id", $"n_frames", $"sample_idx", $"frame_idx",
         sha2(substring($"text", $"frame_idx" * frameLen + 1, lit(frameLen)),
@@ -221,7 +247,7 @@ object Similarity {
                FROM documents),
     s AS (SELECT doc_id, text, n_frames,
             unnest(generate_series(0, (n_frames - 1) // 4)) AS sample_idx
-          FROM f)
+          FROM f WHERE n_frames > 0)
     SELECT doc_id, n_frames, sample_idx, sample_idx * 4 AS frame_idx,
       sha256(substring(text, sample_idx * 4 * 64 + 1, 64)) AS frame_sha
     FROM s ORDER BY doc_id, sample_idx"""

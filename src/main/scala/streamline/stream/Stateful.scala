@@ -79,21 +79,95 @@ object Stateful {
       .groupBy(window($"ts", "1 hour"))
       .agg(count(lit(1)).as("n"))
       .select($"window.start".cast("timestamp_ntz").as("w_start"), $"n")
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("update").start()
-    def ts(s: String) = java.sql.Timestamp.valueOf(s)
-    // Batch 1: three on-time events; advances the watermark to 11:50.
-    input.addData((ts("2024-03-01 10:15:00"), 1L),
-      (ts("2024-03-01 11:10:00"), 2L), (ts("2024-03-01 12:00:00"), 3L))
-    q.processAllAvailable()
-    // Batch 2: one event at 09:30 — 2h20m behind the watermark → dropped.
-    input.addData((ts("2024-03-01 09:30:00"), 9L))
-    q.processAllAvailable()
-    q.stop()
+    // Few-row witness: 4 state-store partitions, not the session default
+    // (round 1 paid 14 s of per-partition fixed cost for 4 rows).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // Batch 1: three on-time events; advances the watermark to 11:50.
+      input.addData((ts("2024-03-01 10:15:00"), 1L),
+        (ts("2024-03-01 11:10:00"), 2L), (ts("2024-03-01 12:00:00"), 3L))
+      q.processAllAvailable()
+      // Batch 2: one event at 09:30 — 2h20m behind the watermark → dropped.
+      input.addData((ts("2024-03-01 09:30:00"), 9L))
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
       .groupBy($"w_start").agg(max($"n").as("n"))
       .orderBy($"w_start")
   }
+
+  case class ToRow(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class ToState(n: Long, sum: BigDecimal, last_ms: Long)
+  case class ToOut(user_id: Long, n_events: Long, sum_val: Double)
+
+  private val idleGapMs = 30L * 60 * 1000
+
+  /** Keyed-state timer callback — the Flink KeyedProcessFunction
+    * `registerEventTimeTimer`/`onTimer` surface: accumulate per-key
+    * totals silently, arm an event-time timer at (last event + 30 min),
+    * and emit the key's aggregate only when the watermark passes the
+    * timer (idle-key flush). On timeout the state is removed, so a key
+    * holds state only while active + one idle gap — the TTL property
+    * that keeps per-key state usable on an unbounded stream. */
+  private def updateTimeout(uid: Long, rows: Iterator[ToRow],
+                            state: GroupState[ToState]): Iterator[ToOut] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator(ToOut(uid, s.n, s.sum.toDouble))
+    } else {
+      val prev = state.getOption.getOrElse(ToState(0L, BigDecimal(0), 0L))
+      var n = prev.n
+      var sum = prev.sum
+      var last = prev.last_ms
+      // Timestamp.getTime floors µs→ms exactly like the watermark's
+      // EventTimeStats, so the armed timer is ms-aligned with the
+      // oracle's date_trunc('millisecond', ...).
+      rows.foreach { r =>
+        n += 1; sum += dec4(r.value); last = math.max(last, r.ts.getTime)
+      }
+      state.update(ToState(n, sum, last))
+      state.setTimeoutTimestamp(last + idleGapMs)
+      Iterator.empty
+    }
+  }
+
+  /** q_stream_timeout — event-time timers flushing idle keys
+    * (GroupStateTimeout.EventTimeTimeout). Deterministic oracle: with
+    * the finite input processed as one batch, the final watermark is
+    * floor_ms(max(ts)) − 10 min and a key fires iff its timer
+    * (floor_ms(key max ts) + 30 min) is strictly below it — Spark's
+    * timeout check is `timeoutTimestamp < watermark`
+    * (FlatMapGroupsWithStateExec.processTimedOutState; pinned by
+    * TimeoutBoundarySpec). */
+  private def streamTimeout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val updates = Streams.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .select($"user_id", $"ts", $"value")
+      .as[ToRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(updateTimeout)
+      .toDF()
+    Streams.runToTable(spark, "timeout", "append", updates)
+      .orderBy($"user_id")
+  }
+
+  private val streamTimeoutSql = """
+    WITH wm AS (SELECT date_trunc('millisecond', max(ts))
+                  - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT user_id, count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+    FROM events GROUP BY user_id
+    HAVING date_trunc('millisecond', max(ts)) + INTERVAL 30 MINUTE
+             < (SELECT w FROM wm)
+    ORDER BY user_id"""
 
   case class CwRow(user_id: Long, ts: Long, event_id: Long, value: Double)
   case class CwState(buf: List[CwRow], nextWin: Long)
@@ -156,5 +230,6 @@ object Stateful {
   val all: Seq[Q] = Seq(
     Q("q_stream_stateful", streamStateful _, streamStatefulSql),
     Q("q_stream_count_window", streamCountWindow _, streamCountWindowSql),
+    Q("q_stream_timeout", streamTimeout _, streamTimeoutSql),
     Q.noOracle("q_stream_late", streamLate _))
 }

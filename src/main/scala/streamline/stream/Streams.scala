@@ -45,22 +45,41 @@ object Streams {
   }
 
   /** Run a streaming pipeline to completion (AvailableNow) into a
-    * memory sink; return the sink contents as a batch DataFrame. */
+    * memory sink; return the sink contents as a batch DataFrame.
+    *
+    * State-store partitioning: a streaming query pins its state-store
+    * partition count to `spark.sql.shuffle.partitions` at start, and
+    * every micro-batch then pays a fixed per-partition state-store cost.
+    * At harness scale that fixed cost dominated round 1 (~60% of bench
+    * with 32 partitions), so streaming queries run with a small count;
+    * on a real cluster this is the one knob to size to the executor
+    * count. The conf is restored afterwards so batch queries keep the
+    * session default. */
   def runToTable(spark: SparkSession, base: String, mode: String,
-                 stream: DataFrame): DataFrame = {
+                 stream: DataFrame, statePartitions: Int = 4): DataFrame = {
     val name = s"${base}_${seq.incrementAndGet()}"
-    val q = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = stream.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
   /** q_stream_tumble — event-time tumbling window aggregate under a
-    * watermark. Complete output mode ⇒ the sink holds the full final
-    * result (= batch semantics on finite input). */
+    * watermark, APPEND output mode: a window row is emitted exactly once,
+    * when the watermark passes its end, and its state is evicted — the
+    * only mode whose state stays bounded on an unbounded stream
+    * (complete mode re-emits everything and never drops state). On
+    * finite input the final watermark lands at max(ts) − 10 min, so the
+    * sink holds every window that closed under it; the oracle applies
+    * the identical closed-window filter (Spark evicts on
+    * window.end <= watermark, WatermarkSupport.watermarkExpression). */
   private def streamTumble(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val agg = eventsStream(spark, dir)
@@ -69,18 +88,27 @@ object Streams {
       .agg(dsum("value").as("sum_val"), count(lit(1)).as("n"))
       .select(tsOut($"window.start").as("w_start"), $"event_type",
         $"sum_val", $"n")
-    runToTable(spark, "tumble", "complete", agg)
+    runToTable(spark, "tumble", "append", agg)
       .orderBy($"w_start", $"event_type")
   }
 
+  // Closed-window filter: Spark's watermark is floor-to-ms of the max
+  // event time minus the delay; day-aligned window ends make the ms/µs
+  // truncation immaterial. Emission predicate is end <= watermark.
   private val streamTumbleSql = """
+    WITH wm AS (SELECT date_trunc('millisecond', max(ts))
+                  - INTERVAL 10 MINUTE AS w FROM events)
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type,
       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
       count(*) AS n
-    FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""
+    FROM events GROUP BY 1, 2
+    HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
+    ORDER BY w_start, event_type"""
 
   /** q_stream_slide — sliding window (1 day / 6 h): each event lands in
-    * four overlapping windows. */
+    * four overlapping windows. Append mode + watermark, like
+    * q_stream_tumble: emit-once on close, state evicted — the mode that
+    * survives an unbounded stream. */
   private def streamSlide(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val agg = eventsStream(spark, dir)
@@ -88,21 +116,26 @@ object Streams {
       .groupBy(window($"ts", "1 day", "6 hours"))
       .agg(count(lit(1)).as("n"), dsum("value").as("sum_val"))
       .select(tsOut($"window.start").as("w_start"), $"n", $"sum_val")
-    runToTable(spark, "slide", "complete", agg)
+    runToTable(spark, "slide", "append", agg)
       .orderBy($"w_start")
   }
 
   // Oracle: every event belongs to the 4 epoch-aligned 6h-step windows
   // whose start is within (ts-24h, ts]; enumerate them by shifting the
-  // event's 6h bucket.
+  // event's 6h bucket. Append mode emits only windows closed under the
+  // final watermark (end = w_start + 1 day <= max(ts)_ms - 10 min).
   private val streamSlideSql = """
     WITH b AS (SELECT CAST(to_timestamp(floor(epoch(ts)/21600)*21600)
                  AS TIMESTAMP) AS b6, value FROM events),
     w AS (SELECT b6 - (j * INTERVAL 6 HOUR) AS w_start, value
-          FROM b CROSS JOIN (SELECT unnest([0,1,2,3]) AS j))
+          FROM b CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)),
+    wm AS (SELECT date_trunc('millisecond', max(ts))
+             - INTERVAL 10 MINUTE AS wmk FROM events)
     SELECT w_start, count(*) AS n,
       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
-    FROM w GROUP BY w_start ORDER BY w_start"""
+    FROM w GROUP BY w_start
+    HAVING w_start + INTERVAL 1 DAY <= (SELECT wmk FROM wm)
+    ORDER BY w_start"""
 
   /** q_stream_session — gap-based session windows (30 min) per user.
     * Batch-mode session_window (the same operator Spark uses in
@@ -137,14 +170,20 @@ object Streams {
       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
     FROM s GROUP BY user_id, sid ORDER BY user_id, s_start"""
 
-  /** q_stream_dedup — streaming dedup on key under a watermark. Only the
-    * dedup keys are emitted, so the result is arrival-order
-    * independent. */
+  /** q_stream_dedup — streaming dedup on key under a watermark, via
+    * `dropDuplicatesWithinWatermark`: dedup state carries an expiry at
+    * (first-seen ts + delay) and the watermark evicts it, so state stays
+    * bounded on an unbounded stream. Plain `dropDuplicates` on keys with
+    * no event-time column can never expire (round-1 weak finding): the
+    * store grows with key cardinality forever. Only the dedup keys are
+    * emitted, so the result is arrival-order independent; duplicates in
+    * the fixture all arrive within one batch (watermark still 0), so the
+    * finite-input result equals DISTINCT. */
   private def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val st = eventsStream(spark, dir)
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select($"user_id", $"event_type")
     runToTable(spark, "dedup", "append", st)
       .orderBy($"user_id", $"event_type")
@@ -208,9 +247,63 @@ object Streams {
      AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
     ORDER BY e1.user_id, id1, id2"""
 
+  /** q_join_stream_stream_left — stream ⋈ stream LEFT OUTER interval
+    * join (Flink intervalJoin with outer emission): matches emit
+    * immediately; an unmatched left row emits null-extended only once
+    * the watermark proves no future right row can match it — i.e. when
+    * its state evicts at ts1 + 10 min ≤ state watermark. That deferred
+    * null emission is exactly what makes outer stream joins possible
+    * with bounded state. On finite input the final watermark is
+    * floor_ms(max ts) − 10 min; the oracle mirrors the eviction bound. */
+  private def joinStreamStreamLeft(spark: SparkSession,
+                                   dir: String): DataFrame = {
+    import spark.implicits._
+    val e1 = eventsStream(spark, dir)
+      .select($"event_id".as("id1"), $"user_id", $"ts".as("ts1"))
+      .withWatermark("ts1", "10 minutes")
+    val e2 = eventsStream(spark, dir)
+      .select($"event_id".as("id2"), $"user_id".as("u2"), $"ts".as("ts2"))
+      .withWatermark("ts2", "10 minutes")
+    val joined = e1.join(e2,
+        $"user_id" === $"u2" && $"id1" < $"id2" &&
+          $"ts2" >= $"ts1" && $"ts2" <= $"ts1" + expr("INTERVAL 10 MINUTES"),
+        "leftOuter")
+      .select($"user_id", $"id1", $"id2",
+        tsSec($"ts1").as("t1"), tsSec($"ts2").as("t2"))
+    runToTable(spark, "ss_left", "append", joined)
+      .orderBy($"user_id", $"id1", $"id2")
+  }
+
+  private val joinStreamStreamLeftSql = """
+    WITH e AS (SELECT event_id, user_id,
+                      date_trunc('microseconds', ts) AS ts FROM events),
+    wm AS (SELECT date_trunc('millisecond', max(ts))
+             - INTERVAL 10 MINUTE AS w FROM events),
+    m AS (SELECT e1.user_id, e1.event_id AS id1, e2.event_id AS id2,
+            date_trunc('second', e1.ts) AS t1,
+            date_trunc('second', e2.ts) AS t2
+          FROM e e1 JOIN e e2
+            ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
+           AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE),
+    u AS (SELECT e1.user_id, e1.event_id AS id1,
+            CAST(NULL AS BIGINT) AS id2,
+            date_trunc('second', e1.ts) AS t1,
+            CAST(NULL AS TIMESTAMP) AS t2
+          FROM e e1
+          WHERE e1.ts + INTERVAL 10 MINUTE <= (SELECT w FROM wm)
+            AND NOT EXISTS (SELECT 1 FROM e e2
+              WHERE e2.user_id = e1.user_id
+                AND e1.event_id < e2.event_id
+                AND e2.ts >= e1.ts
+                AND e2.ts <= e1.ts + INTERVAL 10 MINUTE))
+    SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM u)
+    ORDER BY user_id, id1, id2"""
+
   val all: Seq[Q] = Seq(
     Q("q_stream_tumble", streamTumble _, streamTumbleSql),
     Q("q_join_stream_stream", joinStreamStream _, joinStreamStreamSql),
+    Q("q_join_stream_stream_left", joinStreamStreamLeft _,
+      joinStreamStreamLeftSql),
     Q("q_stream_slide", streamSlide _, streamSlideSql),
     Q("q_stream_session", streamSession _, streamSessionSql),
     Q("q_stream_dedup", streamDedup _, streamDedupSql),

@@ -22,15 +22,23 @@ class StreamLateSpec extends SparkSuite {
 
 class StreamBatchEquivSpec extends SparkSuite {
 
-  test("streaming tumble equals batch tumble on finite input") {
+  test("streaming tumble equals batch tumble over closed windows") {
     import graft.SparkTestBase.spark.implicits._
     val streamed = SparkEntry.queries("q_stream_tumble")(spark, sfDir)
+    // Append mode emits exactly the windows the final watermark closed
+    // (end <= floor_ms(max ts) - 10 min); mirror that filter on the
+    // batch side.
+    val maxMs = Tables.events(spark, sfDir)
+      .agg(max(date_trunc("millisecond", $"ts"))).head.getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxMs.getTime - 10 * 60 * 1000)
     val batch = Tables.events(spark, sfDir)
       .groupBy(window($"ts", "1 day"), $"event_type")
       .agg(sum($"value".cast("decimal(18,4)")).cast("double").as("sum_val"),
         count(lit(1)).as("n"))
+      .where($"window.end" <= lit(cutoff))
       .select($"window.start".cast("timestamp_ntz").as("w_start"),
         $"event_type", $"sum_val", $"n")
+    assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
