@@ -169,6 +169,132 @@ object Stateful {
              < (SELECT w FROM wm)
     ORDER BY user_id"""
 
+  case class TjRow(user_id: Long, ts_us: Long, event_id: Long,
+                   is_dim: Boolean, value: Double)
+  case class TjVer(ts_us: Long, event_id: Long, value: Double)
+  case class TjOut(user_id: Long, p_id: Long, p_ts_us: Long,
+                   dim_val: Option[Double], v_id: Option[Long])
+
+  /** Temporal-table join callback — the Flink TemporalRowTimeJoinOperator
+    * shape: per key, buffer dimension versions, and join each probe row
+    * with the latest version at or before its event time (ties → max
+    * event_id). One merged (ts, kind, id) sweep per batch — the same
+    * last-value composition as the batch as-of join, but incremental:
+    * after the batch only the single latest version is retained (the
+    * only one a later in-order probe can need), which is the bounded-
+    * state property; Flink's operator keeps versions until the
+    * watermark passes for out-of-order probes, same bound. */
+  private def updateTj(uid: Long, rows: Iterator[TjRow],
+                       state: GroupState[List[TjVer]]): Iterator[TjOut] = {
+    val batch = rows.toList
+    val newVers = batch.filter(_.is_dim)
+      .map(r => TjVer(r.ts_us, r.event_id, r.value))
+    val vers = (state.getOption.getOrElse(Nil) ++ newVers)
+      .sortBy(v => (v.ts_us, v.event_id))
+    val probes = batch.filterNot(_.is_dim).sortBy(r => (r.ts_us, r.event_id))
+    val out = probes.map { p =>
+      val m = vers.takeWhile(v => v.ts_us <= p.ts_us).lastOption
+      TjOut(uid, p.event_id, p.ts_us, m.map(_.value), m.map(_.event_id))
+    }
+    state.update(vers.takeRight(1))
+    out.iterator
+  }
+
+  /** q_join_temporal — versioned-dimension (temporal table) join: an
+    * unbounded probe stream joined against a *changing* dimension,
+    * each probe seeing the dimension value that was current at its own
+    * event time (Flink 1.7 temporal table functions). `view` events are
+    * the dimension versions (value = the versioned attribute), `purchase`
+    * events the probes. Composed from keyed state — Spark's stream-stream
+    * join has no "latest version" semantics — with state bounded to one
+    * retained version per key. Oracle: the ANSI as-of formulation over
+    * the same two event slices. */
+  private def joinTemporal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val updates = Streams.eventsStream(spark, dir)
+      .where($"event_type".isin("view", "purchase"))
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+        ($"event_type" === "view").as("is_dim"), $"value")
+      .as[TjRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(updateTj)
+      .toDF()
+    Streams.runToTable(spark, "temporal", "append", updates)
+      .select($"user_id", $"p_id",
+        date_trunc("second", timestamp_micros($"p_ts_us"))
+          .cast("timestamp_ntz").as("p_ts"),
+        $"dim_val", $"v_id")
+      .orderBy($"user_id", $"p_id")
+  }
+
+  private val joinTemporalSql = """
+    WITH d AS (SELECT event_id AS v_id, user_id,
+                      date_trunc('microseconds', ts) AS v_ts, value
+               FROM events WHERE event_type = 'view'),
+         p AS (SELECT event_id AS p_id, user_id,
+                      date_trunc('microseconds', ts) AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+         j AS (SELECT p.user_id, p.p_id, p.p_ts, d.value AS dim_val,
+                      d.v_id,
+                 row_number() OVER (PARTITION BY p.p_id
+                   ORDER BY d.v_ts DESC NULLS LAST,
+                            d.v_id DESC NULLS LAST) AS rn
+               FROM p LEFT JOIN d
+                 ON p.user_id = d.user_id AND d.v_ts <= p.p_ts)
+    SELECT user_id, p_id, date_trunc('second', p_ts) AS p_ts, dim_val, v_id
+    FROM j WHERE rn = 1
+    ORDER BY user_id, p_id"""
+
+  /** q_stream_late_side — allowed-lateness / late-data capture (Flink
+    * `allowedLateness` + `sideOutputLateData`). Structured Streaming has
+    * no native side outputs, so the production composition is a second
+    * pass with a longer watermark: the strict pass (10 min) drops late
+    * rows, the lenient pass (1 day allowed lateness) still counts them,
+    * and the per-window difference IS the side output — the windows and
+    * counts of the rows the strict watermark rejected. Witnessed on the
+    * same two-batch MemoryStream scenario as q_stream_late; not
+    * SQL-expressible ⇒ no oracle, asserted in StreamSpec. */
+  private def streamLateSide(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val tag = System.identityHashCode(input)
+    def windowed(delay: String): org.apache.spark.sql.DataFrame =
+      input.toDF().toDF("ts", "v")
+        .withWatermark("ts", delay)
+        .groupBy(window($"ts", "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select($"window.start".cast("timestamp_ntz").as("w_start"), $"n")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val strict = windowed("10 minutes").writeStream.format("memory")
+        .queryName(s"late_strict_$tag").outputMode("update").start()
+      val lenient = windowed("1 day").writeStream.format("memory")
+        .queryName(s"late_lenient_$tag").outputMode("update").start()
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((ts("2024-03-01 10:15:00"), 1L),
+        (ts("2024-03-01 11:10:00"), 2L), (ts("2024-03-01 12:00:00"), 3L))
+      strict.processAllAvailable(); lenient.processAllAvailable()
+      // 09:30 arrives 2h20m behind the strict watermark: dropped there,
+      // still counted by the lenient pass.
+      input.addData((ts("2024-03-01 09:30:00"), 9L))
+      strict.processAllAvailable(); lenient.processAllAvailable()
+      strict.stop(); lenient.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    def finalCounts(name: String) = spark.table(name)
+      .groupBy($"w_start").agg(max($"n").as("n"))
+    finalCounts(s"late_lenient_$tag").as("l")
+      .join(finalCounts(s"late_strict_$tag").as("s"),
+        col("l.w_start") === col("s.w_start"), "left")
+      .select(col("l.w_start").as("w_start"),
+        (col("l.n") - coalesce(col("s.n"), lit(0L))).as("n_late"))
+      .where($"n_late" > 0)
+      .orderBy($"w_start")
+  }
+
   case class CwRow(user_id: Long, ts: Long, event_id: Long, value: Double)
   case class CwState(buf: List[CwRow], nextWin: Long)
   case class CwOut(user_id: Long, win_id: Long, n: Long, sum_val: Double)
@@ -231,5 +357,7 @@ object Stateful {
     Q("q_stream_stateful", streamStateful _, streamStatefulSql),
     Q("q_stream_count_window", streamCountWindow _, streamCountWindowSql),
     Q("q_stream_timeout", streamTimeout _, streamTimeoutSql),
-    Q.noOracle("q_stream_late", streamLate _))
+    Q("q_join_temporal", joinTemporal _, joinTemporalSql),
+    Q.noOracle("q_stream_late", streamLate _),
+    Q.noOracle("q_stream_late_side", streamLateSide _))
 }

@@ -18,6 +18,15 @@ class StreamLateSpec extends SparkSuite {
     // The 09:30 event arrived behind the watermark → no 09:00 window.
     assert(!out.contains("2024-03-01 09:00:00"))
   }
+
+  test("q_stream_late_side captures exactly the dropped late rows") {
+    import graft.SparkTestBase.spark.implicits._
+    val side = SparkEntry.queries("q_stream_late_side")(spark, sfDir)
+      .select($"w_start".cast("string"), $"n_late").as[(String, Long)]
+      .collect().toSeq
+    // The single 09:30 late event is the entire side output.
+    assert(side == Seq(("2024-03-01 09:00:00", 1L)), side.toString)
+  }
 }
 
 class StreamBatchEquivSpec extends SparkSuite {
