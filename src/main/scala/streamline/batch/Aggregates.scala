@@ -29,6 +29,11 @@ object Aggregates {
       .agg(
         dsum("l_quantity").as("sum_qty"),
         dsum("l_extendedprice").as("sum_base_price"),
+        // Oracle note: the scale-8 decimal sum exceeds 2^53 in scaled-int
+        // terms at sf>=0.1, and DuckDB's direct decimal→double cast
+        // double-rounds (1 ulp low) there; its VARCHAR→DOUBLE parse is
+        // correctly rounded like Spark's BigDecimal.doubleValue, so the
+        // oracle casts through VARCHAR (found at sf0.1, r2).
         asDouble(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount"))))
           .as("sum_disc_price"),
         davg("l_quantity").as("avg_qty"),
@@ -41,7 +46,7 @@ object Aggregates {
     SELECT l_returnflag, l_linestatus,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(l_quantity) AS DOUBLE) AS avg_qty,
       CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(l_discount) AS DOUBLE) AS avg_disc,
       count(*) AS count_order

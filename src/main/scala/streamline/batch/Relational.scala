@@ -72,6 +72,31 @@ object Relational {
     WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
     ORDER BY event_id"""
 
+  /** q_source_csv — CSV format source/sink (Flink flink-csv
+    * RowCsvInputFormat equivalent): the nation table round-trips
+    * through a real CSV file on disk — quoted strings, explicit schema,
+    * no inference — and must come back bit-identical to the parquet
+    * original (the oracle reads the parquet). Int/string columns only:
+    * CSV is not a lossless float transport, which is exactly why the
+    * fixture for this capability is the textual table. */
+  private def sourceCsv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_nation"
+    val nation = Tables.nation(spark, dir)
+    nation.write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true")
+      .csv(tmp)
+    spark.read
+      .schema(nation.schema)
+      .option("header", "true")
+      .csv(tmp)
+      .orderBy($"n_nationkey")
+  }
+
+  private val sourceCsvSql = """
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation ORDER BY n_nationkey"""
+
   /** q_sink_roundtrip — durable write + re-read (Flink file OutputFormat
     * equivalent). The roundtrip is through real parquet on disk. */
   private def sinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
@@ -277,6 +302,7 @@ object Relational {
     Q("q_scan_parquet", scanParquet _, scanParquetSql),
     Q("q_scan_prune", scanPrune _, scanPruneSql),
     Q("q_source_json", sourceJson _, sourceJsonSql),
+    Q("q_source_csv", sourceCsv _, sourceCsvSql),
     Q("q_sink_roundtrip", sinkRoundtrip _, sinkRoundtripSql),
     Q("q_project", project _, projectSql),
     Q("q_filter", filter _, filterSql),

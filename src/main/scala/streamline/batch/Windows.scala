@@ -172,24 +172,27 @@ object Windows {
     WHERE rn <= 3 ORDER BY c_nationkey, rn"""
 
   /** q_win_dist — distribution window functions: percent_rank and
-    * cume_dist (rank-based, so exact in both engines) over a totally
-    * ordered per-nation frame; rounded to 6 dp to absorb the division's
-    * representation. */
+    * cume_dist over a totally ordered per-nation frame. Emitted as RAW
+    * doubles: both engines compute the same integer ratio (k/n) with one
+    * IEEE division, so the bits match exactly — while rounding to 6 dp
+    * actually INTRODUCED a divergence (a ratio landing on the 5e-7
+    * half-boundary rounds HALF_UP in Spark but to-even on the binary
+    * double in DuckDB; found at sf0.1, r2). */
   private def winDist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"c_nationkey")
       .orderBy($"c_acctbal".asc, $"c_custkey".asc)
     Tables.customer(spark, dir)
       .select($"c_nationkey", $"c_custkey",
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"))
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
       .orderBy($"c_nationkey", $"c_custkey")
   }
 
   private val winDistSql = """
     SELECT c_nationkey, c_custkey,
-      round(percent_rank() OVER w, 6) AS pr,
-      round(cume_dist() OVER w, 6) AS cd
+      percent_rank() OVER w AS pr,
+      cume_dist() OVER w AS cd
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey
                  ORDER BY c_acctbal ASC, c_custkey ASC)

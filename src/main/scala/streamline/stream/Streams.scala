@@ -137,25 +137,32 @@ object Streams {
     HAVING w_start + INTERVAL 1 DAY <= (SELECT wmk FROM wm)
     ORDER BY w_start"""
 
-  /** q_stream_session — gap-based session windows (30 min) per user.
-    * Batch-mode session_window (the same operator Spark uses in
-    * streaming; the streaming/late-data path is exercised by
-    * q_stream_late and the unit tests). Times are second-truncated in
-    * both engines so the ns/µs mismatch can't split a session. */
+  /** q_stream_session — gap-based session windows (30 min) per user,
+    * run as a REAL streaming query (r2): watermarked `session_window`
+    * in append mode — a session is emitted once, when the watermark
+    * passes its end (last event + gap), and its merge state is evicted.
+    * Times are second-truncated in both engines so the ns/µs mismatch
+    * can't split a session; the oracle applies the identical
+    * closed-session filter (emission on end <= watermark, pinned by
+    * WindowEvictionBoundarySpec). */
   private def streamSession(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sec = date_trunc("second", $"ts")
-    Tables.events(spark, dir)
-      .groupBy(session_window(sec, "30 minutes").as("sw"), $"user_id")
+    val agg = eventsStream(spark, dir)
+      .withColumn("tss", date_trunc("second", $"ts"))
+      .withWatermark("tss", "10 minutes")
+      .groupBy(session_window($"tss", "30 minutes").as("sw"), $"user_id")
       .agg(count(lit(1)).as("n"), dsum("value").as("sum_val"))
       .select($"user_id", tsOut($"sw.start").as("s_start"),
         tsOut($"sw.end").as("s_end"), $"n", $"sum_val")
+    runToTable(spark, "session", "append", agg)
       .orderBy($"user_id", $"s_start")
   }
 
   private val streamSessionSql = """
     WITH e AS (SELECT user_id, date_trunc('second', ts) AS t, value
                FROM events),
+    wm AS (SELECT max(date_trunc('second', ts)) - INTERVAL 10 MINUTE AS w
+           FROM events),
     o AS (SELECT user_id, t, value,
             CASE WHEN lag(t) OVER w IS NULL
                    OR t - lag(t) OVER w > INTERVAL 30 MINUTE
@@ -168,7 +175,9 @@ object Streams {
     SELECT user_id, min(t) AS s_start,
       max(t) + INTERVAL 30 MINUTE AS s_end, count(*) AS n,
       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
-    FROM s GROUP BY user_id, sid ORDER BY user_id, s_start"""
+    FROM s GROUP BY user_id, sid
+    HAVING max(t) + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+    ORDER BY user_id, s_start"""
 
   /** q_stream_dedup — streaming dedup on key under a watermark, via
     * `dropDuplicatesWithinWatermark`: dedup state carries an expiry at
