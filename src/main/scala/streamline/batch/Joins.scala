@@ -347,8 +347,52 @@ object Joins {
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** q_cogroup — Flink `DataSet.coGroup`: for each key, BOTH sides' row
+    * groups are presented to one function together (a full-outer
+    * grouping, more general than a join — the function sees empty
+    * groups). Spark's typed equivalent is
+    * `KeyValueGroupedDataset.cogroup`. Here: per customer key, aggregate
+    * the orders group while observing whether the customer group is
+    * empty — order-less customers still emit. Money summed in
+    * per-input-quantized BigDecimal (= the oracle's DECIMAL(18,4) cast)
+    * so the result is merge-order independent. One shuffle per side on
+    * the key; the function itself streams each group. */
+  private def cogroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_totalprice").as[(Long, Double)]
+      .groupByKey(_._1)
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment").as[(Long, String)]
+      .groupByKey(_._1)
+    orders.cogroup(cust) { (k, os, cs) =>
+      var n = 0L
+      var sum = BigDecimal(0)
+      os.foreach { o =>
+        n += 1
+        sum += BigDecimal(o._2)
+          .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      }
+      Iterator((k, n, sum.toDouble, cs.nonEmpty))
+    }.toDF("custkey", "n_orders", "sum_price", "has_customer")
+      .orderBy($"custkey")
+  }
+
+  private val cogroupSql = """
+    WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders,
+                 sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sp
+               FROM orders GROUP BY 1),
+         c AS (SELECT c_custkey AS k FROM customer)
+    SELECT COALESCE(o.k, c.k) AS custkey,
+      COALESCE(n_orders, 0) AS n_orders,
+      CAST(COALESCE(sp, 0) AS DOUBLE) AS sum_price,
+      (c.k IS NOT NULL) AS has_customer
+    FROM o FULL JOIN c ON o.k = c.k
+    ORDER BY custkey"""
+
   val all: Seq[Q] = Seq(
     Q("q_join_hash", joinHash _, joinHashSql),
+    Q("q_cogroup", cogroup _, cogroupSql),
     Q("q_join_bucketed", joinBucketed _, joinBucketedSql),
     Q("q_join_merge", joinMerge _, joinMergeSql),
     Q("q_join_broadcast", joinBroadcast _, joinBroadcastSql),

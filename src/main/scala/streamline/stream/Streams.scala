@@ -308,9 +308,45 @@ object Streams {
     SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM u)
     ORDER BY user_id, id1, id2"""
 
+  /** q_join_stream_window — stream ⋈ stream WINDOW join (Flink
+    * `join(...).where(...).equalTo(...).window(TumblingEventTimeWindows)`):
+    * pairs co-located in the same tumbling day window — absolute window
+    * co-membership, vs the interval join's relative time band. The join
+    * carries the window struct as BOTH the equi-key and each side's
+    * single event-time column (the raw ts is dropped after deriving it —
+    * Spark allows one event-time column per stream), so the join's
+    * state-key watermark evicts a window's state once it closes. */
+  private def joinStreamWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e1 = eventsStream(spark, dir)
+      .select($"event_id".as("id1"), $"user_id", $"ts".as("ts1"))
+      .withWatermark("ts1", "10 minutes")
+      .select($"id1", $"user_id", window($"ts1", "1 day").as("w1"))
+    val e2 = eventsStream(spark, dir)
+      .select($"event_id".as("id2"), $"user_id".as("u2"), $"ts".as("ts2"))
+      .withWatermark("ts2", "10 minutes")
+      .select($"id2", $"u2", window($"ts2", "1 day").as("w2"))
+    val joined = e1.join(e2,
+        $"user_id" === $"u2" && $"id1" < $"id2" && $"w1" === $"w2")
+      .select($"user_id", $"id1", $"id2", tsOut($"w1.start").as("w_start"))
+    runToTable(spark, "ss_window", "append", joined)
+      .orderBy($"user_id", $"id1", $"id2")
+  }
+
+  private val joinStreamWindowSql = """
+    WITH e AS (SELECT event_id, user_id,
+                      date_trunc('microseconds', ts) AS ts FROM events)
+    SELECT e1.user_id, e1.event_id AS id1, e2.event_id AS id2,
+           CAST(date_trunc('day', e1.ts) AS TIMESTAMP) AS w_start
+    FROM e e1 JOIN e e2
+      ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
+     AND date_trunc('day', e1.ts) = date_trunc('day', e2.ts)
+    ORDER BY e1.user_id, id1, id2"""
+
   val all: Seq[Q] = Seq(
     Q("q_stream_tumble", streamTumble _, streamTumbleSql),
     Q("q_join_stream_stream", joinStreamStream _, joinStreamStreamSql),
+    Q("q_join_stream_window", joinStreamWindow _, joinStreamWindowSql),
     Q("q_join_stream_stream_left", joinStreamStreamLeft _,
       joinStreamStreamLeftSql),
     Q("q_stream_slide", streamSlide _, streamSlideSql),
