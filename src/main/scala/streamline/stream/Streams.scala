@@ -343,8 +343,45 @@ object Streams {
      AND date_trunc('day', e1.ts) = date_trunc('day', e2.ts)
     ORDER BY e1.user_id, id1, id2"""
 
+  /** q_sink_foreachbatch — the programmable streaming sink (Flink
+    * `SinkFunction` / custom sink surface): `foreachBatch` hands each
+    * micro-batch to arbitrary batch-writer code together with its
+    * batchId — the idempotent-write hook that makes exactly-once file
+    * sinks possible (re-delivered batch ⇒ same id ⇒ overwrite, not
+    * duplicate). Here each batch appends to a parquet table stamped
+    * with its batch id, which is then read back; the oracle is the
+    * source projection itself (a lossless sink round-trip). */
+  private def sinkForeachBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_feb"
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val st = eventsStream(spark, dir)
+      .select($"event_id", $"event_type", $"value")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = st.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          df.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(tmp): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(tmp)
+      .select($"event_id", $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
+  private val sinkForeachBatchSql = """
+    SELECT event_id, event_type, value FROM events ORDER BY event_id"""
+
   val all: Seq[Q] = Seq(
     Q("q_stream_tumble", streamTumble _, streamTumbleSql),
+    Q("q_sink_foreachbatch", sinkForeachBatch _, sinkForeachBatchSql),
     Q("q_join_stream_stream", joinStreamStream _, joinStreamStreamSql),
     Q("q_join_stream_window", joinStreamWindow _, joinStreamWindowSql),
     Q("q_join_stream_stream_left", joinStreamStreamLeft _,
