@@ -12,7 +12,8 @@ import streamline.{Q, Tables}
   * embarrassingly parallel, no driver-side loops, no global state — so
   * the same code runs unchanged on a 1000-executor cluster. Ratios are
   * single IEEE divisions of exact integer counts (deterministic across
-  * engines); no transcendental math.
+  * engines); the one transcendental (tf-idf's ln) is output-only and
+  * rounded, never used for ranking.
   */
 object Text {
 
@@ -240,7 +241,60 @@ object Text {
       CAST(list_max(fps) AS BIGINT) AS fp_max
     FROM f ORDER BY doc_id"""
 
+  /** q_llm_tfidf — corpus-weighted salient-term extraction (the TF-IDF
+    * primitive of a training-data pipeline: dedup keys, topic tags,
+    * quality features). Per document: top-3 terms ranked by
+    * (tf DESC, df ASC, term ASC) — a purely INTEGER ordering (frequent
+    * in the doc, rare in the corpus) so the ranking is bit-identical
+    * across engines; the familiar `tf·ln(N/df)` score is emitted as an
+    * output column only, 4-dp rounded (both engines' ln agree to ≤1 ulp
+    * — safe under rounding, but never used to rank). Plan shape: one
+    * explode + two keyed aggregations + a broadcast of the 1-row corpus
+    * count + a per-doc top-k window — every stage keyed, no all-pairs
+    * anything; at 100 TB the document-frequency table is the only
+    * corpus-global artifact and it shuffles on term. */
+  private def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select($"doc_id",
+      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .as("term"))
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val ndocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"tf".desc, $"df".asc, $"term".asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(ndocs))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 3)
+      .select($"doc_id", $"rk", $"term", $"tf", $"df",
+        round($"tf" * log($"n_docs".cast("double") / $"df".cast("double")),
+          4).as("score"))
+      .orderBy($"doc_id", $"rk")
+  }
+
+  private val tfidfSql = """
+    WITH toks AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    ranked AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rk
+               FROM tf JOIN dfreq USING (term))
+    SELECT doc_id, rk, term, tf, df,
+      round(tf * ln(CAST((SELECT n_docs FROM nd) AS DOUBLE)
+                    / CAST(df AS DOUBLE)), 4) AS score
+    FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk"""
+
   val all: Seq[Q] = Seq(
+    Q("q_llm_tfidf", tfidf _, tfidfSql),
     Q("q_llm_text_stats", textStats _, textStatsSql),
     Q("q_llm_tokenize", tokenize _, tokenizeSql),
     Q("q_llm_winnow", winnow _, winnowSql),
