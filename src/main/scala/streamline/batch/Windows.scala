@@ -198,7 +198,47 @@ object Windows {
                  ORDER BY c_acctbal ASC, c_custkey ASC)
     ORDER BY c_nationkey, c_custkey"""
 
+  /** q_cep_pattern — event-pattern detection (the Flink CEP library,
+    * 1.x-era: `Pattern.begin("click").next("purchase").within(10 min)`):
+    * strict contiguity — a purchase IMMEDIATELY following a click by the
+    * same user, at most 10 minutes later. Fixed-length contiguous
+    * patterns are exactly a per-key ordered window + lag (the relational
+    * form of the CEP NFA); unbounded patterns would use keyed state like
+    * q_stream_count_window. One shuffle on user_id, linear. */
+  private def cepPattern(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts",
+        lag("event_type", 1).over(w).as("prev_type"),
+        lag("event_id", 1).over(w).as("prev_id"),
+        lag("ts", 1).over(w).as("prev_ts"))
+      .where($"event_type" === "purchase" && $"prev_type" === "click" &&
+        $"ts" <= $"prev_ts" + expr("INTERVAL 10 MINUTES"))
+      .select($"user_id", $"prev_id".as("click_id"),
+        $"event_id".as("purchase_id"),
+        tsSec($"prev_ts").as("click_ts"), tsSec($"ts").as("purchase_ts"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  private val cepPatternSql = """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 date_trunc('microseconds', ts) AS ts FROM events),
+    o AS (SELECT user_id, event_id, event_type, ts,
+            lag(event_type) OVER w AS prev_type,
+            lag(event_id) OVER w AS prev_id,
+            lag(ts) OVER w AS prev_ts
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, prev_id AS click_id, event_id AS purchase_id,
+      date_trunc('second', prev_ts) AS click_ts,
+      date_trunc('second', ts) AS purchase_ts
+    FROM o
+    WHERE event_type = 'purchase' AND prev_type = 'click'
+      AND ts <= prev_ts + INTERVAL 10 MINUTE
+    ORDER BY user_id, purchase_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_cep_pattern", cepPattern _, cepPatternSql),
     Q("q_win_dist", winDist _, winDistSql),
     Q("q_win_rank", winRank _, winRankSql),
     Q("q_win_running", winRunning _, winRunningSql),
