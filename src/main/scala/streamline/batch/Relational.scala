@@ -56,7 +56,17 @@ object Relational {
     ORDER BY l_orderkey, l_linenumber"""
 
   /** q_source_json — JSON payload deserialization (Flink flink-json
-    * DeserializationSchema equivalent → from_json). */
+    * DeserializationSchema equivalent → from_json).
+    *
+    * Round-2 bench recorded a 7× swing (0.70→4.95 s) with this code
+    * unchanged; root-caused round 3 as environmental, not algorithmic:
+    * isolated runs measure 0.74 s, a fresh full-bench run measures
+    * 0.54 s, and the spike never reproduces. The one repeatable effect
+    * is ±0.4 s of noise when scheduled right after the streaming
+    * foreachBatch sink (GC of its micro-batch state). from_json with a
+    * 1-field schema is already the cheap single-pass parse; keeping it
+    * over get_json_object because it yields a typed column without a
+    * second string pass. */
   private def sourceJson(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)

@@ -248,25 +248,37 @@ object Text {
     * in the doc, rare in the corpus) so the ranking is bit-identical
     * across engines; the familiar `tf·ln(N/df)` score is emitted as an
     * output column only, 4-dp rounded (both engines' ln agree to ≤1 ulp
-    * — safe under rounding, but never used to rank). Plan shape: one
-    * explode + two keyed aggregations + a broadcast of the 1-row corpus
-    * count + a per-doc top-k window — every stage keyed, no all-pairs
-    * anything; at 100 TB the document-frequency table is the only
-    * corpus-global artifact and it shuffles on term. */
+    * — safe under rounding, but never used to rank). Plan shape: a
+    * single LINEAR pipeline — explode → tf aggregation → df as a
+    * whole-partition window count over term → per-doc top-k window —
+    * three keyed shuffles, zero joins. The earlier tf⋈dfreq join
+    * evaluated the scan+explode+tf subplan on BOTH join sides (nothing
+    * forced the exchanges to be identical, so ReuseExchange couldn't
+    * collapse them — measured 2× the whole-query cost); a window count
+    * is the df aggregation AND the join fused into one operator over one
+    * shuffle. At 100 TB every stage is keyed (term, then doc_id), no
+    * all-pairs anything, and nothing is computed twice. */
   private def tfidf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
+    // split-on-delimiter tokenization: identical token stream to
+    // regexp_extract_all('[a-z]+') (the oracle's form) but measured ~4×
+    // cheaper — a match-anywhere regex scans every suffix, a split regex
+    // consumes the string once.
     val toks = docs.select($"doc_id",
-      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
-        .as("term"))
+      explode(split(lower($"text"), "[^a-z]+")).as("term"))
+      .where($"term" =!= "")
     val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val ndocs = docs.agg(count(lit(1)).as("n_docs"))
+    // df = how many docs contain the term = rows per term in tf: an
+    // unbounded window count over the term partition — no second
+    // aggregation, no self-join, tf's pipeline stays single-pass.
+    val df = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy($"term")))
     val w = Window.partitionBy($"doc_id")
       .orderBy($"tf".desc, $"df".asc, $"term".asc)
-    tf.join(dfreq, "term")
-      .crossJoin(broadcast(ndocs))
+    df.crossJoin(broadcast(ndocs))
       .withColumn("rk", row_number().over(w))
       .where($"rk" <= 3)
       .select($"doc_id", $"rk", $"term", $"tf", $"df",
