@@ -1,0 +1,127 @@
+package streamline.batch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import streamline.{Q, Tables}
+
+/** §2.13 SQL-string entry point.
+  *
+  * Half the reference lineage's API surface is SQL text (Flink Table
+  * API / Calcite-parsed SQL; upstream `flink-table/.../api/Table.scala`,
+  * batch lineage examples `flink-examples-batch/.../relational/
+  * TPCHQuery3.java` and `TPCHQuery10.java`). The Spark-native
+  * equivalent is `spark.sql(...)` over registered views of the pinned
+  * tables — same Catalyst plans as the DataFrame API, so pushdown,
+  * AQE, broadcast selection all apply identically. These two witnesses
+  * are the TPC-H Q3/Q10 shapes those lineage examples implement,
+  * adapted to the fixture schemas (no ship-priority / phone columns in
+  * the generated tables).
+  *
+  * Determinism follows SURVEY.md §2.12 exactly as in the DataFrame
+  * modules, just spelled in SQL: all money math in DECIMAL(18,4) with a
+  * final DOUBLE cast, timestamps emitted as TIMESTAMP_NTZ, and the
+  * ORDER BY extended with a unique key so LIMIT cuts identically in
+  * both engines.
+  *
+  * Scale posture: Q3 is the classic 3-table star — customer filters
+  * down then shuffles on custkey into orders, the result shuffles on
+  * orderkey into lineitem, aggregation is keyed on (orderkey,
+  * orderdate), and the top-10 is a TakeOrdered, never a full sort.
+  * Q10 adds the 25-row nation dimension, which AQE broadcasts. Nothing
+  * here changes at 100 TB: the date/segment filters push into the
+  * parquet scans and every join is on a shuffle-partitioned key.
+  */
+object SqlApi {
+
+  /** Register every pinned table as a temp view so the SQL text can
+    * name them exactly as the oracle does. Re-registered per call:
+    * the sf dir is a parameter, and view registration is a metadata
+    * operation (no scan). */
+  private def sql(spark: SparkSession, dir: String, text: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    Tables.region(spark, dir).createOrReplaceTempView("region")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    spark.sql(text)
+  }
+
+  // Shared money expression: exact decimal revenue, double on output
+  // (identical IEEE value in both engines; Det.scala rationale).
+  private val revenue =
+    """CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+      |         * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)""".stripMargin
+
+  /** q_sql_tpch3 — shipping-priority query shape (TPC-H Q3): unbilled
+    * revenue of BUILDING-segment orders placed before / shipped after a
+    * cut date, top 10 by revenue. */
+  private def tpch3(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, s"""
+      SELECT l_orderkey,
+             $revenue AS revenue,
+             CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate
+      FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""")
+
+  private val tpch3Sql = """
+    SELECT l_orderkey,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      o_orderdate
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10"""
+
+  /** q_sql_tpch10 — returned-item reporting shape (TPC-H Q10): revenue
+    * lost to returns per customer over a quarter, top 20, with the
+    * nation dimension joined in. */
+  private def tpch10(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, s"""
+      SELECT c_custkey, c_name,
+             $revenue AS revenue,
+             c_acctbal, n_name, c_mktsegment
+      FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""")
+
+  private val tpch10Sql = """
+    SELECT c_custkey, c_name,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      c_acctbal, n_name, c_mktsegment
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20"""
+
+  val all: Seq[Q] = Seq(
+    Q("q_sql_tpch3", tpch3 _, tpch3Sql),
+    Q("q_sql_tpch10", tpch10 _, tpch10Sql))
+}
