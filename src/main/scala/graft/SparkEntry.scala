@@ -17,7 +17,8 @@ object SparkEntry {
 
   private def modules: Seq[Q] =
     Aggregates.all ++ Relational.all ++ Joins.all ++ Windows.all ++
-      Functions.all ++ UdfSurface.all ++ SqlApi.all ++ Text.all ++
+      Functions.all ++ UdfSurface.all ++ SqlApi.all ++ Iterate.all ++
+      Text.all ++
       Dedup.all ++ Similarity.all ++ Streams.all ++ Stateful.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */

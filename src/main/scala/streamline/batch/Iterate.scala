@@ -1,0 +1,150 @@
+package streamline.batch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import streamline.{Q, Tables}
+
+/** §2.14 iterative computation (bulk iteration to a fixed point).
+  *
+  * The reference lineage has first-class batch iteration (upstream
+  * `flink-java/.../operators/IterativeDataSet.java`,
+  * `flink-runtime/.../iterative/`) driving its graph/ML examples.
+  * Spark has no iterate operator in the plan language — the idiomatic
+  * equivalent is a driver-side superstep loop over DataFrames, which is
+  * exactly what Flink's runtime does too (supersteps with a convergence
+  * criterion), just spelled in user code. Each superstep here is a
+  * keyed shuffle; the driver only ever sees one aggregated convergence
+  * scalar per step, never the data.
+  *
+  * Scale posture: state per superstep is (vertex, label) — linear in
+  * vertices, hash-partitioned by vertex; the propagate step is an
+  * equi-join on the edge key. Every superstep output is EAGERLY
+  * lineage-truncated (localCheckpoint): a step that references its
+  * input twice (join + union, as min-label propagation does) otherwise
+  * doubles the logical plan per superstep — Catalyst re-analyzes a
+  * 2^k-node tree at superstep k and the driver OOMs long before the
+  * data does (measured: sf0.1 dies inside 20 supersteps without
+  * truncation, runs in seconds with it). On a cluster the same call
+  * should be `checkpoint()` into the reliable checkpoint dir — same
+  * semantics, executor-loss-safe; localCheckpoint is the single-node
+  * variant of exactly what Flink's iteration runtime does by
+  * materializing each superstep.
+  */
+object Iterate {
+
+  /** Bulk-iteration combinator (IterativeDataSet.iterate equivalent):
+    * repeatedly applies `step` until `metric` (any aggregate that
+    * strictly changes while work remains — Flink's convergence
+    * criterion) stops changing, or `maxIter` supersteps elapse.
+    * Returns the fixed point, still persisted. */
+  def fixpoint(init: DataFrame, maxIter: Int)(step: DataFrame => DataFrame)(
+      metric: DataFrame => Double): (DataFrame, Int) = {
+    // Eager localCheckpoint: materializes the superstep AND cuts the
+    // logical plan back to a leaf — constant-size plans, constant
+    // driver memory, no matter how many supersteps run. Old superstep
+    // blocks are dropped by the ContextCleaner once unreferenced.
+    var cur = init.localCheckpoint(true)
+    var m = metric(cur)
+    var iters = 0
+    while (iters < maxIter) {
+      val next = step(cur).localCheckpoint(true)
+      val m2 = metric(next)
+      iters += 1
+      if (m2 == m) {
+        return (cur, iters)
+      }
+      cur = next
+      m = m2
+    }
+    (cur, iters)
+  }
+
+  /** Connected components by min-label propagation over an undirected
+    * edge list `(src, dst)`: every vertex converges to the smallest
+    * vertex id reachable from it. Deterministic for any partitioning
+    * (min is order-independent), so the result is oracle-exact. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // Undirect: propagate both ways each superstep.
+    val undirected = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .persist()
+    val vertices = undirected.select($"src".as("v")).distinct()
+    val init = vertices.select($"v", $"v".as("comp"))
+    val (fixed, iters) = fixpoint(init, maxIter) { comp =>
+      // superstep: each vertex takes min(own label, neighbors' labels)…
+      val fromNeighbors = undirected
+        .join(comp, undirected("src") === comp("v"))
+        .select(undirected("dst").as("v"), comp("comp"))
+      val propagated = comp.union(fromNeighbors)
+        .groupBy($"v").agg(min($"comp").as("comp"))
+        // materialized so the halving self-join below reads it rather
+        // than recomputing the propagate shuffle on both join sides
+        // (measured faster than relying on ReuseExchange here).
+        .localCheckpoint(true)
+      // …then path-halving (pointer jumping): v additionally adopts its
+      // label's label. Every label IS a vertex id, so the inner
+      // self-join is total; label distances halve per superstep and the
+      // loop converges in O(log diameter) supersteps instead of
+      // O(diameter) — the difference between ~20 and ~6 shuffles on a
+      // long-chain graph.
+      // (fresh aliases on the second side: Spark's self-join attribute
+      // dedup chokes on plan-identical sides under a Union child)
+      val lut = propagated.select($"v".as("lv"), $"comp".as("lcomp"))
+      propagated.join(lut, $"comp" === $"lv")
+        .select($"v", least($"comp", $"lcomp").as("comp"))
+    } { df =>
+      // Σ labels strictly decreases until the fixed point; ids are
+      // ≤ ~1e6 so the sum is far inside double-exact integer range.
+      df.agg(sum($"comp")).as[Long].head().toDouble
+    }
+    undirected.unpersist()
+    (fixed, iters)
+  }
+
+  /** q_iter_cc — connected components of the customer–supplier graph
+    * induced by one month of orders (customer c is linked to supplier s
+    * when s supplied a line of an order placed by c in 1997-01).
+    * Supplier vertex ids are offset by 1,000,000 to disjoint the two
+    * key spaces. Output: every vertex with its component label plus the
+    * component size, totally ordered. */
+  private def iterCc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val month = Tables.orders(spark, dir)
+      .where($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-02-01").cast("timestamp"))
+    val edges = month
+      .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("src"),
+        ($"l_suppkey" + lit(1000000L)).as("dst"))
+      .distinct()
+    val (comp, _) = connectedComponents(edges)
+    val sizes = comp.groupBy($"comp").agg(count(lit(1)).as("comp_size"))
+    comp.join(sizes, "comp")
+      .select($"v", $"comp", $"comp_size")
+      .orderBy($"v")
+  }
+
+  /** Oracle: reachability closure via recursive CTE, then min over the
+    * reachable set — the textbook (quadratic) spelling of the same
+    * fixed point; the iterative plan above is the one that scales. */
+  private val iterCcSql = """
+    WITH RECURSIVE
+    e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-02-01 00:00:00'),
+    u AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(v, r) AS (
+      SELECT src, src FROM u
+      UNION
+      SELECT reach.v, u.dst FROM reach JOIN u ON reach.r = u.src),
+    comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+    sizes AS (SELECT comp, count(*) AS comp_size FROM comp GROUP BY comp)
+    SELECT v, comp.comp AS comp, comp_size
+    FROM comp JOIN sizes USING (comp)
+    ORDER BY v"""
+
+  val all: Seq[Q] = Seq(Q("q_iter_cc", iterCc _, iterCcSql))
+}

@@ -1,0 +1,54 @@
+package streamline
+
+import graft.SparkSuite
+import streamline.batch.Iterate
+
+/** Convergence + correctness of the bulk-iteration combinator and
+  * min-label connected components (SURVEY.md §2.14). */
+class IterateSpec extends SparkSuite {
+
+  import graft.SparkTestBase.spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    val df = edges.toDF("src", "dst")
+    val (comp, iters) = Iterate.connectedComponents(df)
+    val m = comp.as[(Long, Long)].collect().toMap
+    (m, iters)
+  }
+
+  test("chain collapses to its minimum label") {
+    // 1-2-3-...-8: worst-case diameter for 8 vertices.
+    val (m, iters) = cc((1L to 7L).map(i => (i, i + 1)))
+    assert(m == (1L to 8L).map(_ -> 1L).toMap)
+    // min-label over a chain halves the frontier per superstep or
+    // better; must converge well inside the cap (50).
+    assert(iters < 15)
+  }
+
+  test("disjoint components keep distinct labels") {
+    val (m, _) = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L)))
+    assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 1L)
+    assert(m(10L) == 10L && m(11L) == 10L)
+    assert(m(20L) == 20L && m(21L) == 20L && m(22L) == 20L)
+  }
+
+  test("already-converged input stops after one confirming superstep") {
+    // A single edge: init assigns min instantly on superstep 1; the
+    // metric then repeats and the loop must exit immediately.
+    val (m, iters) = cc(Seq((5L, 9L)))
+    assert(m == Map(5L -> 5L, 9L -> 5L))
+    assert(iters <= 3)
+  }
+
+  test("fixpoint respects the superstep cap") {
+    val init = Seq((1L, 100L)).toDF("v", "comp")
+    var steps = 0
+    // A step that never converges (strictly decreasing metric).
+    val (_, iters) = Iterate.fixpoint(init, 5) { df =>
+      steps += 1
+      df.select($"v", ($"comp" - 1L).as("comp"))
+    }(df => df.agg(org.apache.spark.sql.functions.sum($"comp"))
+      .as[Long].head().toDouble)
+    assert(iters == 5 && steps == 5)
+  }
+}
