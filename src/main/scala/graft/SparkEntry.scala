@@ -18,7 +18,7 @@ object SparkEntry {
   private def modules: Seq[Q] =
     Aggregates.all ++ Relational.all ++ Joins.all ++ Windows.all ++
       Functions.all ++ UdfSurface.all ++ SqlApi.all ++ Iterate.all ++
-      Text.all ++
+      Cep.all ++ Text.all ++
       Dedup.all ++ Similarity.all ++ Streams.all ++ Stateful.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
