@@ -296,8 +296,8 @@ object Joins {
       .orderBy($"c_mktsegment")
   }
 
-  /** Write orders + customer bucketed on the join key (8 buckets, one
-    * sorted file each) and register them in the session catalog.
+  /** Write orders + customer bucketed on the join key (one sorted file
+    * per bucket) and register them in the session catalog.
     * Idempotent per source dir: the bucketed write models one-time
     * ingest, so a completed scratch (marker file) is reused — on a rerun
     * only the catalog registration happens (CREATE TABLE over the
@@ -308,7 +308,12 @@ object Joins {
 
   def bucketedTables(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
-    val base = "/tmp/graft_bucketed/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // Bucket count is the ingest-parallelism knob (`graft.bucket.count`,
+    // util/Knobs); it is baked into the scratch path so a conf change
+    // can never re-register files written with a different count.
+    val nBuckets = streamline.util.Knobs.bucketCount(spark)
+    val base = s"/tmp/graft_bucketed/b$nBuckets/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val marker = java.nio.file.Paths.get(s"$base/_DONE")
     if (bucketedFor == base &&
       spark.catalog.tableExists("graft_b_orders")) return
@@ -316,7 +321,8 @@ object Joins {
                  schemaDdl: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $name")
       spark.sql(s"""CREATE TABLE $name ($schemaDdl)
-        USING parquet CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+        USING parquet CLUSTERED BY ($key) SORTED BY ($key)
+        INTO $nBuckets BUCKETS
         LOCATION '$base/$sub'""")
     }
     if (java.nio.file.Files.exists(marker)) {
@@ -327,13 +333,13 @@ object Joins {
     } else {
       spark.sql("DROP TABLE IF EXISTS graft_b_orders")
       spark.sql("DROP TABLE IF EXISTS graft_b_customer")
-      Tables.orders(spark, dir).repartition(8, $"o_custkey")
+      Tables.orders(spark, dir).repartition(nBuckets, $"o_custkey")
         .write.mode("overwrite")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .bucketBy(nBuckets, "o_custkey").sortBy("o_custkey")
         .option("path", s"$base/orders").saveAsTable("graft_b_orders")
-      Tables.customer(spark, dir).repartition(8, $"c_custkey")
+      Tables.customer(spark, dir).repartition(nBuckets, $"c_custkey")
         .write.mode("overwrite")
-        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .bucketBy(nBuckets, "c_custkey").sortBy("c_custkey")
         .option("path", s"$base/customer").saveAsTable("graft_b_customer")
       java.nio.file.Files.createFile(marker)
     }

@@ -91,7 +91,7 @@ object Relational {
     * fixture for this capability is the textual table. */
   private def sourceCsv(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_nation"
+    val tmp = streamline.util.Scratch.dir("csv_nation", dir)
     val nation = Tables.nation(spark, dir)
     nation.write.mode("overwrite")
       .option("header", "true").option("quoteAll", "true")
@@ -111,7 +111,7 @@ object Relational {
     * equivalent). The roundtrip is through real parquet on disk. */
   private def sinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_roundtrip"
+    val tmp = streamline.util.Scratch.dir("roundtrip", dir)
     Tables.customer(spark, dir)
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_cust"), dsum("c_acctbal").as("sum_bal"))

@@ -134,12 +134,14 @@ object Similarity {
     * cartesian becomes a keyed shuffle-hash equi-join on the block id
     * whose B cells each evaluate n²/B pairs inside codegen. No
     * CartesianProduct/BroadcastNestedLoop node, per-task hash memory is
-    * n/B rows, and B scales with the cluster. Genuine near-dup
+    * n/B rows, and B scales with the cluster (`graft.dedup.blocks`,
+    * see util/Knobs; the result is B-independent — pinned in
+    * KnobsSpec). Genuine near-dup
     * thresholds belong to the bucketed LSH paths (q_llm_knn_lsh,
     * MinHash/SimHash) — this query is the exactness baseline. */
   private def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val nBlocks = 8
+    val nBlocks = streamline.util.Knobs.dedupBlocks(spark)
     val a = Tables.embeddings(spark, dir)
       .select($"vec_id".as("id_a"), $"embedding".as("emb_a"))
       .withColumn("blk", explode(sequence(lit(0), lit(nBlocks - 1))))

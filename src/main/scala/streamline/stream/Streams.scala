@@ -51,15 +51,16 @@ object Streams {
     * partition count to `spark.sql.shuffle.partitions` at start, and
     * every micro-batch then pays a fixed per-partition state-store cost.
     * At harness scale that fixed cost dominated round 1 (~60% of bench
-    * with 32 partitions), so streaming queries run with a small count;
-    * on a real cluster this is the one knob to size to the executor
-    * count. The conf is restored afterwards so batch queries keep the
-    * session default. */
+    * with 32 partitions), so streaming queries run with a small count —
+    * `graft.stream.statePartitions` (Knobs), the one knob to size to
+    * the executor count on a real cluster. The conf is restored
+    * afterwards so batch queries keep the session default. */
   def runToTable(spark: SparkSession, base: String, mode: String,
-                 stream: DataFrame, statePartitions: Int = 4): DataFrame = {
+                 stream: DataFrame): DataFrame = {
     val name = s"${base}_${seq.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      streamline.util.Knobs.statePartitions(spark).toString)
     try {
       val q = stream.writeStream
         .format("memory").queryName(name)
@@ -353,7 +354,7 @@ object Streams {
     * source projection itself (a lossless sink round-trip). */
   private def sinkForeachBatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_feb"
+    val tmp = streamline.util.Scratch.dir("feb", dir)
     val p = new org.apache.hadoop.fs.Path(tmp)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
@@ -379,7 +380,51 @@ object Streams {
   private val sinkForeachBatchSql = """
     SELECT event_id, event_type, value FROM events ORDER BY event_id"""
 
+  /** q_stream_proctime — processing-time windows under a real
+    * `Trigger.ProcessingTime` schedule (Flink
+    * TumblingProcessingTimeWindows): rows are windowed on the WALL
+    * CLOCK at micro-batch execution (`current_timestamp()`), not on any
+    * event column. Which wall window a row lands in is inherently
+    * nondeterministic, so the declared output is the normalization that
+    * is NOT: per-type totals across windows. Every row is assigned to
+    * exactly one processing-time window (max per (window, type) undoes
+    * update-mode re-emission; summing those per type undoes the window
+    * split), so the totals equal the batch counts whatever the timing —
+    * the exactly-once-assignment invariant, also pinned with a
+    * two-window MemoryStream scenario in ProcTimeSpec. */
+  private def streamProcTime(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val windowed = eventsStream(spark, dir)
+      .withColumn("p_ts", current_timestamp())
+      .groupBy(window($"p_ts", "10 seconds"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val name = s"proctime_${seq.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      streamline.util.Knobs.statePartitions(spark).toString)
+    try {
+      // Update mode: proc-time windows have no watermark to close them,
+      // so append mode would emit nothing — same as Flink, where a
+      // processing-time window fires on the processing clock alone.
+      val q = windowed.writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(Trigger.ProcessingTime("500 milliseconds"))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
+      .groupBy($"window", $"event_type").agg(max($"n").as("n"))
+      .groupBy($"event_type").agg(sum($"n").as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  private val streamProcTimeSql = """
+    SELECT event_type, count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   val all: Seq[Q] = Seq(
+    Q("q_stream_proctime", streamProcTime _, streamProcTimeSql),
     Q("q_stream_tumble", streamTumble _, streamTumbleSql),
     Q("q_sink_foreachbatch", sinkForeachBatch _, sinkForeachBatchSql),
     Q("q_join_stream_stream", joinStreamStream _, joinStreamStreamSql),

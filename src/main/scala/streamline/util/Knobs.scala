@@ -1,0 +1,26 @@
+package streamline.util
+
+import org.apache.spark.sql.SparkSession
+
+/** Cluster-size knobs (SURVEY.md §2.12): every constant that should
+  * scale with the deployment is read from spark conf with the harness
+  * default, so a 100× cluster tunes a conf, not a source file.
+  *
+  *  - `graft.dedup.blocks` — block-replication factor B of the exact
+  *    all-pairs embedding join (q_llm_dedup_embed): each of B cells
+  *    evaluates n²/B pairs; size to executors × cores.
+  *  - `graft.bucket.count` — bucket count of the bucketed-table join
+  *    witness (co-located joins); size to cluster parallelism at
+  *    ingest time.
+  *  - `graft.stream.statePartitions` — state-store partition count for
+  *    streaming queries; each micro-batch pays a fixed per-partition
+  *    state-store cost, so size to the executor count (harness: 4).
+  */
+object Knobs {
+  def dedupBlocks(spark: SparkSession): Int =
+    spark.conf.get("graft.dedup.blocks", "8").toInt
+  def bucketCount(spark: SparkSession): Int =
+    spark.conf.get("graft.bucket.count", "8").toInt
+  def statePartitions(spark: SparkSession): Int =
+    spark.conf.get("graft.stream.statePartitions", "4").toInt
+}

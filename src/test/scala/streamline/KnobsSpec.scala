@@ -1,0 +1,52 @@
+package streamline
+
+import graft.{SparkEntry, SparkSuite}
+import streamline.util.{Knobs, Scratch}
+
+/** Cluster-size knobs flow from spark conf (SURVEY.md §2.12): defaults
+  * hold without conf, conf overrides take effect, and the one knob
+  * with a result-visible surface (dedup blocks) leaves the result
+  * unchanged — B partitions the work, never the answer. */
+class KnobsSpec extends SparkSuite {
+
+  test("knob defaults") {
+    spark.conf.unset("graft.dedup.blocks")
+    spark.conf.unset("graft.bucket.count")
+    spark.conf.unset("graft.stream.statePartitions")
+    assert(Knobs.dedupBlocks(spark) == 8)
+    assert(Knobs.bucketCount(spark) == 8)
+    assert(Knobs.statePartitions(spark) == 4)
+  }
+
+  test("conf overrides reach the accessors") {
+    try {
+      spark.conf.set("graft.dedup.blocks", "3")
+      spark.conf.set("graft.bucket.count", "16")
+      spark.conf.set("graft.stream.statePartitions", "2")
+      assert(Knobs.dedupBlocks(spark) == 3)
+      assert(Knobs.bucketCount(spark) == 16)
+      assert(Knobs.statePartitions(spark) == 2)
+    } finally {
+      spark.conf.unset("graft.dedup.blocks")
+      spark.conf.unset("graft.bucket.count")
+      spark.conf.unset("graft.stream.statePartitions")
+    }
+  }
+
+  test("dedup_embed result is independent of the block count") {
+    val q = SparkEntry.queries("q_llm_dedup_embed")
+    val base = q(spark, sfDir).collect().map(_.toSeq).toSet
+    try {
+      spark.conf.set("graft.dedup.blocks", "3")
+      assert(q(spark, sfDir).collect().map(_.toSeq).toSet == base)
+    } finally spark.conf.unset("graft.dedup.blocks")
+    assert(base.nonEmpty || q(spark, sfDir).count() == 0)
+  }
+
+  test("scratch paths encode the source dir") {
+    val a = Scratch.dir("x", "/root/testdata/sf0.01")
+    val b = Scratch.dir("x", "/root/testdata/sf0.1")
+    assert(a != b)
+    assert(a.contains("graft_x_"))
+  }
+}
