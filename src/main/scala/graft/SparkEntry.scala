@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import streamline.Q
 import streamline.batch._
-import streamline.llm.{Dedup, Similarity, Text}
+import streamline.llm.{Dedup, Pipeline, Similarity, Text}
 import streamline.stream.{Connect, Stateful, Streams}
 
 /** Driver contract — see /root/repo/SURVEY.md §0.1 and §7.
@@ -19,8 +19,8 @@ object SparkEntry {
     Aggregates.all ++ Relational.all ++ Joins.all ++ Windows.all ++
       Functions.all ++ UdfSurface.all ++ SqlApi.all ++ Iterate.all ++
       Cep.all ++ Text.all ++
-      Dedup.all ++ Similarity.all ++ Streams.all ++ Stateful.all ++
-      Connect.all
+      Dedup.all ++ Pipeline.all ++ Similarity.all ++ Streams.all ++
+      Stateful.all ++ Connect.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

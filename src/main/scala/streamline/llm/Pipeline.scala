@@ -1,0 +1,145 @@
+package streamline.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import streamline.{Q, Tables}
+
+/** §2.11 (continued) — training-data pipeline operators beyond
+  * dedup/similarity: the selection / scrubbing / batching primitives a
+  * 100-TB corpus pass needs between "raw crawl" and "training batches".
+  * All four are per-row projections or keyed window aggregations — no
+  * all-pairs anything — and every one is deterministic, so each
+  * carries a full DuckDB oracle.
+  */
+object Pipeline {
+
+  /** q_llm_sample_hash — deterministic content-hash sampling: keep a
+    * document iff the first hex digit of md5(text) is '0' (a ~1/16
+    * sample). The sample is a pure function of content — stable across
+    * runs, machines and partitionings, reproducible by any engine, and
+    * it needs no state, no RNG seed plumbing, no coordination — THE way
+    * to subsample a corpus at scale (a seeded `sample()` is
+    * partitioning-dependent and irreproducible across engines).
+    * Identical-content duplicates land on the same side of the cut,
+    * which is usually exactly what a corpus sample wants. */
+  private def sampleHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .where(substring(md5($"text"), 1, 1) === "0")
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  private val sampleHashSql = """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE substring(md5(text), 1, 1) = '0'
+    ORDER BY doc_id"""
+
+  /** q_llm_redact — denylist scrubbing (the PII-removal shape: replace
+    * every match of a sensitive-term/pattern list, count the hits for
+    * audit). Pure per-row projection; the pattern set is a broadcast
+    * constant at any scale. Word-boundary regex keeps both engines
+    * (Java regex / RE2) in exact agreement. */
+  private def redact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pat = "\\b(customer|supplier|order)\\b"
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        // Column-function form, NOT expr(): a SQL string literal would
+        // eat the \b escapes (\b → backspace) before the regex engine
+        // ever saw them.
+        size(regexp_extract_all($"text", lit(pat), lit(0))).cast("long")
+          .as("n_hits"),
+        regexp_replace($"text", pat, "[PII]").as("redacted"))
+      .select($"doc_id", $"n_hits", length($"redacted").as("len_redacted"),
+        substring($"redacted", 1, 80).as("head_redacted"))
+      .orderBy($"doc_id")
+  }
+
+  private val redactSql = """
+    SELECT doc_id,
+      len(regexp_extract_all(text, '\b(customer|supplier|order)\b')) AS n_hits,
+      length(regexp_replace(text, '\b(customer|supplier|order)\b',
+                            '[PII]', 'g')) AS len_redacted,
+      substring(regexp_replace(text, '\b(customer|supplier|order)\b',
+                               '[PII]', 'g'), 1, 80) AS head_redacted
+    FROM documents ORDER BY doc_id"""
+
+  /** q_llm_pack — sequence packing: concatenate consecutive documents
+    * (per language, in doc_id order) into packs of ≤512 tokens — the
+    * batching step that turns a corpus into fixed-budget training
+    * sequences. Greedy packing is a running-sum window: a document
+    * starts a new pack when the budget its PREDECESSORS consumed
+    * crosses a multiple of 512, i.e. pack_id = (cumsum − own) / 512.
+    * One shuffle on lang, linear scan — at 100 TB the partition key
+    * would be (lang, shard) with per-shard budgets, same window. */
+  private def pack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tok"))
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+    toks
+      .withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("pack_id", (($"cum" - $"n_tok") / budget).cast("long"))
+      .groupBy($"lang", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tok"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"lang", $"pack_id")
+  }
+
+  private val packSql = """
+    WITH t AS (SELECT doc_id, lang,
+                 len(string_split(text, ' ')) AS n_tok FROM documents),
+    c AS (SELECT doc_id, lang, n_tok,
+            sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT lang, CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id,
+      count(*) AS n_docs,
+      CAST(sum(n_tok) AS BIGINT) AS sum_tok, min(doc_id) AS first_doc,
+      max(doc_id) AS last_doc
+    FROM c GROUP BY lang, (cum - n_tok) // 512
+    ORDER BY lang, pack_id"""
+
+  /** q_llm_centroid — per-label mean embedding (the class-centroid
+    * primitive under nearest-centroid classification, cluster seeding,
+    * embedding drift checks). posexplode spreads each vector across
+    * (label, dim) keys, so the aggregation is fully keyed — 64·|labels|
+    * cells however many vectors stream through. Exactness: each float
+    * is quantized ONCE to an integer at 1e-12 via floor (float→double
+    * exact, ×1e12 IEEE-identical in both engines, floor has NO
+    * tie-breaking — a decimal cast rounds, and Spark HALF_UP vs
+    * DuckDB's tie rule diverged on a real fixture value), then integer
+    * sums are exact and the final double divisions are IEEE-identical.
+    */
+  private def centroid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "c")))
+      .select($"label", ($"pos" + 1).as("dim"),
+        floor($"c".cast("double") * lit(1e12)).cast("long").as("q"))
+      .groupBy($"label", $"dim")
+      .agg(((sum($"q").cast("double") / lit(1e12)) / count(lit(1)))
+        .as("centroid"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy($"label", $"dim")
+  }
+
+  private val centroidSql = """
+    SELECT label, g.i AS dim,
+      (CAST(sum(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1e12)
+                     AS BIGINT)) AS DOUBLE) / 1e12) / count(*) AS centroid,
+      count(*) AS n_vecs
+    FROM embeddings, generate_series(1, 64) AS g(i)
+    GROUP BY label, g.i
+    ORDER BY label, dim"""
+
+  val all: Seq[Q] = Seq(
+    Q("q_llm_sample_hash", sampleHash _, sampleHashSql),
+    Q("q_llm_redact", redact _, redactSql),
+    Q("q_llm_pack", pack _, packSql),
+    Q("q_llm_centroid", centroid _, centroidSql))
+}
