@@ -50,8 +50,12 @@ object Iterate {
       val next = step(cur).localCheckpoint(true)
       val m2 = metric(next)
       iters += 1
+      // On convergence return NEXT, not cur: metric equality proves only
+      // that the aggregate is unchanged — returning the later superstep
+      // is correct even when the metric is not injective up to dataset
+      // equality (same cost: next is already materialized).
       if (m2 == m) {
-        return (cur, iters)
+        return (next, iters)
       }
       cur = next
       m = m2
@@ -66,12 +70,31 @@ object Iterate {
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // Iteration-scoped shuffle sizing (Knobs.iterPartitions): each
+    // superstep pays (stages × partitions) fixed scheduling/materialize
+    // cost, so the loop runs at a partition count sized to the vertex
+    // set, not the session default; restored on exit.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      streamline.util.Knobs.iterPartitions(spark).toString)
+    try connectedComponentsImpl(edges, maxIter)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def connectedComponentsImpl(edges: DataFrame,
+                                      maxIter: Int): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     // Undirect: propagate both ways each superstep.
     val undirected = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
       .persist()
-    val vertices = undirected.select($"src".as("v")).distinct()
-    val init = vertices.select($"v", $"v".as("comp"))
+    // Initialize each vertex to the min over its closed neighborhood
+    // (itself + direct neighbors) — one keyed aggregation that does the
+    // work of the first propagate superstep before the loop starts.
+    val init = undirected.select($"src".as("v"), $"dst".as("comp"))
+      .union(undirected.select($"src".as("v"), $"src".as("comp")))
+      .groupBy($"v").agg(min($"comp").as("comp"))
     val (fixed, iters) = fixpoint(init, maxIter) { comp =>
       // superstep: each vertex takes min(own label, neighbors' labels)…
       val fromNeighbors = undirected
@@ -97,7 +120,10 @@ object Iterate {
     } { df =>
       // Σ labels strictly decreases until the fixed point; ids are
       // ≤ ~1e6 so the sum is far inside double-exact integer range.
-      df.agg(sum($"comp")).as[Long].head().toDouble
+      // coalesce: sum() over zero rows is NULL — an empty edge set
+      // (e.g. a month filter matching no orders) must converge to an
+      // empty result, not NPE on the non-nullable Long decode.
+      df.agg(coalesce(sum($"comp"), lit(0L))).as[Long].head().toDouble
     }
     undirected.unpersist()
     (fixed, iters)

@@ -128,14 +128,21 @@ object Pipeline {
       .orderBy($"label", $"dim")
   }
 
+  // The series bound is derived from each row's own vector length (NOT a
+  // hardcoded 64): a fixture with a different or ragged dimension keeps
+  // the oracle aligned with Spark's posexplode instead of silently
+  // counting NULL cells past the end of shorter vectors. (unnest in the
+  // SELECT list — DuckDB's generate_series table function rejects
+  // lateral column arguments.)
   private val centroidSql = """
-    SELECT label, g.i AS dim,
-      (CAST(sum(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1e12)
+    WITH x AS (SELECT label, embedding,
+                 unnest(generate_series(1, len(embedding))) AS dim
+               FROM embeddings)
+    SELECT label, dim,
+      (CAST(sum(CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1e12)
                      AS BIGINT)) AS DOUBLE) / 1e12) / count(*) AS centroid,
       count(*) AS n_vecs
-    FROM embeddings, generate_series(1, 64) AS g(i)
-    GROUP BY label, g.i
-    ORDER BY label, dim"""
+    FROM x GROUP BY label, dim ORDER BY label, dim"""
 
   val all: Seq[Q] = Seq(
     Q("q_llm_sample_hash", sampleHash _, sampleHashSql),

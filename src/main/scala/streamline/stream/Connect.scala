@@ -18,8 +18,10 @@ import streamline.Q
   * keyed operator, so the Spark-native composition is: tag each
   * source, union them (legal because the tag carries both schemas),
   * key by the shared key, and run `flatMapGroupsWithState` whose state
-  * holds exactly the current rule — the same state bound Flink's
-  * broadcast state keeps (latest rule, not rule history).
+  * holds the rules still reachable by future data under the event-time
+  * watermark — one sealed rule + those above the watermark — matching
+  * Flink's broadcast-state bound (latest effective rule) once the
+  * watermark passes a rule's publication time.
   *
   * Witness wiring on the events table: `error` events are the control
   * stream (their value = an alert threshold for that user), `view`
@@ -27,10 +29,10 @@ import streamline.Q
   * value exceeds the threshold of the latest rule at or before its
   * event time.
   *
-  * Scale posture: one shuffle on the key; state is ONE rule per key
-  * (RuleStateBoundSpec pins this), so state size is O(distinct keys)
-  * regardless of stream length — the property that lets the operator
-  * run unbounded. Rule fan-out to all keys (true broadcast) would
+  * Scale posture: one shuffle on the key; state per key is one sealed
+  * rule plus the rules within the watermark delay (RuleStateBoundSpec
+  * pins this), so state size is O(distinct keys) once the watermark
+  * advances — the property that lets the operator run unbounded. Rule fan-out to all keys (true broadcast) would
   * replace the keyed union with a `crossJoin(broadcast(rules))` at
   * rule-publication time; the per-key variant here is the general
   * (keyed) form.
@@ -51,8 +53,17 @@ object Connect {
   /** Per-key co-process: fold control rows into the rule state, sweep
     * data rows in (ts, id) order against the latest rule at or before
     * each row's time (ties → the rule wins; among same-ts rules the
-    * max id wins, i.e. last publication). Emits alerts only. After the
-    * batch, exactly one rule version is retained. */
+    * max id wins, i.e. last publication). Emits alerts only.
+    *
+    * State retention: keeping only the newest rule would be wrong under
+    * multi-batch execution — a data row arriving in a LATER batch with
+    * event time before the newest rule must still match the rule in
+    * effect at its time. The event-time watermark gives the safe prune
+    * bound: any future data row has ts > watermark, so every rule except
+    * the newest one at-or-below the watermark can never be "the latest
+    * rule at or before" a future row's time. Retained state = that one
+    * rule + all rules above the watermark — the minimal correct set,
+    * still bounded because the watermark advances past published rules. */
   private[streamline] def updateConnect(uid: Long, rows: Iterator[CsRow],
       state: GroupState[List[CsRule]]): Iterator[CsOut] = {
     val batch = rows.toList
@@ -69,8 +80,11 @@ object Connect {
           CsOut(uid, d.event_id, d.ts_us, d.value, r.rule_id, r.threshold)
       }
     }
-    // broadcast-state bound: keep ONLY the latest rule.
-    state.update(rules.takeRight(1))
+    // No watermark configured (unit-test harness) ⇒ 0: prune nothing.
+    val wmUs = (try state.getCurrentWatermarkMs()
+    catch { case _: UnsupportedOperationException => 0L }) * 1000L
+    val (sealed_, live) = rules.partition(_.ts_us <= wmUs)
+    state.update(sealed_.takeRight(1) ::: live)
     out.iterator
   }
 
@@ -80,6 +94,9 @@ object Connect {
     import spark.implicits._
     val tagged = Streams.eventsStream(spark, dir)
       .where($"event_type".isin("error", "view"))
+      // The watermark is the rule-state prune bound (see updateConnect);
+      // the column itself is carried on as ts_us.
+      .withWatermark("ts", "10 minutes")
       .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
         ($"event_type" === "error").as("is_ctrl"), $"value")
       .as[CsRow]

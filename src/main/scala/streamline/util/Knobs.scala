@@ -15,6 +15,14 @@ import org.apache.spark.sql.SparkSession
   *  - `graft.stream.statePartitions` — state-store partition count for
   *    streaming queries; each micro-batch pays a fixed per-partition
   *    state-store cost, so size to the executor count (harness: 4).
+  *  - `graft.iter.partitions` — shuffle partition count inside iterative
+  *    fixpoint loops (default: the session's shuffle partitions). A
+  *    superstep's label table usually shrinks far below the input scan,
+  *    so on a large cluster size this to |vertices| / target-partition-
+  *    rows rather than the scan-sized session default. (At harness
+  *    scale AQE already coalesces these shuffles — measured neutral —
+  *    but AQE's coalesce floor is the configured count, so the knob is
+  *    the 1000-executor lever.)
   */
 object Knobs {
   def dedupBlocks(spark: SparkSession): Int =
@@ -23,4 +31,7 @@ object Knobs {
     spark.conf.get("graft.bucket.count", "8").toInt
   def statePartitions(spark: SparkSession): Int =
     spark.conf.get("graft.stream.statePartitions", "4").toInt
+  def iterPartitions(spark: SparkSession): Int =
+    spark.conf.get("graft.iter.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions")).toInt
 }

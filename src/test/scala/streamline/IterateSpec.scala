@@ -40,6 +40,14 @@ class IterateSpec extends SparkSuite {
     assert(iters <= 3)
   }
 
+  test("an empty edge set converges to an empty result, not an NPE") {
+    // sum() over zero rows is NULL; the convergence metric must decode
+    // it as 0 (round-3 advisor finding) so a filter that matches no
+    // edges yields an empty component table.
+    val (m, _) = cc(Seq.empty)
+    assert(m.isEmpty)
+  }
+
   test("fixpoint respects the superstep cap") {
     val init = Seq((1L, 100L)).toDF("v", "comp")
     var steps = 0
