@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import streamline.Q
 import streamline.batch._
 import streamline.llm.{Dedup, Pipeline, Similarity, Text}
-import streamline.stream.{Connect, Stateful, Streams}
+import streamline.stream.{CepStream, Connect, Stateful, Streams}
 
 /** Driver contract — see /root/repo/SURVEY.md §0.1 and §7.
   *
@@ -20,7 +20,7 @@ object SparkEntry {
       Functions.all ++ UdfSurface.all ++ SqlApi.all ++ Iterate.all ++
       Cep.all ++ Text.all ++
       Dedup.all ++ Pipeline.all ++ Similarity.all ++ Streams.all ++
-      Stateful.all ++ Connect.all
+      Stateful.all ++ Connect.all ++ CepStream.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

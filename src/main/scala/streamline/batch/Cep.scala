@@ -30,34 +30,41 @@ object Cep {
                       first_click_id: Long, purchase_id: Long,
                       first_ts_us: Long, purchase_ts_us: Long)
 
-  /** The Kleene-plus automaton: match `a+ b` (a maximal consecutive run
-    * of ≥1 `aType` events immediately followed by one `bType` event,
-    * whole match inside `withinUs`). States: 0 = empty, n>0 = in a run
-    * of n `a`s; any other event type resets. Greedy and
-    * non-overlapping, matching the CEP library's AFTER_MATCH_SKIP /
-    * strict-run semantics; the input iterator MUST be sorted by
-    * (user, ts, id) — guaranteed by the caller's sortWithinPartitions. */
+  /** NFA register: 0 = empty, n>0 = in a run of n `aType` events. One
+    * automaton shared by the batch scan and the streaming keyed-state
+    * operator (stream/CepStream.scala) — the match language is defined
+    * once. */
+  case class NfaSt(n: Long, firstId: Long, firstTs: Long)
+  val nfaEmpty: NfaSt = NfaSt(0L, 0L, 0L)
+
+  /** One transition of the Kleene-plus automaton matching `a+ b` (a
+    * maximal consecutive run of ≥1 `aType` events immediately followed
+    * by one `bType` event, whole match inside `withinUs`). Any other
+    * event type resets. Greedy and non-overlapping, matching the CEP
+    * library's AFTER_MATCH_SKIP / strict-run semantics; events MUST be
+    * fed in (ts, id) order per key. */
+  def stepNfa(st: NfaSt, e: CepEv, aType: String, bType: String,
+              withinUs: Long): (NfaSt, Option[CepMatch]) =
+    if (e.event_type == aType) {
+      if (st.n == 0L) (NfaSt(1L, e.event_id, e.ts_us), None)
+      else (st.copy(n = st.n + 1), None)
+    } else if (e.event_type == bType && st.n > 0 &&
+               e.ts_us <= st.firstTs + withinUs) {
+      (nfaEmpty, Some(CepMatch(e.user_id, st.n, st.firstId, e.event_id,
+        st.firstTs, e.ts_us)))
+    } else (nfaEmpty, None)
+
+  /** The automaton over a key-sorted iterator (state resets at each
+    * user boundary — constant memory regardless of key size). */
   private def runNfa(it: Iterator[CepEv], aType: String, bType: String,
                      withinUs: Long): Iterator[CepMatch] = {
     var curUser = Long.MinValue
-    var n = 0L
-    var firstId = 0L
-    var firstTs = 0L
+    var st = nfaEmpty
     it.flatMap { e =>
-      if (e.user_id != curUser) { curUser = e.user_id; n = 0 }
-      if (e.event_type == aType) {
-        if (n == 0) { firstId = e.event_id; firstTs = e.ts_us }
-        n += 1
-        Iterator.empty
-      } else if (e.event_type == bType && n > 0 &&
-                 e.ts_us <= firstTs + withinUs) {
-        val m = CepMatch(e.user_id, n, firstId, e.event_id, firstTs, e.ts_us)
-        n = 0
-        Iterator.single(m)
-      } else {
-        n = 0
-        Iterator.empty
-      }
+      if (e.user_id != curUser) { curUser = e.user_id; st = nfaEmpty }
+      val (st2, m) = stepNfa(st, e, aType, bType, withinUs)
+      st = st2
+      m.iterator
     }
   }
 

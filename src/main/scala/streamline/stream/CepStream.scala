@@ -1,0 +1,140 @@
+package streamline.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import streamline.Q
+import streamline.batch.Cep
+import streamline.batch.Cep.{CepEv, CepMatch, NfaSt}
+import streamline.util.Det.tsSec
+
+/** §2.15 CEP on an unbounded stream — the keyed-state NFA form of the
+  * reference lineage's CEP library (upstream `flink-libraries/flink-cep/`,
+  * `NFAOperator` over keyed state): the batch Kleene scan (batch/Cep.scala)
+  * re-expressed as an incremental operator whose per-key state is the NFA
+  * register plus only the not-yet-orderable suffix of events.
+  *
+  * Out-of-order handling is Flink CEP's event-time contract: buffer
+  * arrivals until the watermark passes them, then feed them to the
+  * automaton in (ts, id) order. The watermark is therefore also the state
+  * bound — the buffer holds at most one watermark-delay of events per key,
+  * and the NFA register itself is O(1). That pair of bounds is what lets
+  * the operator run forever at 100 TB: state is (delay-window events +
+  * constant) per key, evicted by pure watermark progress.
+  *
+  * Same automaton, same match language as `q_cep_kleene` (shared
+  * `Cep.stepNfa`); on finite input the result is the batch result
+  * restricted to matches whose purchase the final watermark has sealed —
+  * which is the oracle below.
+  */
+object CepStream {
+
+  private val withinUs = 10L * 60 * 1000 * 1000
+  private val delayMs = 10L * 60 * 1000
+
+  /** Buffered suffix + NFA register. The buffer only ever holds events
+    * strictly above the watermark at last invocation. */
+  case class CepBuf(buf: List[CepEv], n: Long, firstId: Long, firstTs: Long)
+
+  /** Stream row: keeps the watermarked `ts` column itself (the analyzer
+    * requires the event-time column to reach the stateful operator for
+    * EventTimeTimeout). Exact µs from the Timestamp's ms + nanos. */
+  case class CepRow(user_id: Long, event_id: Long, event_type: String,
+                    ts: java.sql.Timestamp) {
+    def toEv: CepEv = CepEv(user_id, event_id, event_type,
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L)
+  }
+
+  /** Per-key co-process: merge the buffered suffix with this batch's
+    * arrivals, split at the current watermark, feed the sealed prefix to
+    * the NFA in (ts, id) order, and retain the unsealed suffix. A timer
+    * just above the earliest buffered event forces a drain pass when the
+    * watermark advances past it with no new data for the key (Spark fires
+    * event-time timers on `timer < watermark`;
+    * FlatMapGroupsWithStateExec.processTimedOutState). */
+  private[streamline] def updateCepStream(uid: Long, rows: Iterator[CepEv],
+      state: GroupState[CepBuf]): Iterator[CepMatch] = {
+    val prev = state.getOption.getOrElse(CepBuf(Nil, 0L, 0L, 0L))
+    // No watermark in a unit-test harness ⇒ 0: everything stays buffered.
+    val wmMs = try state.getCurrentWatermarkMs()
+    catch { case _: UnsupportedOperationException => 0L }
+    val wmUs = wmMs * 1000L
+    val all = (prev.buf ++ rows.toList).sortBy(e => (e.ts_us, e.event_id))
+    val (ready, future) = all.partition(_.ts_us <= wmUs)
+    var st = NfaSt(prev.n, prev.firstId, prev.firstTs)
+    val out = ready.flatMap { e =>
+      val (st2, m) = Cep.stepNfa(st, e, "click", "purchase", withinUs)
+      st = st2
+      m
+    }
+    if (future.isEmpty && st.n == 0L) state.remove()
+    else {
+      state.update(CepBuf(future, st.n, st.firstId, st.firstTs))
+      future.headOption.foreach { e =>
+        // Fire once the watermark passes the event: timers fire on
+        // strict <, so the earliest valid timer is floor_ms(ts)+1 —
+        // clamped above the current watermark (Spark rejects timers at
+        // or below it).
+        state.setTimeoutTimestamp(math.max(e.ts_us / 1000L + 1L, wmMs + 1L))
+      }
+    }
+    out.iterator
+  }
+
+  /** q_stream_cep — `click+ purchase within 10 min` per user on the
+    * unbounded event stream. */
+  private def streamCep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val matches = Streams.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .as[CepRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[CepRow], state: GroupState[CepBuf]) =>
+          updateCepStream(uid, rows.map(_.toEv), state)
+      }
+      .toDF()
+    Streams.runToTable(spark, "cep", "append", matches)
+      .select($"user_id", $"n_clicks", $"first_click_id", $"purchase_id",
+        tsSec(timestamp_micros($"first_ts_us")).as("first_click_ts"),
+        tsSec(timestamp_micros($"purchase_ts_us")).as("purchase_ts"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  /** Oracle: the batch Kleene result (gaps-and-islands spelling, same as
+    * q_cep_kleene) restricted to purchases the final watermark sealed —
+    * the streaming operator only feeds the NFA events at or below the
+    * watermark, and a match is emitted on its purchase event. */
+  private val streamCepSql = """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 date_trunc('microseconds', ts) AS ts FROM events),
+    wm AS (SELECT date_trunc('millisecond', max(ts))
+             - INTERVAL 10 MINUTE AS w FROM events),
+    o AS (SELECT user_id, event_id, event_type, ts,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+          FROM e),
+    isl AS (SELECT user_id, event_id, ts, rn,
+              rn - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY rn) AS grp
+            FROM o WHERE event_type = 'click'),
+    runs AS (SELECT user_id, grp, count(*) AS n_clicks,
+               min(ts) AS first_click_ts,
+               arg_min(event_id, rn) AS first_click_id,
+               max(rn) AS end_rn
+             FROM isl GROUP BY user_id, grp),
+    p AS (SELECT user_id, event_id, ts, rn FROM o
+          WHERE event_type = 'purchase')
+    SELECT r.user_id AS user_id, n_clicks, first_click_id,
+      p.event_id AS purchase_id,
+      date_trunc('second', first_click_ts) AS first_click_ts,
+      date_trunc('second', p.ts) AS purchase_ts
+    FROM runs r JOIN p ON r.user_id = p.user_id AND p.rn = r.end_rn + 1
+    WHERE p.ts <= first_click_ts + INTERVAL 10 MINUTE
+      AND p.ts <= (SELECT w FROM wm)
+    ORDER BY user_id, purchase_id"""
+
+  val all: Seq[Q] = Seq(Q("q_stream_cep", streamCep _, streamCepSql))
+}
