@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import streamline.{Q, Tables}
+import streamline.batch.Iterate
 
 /** §2.11 [C] deduplication operators: exact (hash-groupBy), MinHash+LSH
   * near-dup (shingle → minhash → band → bucket join), and SimHash.
@@ -122,7 +123,11 @@ object Dedup {
     * those prefixes — a keyed equi-join on shingle, never all-pairs, so
     * the same plan holds at 100 TB. The exact counterpart of the
     * MinHash path above; deterministic ⇒ full SQL oracle. */
-  private def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Prefix-filtered Jaccard pair generation (the PPJoin-family shape
+    * shared by q_llm_dedup_jaccard and q_llm_dedup_cluster): hashed
+    * shingle sets → prefix index → keyed candidate self-join → exact
+    * verify at threshold `tau`. Returns (id_a < id_b, jac). */
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tau = 0.6
     // Shingles are hashed to 64-bit once up front: every later join key,
@@ -164,8 +169,110 @@ object Dedup {
         round(inter.cast("double") /
           (size($"sa.sh") + size($"sb.sh") - inter).cast("double"), 6)
           .as("jac"))
-      .orderBy($"id_a", $"id_b")
   }
+
+  private def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    jaccardPairs(spark, dir).orderBy($"id_a", $"id_b")
+  }
+
+  /** q_llm_dedup_cluster — the end-to-end near-dup dedup decision: the
+    * pairwise τ-similarity graph is only half the operator a corpus
+    * pipeline needs, because near-duplication is transitive in practice
+    * (A≈B, B≈C ⇒ keep one of {A,B,C}). Cluster the pair graph with the
+    * iterative min-label connected components (batch/Iterate.scala —
+    * the reference lineage's delta-iteration ConnectedComponents
+    * example composed with its similarity join), then keep exactly the
+    * min-id doc per cluster. Scale posture: pair generation is the
+    * prefix-filtered keyed join above (never all-pairs), CC state is
+    * linear in paired docs only (singletons never enter the iteration),
+    * and the final decision is one broadcast-sized left join back onto
+    * the corpus. */
+  private def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = jaccardPairs(spark, dir)
+      .select($"id_a".as("src"), $"id_b".as("dst"))
+    val (cc, _) = Iterate.connectedComponents(edges)
+    Tables.documents(spark, dir).select($"doc_id")
+      .join(cc.select($"v".as("doc_id"), $"comp"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"comp", $"doc_id").as("canonical_id"),
+        when(coalesce($"comp", $"doc_id") === $"doc_id", 1)
+          .otherwise(0).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** q_llm_contamination — benchmark decontamination: find corpus
+    * documents sharing ≥3 distinct 3-gram shingles with any document of
+    * a held-out benchmark set (here: every 50th doc id stands in for
+    * the eval set). The scale shape is the one that matters at 100 TB:
+    * benchmarks are tiny (MMLU-sized), so the benchmark n-gram index is
+    * BROADCAST and the corpus streams through a map-side hash join —
+    * no corpus shuffle at all; the only shuffle is the per-(doc, bench)
+    * overlap count, already reduced to matching pairs. */
+  private def contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(
+        transform(shingles3($"text"), s => xxhash64(s)))).as("g"))
+    val bench = sh.where($"doc_id" % 50 === 0)
+      .select($"doc_id".as("bench_id"), $"g")
+    sh.where($"doc_id" % 50 =!= 0)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy($"doc_id", $"bench_id")
+      // both sides are distinct per doc ⇒ count(*) = |shared shingles|
+      .agg(count(lit(1)).as("n_shared"))
+      .where($"n_shared" >= 3)
+      .orderBy($"doc_id", $"bench_id")
+  }
+
+  private val contaminationSql = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(
+             list_transform(generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+           FROM w)
+    SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+           count(*) AS n_shared
+    FROM sh c JOIN sh b ON c.g = b.g
+    WHERE b.doc_id % 50 = 0 AND c.doc_id % 50 <> 0
+    GROUP BY c.doc_id, b.doc_id
+    HAVING count(*) >= 3
+    ORDER BY doc_id, bench_id"""
+
+  /** Oracle: same pair CTEs as q_llm_dedup_jaccard, then reachability
+    * closure (recursive CTE) and min-reachable-id per vertex — the
+    * declarative spelling of min-label propagation. */
+  private val dedupClusterSql = """
+    WITH RECURSIVE
+    w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, list_sort(list_distinct(
+             list_transform(generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+           FROM w),
+    pref AS (SELECT doc_id,
+               sh[1 : CAST(floor(len(sh) * 0.4) AS INT) + 1] AS prefix
+             FROM sh),
+    ex AS (SELECT doc_id, unnest(prefix) AS p FROM pref),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM ex a JOIN ex b ON a.p = b.p AND a.doc_id < b.doc_id),
+    pairs AS (SELECT id_a, id_b
+          FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+                    JOIN sh sb ON sb.doc_id = cand.id_b
+          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                CAST(len(sa.sh) + len(sb.sh)
+                     - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) >= 0.6),
+    und AS (SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT DISTINCT s AS v, s AS r FROM und
+              UNION
+              SELECT re.v, u.d AS r FROM reach re JOIN und u ON re.r = u.s),
+    comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v)
+    SELECT d.doc_id AS doc_id,
+      coalesce(c.comp, d.doc_id) AS canonical_id,
+      CASE WHEN coalesce(c.comp, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS keep
+    FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+    ORDER BY doc_id"""
 
   private val dedupJaccardSql = """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -223,6 +330,8 @@ object Dedup {
     Q("q_llm_dedup_exact", dedupExact _, dedupExactSql),
     Q.noOracle("q_llm_dedup_near", dedupNear _),
     Q("q_llm_dedup_jaccard", dedupJaccard _, dedupJaccardSql),
+    Q("q_llm_dedup_cluster", dedupCluster _, dedupClusterSql),
+    Q("q_llm_contamination", contamination _, contaminationSql),
     Q.noOracle("q_llm_simhash", simhash _),
     Q.noOracle("q_llm_simhash_pairs", simhashPairs _))
 }
