@@ -1,0 +1,141 @@
+package streamline.batch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import streamline.{Q, Tables}
+
+/** Physical-distribution operators of the reference lineage's DataSet
+  * API (upstream `flink-java/.../DataSet.java`: `rebalance()`,
+  * `partitionByHash`, `partitionByRange` + `sortPartition`,
+  * `mapPartition`, `withBroadcastSet`). These are not logical queries —
+  * they pin HOW data is laid out across the cluster, which is exactly
+  * what matters at 100 TB. Spark equivalents: `repartition(n)`
+  * (round-robin), `repartition(cols)` (hash), `repartitionByRange` +
+  * `sortWithinPartitions`, `mapPartitions`, and a driver-side broadcast
+  * variable. Each witness's RESULT is partitioning-invariant (that is
+  * what makes it oracle-able); the distribution itself is asserted by
+  * PartitioningSpec on the physical plan and on per-partition contents.
+  */
+object Partitioning {
+
+  /** q_partition_hash — partitionByHash + mapPartition: hash
+    * partitioning colocates equal keys, so a partition-LOCAL imperative
+    * count per key (no further shuffle, no groupBy operator) is already
+    * the exact global count — Flink's classic pre-aggregation pattern.
+    * One shuffle total; the per-partition map holds one counter per
+    * distinct key in the partition. */
+  private def partitionHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"user_id").as[Long]
+      .repartition($"user_id")
+      .mapPartitions { it =>
+        val counts = scala.collection.mutable.LongMap.empty[Long]
+        it.foreach(u => counts(u) = counts.getOrElse(u, 0L) + 1L)
+        counts.iterator.map { case (u, n) => (u, n) }
+      }
+      .toDF("user_id", "n_events")
+      .orderBy($"user_id")
+  }
+
+  private val partitionHashSql = """
+    SELECT user_id, count(*) AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id"""
+
+  /** q_partition_range — partitionByRange + sortPartition: range
+    * partitioning by order date plus a partition-local sort gives
+    * globally ordered output without a single-node sort — the
+    * distributed sort shape (it is how Spark's own orderBy executes;
+    * spelled explicitly here as the DataSet operators compose it).
+    * The local sort is verified in-flight: each partition's scan throws
+    * on an order violation, so a wrong layout fails loudly rather than
+    * silently reordering. */
+  private def partitionRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", unix_micros($"o_orderdate").as("od_us"))
+      .as[(Long, Long)]
+      .repartitionByRange(8, $"od_us", $"o_orderkey")
+      .sortWithinPartitions($"od_us", $"o_orderkey")
+      .mapPartitions { it =>
+        var lastOd = Long.MinValue
+        var lastKey = Long.MinValue
+        it.map { case (key, od) =>
+          require(od > lastOd || (od == lastOd && key > lastKey),
+            s"partition-local order violated at ($key, $od)")
+          lastOd = od; lastKey = key
+          (key, od)
+        }
+      }
+      .toDF("o_orderkey", "od_us")
+      .select($"o_orderkey",
+        timestamp_micros($"od_us").cast("timestamp_ntz").as("o_orderdate"))
+      .orderBy($"o_orderdate", $"o_orderkey")
+  }
+
+  private val partitionRangeSql = """
+    SELECT o_orderkey, o_orderdate FROM orders
+    ORDER BY o_orderdate, o_orderkey"""
+
+  /** q_partition_rebalance — rebalance(): round-robin redistribution of
+    * a deliberately skewed input (one parquet scan split carries most
+    * rows), the cure for skewed file splits before a per-row-expensive
+    * map. Content is untouched — the oracle checks that; the even
+    * spread and RoundRobinPartitioning node are asserted in the spec. */
+  private def partitionRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .where($"event_type" === "purchase")
+      .repartition(8)
+      .select($"event_id", $"user_id")
+      .orderBy($"event_id")
+  }
+
+  private val partitionRebalanceSql = """
+    SELECT event_id, user_id FROM events
+    WHERE event_type = 'purchase' ORDER BY event_id"""
+
+  /** q_broadcast_set — withBroadcastSet: a small computed dataset (per-
+    * segment average balance, 5 rows) is collected to the driver and
+    * broadcast into a partition-local map over the big side — Flink's
+    * broadcast-set pattern (upstream
+    * `flink-examples-batch/.../clustering/KMeans.java` broadcasts the
+    * centroid set the same way). The broadcast payload is
+    * metadata-scale; the big side never shuffles. */
+  private def broadcastSet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val avgBySeg = Tables.customer(spark, dir)
+      .groupBy($"c_mktsegment")
+      .agg((sum($"c_acctbal".cast("decimal(18,4)")).cast("double") /
+        count(lit(1))).as("avg_bal"))
+      .as[(String, Double)].collect().toMap
+    val bc = spark.sparkContext.broadcast(avgBySeg)
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      .as[(Long, String, Double)]
+      .mapPartitions { it =>
+        val avgs = bc.value
+        it.map { case (k, seg, bal) =>
+          (k, seg, if (bal > avgs(seg)) 1 else 0)
+        }
+      }
+      .toDF("c_custkey", "c_mktsegment", "above_avg")
+      .orderBy($"c_custkey")
+  }
+
+  private val broadcastSetSql = """
+    WITH a AS (SELECT c_mktsegment,
+                 CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                   / count(*) AS avg_bal
+               FROM customer GROUP BY c_mktsegment)
+    SELECT c_custkey, c.c_mktsegment AS c_mktsegment,
+      CASE WHEN c_acctbal > avg_bal THEN 1 ELSE 0 END AS above_avg
+    FROM customer c JOIN a ON c.c_mktsegment = a.c_mktsegment
+    ORDER BY c_custkey"""
+
+  val all: Seq[Q] = Seq(
+    Q("q_partition_hash", partitionHash _, partitionHashSql),
+    Q("q_partition_range", partitionRange _, partitionRangeSql),
+    Q("q_partition_rebalance", partitionRebalance _, partitionRebalanceSql),
+    Q("q_broadcast_set", broadcastSet _, broadcastSetSql))
+}

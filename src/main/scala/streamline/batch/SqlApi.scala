@@ -44,6 +44,7 @@ object SqlApi {
     Tables.region(spark, dir).createOrReplaceTempView("region")
     Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
     Tables.part(spark, dir).createOrReplaceTempView("part")
+    Tables.events(spark, dir).createOrReplaceTempView("events")
     spark.sql(text)
   }
 
@@ -121,7 +122,95 @@ object SqlApi {
     ORDER BY revenue DESC, c_custkey
     LIMIT 20"""
 
+  /** q_sql_tpch1 — pricing-summary report shape (TPC-H Q1): the
+    * canonical full-scan keyed aggregate. All sums in exact decimal;
+    * the averages are emitted as (exact-decimal sum → double) / count
+    * so both engines divide bit-identical doubles. */
+  private def tpch1(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, tpch1Text)
+
+  private val tpch1Text = s"""
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        AS sum_base_price,
+      $revenue AS sum_disc_price,
+      CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4))
+               * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE)
+        AS sum_charge,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        AS avg_qty,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  /** q_sql_tpch18 — large-volume-customer shape (TPC-H Q18): an IN
+    * subquery (planned as a left-semi join on the aggregated orderkey
+    * set) feeding a 3-table join and a top-k. */
+  private def tpch18(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, tpch18Text)
+
+  private val tpch18Text = """
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate,
+           o_totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_qty
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20"""
+
+  private val tpch18Sql = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20"""
+
+  /** q_sql_window — the Table API's windowed aggregate spelled in SQL
+    * text (Flink `GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)`): Spark's
+    * `window()` table function in a SQL string, batch semantics over
+    * the same events table the streaming module windows incrementally.
+    * Epoch-aligned 1-hour tumble ⇒ the oracle is date_trunc. */
+  private def sqlWindow(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, """
+      SELECT CAST(window.start AS TIMESTAMP_NTZ) AS w_start, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+      FROM events
+      GROUP BY window(ts, '1 hour'), event_type
+      ORDER BY w_start, event_type""")
+
+  private val sqlWindowSql = """
+    SELECT date_trunc('hour', ts) AS w_start, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY w_start, event_type"""
+
   val all: Seq[Q] = Seq(
     Q("q_sql_tpch3", tpch3 _, tpch3Sql),
-    Q("q_sql_tpch10", tpch10 _, tpch10Sql))
+    Q("q_sql_tpch10", tpch10 _, tpch10Sql),
+    Q("q_sql_tpch1", tpch1 _, tpch1Text),
+    Q("q_sql_tpch18", tpch18 _, tpch18Sql),
+    Q("q_sql_window", sqlWindow _, sqlWindowSql))
 }
