@@ -144,8 +144,52 @@ object Pipeline {
       count(*) AS n_vecs
     FROM x GROUP BY label, dim ORDER BY label, dim"""
 
+  /** q_llm_sample_stratified — per-stratum deterministic sampling: the
+    * data-mixture step of corpus assembly (upsample the head language
+    * less, keep more of the tail). Rate per language is applied by
+    * comparing an md5 hex prefix of the CONTENT against a per-stratum
+    * threshold — the same hash-threshold trick as q_llm_sample_hash, so
+    * the sample is reproducible across runs/engines and survives
+    * re-partitioning; '80' keeps ~50% (en), '40' keeps ~25% (rest).
+    * Pure per-row projection + filter: no shuffle at any scale. */
+  private def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val thr = when($"lang" === "en", lit("80")).otherwise(lit("40"))
+    Tables.documents(spark, dir)
+      .where(substring(md5($"text"), 1, 2) < thr)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  private val sampleStratifiedSql = """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE substring(md5(text), 1, 2) <
+      CASE WHEN lang = 'en' THEN '80' ELSE '40' END
+    ORDER BY doc_id"""
+
+  /** q_llm_shuffle — deterministic global shuffle of the training
+    * order: sort by a salted content-independent hash of the doc id.
+    * At scale this is exactly Spark's distributed sort (range exchange
+    * on the hash key, partition-local sort) — no single-node pass; a
+    * different salt is a different epoch's order. Emitted WITH the key
+    * so the order is the witnessed output (row order is part of the
+    * driver compare). */
+  private def shuffleCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        md5(concat($"doc_id".cast("string"), lit(":epoch0"))).as("skey"))
+      .orderBy($"skey", $"doc_id")
+  }
+
+  private val shuffleCorpusSql = """
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS skey
+    FROM documents ORDER BY skey, doc_id"""
+
   val all: Seq[Q] = Seq(
     Q("q_llm_sample_hash", sampleHash _, sampleHashSql),
+    Q("q_llm_sample_stratified", sampleStratified _, sampleStratifiedSql),
+    Q("q_llm_shuffle", shuffleCorpus _, shuffleCorpusSql),
     Q("q_llm_redact", redact _, redactSql),
     Q("q_llm_pack", pack _, packSql),
     Q("q_llm_centroid", centroid _, centroidSql))
