@@ -18,7 +18,7 @@ object SparkEntry {
   private def modules: Seq[Q] =
     Aggregates.all ++ Relational.all ++ Joins.all ++ Windows.all ++
       Functions.all ++ UdfSurface.all ++ SqlApi.all ++ Iterate.all ++
-      Cep.all ++ Partitioning.all ++ Text.all ++
+      Cep.all ++ Partitioning.all ++ Enrich.all ++ Text.all ++
       Dedup.all ++ Pipeline.all ++ Similarity.all ++ Streams.all ++
       Stateful.all ++ Connect.all ++ CepStream.all
 

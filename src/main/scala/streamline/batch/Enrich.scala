@@ -1,0 +1,111 @@
+package streamline.batch
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+import streamline.{Q, Tables}
+
+/** Enrichment-side operators of the reference lineage's DataStream API:
+  * async external lookups (upstream `flink-streaming-java/.../async/
+  * AsyncFunction.java`, `AsyncDataStream.orderedWait`) and job-level
+  * metrics counters (upstream `flink-core/.../accumulators/
+  * Accumulator.java`, `IntCounter`).
+  */
+object Enrich {
+
+  /** q_async_enrich — AsyncDataStream.orderedWait: enrich each event
+    * against an external keyed service without blocking one request at
+    * a time. The Spark-native shape is `mapPartitions` issuing a
+    * BOUNDED WINDOW of concurrent futures per partition and emitting
+    * results in arrival order (ordered wait): per 64-row window, all
+    * lookups fly concurrently, then the window is awaited in input
+    * order — the same capacity/ordering contract as Flink's operator.
+    * The "service" here is a broadcast key-value map (the container has
+    * no external endpoint); the future-window plumbing is the real
+    * operator and is what a user swaps an HTTP/DB client into, one
+    * client per partition. Scale: no shuffle on the big side, capacity
+    * × partitions in-flight requests, backpressure via window await. */
+  private def asyncEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val service = spark.sparkContext.broadcast(
+      Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_name").as[(Long, String)]
+        .collect().toMap)
+    val capacity = 64
+    Tables.events(spark, dir)
+      .where($"event_type" === "purchase")
+      .select($"event_id", $"user_id").as[(Long, Long)]
+      .mapPartitions { it =>
+        // one "client" (thread pool) per partition, as with a real
+        // async HTTP/DB client; daemon threads so the executor exits.
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(
+            java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+              val t = new Thread(r); t.setDaemon(true); t
+            }))
+        val kv = service.value
+        it.grouped(capacity).flatMap { window =>
+          val inFlight = window.map { case (eid, uid) =>
+            Future { (eid, uid, kv.get(uid)) }
+          }
+          // orderedWait: await the whole window, emit in input order
+          inFlight.map(f => Await.result(f, 30.seconds))
+        }
+      }
+      .flatMap { case (eid, uid, name) => name.map(n => (eid, uid, n)) }
+      .toDF("event_id", "user_id", "c_name")
+      .orderBy($"event_id")
+  }
+
+  private val asyncEnrichSql = """
+    SELECT event_id, user_id, c_name
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'purchase'
+    ORDER BY event_id"""
+
+  /** The malformed-row counter of the last q_acc_metrics run — Flink's
+    * job accumulator surface (IntCounter reported with the job result).
+    * Exposed for AccumulatorSpec; the driver compare sees only the main
+    * output. */
+  @volatile private[streamline] var lastMalformed: Option[LongAccumulator] = None
+
+  /** q_acc_metrics — accumulators: count rows REJECTED by a parse step
+    * as a job metric while the query emits only the clean rows — the
+    * standard data-quality counter a pipeline reports without paying a
+    * second pass. The rejected count never touches the row stream (no
+    * union, no extra shuffle); it travels to the driver with task
+    * results, exactly like Flink accumulators travel with the job
+    * result. */
+  private def accMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val malformed = spark.sparkContext.longAccumulator("malformed_props")
+    lastMalformed = Some(malformed)
+    val parsed = Tables.events(spark, dir)
+      .select($"event_id", $"event_type",
+        get_json_object($"props", "$.k").as("k"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, et, k) =>
+        if (k == null) { malformed.add(1L); None }
+        else Some((id, et, k))
+      })
+    parsed.toDF("event_id", "event_type", "k")
+      .groupBy($"event_type", $"k")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"event_type", $"k")
+  }
+
+  private val accMetricsSql = """
+    SELECT event_type, json_extract_string(props, '$.k') AS k,
+           count(*) AS n
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type, k
+    ORDER BY event_type, k"""
+
+  val all: Seq[Q] = Seq(
+    Q("q_async_enrich", asyncEnrich _, asyncEnrichSql),
+    Q("q_acc_metrics", accMetrics _, accMetricsSql))
+}
