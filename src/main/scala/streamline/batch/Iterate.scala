@@ -129,6 +129,35 @@ object Iterate {
     (fixed, iters)
   }
 
+  /** Delta-iteration combinator (the lineage's second first-class
+    * iteration type: upstream `flink-java/.../operators/DeltaIteration
+    * .java` — solution set + workset): `step` consumes the current
+    * solution and the workset (elements that changed last superstep)
+    * and returns the DELTA (solution rows to replace, keyed by `key`)
+    * — which is also the next workset. Iterates until the delta is
+    * empty or `maxIter`. The efficiency property over bulk iteration:
+    * per-superstep work is proportional to what CHANGED, not to the
+    * whole solution — on most graphs the workset collapses within a few
+    * supersteps while a bulk superstep would keep shuffling every
+    * vertex. Same eager lineage truncation per superstep as
+    * [[fixpoint]]. */
+  def deltaIterate(initSolution: DataFrame, key: String, maxIter: Int)(
+      step: (DataFrame, DataFrame) => DataFrame): (DataFrame, Int) = {
+    var solution = initSolution.localCheckpoint(true)
+    var workset = solution
+    var iters = 0
+    while (iters < maxIter && !workset.isEmpty) {
+      val delta = step(solution, workset).localCheckpoint(true)
+      iters += 1
+      if (delta.isEmpty) return (solution, iters)
+      solution = solution.join(delta, Seq(key), "left_anti")
+        .union(delta)
+        .localCheckpoint(true)
+      workset = delta
+    }
+    (solution, iters)
+  }
+
   /** q_iter_cc — connected components of the customer–supplier graph
     * induced by one month of orders (customer c is linked to supplier s
     * when s supplied a line of an order placed by c in 1997-01).
@@ -172,5 +201,82 @@ object Iterate {
     FROM comp JOIN sizes USING (comp)
     ORDER BY v"""
 
-  val all: Seq[Q] = Seq(Q("q_iter_cc", iterCc _, iterCcSql))
+  /** Connected components via delta iteration: per superstep only the
+    * vertices whose label CHANGED send messages, the delta is the set
+    * of vertices whose label improved, and the workset shrinks toward
+    * empty — Flink's own canonical DeltaIteration example
+    * ([UPSTREAM `flink-examples-batch/.../graph/ConnectedComponents
+    * .java`]). O(diameter) supersteps, but each superstep touches only
+    * the frontier. Exposed for IterateSpec. */
+  def connectedComponentsDelta(edges: DataFrame,
+                               maxIter: Int = 50): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      streamline.util.Knobs.iterPartitions(spark).toString)
+    try {
+      val undirected = edges.select($"src", $"dst")
+        .union(edges.select($"dst".as("src"), $"src".as("dst")))
+        .persist()
+      val init = undirected.select($"src".as("v"), $"dst".as("comp"))
+        .union(undirected.select($"src".as("v"), $"src".as("comp")))
+        .groupBy($"v").agg(min($"comp").as("comp"))
+      val (fixed, iters) = deltaIterate(init, "v", maxIter) {
+        (solution, workset) =>
+          // only changed vertices message their neighbors…
+          val msgs = undirected
+            .join(workset, undirected("src") === workset("v"))
+            .select(undirected("dst").as("v"), workset("comp"))
+            .groupBy($"v").agg(min($"comp").as("cand"))
+          // …and the delta is the strict improvements over the solution
+          msgs.join(solution, "v")
+            .where($"cand" < $"comp")
+            .select($"v", $"cand".as("comp"))
+      }
+      undirected.unpersist()
+      (fixed, iters)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** q_iter_delta — delta-iteration connected components on the
+    * 1997-02 order month (a different workload than q_iter_cc's bulk
+    * form on 1997-01). */
+  private def iterDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val month = Tables.orders(spark, dir)
+      .where($"o_orderdate" >= lit("1997-02-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-03-01").cast("timestamp"))
+    val edges = month
+      .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("src"),
+        ($"l_suppkey" + lit(1000000L)).as("dst"))
+      .distinct()
+    val (comp, _) = connectedComponentsDelta(edges)
+    val sizes = comp.groupBy($"comp").agg(count(lit(1)).as("comp_size"))
+    comp.join(sizes, "comp")
+      .select($"v", $"comp", $"comp_size")
+      .orderBy($"v")
+  }
+
+  private val iterDeltaSql = """
+    WITH RECURSIVE
+    e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderdate >= TIMESTAMP '1997-02-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-03-01 00:00:00'),
+    u AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(v, r) AS (
+      SELECT src, src FROM u
+      UNION
+      SELECT reach.v, u.dst FROM reach JOIN u ON reach.r = u.src),
+    comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+    sizes AS (SELECT comp, count(*) AS comp_size FROM comp GROUP BY comp)
+    SELECT v, comp.comp AS comp, comp_size
+    FROM comp JOIN sizes USING (comp)
+    ORDER BY v"""
+
+  val all: Seq[Q] = Seq(
+    Q("q_iter_cc", iterCc _, iterCcSql),
+    Q("q_iter_delta", iterDelta _, iterDeltaSql))
 }

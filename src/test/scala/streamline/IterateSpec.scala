@@ -40,6 +40,32 @@ class IterateSpec extends SparkSuite {
     assert(iters <= 3)
   }
 
+  private def ccDelta(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    val df = edges.toDF("src", "dst")
+    val (comp, iters) = Iterate.connectedComponentsDelta(df)
+    (comp.as[(Long, Long)].collect().toMap, iters)
+  }
+
+  test("delta iteration computes the same components as bulk iteration") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L))
+    val (bulk, _) = cc(edges)
+    val (delta, _) = ccDelta(edges)
+    assert(delta == bulk)
+  }
+
+  test("delta iteration's workset empties: a chain converges within its diameter") {
+    val (m, iters) = ccDelta((1L to 7L).map(i => (i, i + 1)))
+    assert(m == (1L to 8L).map(_ -> 1L).toMap)
+    // frontier propagation: ≤ diameter supersteps + the emptying one
+    assert(iters <= 8)
+  }
+
+  test("delta iteration on an empty edge set returns empty") {
+    val (m, iters) = ccDelta(Seq.empty)
+    assert(m.isEmpty && iters == 0)
+  }
+
   test("an empty edge set converges to an empty result, not an NPE") {
     // sum() over zero rows is NULL; the convergence metric must decode
     // it as 0 (round-3 advisor finding) so a filter that matches no
