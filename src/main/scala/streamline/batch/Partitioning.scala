@@ -133,9 +133,34 @@ object Partitioning {
     FROM customer c JOIN a ON c.c_mktsegment = a.c_mktsegment
     ORDER BY c_custkey"""
 
+  /** q_zip_index — DataSetUtils.zipWithIndex: contiguous global ids
+    * without a single-node pass. Range-partition + local sort makes
+    * partition i's values all precede partition i+1's; `zipWithIndex`
+    * then runs one count-per-partition job and one offset-adding pass —
+    * the two-pass distributed shape, vs. a global `row_number()` window
+    * which plans a SINGLE-partition sort at any scale (the trap this
+    * operator exists to avoid). The only RDD use in the codebase:
+    * zipWithIndex has no Column-level equivalent. */
+  private def zipIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sorted = Tables.documents(spark, dir)
+      .select($"doc_id").as[Long]
+      .repartitionByRange(8, $"doc_id")
+      .sortWithinPartitions($"doc_id")
+    sorted.rdd.zipWithIndex()
+      .toDF("doc_id", "idx")
+      .orderBy($"doc_id")
+  }
+
+  private val zipIndexSql = """
+    SELECT doc_id,
+      row_number() OVER (ORDER BY doc_id) - 1 AS idx
+    FROM documents ORDER BY doc_id"""
+
   val all: Seq[Q] = Seq(
     Q("q_partition_hash", partitionHash _, partitionHashSql),
     Q("q_partition_range", partitionRange _, partitionRangeSql),
     Q("q_partition_rebalance", partitionRebalance _, partitionRebalanceSql),
-    Q("q_broadcast_set", broadcastSet _, broadcastSetSql))
+    Q("q_broadcast_set", broadcastSet _, broadcastSetSql),
+    Q("q_zip_index", zipIndex _, zipIndexSql))
 }

@@ -107,6 +107,48 @@ object Relational {
     SELECT n_nationkey, n_name, n_regionkey
     FROM nation ORDER BY n_nationkey"""
 
+  /** q_source_text — line-oriented text source + WordCount (the
+    * lineage's founding example: readTextFile → flatMap(split) →
+    * groupBy(word).sum; upstream
+    * `flink-examples-batch/.../wordcount/WordCount.java`). Document
+    * texts round-trip through real `.txt` line files on disk, are read
+    * back with the text source, tokenized and counted. Scale: the text
+    * scan is splittable by line, tokenize is a projection, the count is
+    * one keyed shuffle — the canonical map/reduce shape. */
+  private def sourceText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = streamline.util.Scratch.dir("txt_docs", dir)
+    Tables.documents(spark, dir).select($"text")
+      .write.mode("overwrite").text(tmp)
+    spark.read.text(tmp)
+      .select(explode(split($"value", " ")).as("word"))
+      .where($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+      .orderBy($"word")
+  }
+
+  private val sourceTextSql = """
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents)
+    SELECT word, count(*) AS n FROM w
+    WHERE word <> '' GROUP BY word ORDER BY word"""
+
+  /** q_source_orc — ORC format source/sink (the lineage ships a
+    * flink-orc module): the supplier table round-trips through real ORC
+    * files and must come back identical to the parquet original (the
+    * oracle reads the parquet). ORC is the second columnar format a
+    * warehouse migration meets; predicate pushdown and column pruning
+    * apply to the ORC scan exactly as to parquet. */
+  private def sourceOrc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = streamline.util.Scratch.dir("orc_supplier", dir)
+    Tables.supplier(spark, dir).write.mode("overwrite").orc(tmp)
+    spark.read.orc(tmp).orderBy($"s_suppkey")
+  }
+
+  private val sourceOrcSql = """
+    SELECT * FROM supplier ORDER BY s_suppkey"""
+
   /** q_sink_roundtrip — durable write + re-read (Flink file OutputFormat
     * equivalent). The roundtrip is through real parquet on disk. */
   private def sinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
@@ -313,6 +355,8 @@ object Relational {
     Q("q_scan_prune", scanPrune _, scanPruneSql),
     Q("q_source_json", sourceJson _, sourceJsonSql),
     Q("q_source_csv", sourceCsv _, sourceCsvSql),
+    Q("q_source_text", sourceText _, sourceTextSql),
+    Q("q_source_orc", sourceOrc _, sourceOrcSql),
     Q("q_sink_roundtrip", sinkRoundtrip _, sinkRoundtripSql),
     Q("q_project", project _, projectSql),
     Q("q_filter", filter _, filterSql),

@@ -106,6 +106,37 @@ object Streams {
     HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
     ORDER BY w_start, event_type"""
 
+  /** q_stream_update — UPDATE output mode: the window emits its current
+    * aggregate every micro-batch it changes in (the lineage's
+    * early-firing trigger — `ContinuousEventTimeTrigger` /
+    * `Trigger.EARLY` results, vs. append's single emit-on-close).
+    * The sink accumulates one row per (window, type) per firing, so the
+    * read-back takes the LAST firing per key via max(n) — counts are
+    * monotone across firings, which is what makes the final value
+    * well-defined no matter how the file source split batches. Only the
+    * monotone count is emitted (a sum over signed values is not
+    * last-firing-recoverable from an update sink without a version
+    * column). */
+  private def streamUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(tsOut($"window.start").as("w_start"), $"event_type", $"n")
+    runToTable(spark, "update", "update", agg)
+      .groupBy($"w_start", $"event_type")
+      .agg(max($"n").as("n"))
+      .orderBy($"w_start", $"event_type")
+  }
+
+  // No watermark ⇒ no closed-window filter: every window fires at least
+  // once on finite input, and the last firing carries the full count.
+  private val streamUpdateSql = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type,
+      count(*) AS n
+    FROM events GROUP BY 1, 2
+    ORDER BY w_start, event_type"""
+
   /** q_stream_slide — sliding window (1 day / 6 h): each event lands in
     * four overlapping windows. Append mode + watermark, like
     * q_stream_tumble: emit-once on close, state evicted — the mode that
@@ -426,6 +457,7 @@ object Streams {
   val all: Seq[Q] = Seq(
     Q("q_stream_proctime", streamProcTime _, streamProcTimeSql),
     Q("q_stream_tumble", streamTumble _, streamTumbleSql),
+    Q("q_stream_update", streamUpdate _, streamUpdateSql),
     Q("q_sink_foreachbatch", sinkForeachBatch _, sinkForeachBatchSql),
     Q("q_join_stream_stream", joinStreamStream _, joinStreamStreamSql),
     Q("q_join_stream_window", joinStreamWindow _, joinStreamWindowSql),
