@@ -276,7 +276,88 @@ object Iterate {
     FROM comp JOIN sizes USING (comp)
     ORDER BY v"""
 
+  /** q_iter_pagerank — PageRank (the lineage's other flagship iterative
+    * example, [UPSTREAM `flink-examples-batch/.../graph/PageRank.java`])
+    * in FIXED-POINT integer arithmetic: ranks are bigint micro-units
+    * (scale 1e12) and every step is integer div/mul, so the result is
+    * bit-exact regardless of partition count or merge order — the same
+    * trick that makes the centroid and money queries hashable, applied
+    * to an iterative float algorithm. 10 supersteps, damping 85/100, on
+    * the 1997-03 customer–supplier graph (undirected ⇒ no dangling
+    * vertices). Each superstep: one keyed join (ranks ⋈ edges) and one
+    * keyed sum — linear state, lineage-truncated per step. */
+  private def iterPagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val SCALE = 1000000000000L
+    val iters = 10
+    val month = Tables.orders(spark, dir)
+      .where($"o_orderdate" >= lit("1997-03-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-04-01").cast("timestamp"))
+    val edges = month
+      .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("src"),
+        ($"l_suppkey" + lit(1000000L)).as("dst"))
+      .distinct()
+    val und = edges.union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .persist()
+    val outdeg = und.groupBy($"src".as("v"))
+      .agg(count(lit(1)).as("deg")).persist()
+    val n = outdeg.count()
+    if (n == 0) return und.select($"src".as("v"), $"src".as("rank_fp")).limit(0)
+    val base = (SCALE / n) * 15L / 100L
+    var ranks = outdeg.select($"v", lit(SCALE / n).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      // `div` (integral divide), NOT `/`: Column `/` is double division,
+      // and a true quotient half-an-ulp under an integer rounds UP in
+      // double then truncates wrong — bit-exactness requires integer div.
+      val contrib = und
+        .join(ranks.join(outdeg, "v"), und("src") === $"v")
+        .select(und("dst").as("v"), expr("r div deg").as("c"))
+        .groupBy($"v").agg(sum($"c").as("contrib"))
+      ranks = outdeg.select($"v")
+        .join(contrib, Seq("v"), "left")
+        .select($"v",
+          (lit(base) + expr("(coalesce(contrib, 0L) * 85) div 100"))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    und.unpersist(); outdeg.unpersist()
+    ranks.select($"v", $"r".as("rank_fp")).orderBy($"v")
+  }
+
+  /** Oracle: the same 10 integer-arithmetic rounds as chained CTEs —
+    * bit-exact because // (integer division) truncates identically. */
+  private val iterPagerankSql = {
+    val rounds = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT d.v,
+         |    CAST(b.base + ((coalesce(c.contrib, 0) * 85) // 100)
+         |         AS BIGINT) AS r
+         |  FROM deg d CROSS JOIN b
+         |  LEFT JOIN (
+         |    SELECT u.dst AS v, sum(p.r // d2.deg) AS contrib
+         |    FROM r${i - 1} p JOIN deg d2 ON p.v = d2.v
+         |                     JOIN u ON u.src = p.v
+         |    GROUP BY u.dst) c ON c.v = d.v)""".stripMargin
+    }.mkString(",\n")
+    s"""
+    WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'),
+    u AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src AS v, count(*) AS deg FROM u GROUP BY src),
+    n AS (SELECT count(*) AS n FROM deg),
+    b AS (SELECT ((1000000000000 // n) * 15) // 100 AS base,
+                 1000000000000 // n AS rinit FROM n),
+    r0 AS (SELECT v, (SELECT rinit FROM b) AS r FROM deg),
+    $rounds
+    SELECT v, r AS rank_fp FROM r10 ORDER BY v"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_iter_cc", iterCc _, iterCcSql),
-    Q("q_iter_delta", iterDelta _, iterDeltaSql))
+    Q("q_iter_delta", iterDelta _, iterDeltaSql),
+    Q("q_iter_pagerank", iterPagerank _, iterPagerankSql))
 }
