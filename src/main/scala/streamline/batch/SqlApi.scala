@@ -185,6 +185,28 @@ object SqlApi {
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 20"""
 
+  /** q_sql_tpch5 — local-supplier-volume shape (TPC-H Q5): the 6-table
+    * join with the correlated locality condition (customer and supplier
+    * in the SAME nation). The plan the optimizer should find: region →
+    * nation broadcast chain prunes supplier/customer early; lineitem
+    * shuffles once on orderkey. */
+  private def tpch5(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, tpch5Text)
+
+  private val tpch5Text = s"""
+    SELECT n_name, $revenue AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name"""
+
   /** q_sql_window — the Table API's windowed aggregate spelled in SQL
     * text (Flink `GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)`): Spark's
     * `window()` table function in a SQL string, batch semantics over
@@ -212,5 +234,6 @@ object SqlApi {
     Q("q_sql_tpch10", tpch10 _, tpch10Sql),
     Q("q_sql_tpch1", tpch1 _, tpch1Text),
     Q("q_sql_tpch18", tpch18 _, tpch18Sql),
+    Q("q_sql_tpch5", tpch5 _, tpch5Text),
     Q("q_sql_window", sqlWindow _, sqlWindowSql))
 }

@@ -305,7 +305,46 @@ object Text {
     FROM ranked WHERE rk <= 3
     ORDER BY doc_id, rk"""
 
+  /** q_llm_rarity — token-rarity quality scoring (the rank-based
+    * counterpart of an LM-perplexity filter, CCNet-style, without the
+    * cross-engine hazard of libm `ln`): every token gets its corpus
+    * frequency DENSE RANK (1 = most common), and a document's score is
+    * its mean token rank — high mean rarity flags gibberish/rare-token
+    * soup, low flags boilerplate. All integer counts + one exact
+    * decimal-sum division ⇒ hash-exact. Scale: the rank table is
+    * VOCABULARY-sized (≪ corpus; the global rank window sorts only the
+    * vocab) and is broadcast into the token join, so the corpus side
+    * never shuffles for the scoring pass. */
+  private def rarity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .where($"word" =!= "")
+    val ranks = toks.groupBy($"word").agg(count(lit(1)).as("n"))
+      .select($"word", dense_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"n".desc, $"word".asc)).as("rnk"))
+    toks.join(broadcast(ranks), "word")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum($"rnk").cast("double") / count(lit(1))).as("mean_rarity"))
+      .orderBy($"doc_id")
+  }
+
+  private val raritySql = """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents),
+    t AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+    r AS (SELECT word, dense_rank() OVER (ORDER BY count(*) DESC, word ASC)
+            AS rnk
+          FROM t GROUP BY word)
+    SELECT doc_id, count(*) AS n_tokens,
+      CAST(sum(rnk) AS DOUBLE) / count(*) AS mean_rarity
+    FROM t JOIN r USING (word)
+    GROUP BY doc_id ORDER BY doc_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_llm_rarity", rarity _, raritySql),
     Q("q_llm_tfidf", tfidf _, tfidfSql),
     Q("q_llm_text_stats", textStats _, textStatsSql),
     Q("q_llm_tokenize", tokenize _, tokenizeSql),
