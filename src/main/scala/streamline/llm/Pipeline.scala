@@ -186,7 +186,56 @@ object Pipeline {
     SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS skey
     FROM documents ORDER BY skey, doc_id"""
 
+  /** q_llm_pipeline — the END-TO-END corpus assembly a training-data
+    * user actually runs, composed from this library's own stages in
+    * their production order: language gate → exact dedup (keep lowest
+    * doc_id per sha256) → deterministic hash sample (md5-prefix 50%) →
+    * sequence packing to a 512-token budget. One declarative chain, so
+    * Catalyst plans it whole: the filters reach the scan, dedup is the
+    * single wide shuffle, the sample is a projection-level cut BEFORE
+    * the packing window — each stage shrinks the data the next one
+    * pays for, which is the property that matters at 100 TB. */
+  private def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512
+    val survivors = Tables.documents(spark, dir)
+      .where($"lang" === "en")
+      .select($"doc_id", $"text", sha2($"text", 256).as("h"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"h").orderBy($"doc_id".asc)))
+      .where($"rn" === 1)
+      .where(substring(md5($"text"), 1, 1) < "8")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+    val w = Window.orderBy($"doc_id")
+    survivors
+      .withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("pack_id", (($"cum" - $"n_tok") / budget).cast("long"))
+      .groupBy($"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tok"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"pack_id")
+  }
+
+  private val pipelineE2eSql = """
+    WITH d AS (SELECT doc_id, text, sha256(text) AS h,
+                 row_number() OVER (PARTITION BY sha256(text)
+                                    ORDER BY doc_id ASC) AS rn
+               FROM documents WHERE lang = 'en'),
+    s AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+          FROM d WHERE rn = 1 AND substring(md5(text), 1, 1) < '8'),
+    c AS (SELECT doc_id, n_tok,
+            sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              AS cum
+          FROM s)
+    SELECT CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id,
+      count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+      min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY (cum - n_tok) // 512
+    ORDER BY pack_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_llm_pipeline", pipelineE2e _, pipelineE2eSql),
     Q("q_llm_sample_hash", sampleHash _, sampleHashSql),
     Q("q_llm_sample_stratified", sampleStratified _, sampleStratifiedSql),
     Q("q_llm_shuffle", shuffleCorpus _, shuffleCorpusSql),
