@@ -194,11 +194,19 @@ object Pipeline {
     * Catalyst plans it whole: the filters reach the scan, dedup is the
     * single wide shuffle, the sample is a projection-level cut BEFORE
     * the packing window — each stage shrinks the data the next one
-    * pays for, which is the property that matters at 100 TB. */
+    * pays for, which is the property that matters at 100 TB.
+    *
+    * The packing cumsum is a DISTRIBUTED prefix sum, not a global
+    * `Window.orderBy` (which plans a single-partition sort at any
+    * scale): range-partition by doc_id, scan each partition once for
+    * its token total, broadcast the 8-entry running offsets back, and
+    * let each partition compute its local cumsum on top of its offset.
+    * Two linear passes, no single-node stage. */
   private def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val budget = 512
+    val budget = 512L
+    val nParts = 8
     val survivors = Tables.documents(spark, dir)
       .where($"lang" === "en")
       .select($"doc_id", $"text", sha2($"text", 256).as("h"))
@@ -207,14 +215,37 @@ object Pipeline {
       .where($"rn" === 1)
       .where(substring(md5($"text"), 1, 1) < "8")
       .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
-    val w = Window.orderBy($"doc_id")
-    survivors
-      .withColumn("cum", sum($"n_tok").over(w))
-      .withColumn("pack_id", (($"cum" - $"n_tok") / budget).cast("long"))
+      .repartitionByRange(nParts, $"doc_id")
+      .sortWithinPartitions($"doc_id")
+      .as[(Long, Long)]
+      .persist()
+    // pass 1: per-partition token totals → running offsets (8 numbers
+    // on the driver — metadata-scale, like Flink's iteration aggregators)
+    val totals = survivors.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single(pid -> it.map(_._2).sum)
+      }.collect().toMap
+    val offsets = (0 until nParts).map { pid =>
+      pid -> (0 until pid).map(p => totals.getOrElse(p, 0L)).sum
+    }.toMap
+    val bcOff = survivors.sparkSession.sparkContext.broadcast(offsets)
+    // pass 2: local cumsum on top of the partition offset
+    val packed = survivors.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var cum = bcOff.value(pid)
+        it.map { case (id, tok) => cum += tok; (id, tok, cum) }
+      }
+      .toDF("doc_id", "n_tok", "cum")
+    val out = packed
+      .withColumn("pack_id", expr(s"(cum - n_tok) div $budget"))
       .groupBy($"pack_id")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tok"),
         min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
       .orderBy($"pack_id")
+    val result = out.cache()
+    result.count() // materialize before unpersisting the input
+    survivors.unpersist()
+    result
   }
 
   private val pipelineE2eSql = """
