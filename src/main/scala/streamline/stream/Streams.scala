@@ -106,6 +106,36 @@ object Streams {
     HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
     ORDER BY w_start, event_type"""
 
+  /** q_stream_union — DataStream.union: two independently-constructed
+    * unbounded sources (here: the click substream and the error
+    * substream, each its own file-source stream) unioned into one
+    * stream and windowed together — the multi-input topology glue of
+    * the DataStream API. Union is partition-transparent: no shuffle of
+    * its own; the downstream window agg shuffles once on its key. */
+  private def streamUnion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clicks = eventsStream(spark, dir).where($"event_type" === "click")
+    val errors = eventsStream(spark, dir).where($"event_type" === "error")
+    val agg = clicks.union(errors)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(tsOut($"window.start").as("w_start"), $"event_type", $"n")
+    runToTable(spark, "s_union", "append", agg)
+      .orderBy($"w_start", $"event_type")
+  }
+
+  private val streamUnionSql = """
+    WITH wm AS (SELECT date_trunc('millisecond', max(ts))
+                  - INTERVAL 10 MINUTE AS w FROM events
+                WHERE event_type IN ('click', 'error'))
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type,
+      count(*) AS n
+    FROM events WHERE event_type IN ('click', 'error')
+    GROUP BY 1, 2
+    HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
+    ORDER BY w_start, event_type"""
+
   /** q_stream_update — UPDATE output mode: the window emits its current
     * aggregate every micro-batch it changes in (the lineage's
     * early-firing trigger — `ContinuousEventTimeTrigger` /
@@ -458,6 +488,7 @@ object Streams {
     Q("q_stream_proctime", streamProcTime _, streamProcTimeSql),
     Q("q_stream_tumble", streamTumble _, streamTumbleSql),
     Q("q_stream_update", streamUpdate _, streamUpdateSql),
+    Q("q_stream_union", streamUnion _, streamUnionSql),
     Q("q_sink_foreachbatch", sinkForeachBatch _, sinkForeachBatchSql),
     Q("q_join_stream_stream", joinStreamStream _, joinStreamStreamSql),
     Q("q_join_stream_window", joinStreamWindow _, joinStreamWindowSql),
