@@ -1,7 +1,6 @@
 package streamline.llm
 
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,12 +17,10 @@ import streamline.expr.Exprs
   */
 object Similarity {
 
-  // Fitted ANN models are the INDEX: at scale they're built once at
+  // The fitted IVF quantizer is the INDEX: at scale it's built once at
   // ingest and reused by every query, so the per-call refit was pure
-  // harness overhead. Both fits are seed-pinned ⇒ a cache hit is
+  // harness overhead. The fit is seed-pinned ⇒ a cache hit is
   // bit-identical to a refit. Keyed by source dir (one index per corpus).
-  private val lshModels =
-    new java.util.concurrent.ConcurrentHashMap[String, BucketedRandomProjectionLSHModel]()
   private val ivfModels =
     new java.util.concurrent.ConcurrentHashMap[String, KMeansModel]()
 
@@ -60,23 +57,48 @@ object Similarity {
     ORDER BY score DESC, vec_id ASC LIMIT 10"""
 
   /** q_llm_knn_lsh — the ANN scale path: random-projection LSH; only
-    * same-bucket pairs are scored. Approximate ⇒ no oracle (recall
-    * property unit-tested). */
+    * same-bucket pairs are scored. Implemented NATIVELY (no mllib in
+    * the query path, matching the MinHash pipeline's style): per hash
+    * table t, bucket(v) = ⌊(v · r_t) / w⌋ with seed-pinned gaussian
+    * projection vectors as literal arrays — the dot product is a
+    * codegen'd zip_with/aggregate, bucketing a projection, and the
+    * candidate step an explicit keyed self-join whose plan (shuffle
+    * hash + ReuseExchange on the identical sides) WE choose. The
+    * earlier mllib `approxSimilarityJoin` version planned its own
+    * internal join and intermittently chose a 5× slower shape under a
+    * long-lived session — an uncontrolled plan in the hot path is
+    * exactly what this library avoids. Approximate ⇒ no oracle
+    * (planted-neighbor recall pinned in LshRecallSpec). */
   private def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val nTables = 2
+    val bucketLen = 0.25
+    val rng = new scala.util.Random(42L)
+    val projections = Array.fill(nTables)(Array.fill(64)(rng.nextGaussian()))
+    def dot(v: org.apache.spark.sql.Column, r: Array[Double]) =
+      aggregate(zip_with(v, array(r.map(lit).toIndexedSeq: _*),
+        (a, b) => a * b), lit(0.0d), (acc, x) => acc + x)
     val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", array_to_vector($"embedding").as("vec"))
-    // Unit-scale vectors project to ~N(0,1); a 0.25 bucket keeps each
-    // hash table selective (vs an all-pairs collapse with wide buckets).
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("vec").setOutputCol("buckets")
-      .setBucketLength(0.25).setNumHashTables(2).setSeed(42L)
-    val model = lshModels.computeIfAbsent(dir, _ => lsh.fit(emb))
-    model.approxSimilarityJoin(emb, emb, 1.1, "dist")
-      .select(col("datasetA.vec_id").as("id_a"),
-        col("datasetB.vec_id").as("id_b"),
-        round(col("dist"), 6).as("dist"))
-      .where($"id_a" < $"id_b")
+      .select($"vec_id", $"embedding")
+    val buckets = emb.select($"vec_id", $"embedding", explode(array(
+        projections.zipWithIndex.map { case (r, t) =>
+          struct(lit(t).as("t"),
+            floor(dot($"embedding", r) / bucketLen).cast("long").as("b"))
+        }.toIndexedSeq: _*)).as("tb"))
+      .select($"vec_id", $"embedding", $"tb.t".as("t"), $"tb.b".as("b"))
+    // identical self-join sides ⇒ one shuffle computed once (ReuseExchange)
+    val cand = buckets.as("a").hint("shuffle_hash").join(buckets.as("b"),
+        $"a.t" === $"b.t" && $"a.b" === $"b.b" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        $"a.embedding".as("ea"), $"b.embedding".as("eb"))
+      .dropDuplicates("id_a", "id_b") // collided in both tables
+    cand
+      .select($"id_a", $"id_b",
+        sqrt(aggregate(zip_with($"ea", $"eb", (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, x) => acc + x)).as("d"))
+      .where($"d" <= 1.1)
+      .select($"id_a", $"id_b", round($"d", 6).as("dist"))
       .orderBy($"id_a", $"id_b")
   }
 
