@@ -343,7 +343,41 @@ object Text {
     FROM t JOIN r USING (word)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  /** q_llm_selfrepeat — intra-document repetition (the duplicate-n-gram
+    * fraction of Gopher-style quality rules): 1 − distinct/total over a
+    * doc's 3-gram shingles; near-1 flags looping/boilerplate text that
+    * inter-document dedup never sees. Pure per-row projection — array
+    * ops on each row, no shuffle at any scale; the ratio is an exact
+    * integer pair divided once in double (IEEE-identical both engines). */
+  private def selfRepeat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = streamline.llm.Dedup.shingles3($"text")
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(sh).cast("long").as("n_grams"),
+        size(array_distinct(sh)).cast("long").as("n_distinct"))
+      .where($"n_grams" > 0)
+      .select($"doc_id", $"n_grams", $"n_distinct",
+        (lit(1.0d) - $"n_distinct".cast("double") /
+          $"n_grams".cast("double")).as("repeat_frac"))
+      .orderBy($"doc_id")
+  }
+
+  private val selfRepeatSql = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT doc_id,
+            list_transform(generate_series(1, len(w) - 2),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+          FROM w)
+    SELECT doc_id, len(grams) AS n_grams,
+      len(list_distinct(grams)) AS n_distinct,
+      1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+          / CAST(len(grams) AS DOUBLE) AS repeat_frac
+    FROM g WHERE len(grams) > 0
+    ORDER BY doc_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_llm_selfrepeat", selfRepeat _, selfRepeatSql),
     Q("q_llm_rarity", rarity _, raritySql),
     Q("q_llm_tfidf", tfidf _, tfidfSql),
     Q("q_llm_text_stats", textStats _, textStatsSql),
