@@ -1,6 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private val runToken = java.util.UUID.randomUUID().toString.take(8)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -8,6 +10,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // tmpfs shuffle dirs + streaming checkpoints: the harness host
+      // intermittently throttles block-device writes (Knobs.fastTmp
+      // scaladoc); single-node only. JVM-unique roots (stale checkpoint
+      // reuse would replay committed offsets), removed on exit.
+      .config("spark.local.dir",
+        streamline.util.Knobs.fastTmp + s"/local_bench_$runToken")
+      .config("spark.sql.streaming.checkpointLocation",
+        streamline.util.Knobs.fastTmp + s"/ck_bench_$runToken")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen/parquet-footer startup costs belong to
@@ -43,6 +53,9 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full)
     catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
     spark.stop()
+    Seq(s"/ck_bench_$runToken", s"/local_bench_$runToken").foreach(d =>
+      streamline.stream.Streams.deleteRec(new java.io.File(
+        streamline.util.Knobs.fastTmp + d)))
     Console.out.flush(); System.err.flush()
     // The driver captures only a ~2000-char TAIL of sbt stdout, and sbt
     // appends its own "[success] …" lines after ours: a full 97-query

@@ -29,6 +29,8 @@ import streamline.util.Det._
 object Streams {
 
   private val seq = new AtomicInteger(0)
+  private val jvmToken =
+    java.util.UUID.randomUUID().toString.take(8)
 
   /** Events as an unbounded source: same pinned schema + ns→µs
     * conversion as the batch reader (Tables.events). */
@@ -61,15 +63,32 @@ object Streams {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       streamline.util.Knobs.statePartitions(spark).toString)
+    // Explicit checkpoint on the fast ephemeral root (Knobs.fastTmp):
+    // every micro-batch fsyncs its offset/commit WAL and state files,
+    // which rides the throttled block device otherwise. JVM-unique
+    // token: a REUSED checkpoint path would replay committed offsets
+    // and silently emit nothing; deleted after the run. Production
+    // queries point this at reliable shared storage instead.
+    val ckpt = s"${streamline.util.Knobs.fastTmp}/ck_${jvmToken}_$name"
     try {
       val q = stream.writeStream
         .format("memory").queryName(name)
         .outputMode(mode)
+        .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      deleteRec(new java.io.File(ckpt))
+    }
     spark.table(name)
+  }
+
+  def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
   }
 
   /** q_stream_tumble — event-time tumbling window aggregate under a

@@ -34,4 +34,25 @@ object Knobs {
   def iterPartitions(spark: SparkSession): Int =
     spark.conf.get("graft.iter.partitions",
       spark.conf.get("spark.sql.shuffle.partitions")).toInt
+
+  /** Fast ephemeral root for single-node harness I/O — shuffle local
+    * dirs and streaming checkpoints. The harness host intermittently
+    * throttles block-device writes to ~40 MB/s (measured), which
+    * inflates every shuffle write and micro-batch checkpoint fsync by
+    * 2-4×; tmpfs takes that variance out. This is HARNESS posture, not
+    * cluster posture: on a real deployment spark.local.dir stays on
+    * instance storage and checkpoints go to reliable shared storage —
+    * both are plain confs this helper never overrides
+    * (`graft.fastTmp` = explicit override; unset ⇒ /dev/shm when
+    * writable, else java.io.tmpdir). */
+  def fastTmp: String = {
+    val pick = sys.props.get("graft.fastTmp").getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft"
+      else sys.props("java.io.tmpdir")
+    }
+    val f = new java.io.File(pick)
+    f.mkdirs()
+    pick
+  }
 }
