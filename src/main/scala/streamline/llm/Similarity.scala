@@ -86,14 +86,21 @@ object Similarity {
             floor(dot($"embedding", r) / bucketLen).cast("long").as("b"))
         }.toIndexedSeq: _*)).as("tb"))
       .select($"vec_id", $"embedding", $"tb.t".as("t"), $"tb.b".as("b"))
-    // identical self-join sides ⇒ one shuffle computed once (ReuseExchange)
+    // identical self-join sides ⇒ one shuffle computed once
+    // (ReuseExchange). Candidates carry BARE id pairs through the
+    // distinct — the embeddings (0.5 KB/pair) would multiply the dedup
+    // shuffle ~30×; they re-attach via two broadcasts of the small
+    // embedding table for the exact verify.
     val cand = buckets.as("a").hint("shuffle_hash").join(buckets.as("b"),
         $"a.t" === $"b.t" && $"a.b" === $"b.b" &&
           $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
-        $"a.embedding".as("ea"), $"b.embedding".as("eb"))
-      .dropDuplicates("id_a", "id_b") // collided in both tables
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"))
+      .distinct() // collided in both tables
     cand
+      .join(broadcast(emb.select($"vec_id".as("id_a"),
+        $"embedding".as("ea"))), "id_a")
+      .join(broadcast(emb.select($"vec_id".as("id_b"),
+        $"embedding".as("eb"))), "id_b")
       .select($"id_a", $"id_b",
         sqrt(aggregate(zip_with($"ea", $"eb", (x, y) => (x - y) * (x - y)),
           lit(0.0d), (acc, x) => acc + x)).as("d"))
