@@ -229,7 +229,72 @@ object SqlApi {
     GROUP BY 1, 2
     ORDER BY w_start, event_type"""
 
+  /** q_sql_ddl — the SQL WRITE path (Table API `CREATE TABLE` /
+    * `INSERT INTO` DDL/DML, Calcite-parsed in the lineage): create a
+    * parquet-backed table at an explicit location, INSERT INTO it from
+    * a SELECT, and read it back through the catalog name. Overwrite
+    * mode keeps the query idempotent across harness runs. */
+  private def sqlDdl(spark: SparkSession, dir: String): DataFrame = {
+    val loc = streamline.util.Scratch.dir("sqlddl", dir)
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql("DROP TABLE IF EXISTS graft_seg_summary")
+    spark.sql(s"""
+      CREATE TABLE graft_seg_summary (
+        c_mktsegment STRING, n_cust BIGINT, avg_bal DOUBLE)
+      USING parquet LOCATION '$loc'""")
+    spark.sql("""
+      INSERT OVERWRITE graft_seg_summary
+      SELECT c_mktsegment, count(*) AS n_cust,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+          AS avg_bal
+      FROM customer GROUP BY c_mktsegment""")
+    spark.sql("""
+      SELECT c_mktsegment, n_cust, avg_bal FROM graft_seg_summary
+      ORDER BY c_mktsegment""")
+  }
+
+  private val sqlDdlSql = """
+    SELECT c_mktsegment, count(*) AS n_cust,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+    ORDER BY c_mktsegment"""
+
+  /** q_sql_udf — a Scala function registered into the SQL namespace and
+    * called from SQL TEXT (the lineage's ScalarFunction registration,
+    * `tableEnv.registerFunction`): the other half of the UDF surface
+    * next to the DataFrame-side q_udf_scalar. */
+  private def sqlUdf(spark: SparkSession, dir: String): DataFrame = {
+    spark.udf.register("graft_disc_price",
+      (ep: java.math.BigDecimal, d: java.math.BigDecimal) =>
+        ep.multiply(java.math.BigDecimal.ONE.subtract(d)))
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql("""
+      SELECT l_orderkey,
+        CAST(sum(graft_disc_price(CAST(l_extendedprice AS DECIMAL(18,4)),
+                                  CAST(l_discount AS DECIMAL(18,4))))
+             AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate > TIMESTAMP '1998-08-01 00:00:00'
+      GROUP BY l_orderkey
+      ORDER BY l_orderkey
+      LIMIT 100""")
+  }
+
+  private val sqlUdfSql = """
+    SELECT l_orderkey,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        AS revenue
+    FROM lineitem
+    WHERE l_shipdate > TIMESTAMP '1998-08-01 00:00:00'
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    LIMIT 100"""
+
   val all: Seq[Q] = Seq(
+    Q("q_sql_ddl", sqlDdl _, sqlDdlSql),
+    Q("q_sql_udf", sqlUdf _, sqlUdfSql),
     Q("q_sql_tpch3", tpch3 _, tpch3Sql),
     Q("q_sql_tpch10", tpch10 _, tpch10Sql),
     Q("q_sql_tpch1", tpch1 _, tpch1Text),
