@@ -148,6 +148,33 @@ object SqlApi {
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""
 
+  /** Oracle text differs from the Spark text in ONE way: the big
+    * decimal sums cast to double THROUGH VARCHAR. DuckDB's direct
+    * decimal→double cast double-rounds (1 ulp low) once the scaled
+    * integer exceeds 2^53 (r2 lesson, seen live on sum_charge at
+    * sf0.1); the string round-trip is a correctly-rounded parse that
+    * matches Spark's BigDecimal.doubleValue. */
+  private val tpch1OracleSql = s"""
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        AS sum_base_price,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4))))
+           AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                         AS DECIMAL(18,4))
+                    * (1 + CAST(l_tax AS DECIMAL(18,4))))
+           AS VARCHAR) AS DOUBLE) AS sum_charge,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        AS avg_qty,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
   /** q_sql_tpch18 — large-volume-customer shape (TPC-H Q18): an IN
     * subquery (planned as a left-semi join on the aggregated orderkey
     * set) feeding a 3-table join and a top-k. */
@@ -297,7 +324,7 @@ object SqlApi {
     Q("q_sql_udf", sqlUdf _, sqlUdfSql),
     Q("q_sql_tpch3", tpch3 _, tpch3Sql),
     Q("q_sql_tpch10", tpch10 _, tpch10Sql),
-    Q("q_sql_tpch1", tpch1 _, tpch1Text),
+    Q("q_sql_tpch1", tpch1 _, tpch1OracleSql),
     Q("q_sql_tpch18", tpch18 _, tpch18Sql),
     Q("q_sql_tpch5", tpch5 _, tpch5Text),
     Q("q_sql_window", sqlWindow _, sqlWindowSql))
