@@ -1,0 +1,50 @@
+package streamline
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Plan-shape audit for the SQL-text entry (SURVEY.md §2.13): the
+  * optimizer properties each query's scaladoc claims are pinned here so
+  * a regression (lost pushdown, a full sort where a top-k belongs, a
+  * shuffled dimension that should broadcast) fails loudly. */
+class SqlPlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("tpch3: date/segment filters are pushed to the parquet scans") {
+    val p = plan("q_sql_tpch3")
+    assert(p.contains("PushedFilters"), p.take(400))
+    assert(p.contains("c_mktsegment"), "segment filter missing")
+    // top-10 by revenue must be a TakeOrdered, never a global Sort+Limit
+    assert(p.contains("TakeOrderedAndProject"), "top-k planned as full sort")
+  }
+
+  test("tpch10: the 25-row nation dimension joins by broadcast") {
+    val p = plan("q_sql_tpch10")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "nation should broadcast")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("tpch18: the IN subquery plans as a left-semi join") {
+    val p = plan("q_sql_tpch18")
+    assert(p.contains("LeftSemi"), "IN subquery should plan as left-semi")
+  }
+
+  test("tpch1: the shipdate filter reaches the scan and reads prune columns") {
+    val p = plan("q_sql_tpch1")
+    assert(p.contains("l_shipdate"), "shipdate filter not near the scan")
+    // only the 7 needed columns are read, not the full lineitem schema
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!read.contains("l_partkey") && !read.contains("l_suppkey"),
+      s"scan reads pruned columns: $read")
+  }
+
+  test("sql window: the aggregate is partial before the shuffle") {
+    val p = plan("q_sql_window")
+    // two-phase agg: partial_count on the map side
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "window aggregate should map-side combine")
+  }
+}
