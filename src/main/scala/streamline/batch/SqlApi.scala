@@ -319,7 +319,50 @@ object SqlApi {
     ORDER BY l_orderkey
     LIMIT 100"""
 
+  /** q_sql_exists — correlated EXISTS / NOT EXISTS subqueries (TPC-H Q4
+    * order-priority-checking shape, adapted to the fixture columns:
+    * "a lineitem shipped more than 60 days after the order date" stands
+    * in for commit<receipt). Catalyst decorrelates EXISTS into a LEFT
+    * SEMI and NOT EXISTS into a LEFT ANTI join on l_orderkey — keyed
+    * shuffles, no nested-loop re-execution per outer row, which is what
+    * makes the subquery form safe at 100 TB (SqlPlanSpec pins it). */
+  private def sqlExists(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, sqlExistsText)
+
+  private val sqlExistsText = """
+    SELECT o_orderpriority, count(*) AS n_late
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
+  /** q_sql_lateral — correlated LATERAL subquery (Table API's lateral /
+    * Calcite CORRELATE): per-nation top-2 suppliers by account balance.
+    * Catalyst decorrelates the LIMIT-inside-LATERAL into a partitioned
+    * window rank — one shuffle on the correlation key, never a per-row
+    * subquery execution. Unique s_suppkey breaks acctbal ties so the
+    * top-2 cut is identical in both engines (§2.12). */
+  private def sqlLateral(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, sqlLateralText)
+
+  private val sqlLateralText = """
+    SELECT n_name, s_name, s_acctbal
+    FROM nation,
+      LATERAL (SELECT s_name, s_acctbal, s_suppkey FROM supplier
+               WHERE s_nationkey = n_nationkey
+               ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) top2
+    ORDER BY n_name, s_acctbal DESC, s_suppkey"""
+
   val all: Seq[Q] = Seq(
+    Q("q_sql_exists", sqlExists _, sqlExistsText),
+    Q("q_sql_lateral", sqlLateral _, sqlLateralText),
     Q("q_sql_ddl", sqlDdl _, sqlDdlSql),
     Q("q_sql_udf", sqlUdf _, sqlUdfSql),
     Q("q_sql_tpch3", tpch3 _, tpch3Sql),

@@ -218,6 +218,78 @@ object Streams {
     HAVING w_start + INTERVAL 1 DAY <= (SELECT wmk FROM wm)
     ORDER BY w_start"""
 
+  /** q_stream_cumulate — the lineage's CUMULATE window TVF (expanding
+    * windows sharing a start: [day, day+6h), [day, day+12h), …,
+    * [day, day+24h)), executed the way the upstream runtime does
+    * (FLIP-145 slice sharing): a REAL streaming tumble at the 6-hour
+    * step granularity (append mode — per-slice state only, evicted on
+    * close), then the closed slices are merged into the expanding
+    * windows they contribute to. State is O(one slice per key), never
+    * O(window), which is the whole point of slicing — a naive per-window
+    * state would hold up to size/step copies of every event.
+    *
+    * Emission rule (mirrored exactly by the oracle): a cumulate window
+    * [day, day+k·6h) is emitted iff its end is ≤ the bound M = max
+    * closed-slice end — the tightest watermark proxy observable from the
+    * slice sink (always ≤ the true final watermark, since the slice
+    * holding max(ts) can never close under a 10-min delay ≪ 6 h step) —
+    * and it contains at least one event (empty windows emit nothing,
+    * but a window whose LATEST slice is empty still emits the carried
+    * cumulative, which is what distinguishes CUMULATE from tumble).
+    * The bound is a broadcast 1-row aggregate, not a driver action, and
+    * the slice sums stay DECIMAL through the merge (summing already-
+    * rounded doubles across slices would be merge-order sensitive);
+    * the double cast happens once, at output. */
+  private def streamCumulate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val slices = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "6 hours"))
+      .agg(count(lit(1)).as("n"), sum(dec("value")).as("sv"))
+      .select(tsOut($"window.start").as("s_start"),
+        tsOut($"window.end").as("s_end"), $"n", $"sv")
+    val t = runToTable(spark, "cumulate", "append", slices)
+    val bound = t.agg(max($"s_end").as("m"))
+    // Slice k (1-based within its day) contributes to cumulate windows
+    // k..4; the expansion runs over the tiny slice AGGREGATE (≤4 rows
+    // out per slice), never over events.
+    t.withColumn("w_start", date_trunc("day", $"s_start"))
+      .withColumn("k", ((unix_timestamp($"s_end") -
+        unix_timestamp($"w_start")) / 21600L).cast("int"))
+      .select($"w_start", explode(sequence($"k", lit(4))).as("j"),
+        $"n", $"sv")
+      .withColumn("w_end", expr("timestampadd(HOUR, 6 * j, w_start)"))
+      .groupBy($"w_start", $"w_end")
+      .agg(sum($"n").as("n"), asDouble(sum($"sv")).as("sum_val"))
+      .join(broadcast(bound), $"w_end" <= $"m")
+      .select($"w_start", $"w_end", $"n", $"sum_val")
+      .orderBy($"w_start", $"w_end")
+  }
+
+  // Oracle: identical slice → closed-slice → merge pipeline in SQL.
+  // Closed = slice end ≤ final watermark (floor-ms of max ts − 10 min);
+  // M = max closed slice end; decimal per-slice sums merged as decimal.
+  private val streamCumulateSql = """
+    WITH wm AS (SELECT date_trunc('millisecond', max(ts))
+                  - INTERVAL 10 MINUTE AS w FROM events),
+    sl AS (SELECT CAST(to_timestamp(floor(epoch(ts)/21600)*21600)
+                    AS TIMESTAMP) AS s_start,
+             count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sv
+           FROM events GROUP BY 1),
+    closed AS (SELECT s_start, s_start + INTERVAL 6 HOUR AS s_end, n, sv
+               FROM sl WHERE s_start + INTERVAL 6 HOUR <= (SELECT w FROM wm)),
+    m AS (SELECT max(s_end) AS m FROM closed),
+    e AS (SELECT date_trunc('day', s_start) AS w_start,
+            date_trunc('day', s_start) + (j * INTERVAL 6 HOUR) AS w_end,
+            n, sv
+          FROM closed CROSS JOIN (SELECT unnest([1,2,3,4]) AS j)
+          WHERE s_end <= date_trunc('day', s_start) + (j * INTERVAL 6 HOUR))
+    SELECT w_start, w_end, CAST(sum(n) AS BIGINT) AS n,
+      CAST(sum(sv) AS DOUBLE) AS sum_val
+    FROM e WHERE w_end <= (SELECT m FROM m)
+    GROUP BY w_start, w_end
+    ORDER BY w_start, w_end"""
+
   /** q_stream_session — gap-based session windows (30 min) per user,
     * run as a REAL streaming query (r2): watermarked `session_window`
     * in append mode — a session is emitted once, when the watermark
@@ -514,6 +586,7 @@ object Streams {
     Q("q_join_stream_stream_left", joinStreamStreamLeft _,
       joinStreamStreamLeftSql),
     Q("q_stream_slide", streamSlide _, streamSlideSql),
+    Q("q_stream_cumulate", streamCumulate _, streamCumulateSql),
     Q("q_stream_session", streamSession _, streamSessionSql),
     Q("q_stream_dedup", streamDedup _, streamDedupSql),
     Q("q_join_stream_static", joinStreamStatic _, joinStreamStaticSql))

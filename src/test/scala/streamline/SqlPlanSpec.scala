@@ -41,6 +41,19 @@ class SqlPlanSpec extends SparkSuite {
       s"scan reads pruned columns: $read")
   }
 
+  test("exists: EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
+    val p = plan("q_sql_exists")
+    assert(p.contains("LeftSemi"), "EXISTS should plan as left-semi")
+    assert(p.contains("LeftAnti"), "NOT EXISTS should plan as left-anti")
+  }
+
+  test("lateral: LIMIT-in-LATERAL decorrelates to a window rank, " +
+       "not a per-row subquery") {
+    val p = plan("q_sql_lateral")
+    assert(p.contains("Window"), "lateral top-2 should plan as a window rank")
+    assert(!p.contains("CartesianProduct"), "lateral must not go cartesian")
+  }
+
   test("sql window: the aggregate is partial before the shuffle") {
     val p = plan("q_sql_window")
     // two-phase agg: partial_count on the map side
