@@ -376,7 +376,112 @@ object Text {
     FROM g WHERE len(grams) > 0
     ORDER BY doc_id"""
 
+  /** q_llm_gopher — the Gopher quality-filter rule set (Rae et al. 2021,
+    * "Scaling Language Models", App. A.1.1) as one per-row projection:
+    * word-count bounds, mean word length, symbol-to-word ratio (# and
+    * ellipsis), bullet-line ratio, alphabetic-word fraction, and the
+    * ≥2-stop-words screen. Every metric is an exact integer count; each
+    * ratio is a single IEEE division of those counts, so the pass flag
+    * compares identically across engines (§2.12). Per-row ⇒ trivially
+    * data-parallel at 100 TB; mean word length uses the O(n)
+    * chars-minus-spaces identity, never a per-element lambda sum. */
+  private def gopher(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = words($"text")
+    val nWords = size(w)
+    val nw = nWords.cast("double")
+    val meanLen =
+      (length($"text") - (nWords - 1)).cast("double") / nw
+    val nSym = (length($"text")
+      - length(regexp_replace($"text", "#|\\.\\.\\.", ""))).cast("double")
+    val lines = split($"text", "\n")
+    val nBullet = size(filter(lines,
+      l => trim(l).startsWith("-") || trim(l).startsWith("*")))
+    val nAlpha = size(filter(w, x => x.rlike("^[a-z]+$")))
+    val nStop = size(filter(w,
+      x => x.isin("the", "a", "of", "and", "to", "in")))
+    Tables.documents(spark, dir)
+      .select($"doc_id", nWords.as("n_words"), meanLen.as("mean_word_len"),
+        (nSym / nw).as("symbol_ratio"),
+        (nBullet.cast("double") / size(lines).cast("double"))
+          .as("bullet_ratio"),
+        (nAlpha.cast("double") / nw).as("frac_alpha"),
+        nStop.as("stop_hits"))
+      .withColumn("keep",
+        $"n_words" >= 50 && $"n_words" <= 100000 &&
+        $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
+        $"symbol_ratio" < 0.1 && $"bullet_ratio" < 0.9 &&
+        $"frac_alpha" > 0.8 && $"stop_hits" >= 2)
+      .orderBy($"doc_id")
+  }
+
+  private val gopherSql = """
+    WITH m AS (
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS n_words,
+        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+          / len(string_split(text, ' ')) AS mean_word_len,
+        CAST(length(text) - length(regexp_replace(text, '#|\.\.\.', '', 'g'))
+          AS DOUBLE) / len(string_split(text, ' ')) AS symbol_ratio,
+        CAST(len(list_filter(string_split(text, chr(10)),
+               l -> trim(l) LIKE '-%' OR trim(l) LIKE '*%')) AS DOUBLE)
+          / len(string_split(text, chr(10))) AS bullet_ratio,
+        CAST(len(list_filter(string_split(text, ' '),
+               x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS frac_alpha,
+        len(list_filter(string_split(text, ' '),
+          x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS stop_hits
+      FROM documents)
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+      frac_alpha, stop_hits,
+      (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio < 0.1 AND bullet_ratio < 0.9
+        AND frac_alpha > 0.8 AND stop_hits >= 2) AS keep
+    FROM m ORDER BY doc_id"""
+
+  /** q_llm_chunk — overlapping token-window chunking (context-window
+    * packing prep): token windows of 32 with stride 24, one output row
+    * per chunk. The chunk starts are enumerated with `sequence` over the
+    * token COUNT (an int range, never a per-token scan) and each chunk
+    * is a single `slice` + `array_join` — O(tokens × size/stride) work
+    * per row, no lambda re-evaluation. Scale: pure projection+generate;
+    * the explode multiplies rows by ~n/stride, exactly the output size,
+    * so nothing is amplified beyond the result itself. */
+  private def chunk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val size32 = 32
+    val stride = 24
+    val w = words($"text")
+    Tables.documents(spark, dir)
+      .select($"doc_id", w.as("toks"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0),
+          floor((size($"toks") - 1).cast("double") / stride).cast("int")))
+          .as("k"))
+      .select($"doc_id", $"k".as("chunk_id"),
+        least(size($"toks") - $"k" * stride, lit(size32)).as("n_tokens"),
+        array_join(slice($"toks", $"k" * stride + 1, lit(size32)), " ")
+          .as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  private val chunkSql = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    k AS (SELECT doc_id, toks,
+            unnest(generate_series(0, CAST(floor((len(toks) - 1) / 24.0)
+              AS INT))) AS chunk_id
+          FROM t)
+    SELECT doc_id, chunk_id,
+      least(len(toks) - chunk_id * 24, 32) AS n_tokens,
+      array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32],
+        ' ') AS chunk_text
+    FROM k ORDER BY doc_id, chunk_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_llm_gopher", gopher _, gopherSql),
+    Q("q_llm_chunk", chunk _, chunkSql),
     Q("q_llm_selfrepeat", selfRepeat _, selfRepeatSql),
     Q("q_llm_rarity", rarity _, raritySql),
     Q("q_llm_tfidf", tfidf _, tfidfSql),
