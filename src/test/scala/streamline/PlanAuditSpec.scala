@@ -1,0 +1,50 @@
+package streamline
+
+import graft.{SparkEntry, SparkSuite}
+import streamline.stream.{CepStream, Connect, Stateful, Streams}
+
+/** Repo-wide scale-anti-pattern audit (SURVEY.md §4): every BATCH
+  * query's physical plan is built (lazily — streaming keys are excluded
+  * because instantiating them executes a streaming query) and screened
+  * for the one plan shape that cannot survive 100 TB: an unconstrained
+  * `CartesianProduct`. The only sanctioned cartesian is q_join_cross
+  * (the declared 5×25 dimension product); every `crossJoin` elsewhere
+  * must be a broadcast-1-row probe (BroadcastNestedLoopJoin over a
+  * single-row aggregate — constant work per task, fine at any scale).
+  *
+  * Also pins the oracle-omission contract: the set of queries declared
+  * WITHOUT DuckDB oracle SQL must equal the sanctioned approx/
+  * semantics-only list — adding a new key silently skipping the oracle
+  * gate fails here first.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private val streamingKeys =
+    (Streams.all ++ Stateful.all ++ Connect.all ++ CepStream.all)
+      .map(_.name).toSet
+
+  private val cartesianOk = Set("q_join_cross")
+
+  test("no batch query plans a CartesianProduct beyond the declared cross") {
+    val bad = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(streamingKeys)
+      .filter { name =>
+        val plan = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        plan.contains("CartesianProduct") && !cartesianOk(name)
+      }
+    assert(bad.isEmpty, s"unsanctioned cartesian plans in: $bad")
+  }
+
+  test("oracle omissions are exactly the sanctioned approx/semantics ops") {
+    val omitted = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val sanctioned = Set(
+      "q_agg_approx_distinct", "q_agg_approx_quantile",
+      "q_llm_dedup_near", "q_llm_knn_ivf", "q_llm_knn_lsh",
+      "q_llm_simhash", "q_llm_simhash_pairs",
+      "q_stream_late", "q_stream_late_side")
+    assert(omitted === sanctioned,
+      s"extra omissions: ${omitted -- sanctioned}; " +
+        s"now-oracled: ${sanctioned -- omitted}")
+  }
+}
