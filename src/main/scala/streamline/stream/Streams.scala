@@ -290,6 +290,47 @@ object Streams {
     GROUP BY w_start, w_end
     ORDER BY w_start, w_end"""
 
+  /** q_stream_wintopn — Window Top-N (the lineage's windowed rank over
+    * a window TVF: "top 3 users by windowed spend, per day"). Executed
+    * as Flink's own two-stage plan: a REAL streaming window aggregate
+    * per (window, user) in append mode (bounded keyed state, emitted
+    * once on close), then the rank runs over the CLOSED per-key window
+    * aggregates — a dataset already reduced to one row per (window,
+    * user), so the rank's input is output-sized, never event-sized.
+    * Unique user_id breaks spend ties so the top-3 cut is identical in
+    * both engines (§2.12). */
+  private def streamWinTopN(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 day"), $"user_id")
+      .agg(sum(dec("value")).as("spend"), count(lit(1)).as("n"))
+      .select(tsOut($"window.start").as("w_start"), $"user_id",
+        $"spend", $"n")
+    val t = runToTable(spark, "wintopn", "append", perUser)
+    val rk = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy($"w_start")
+      .orderBy($"spend".desc, $"user_id"))
+    t.withColumn("rk", rk).where($"rk" <= 3)
+      .select($"w_start", $"rk", $"user_id", asDouble($"spend").as("spend"),
+        $"n")
+      .orderBy($"w_start", $"rk")
+  }
+
+  private val streamWinTopNSql = """
+    WITH wm AS (SELECT date_trunc('millisecond', max(ts))
+                  - INTERVAL 10 MINUTE AS w FROM events),
+    agg AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+              user_id, sum(CAST(value AS DECIMAL(18,4))) AS spend,
+              count(*) AS n
+            FROM events GROUP BY 1, 2
+            HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY w_start
+             ORDER BY spend DESC, user_id) AS rk FROM agg)
+    SELECT w_start, rk, user_id, CAST(spend AS DOUBLE) AS spend, n
+    FROM rk WHERE rk <= 3
+    ORDER BY w_start, rk"""
+
   /** q_stream_session — gap-based session windows (30 min) per user,
     * run as a REAL streaming query (r2): watermarked `session_window`
     * in append mode — a session is emitted once, when the watermark
@@ -587,6 +628,7 @@ object Streams {
       joinStreamStreamLeftSql),
     Q("q_stream_slide", streamSlide _, streamSlideSql),
     Q("q_stream_cumulate", streamCumulate _, streamCumulateSql),
+    Q("q_stream_wintopn", streamWinTopN _, streamWinTopNSql),
     Q("q_stream_session", streamSession _, streamSessionSql),
     Q("q_stream_dedup", streamDedup _, streamDedupSql),
     Q("q_join_stream_static", joinStreamStatic _, joinStreamStaticSql))
