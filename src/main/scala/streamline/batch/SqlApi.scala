@@ -360,7 +360,33 @@ object SqlApi {
                ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) top2
     ORDER BY n_name, s_acctbal DESC, s_suppkey"""
 
+  /** q_sql_hint — join-strategy hints in SQL text (Calcite/Table API
+    * query hints; Spark's SHUFFLE_MERGE / BROADCAST / SHUFFLE_HASH).
+    * The hint is the user-facing scale lever when statistics mislead
+    * the planner: here SHUFFLE_MERGE forces a sort-merge join where the
+    * optimizer would broadcast the small customer side — the choice a
+    * user makes when the "small" side is small per-statistics but large
+    * at runtime. Hints never change semantics, only the physical plan
+    * (SqlPlanSpec asserts SortMergeJoin; the oracle is the same query,
+    * unhinted). */
+  private def sqlHint(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, """
+      SELECT /*+ SHUFFLE_MERGE(customer) */ c_mktsegment,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")
+
+  private val sqlHintSql = """
+    SELECT c_mktsegment, count(*) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment"""
+
   val all: Seq[Q] = Seq(
+    Q("q_sql_hint", sqlHint _, sqlHintSql),
     Q("q_sql_exists", sqlExists _, sqlExistsText),
     Q("q_sql_lateral", sqlLateral _, sqlLateralText),
     Q("q_sql_ddl", sqlDdl _, sqlDdlSql),

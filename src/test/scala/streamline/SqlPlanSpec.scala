@@ -54,6 +54,12 @@ class SqlPlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), "lateral must not go cartesian")
   }
 
+  test("hint: SHUFFLE_MERGE overrides the planner's broadcast choice") {
+    val p = plan("q_sql_hint")
+    assert(p.contains("SortMergeJoin"),
+      "hint should force a sort-merge join over the default broadcast")
+  }
+
   test("sql window: the aggregate is partial before the shuffle") {
     val p = plan("q_sql_window")
     // two-phase agg: partial_count on the map side
