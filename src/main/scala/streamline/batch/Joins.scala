@@ -223,6 +223,45 @@ object Joins {
      AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
     ORDER BY e1.user_id, id1, id2"""
 
+  /** q_join_range — PURE band join (no equi key): every error event
+    * paired with every purchase event within ±1 minute, across ALL
+    * users. With no equi conjunct, ExtractEquiJoinKeys finds nothing
+    * and stock Spark plans a broadcast nested loop — O(|L|·|R|), the
+    * first plan to die at 100 TB. The custom optimizer rule
+    * [[streamline.plans.RangeBinRule]] (injected here; the runtime face
+    * of SparkSessionExtensions.injectOptimizerRule) rewrites it into a
+    * bin-equality hash join: bin the left timestamp, explode the right
+    * into bin±1, join on bin equality with the original band as
+    * residual — a keyed shuffle, linear per bin. RangeBinSpec pins the
+    * plan (no nested loop, no cartesian) and rule-off equivalence. */
+  private def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    streamline.plans.RangeBinRule.install(spark, binSeconds = 60L)
+    val e = Tables.events(spark, dir)
+    val err = e.where($"event_type" === "error")
+      .select($"event_id".as("e_id"), $"ts".as("e_ts"))
+    val pur = e.where($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"ts".as("p_ts"))
+    err.join(pur,
+        $"p_ts" >= $"e_ts" - expr("INTERVAL 1 MINUTE") &&
+          $"p_ts" <= $"e_ts" + expr("INTERVAL 1 MINUTE"))
+      .select($"e_id", $"p_id", tsSec($"e_ts").as("t_err"),
+        tsSec($"p_ts").as("t_pur"))
+      .orderBy($"e_id", $"p_id")
+  }
+
+  private val joinRangeSql = """
+    WITH e AS (SELECT event_id, date_trunc('microseconds', ts) AS ts,
+                      event_type FROM events)
+    SELECT a.event_id AS e_id, b.event_id AS p_id,
+      date_trunc('second', a.ts) AS t_err,
+      date_trunc('second', b.ts) AS t_pur
+    FROM e a JOIN e b
+      ON a.event_type = 'error' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts - INTERVAL 1 MINUTE
+     AND b.ts <= a.ts + INTERVAL 1 MINUTE
+    ORDER BY e_id, p_id"""
+
   /** q_join_asof — as-of join: for each purchase event, the latest click
     * event of the same user at or before it (ties → max event_id).
     *
@@ -410,5 +449,6 @@ object Joins {
     Q("q_join_cross", joinCross _, joinCrossSql),
     Q("q_join_theta", joinTheta _, joinThetaSql),
     Q("q_join_interval", joinInterval _, joinIntervalSql),
+    Q("q_join_range", joinRange _, joinRangeSql),
     Q("q_join_asof", joinAsof _, joinAsofSql))
 }
