@@ -157,7 +157,60 @@ object Partitioning {
       row_number() OVER (ORDER BY doc_id) - 1 AS idx
     FROM documents ORDER BY doc_id"""
 
+  /** q_group_sorted — sorted-group reduce (the DataSet API's
+    * `groupBy(key).sortGroup(ts).reduceGroup(...)`, the classic
+    * secondary sort): hash-repartition on the key colocates each group,
+    * `sortWithinPartitions(key, ts, id)` orders WITHIN the shuffle (the
+    * sort rides the exchange — no extra pass), and a single
+    * forward-only partition scan folds each group in time order. Per
+    * task this holds one group accumulator, never a group's rows — the
+    * property that distinguishes secondary sort from the
+    * `collect_list`+`array_sort` form, which materializes every group
+    * in memory and dies on a skewed key at 100 TB. Unique event_id
+    * breaks ts ties so the first-3 sequence is deterministic (§2.12).
+    * Emits per user: the first 3 event types in time order + total. */
+  private def groupSorted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"ts", $"event_id")
+      .mapPartitions { it =>
+        // Forward fold over (key-contiguous, time-ordered) rows: emit a
+        // group's row when the key changes; O(1) state per group.
+        var cur = -1L
+        var first3 = List.empty[String]
+        var n = 0L
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, Long)]
+        def flush(): Unit =
+          if (cur != -1L) out += ((cur, first3.reverse.mkString(","), n))
+        it.foreach { case (u, _, _, tpe) =>
+          if (u != cur) { flush(); cur = u; first3 = Nil; n = 0L }
+          if (n < 3) first3 ::= tpe
+          n += 1L
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("user_id", "first3", "n_events")
+      .orderBy($"user_id")
+  }
+
+  private val groupSortedSql = """
+    WITH o AS (SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY date_trunc('microseconds', ts), event_id) AS rn
+               FROM events)
+    SELECT user_id,
+      string_agg(CASE WHEN rn <= 3 THEN event_type END, ','
+        ORDER BY rn) AS first3,
+      count(*) AS n_events
+    FROM o GROUP BY user_id ORDER BY user_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_group_sorted", groupSorted _, groupSortedSql),
     Q("q_partition_hash", partitionHash _, partitionHashSql),
     Q("q_partition_range", partitionRange _, partitionRangeSql),
     Q("q_partition_rebalance", partitionRebalance _, partitionRebalanceSql),
