@@ -40,19 +40,30 @@ object Enrich {
       .select($"event_id", $"user_id").as[(Long, Long)]
       .mapPartitions { it =>
         // one "client" (thread pool) per partition, as with a real
-        // async HTTP/DB client; daemon threads so the executor exits.
+        // async HTTP/DB client; daemon threads so the executor exits
+        // even if a task dies mid-partition.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+          val t = new Thread(r); t.setDaemon(true); t
+        })
         implicit val ec: ExecutionContext =
-          ExecutionContext.fromExecutorService(
-            java.util.concurrent.Executors.newFixedThreadPool(8, r => {
-              val t = new Thread(r); t.setDaemon(true); t
-            }))
+          ExecutionContext.fromExecutorService(pool)
         val kv = service.value
-        it.grouped(capacity).flatMap { window =>
+        val out = it.grouped(capacity).flatMap { window =>
           val inFlight = window.map { case (eid, uid) =>
             Future { (eid, uid, kv.get(uid)) }
           }
           // orderedWait: await the whole window, emit in input order
           inFlight.map(f => Await.result(f, 30.seconds))
+        }
+        // close the client when the partition drains — threads must not
+        // accumulate across partitions × runs in a long-lived executor.
+        new Iterator[(Long, Long, Option[String])] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) pool.shutdown()
+            h
+          }
+          def next(): (Long, Long, Option[String]) = out.next()
         }
       }
       .flatMap { case (eid, uid, name) => name.map(n => (eid, uid, n)) }

@@ -67,16 +67,27 @@ object CepStream {
       st = st2
       m
     }
-    if (future.isEmpty && st.n == 0L) state.remove()
+    // A buffered-out register with an open run is prunable once the
+    // watermark passes first_ts + within: no sealed purchase can ever
+    // complete it (any later event is > wm > first+within), so holding
+    // it would contradict the documented pure-watermark state bound —
+    // the same partial-match pruning Flink CEP does when `within`
+    // expires. (A post-prune click starts a fresh anchor; the pruned
+    // run could never have matched anything anyway.)
+    val runDead = st.n > 0L && wmUs > st.firstTs + withinUs
+    if (future.isEmpty && (st.n == 0L || runDead)) state.remove()
     else {
       state.update(CepBuf(future, st.n, st.firstId, st.firstTs))
-      future.headOption.foreach { e =>
-        // Fire once the watermark passes the event: timers fire on
-        // strict <, so the earliest valid timer is floor_ms(ts)+1 —
-        // clamped above the current watermark (Spark rejects timers at
-        // or below it).
-        state.setTimeoutTimestamp(math.max(e.ts_us / 1000L + 1L, wmMs + 1L))
-      }
+      // Timers fire on strict <, so the earliest valid timer is
+      // floor_ms(ts)+1 — clamped above the current watermark (Spark
+      // rejects timers at or below it). With a non-empty buffer, fire
+      // once the watermark passes the earliest buffered event; with
+      // only an open register, fire at its `within` expiry so the dead
+      // run is pruned by pure watermark progress even if the key never
+      // sees another event.
+      val nextUs = future.headOption.map(_.ts_us)
+        .getOrElse(st.firstTs + withinUs)
+      state.setTimeoutTimestamp(math.max(nextUs / 1000L + 1L, wmMs + 1L))
     }
     out.iterator
   }

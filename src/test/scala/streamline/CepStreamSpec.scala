@@ -68,6 +68,31 @@ class CepStreamSpec extends SparkSuite {
     assert(!state.exists)
   }
 
+  test("open run with an empty buffer arms a timer at its within-expiry") {
+    // clicks only, all sealed: buffer drains, register stays open. The
+    // timer must be armed at first_ts + within so the dead run is pruned
+    // by pure watermark progress even if the key never sees more events.
+    val state = freshState(wmMs = Some(3 * MIN_MS))
+    CepStream.updateCepStream(1L,
+      Iterator(ev(1, "click", 0), ev(2, "click", 1)), state).toList
+    assert(state.exists, "open run must be retained while within is live")
+    assert(state.getTimeoutTimestampMs.get == 10 * MIN_MS + 1,
+      "timer = first_ts(0) + within(10 min) + 1ms")
+  }
+
+  test("open run whose within expired is pruned on the timer pass") {
+    // Same open register, but the watermark has moved past
+    // first_ts + within: no sealed purchase can complete it — remove.
+    val state = freshState(wmMs = Some(3 * MIN_MS))
+    CepStream.updateCepStream(1L,
+      Iterator(ev(1, "click", 0), ev(2, "click", 1)), state).toList
+    val timedOut = freshWith(state.get, wmMs = 11 * MIN_MS)
+    val out = CepStream.updateCepStream(1L, Iterator.empty, timedOut).toList
+    assert(out.isEmpty)
+    assert(!timedOut.exists,
+      "dead run must be evicted once wm > first_ts + within")
+  }
+
   private def freshWith(prev: CepBuf, wmMs: Long): TestGroupState[CepBuf] =
     TestGroupState.create[CepBuf](
       optionalState = org.apache.spark.api.java.Optional.of(prev),

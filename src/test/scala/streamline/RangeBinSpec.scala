@@ -62,4 +62,66 @@ class RangeBinSpec extends SparkSuite {
     assert(!p.contains("graft_bin"),
       "interval join has an equi key; the rule must not fire")
   }
+
+  private def evts() = {
+    val sp = spark; import sp.implicits._
+    // Tables.events converts the raw int64-ns column to a µs
+    // TimestampType — the type the rule's band detection requires.
+    streamline.Tables.events(spark, dir01).select($"event_id", $"ts")
+  }
+
+  test("one-sided inequality (unbounded band) is NOT rewritten") {
+    val sp = spark; import sp.implicits._
+    RangeBinRule.install(spark)
+    val l = evts().toDF("l_id", "l_ts")
+    val r = evts().toDF("r_id", "r_ts")
+    val p = l.join(r, $"l_ts" < $"r_ts")
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("graft_bin"),
+      "no upper+lower pair ⇒ the bin±1 explode would drop pairs >1 bin apart")
+  }
+
+  test("band wider than binSeconds conf is NOT rewritten") {
+    val sp = spark; import sp.implicits._
+    RangeBinRule.install(spark, binSeconds = 60L)
+    val l = evts().toDF("l_id", "l_ts")
+    val r = evts().toDF("r_id", "r_ts")
+    val p = l.join(r,
+        $"r_ts" >= $"l_ts" - org.apache.spark.sql.functions.expr("INTERVAL 2 HOURS") &&
+          $"r_ts" <= $"l_ts" + org.apache.spark.sql.functions.expr("INTERVAL 2 HOURS"))
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("graft_bin"),
+      "a 2h band exceeds the 60s gate; rewriting would be incomplete")
+  }
+
+  test("wide band IS rewritten once the gate admits it, with derived bins") {
+    val sp = spark; import sp.implicits._
+    RangeBinRule.install(spark, binSeconds = 7200L)
+    try {
+      val l = evts().toDF("l_id", "l_ts")
+      val r = evts().toDF("r_id", "r_ts")
+      val p = l.join(r,
+          $"r_ts" >= $"l_ts" - org.apache.spark.sql.functions.expr("INTERVAL 2 HOURS") &&
+            $"r_ts" <= $"l_ts" + org.apache.spark.sql.functions.expr("INTERVAL 2 HOURS"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("graft_bin"), s"2h band fits a 7200s gate:\n$p")
+      assert(p.contains("/ 7200.0"),
+        "bin width must be derived from the verified band (7200s), " +
+          s"not hard-wired:\n${p.take(800)}")
+    } finally spark.conf.set(RangeBinRule.BinConf, "60")
+  }
+
+  test("null-safe-equality (<=>) keyed joins are untouched") {
+    val sp = spark; import sp.implicits._
+    RangeBinRule.install(spark)
+    val l = evts().toDF("l_id", "l_ts")
+    val r = evts().toDF("r_id", "r_ts")
+    val p = l.join(r,
+        $"l_id" <=> $"r_id" &&
+          $"r_ts" >= $"l_ts" - org.apache.spark.sql.functions.expr("INTERVAL 1 MINUTE") &&
+          $"r_ts" <= $"l_ts" + org.apache.spark.sql.functions.expr("INTERVAL 1 MINUTE"))
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("graft_bin"),
+      "<=> is an equi conjunct; adding an explode+shuffle is pure loss")
+  }
 }
