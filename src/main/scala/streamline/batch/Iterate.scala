@@ -67,19 +67,28 @@ object Iterate {
     * edge list `(src, dst)`: every vertex converges to the smallest
     * vertex id reachable from it. Deterministic for any partitioning
     * (min is order-independent), so the result is oracle-exact. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    // Iteration-scoped shuffle sizing (Knobs.iterPartitions): each
-    // superstep pays (stages × partitions) fixed scheduling/materialize
-    // cost, so the loop runs at a partition count sized to the vertex
-    // set, not the session default; restored on exit.
+  /** Iteration-scoped session confs, restored on exit: shuffle
+    * partitions sized to the label table (Knobs.iterPartitions — each
+    * superstep pays stages × partitions fixed scheduling/materialize
+    * cost) and AQE off by default (Knobs.iterAqe — a superstep's plan
+    * shape is fixed and tiny, so AQE's materialize-and-replan rounds
+    * are pure per-superstep latency; measured ~18% of warm loop time). */
+  private def withIterConfs[A](spark: SparkSession)(body: => A): A = {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions",
       streamline.util.Knobs.iterPartitions(spark).toString)
-    try connectedComponentsImpl(edges, maxIter)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.conf.set("spark.sql.adaptive.enabled",
+      streamline.util.Knobs.iterAqe(spark).toString)
+    try body
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
+
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) =
+    withIterConfs(edges.sparkSession)(connectedComponentsImpl(edges, maxIter))
 
   private def connectedComponentsImpl(edges: DataFrame,
                                       maxIter: Int): (DataFrame, Int) = {
@@ -212,10 +221,7 @@ object Iterate {
                                maxIter: Int = 50): (DataFrame, Int) = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      streamline.util.Knobs.iterPartitions(spark).toString)
-    try {
+    withIterConfs(spark) {
       val undirected = edges.select($"src", $"dst")
         .union(edges.select($"dst".as("src"), $"src".as("dst")))
         .persist()
@@ -236,7 +242,7 @@ object Iterate {
       }
       undirected.unpersist()
       (fixed, iters)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** q_iter_delta — delta-iteration connected components on the
@@ -286,7 +292,10 @@ object Iterate {
     * the 1997-03 customer–supplier graph (undirected ⇒ no dangling
     * vertices). Each superstep: one keyed join (ranks ⋈ edges) and one
     * keyed sum — linear state, lineage-truncated per step. */
-  private def iterPagerank(spark: SparkSession, dir: String): DataFrame = {
+  private def iterPagerank(spark: SparkSession, dir: String): DataFrame =
+    withIterConfs(spark)(iterPagerankImpl(spark, dir))
+
+  private def iterPagerankImpl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val SCALE = 1000000000000L
     val iters = 10

@@ -16,13 +16,19 @@ import org.apache.spark.sql.SparkSession
   *    streaming queries; each micro-batch pays a fixed per-partition
   *    state-store cost, so size to the executor count (harness: 4).
   *  - `graft.iter.partitions` — shuffle partition count inside iterative
-  *    fixpoint loops (default: the session's shuffle partitions). A
+  *    fixpoint loops (default: min(8, session shuffle partitions)). A
   *    superstep's label table usually shrinks far below the input scan,
   *    so on a large cluster size this to |vertices| / target-partition-
-  *    rows rather than the scan-sized session default. (At harness
-  *    scale AQE already coalesces these shuffles — measured neutral —
-  *    but AQE's coalesce floor is the configured count, so the knob is
-  *    the 1000-executor lever.)
+  *    rows rather than the scan-sized session default — the
+  *    1000-executor lever.
+  *  - `graft.iter.aqe` — whether AQE runs INSIDE iteration loops
+  *    (default false). A superstep's plan shape is fixed and its label
+  *    table small relative to the input scan, so AQE's per-stage
+  *    materialize-and-replan rounds are pure latency there (measured
+  *    ~18% of warm loop time at sf0.1); partition sizing is already
+  *    explicit via `graft.iter.partitions`. Set true when a superstep
+  *    itself is big enough to skew (e.g. a power-law edge join at full
+  *    cluster scale). Session AQE outside the loop is untouched.
   */
 object Knobs {
   def dedupBlocks(spark: SparkSession): Int =
@@ -33,7 +39,10 @@ object Knobs {
     spark.conf.get("graft.stream.statePartitions", "4").toInt
   def iterPartitions(spark: SparkSession): Int =
     spark.conf.get("graft.iter.partitions",
-      spark.conf.get("spark.sql.shuffle.partitions")).toInt
+      math.min(8, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        .toString).toInt
+  def iterAqe(spark: SparkSession): Boolean =
+    spark.conf.get("graft.iter.aqe", "false").toBoolean
 
   /** Fast ephemeral root for single-node harness I/O — shuffle local
     * dirs and streaming checkpoints. The harness host intermittently

@@ -13,9 +13,16 @@ class KnobsSpec extends SparkSuite {
     spark.conf.unset("graft.dedup.blocks")
     spark.conf.unset("graft.bucket.count")
     spark.conf.unset("graft.stream.statePartitions")
+    spark.conf.unset("graft.iter.partitions")
+    spark.conf.unset("graft.iter.aqe")
     assert(Knobs.dedupBlocks(spark) == 8)
     assert(Knobs.bucketCount(spark) == 8)
     assert(Knobs.statePartitions(spark) == 4)
+    // iteration loops default to min(8, session shuffle partitions)
+    // and AQE off (fixed plan shape, per-superstep replan is latency)
+    assert(Knobs.iterPartitions(spark) ==
+      math.min(8, spark.conf.get("spark.sql.shuffle.partitions").toInt))
+    assert(!Knobs.iterAqe(spark))
   }
 
   test("conf overrides reach the accessors") {
@@ -23,13 +30,19 @@ class KnobsSpec extends SparkSuite {
       spark.conf.set("graft.dedup.blocks", "3")
       spark.conf.set("graft.bucket.count", "16")
       spark.conf.set("graft.stream.statePartitions", "2")
+      spark.conf.set("graft.iter.partitions", "64")
+      spark.conf.set("graft.iter.aqe", "true")
       assert(Knobs.dedupBlocks(spark) == 3)
       assert(Knobs.bucketCount(spark) == 16)
       assert(Knobs.statePartitions(spark) == 2)
+      assert(Knobs.iterPartitions(spark) == 64)
+      assert(Knobs.iterAqe(spark))
     } finally {
       spark.conf.unset("graft.dedup.blocks")
       spark.conf.unset("graft.bucket.count")
       spark.conf.unset("graft.stream.statePartitions")
+      spark.conf.unset("graft.iter.partitions")
+      spark.conf.unset("graft.iter.aqe")
     }
   }
 
