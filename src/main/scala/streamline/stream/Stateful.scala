@@ -353,8 +353,98 @@ object Stateful {
     GROUP BY user_id, rn // 5
     ORDER BY user_id, win_id"""
 
+  case class OvRow(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                   value: Double) {
+    /** Exact µs from the Timestamp's ms + nanos (same recovery as
+      * CepStream.CepRow). */
+    def tsUs: Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+  }
+  /** Above-watermark suffix + the O(1) running accumulator. */
+  case class OvBuf(buf: List[(Long, Long, Double)], // (ts_us, event_id, value)
+                   n: Long, sum: BigDecimal)
+  case class OvOut(user_id: Long, event_id: Long, running_n: Long,
+                   running_sum: Double)
+
+  /** Per-key event-time OVER aggregation — the Flink SQL unbounded
+    * over-window on a stream (upstream `flink-table/.../runtime/over/
+    * RowTimeUnboundedOverProcessFunction`): buffer arrivals until the
+    * watermark passes them, then feed them to the running accumulator
+    * in (ts, id) order, emitting ONE ROW PER ELEMENT carrying the
+    * aggregate over that element's full event-time prefix. The buffer
+    * is bounded by the watermark delay; the accumulator is O(1) per
+    * key and lives for the key's lifetime — exactly Flink's
+    * over-window state shape (production deployments bound idle keys
+    * with state TTL / idle-state retention; a finite harness input
+    * doesn't need it). */
+  private[streamline] def updateOver(uid: Long, rows: Iterator[OvRow],
+      state: GroupState[OvBuf]): Iterator[OvOut] = {
+    val prev = state.getOption.getOrElse(OvBuf(Nil, 0L, BigDecimal(0)))
+    val wmMs = try state.getCurrentWatermarkMs()
+    catch { case _: UnsupportedOperationException => 0L }
+    val wmUs = wmMs * 1000L
+    val all = (prev.buf ++ rows.map(r => (r.tsUs, r.event_id, r.value)))
+      .sortBy { case (t, id, _) => (t, id) }
+    val (ready, future) = all.partition(_._1 <= wmUs)
+    var n = prev.n
+    var sum = prev.sum
+    val out = ready.map { case (_, id, v) =>
+      n += 1; sum += dec4(v)
+      OvOut(uid, id, n, sum.toDouble)
+    }
+    state.update(OvBuf(future, n, sum))
+    // Drain by pure watermark progress: with a non-empty buffer, fire
+    // just above the earliest buffered event (timers fire on strict <;
+    // clamped above the current watermark). An empty buffer needs no
+    // timer — the accumulator is passive until the next arrival.
+    future.headOption.foreach { case (t, _, _) =>
+      state.setTimeoutTimestamp(math.max(t / 1000L + 1L, wmMs + 1L))
+    }
+    out.iterator
+  }
+
+  /** q_stream_over — `sum/count OVER (PARTITION BY user ORDER BY ts
+    * ROWS UNBOUNDED PRECEDING)` on the unbounded event stream. Spark's
+    * analytic windows are batch-only; the streaming form is the keyed
+    * buffer-and-replay operator above. On finite input the result is
+    * the batch OVER restricted to rows the final watermark sealed
+    * (later rows sort strictly after, so sealed prefixes are final —
+    * which is why per-element append emission is sound). */
+  private def streamOver(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val updates = Streams.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .as[OvRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(updateOver)
+      .toDF()
+    Streams.runToTable(spark, "over", "append", updates)
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Oracle: the batch window function over the watermark-sealed rows;
+    * ROWS UNBOUNDED PRECEDING spelled explicitly in both engines (the
+    * (ts, id) order is total, so RANGE vs ROWS cannot differ — pinned
+    * anyway). */
+  private val streamOverSql = """
+    WITH e AS (SELECT user_id, event_id,
+                 date_trunc('microseconds', ts) AS tsu, value FROM events),
+    wm AS (SELECT date_trunc('millisecond', max(tsu))
+             - INTERVAL 10 MINUTE AS w FROM e)
+    SELECT user_id, event_id,
+      count(*) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                     ROWS UNBOUNDED PRECEDING) AS running_n,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id
+             ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        AS running_sum
+    FROM e WHERE tsu <= (SELECT w FROM wm)
+    ORDER BY user_id, event_id"""
+
   val all: Seq[Q] = Seq(
     Q("q_stream_stateful", streamStateful _, streamStatefulSql),
+    Q("q_stream_over", streamOver _, streamOverSql),
     Q("q_stream_count_window", streamCountWindow _, streamCountWindowSql),
     Q("q_stream_timeout", streamTimeout _, streamTimeoutSql),
     Q("q_join_temporal", joinTemporal _, joinTemporalSql),
