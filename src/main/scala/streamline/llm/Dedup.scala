@@ -48,7 +48,7 @@ object Dedup {
     * `transform(sequence(1, n-2), i => element_at(split(text), i) ...)`
     * form re-splits the whole text once per ELEMENT inside the lambda
     * (O(words²) per doc, ~5× slower end-to-end at sf0.1). */
-  private[llm] def shingles3(text: org.apache.spark.sql.Column) = {
+  private[streamline] def shingles3(text: org.apache.spark.sql.Column) = {
     val w = split(text, " ")
     val n = greatest(size(w) - 2, lit(0))
     zip_with(
@@ -226,6 +226,42 @@ object Dedup {
       .orderBy($"doc_id", $"bench_id")
   }
 
+  /** q_llm_bloom — Bloom-filter-pruned decontamination: the 100 TB form
+    * of [[contamination]]. Same contract (corpus docs sharing ≥3 shingles
+    * with any benchmark doc), different plan: the benchmark shingle set
+    * is aggregated into a ~few-MB Bloom filter (distributed treeAggregate
+    * via `DataFrameStatFunctions.bloomFilter` — the one public Spark
+    * bloom surface; the filter itself is metadata-sized driver state,
+    * like q_llm_knn_ivf's probe), broadcast, and the corpus is pruned
+    * MAP-SIDE before the exact verify join. At benchmark-index sizes
+    * past broadcast-join reach (GBs of shingles), the bloom broadcast
+    * still fits; false positives only cost verify work, never
+    * correctness, and bloom has no false negatives — so the result is
+    * EXACTLY the contamination result and keeps its full oracle. fpp
+    * and the prune's effectiveness are pinned in BloomPruneSpec. */
+  private def bloomContamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(
+        transform(shingles3($"text"), s => xxhash64(s)))).as("g"))
+    val bench = sh.where($"doc_id" % 50 === 0)
+      .select($"doc_id".as("bench_id"), $"g")
+    // Build phase (one distributed agg → driver-held filter → broadcast):
+    val nBench = bench.count()
+    val bf = bench.stat.bloomFilter("g", math.max(nBench, 1L), 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((g: Long) => bfB.value.mightContainLong(g))
+    // Apply phase: map-side prune, then the exact verify join over the
+    // survivors only (same shape as q_llm_contamination from here on).
+    sh.where($"doc_id" % 50 =!= 0)
+      .where(mightContain($"g"))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy($"doc_id", $"bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where($"n_shared" >= 3)
+      .orderBy($"doc_id", $"bench_id")
+  }
+
   private val contaminationSql = """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh AS (SELECT doc_id, unnest(list_distinct(
@@ -332,6 +368,9 @@ object Dedup {
     Q("q_llm_dedup_jaccard", dedupJaccard _, dedupJaccardSql),
     Q("q_llm_dedup_cluster", dedupCluster _, dedupClusterSql),
     Q("q_llm_contamination", contamination _, contaminationSql),
+    // exact-same contract as contamination, bloom-pruned plan — the
+    // oracle is legitimately shared.
+    Q("q_llm_bloom", bloomContamination _, contaminationSql),
     Q.noOracle("q_llm_simhash", simhash _),
     Q.noOracle("q_llm_simhash_pairs", simhashPairs _))
 }
