@@ -43,12 +43,24 @@ object Iterate {
     // logical plan back to a leaf — constant-size plans, constant
     // driver memory, no matter how many supersteps run. Old superstep
     // blocks are dropped by the ContextCleaner once unreferenced.
+    val verbose = sys.props.get("graft.iter.verbose")
+      .orElse(sys.env.get("GRAFT_ITER_VERBOSE")).contains("true")
+    var t0 = System.nanoTime()
+    def lap(tag: String, it: Int): Unit = if (verbose) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[iter] $tag%-10s #$it%-3d ${(t1 - t0) / 1e3}%.0f us")
+      t0 = t1
+    }
     var cur = init.localCheckpoint(true)
+    lap("init", 0)
     var m = metric(cur)
+    lap("metric", 0)
     var iters = 0
     while (iters < maxIter) {
       val next = step(cur).localCheckpoint(true)
+      lap("step", iters + 1)
       val m2 = metric(next)
+      lap("metric", iters + 1)
       iters += 1
       // On convergence return NEXT, not cur: metric equality proves only
       // that the aggregate is unchanged — returning the later superstep
@@ -87,6 +99,14 @@ object Iterate {
     }
   }
 
+  /** Broadcast wrap for per-superstep state tables (Knobs.iterBroadcast
+    * scaladoc: map-side joins against the partition-local edge cache at
+    * harness/bounded-vertex scale; identity ⇒ keyed shuffle plans in
+    * the web-graph regime). */
+  private def stateSide(df: DataFrame): DataFrame =
+    if (streamline.util.Knobs.iterBroadcast(df.sparkSession)) broadcast(df)
+    else df
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) =
     withIterConfs(edges.sparkSession)(connectedComponentsImpl(edges, maxIter))
 
@@ -106,8 +126,11 @@ object Iterate {
       .groupBy($"v").agg(min($"comp").as("comp"))
     val (fixed, iters) = fixpoint(init, maxIter) { comp =>
       // superstep: each vertex takes min(own label, neighbors' labels)…
+      // (label table broadcast per stateSide: the propagate is then a
+      // map-side hash join over the partition-local edge cache — the
+      // cached edge table is never re-shuffled per superstep)
       val fromNeighbors = undirected
-        .join(comp, undirected("src") === comp("v"))
+        .join(stateSide(comp), undirected("src") === comp("v"))
         .select(undirected("dst").as("v"), comp("comp"))
       val propagated = comp.union(fromNeighbors)
         .groupBy($"v").agg(min($"comp").as("comp"))
@@ -124,7 +147,7 @@ object Iterate {
       // (fresh aliases on the second side: Spark's self-join attribute
       // dedup chokes on plan-identical sides under a Union child)
       val lut = propagated.select($"v".as("lv"), $"comp".as("lcomp"))
-      propagated.join(lut, $"comp" === $"lv")
+      propagated.join(stateSide(lut), $"comp" === $"lv")
         .select($"v", least($"comp", $"lcomp").as("comp"))
     } { df =>
       // Σ labels strictly decreases until the fixed point; ids are
@@ -159,7 +182,9 @@ object Iterate {
       val delta = step(solution, workset).localCheckpoint(true)
       iters += 1
       if (delta.isEmpty) return (solution, iters)
-      solution = solution.join(delta, Seq(key), "left_anti")
+      // the delta is frontier-sized (what CHANGED last superstep) —
+      // broadcast it into the solution-replacement anti-join
+      solution = solution.join(stateSide(delta), Seq(key), "left_anti")
         .union(delta)
         .localCheckpoint(true)
       workset = delta
@@ -232,11 +257,12 @@ object Iterate {
         (solution, workset) =>
           // only changed vertices message their neighbors…
           val msgs = undirected
-            .join(workset, undirected("src") === workset("v"))
+            .join(stateSide(workset), undirected("src") === workset("v"))
             .select(undirected("dst").as("v"), workset("comp"))
             .groupBy($"v").agg(min($"comp").as("cand"))
           // …and the delta is the strict improvements over the solution
-          msgs.join(solution, "v")
+          // (messages are frontier-sized ⇒ the broadcast side)
+          solution.join(stateSide(msgs), "v")
             .where($"cand" < $"comp")
             .select($"v", $"cand".as("comp"))
       }
@@ -314,21 +340,24 @@ object Iterate {
     val n = outdeg.count()
     if (n == 0) return und.select($"src".as("v"), $"src".as("rank_fp")).limit(0)
     val base = (SCALE / n) * 15L / 100L
-    var ranks = outdeg.select($"v", lit(SCALE / n).as("r"))
+    // deg is a per-vertex constant: carry it IN the rank table instead
+    // of re-joining outdeg every superstep — one broadcast per round,
+    // not two, and no join to build the broadcast side.
+    var ranks = outdeg.select($"v", lit(SCALE / n).as("r"), $"deg")
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       // `div` (integral divide), NOT `/`: Column `/` is double division,
       // and a true quotient half-an-ulp under an integer rounds UP in
       // double then truncates wrong — bit-exactness requires integer div.
       val contrib = und
-        .join(ranks.join(outdeg, "v"), und("src") === $"v")
+        .join(stateSide(ranks), und("src") === $"v")
         .select(und("dst").as("v"), expr("r div deg").as("c"))
         .groupBy($"v").agg(sum($"c").as("contrib"))
-      ranks = outdeg.select($"v")
-        .join(contrib, Seq("v"), "left")
+      ranks = outdeg
+        .join(stateSide(contrib), Seq("v"), "left")
         .select($"v",
           (lit(base) + expr("(coalesce(contrib, 0L) * 85) div 100"))
-            .as("r"))
+            .as("r"), $"deg")
         .localCheckpoint(true)
     }
     und.unpersist(); outdeg.unpersist()

@@ -190,8 +190,16 @@ object Dedup {
     * the corpus. */
   private def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Materialize the pair edges ONCE before handing them to the CC
+    // loop: connectedComponents references its edge input twice (the
+    // src→dst ∪ dst→src undirect), and the jaccard verify pipeline has
+    // no top-level exchange for ReuseExchange to collapse — without
+    // this truncation the whole prefix-join + array_intersect pass runs
+    // twice (measured: ~2× the pair-generation cost at sf0.1). Pair
+    // edges are output-sized (≪ corpus), so this is a tiny materialize.
     val edges = jaccardPairs(spark, dir)
       .select($"id_a".as("src"), $"id_b".as("dst"))
+      .localCheckpoint(true)
     val (cc, _) = Iterate.connectedComponents(edges)
     Tables.documents(spark, dir).select($"doc_id")
       .join(cc.select($"v".as("doc_id"), $"comp"), Seq("doc_id"), "left")

@@ -43,6 +43,18 @@ object Knobs {
         .toString).toInt
   def iterAqe(spark: SparkSession): Boolean =
     spark.conf.get("graft.iter.aqe", "false").toBoolean
+  /** Broadcast the per-superstep label/rank/delta table into the
+    * iteration joins (default true). A superstep's state table is
+    * vertex-sized — usually orders of magnitude below the scan the
+    * edges came from — and broadcasting it turns every superstep from
+    * a 3-stage sort-merge join (re-shuffling the cached edge table
+    * each round) into a map-side hash join over the partition-local
+    * edge cache plus ONE keyed aggregation shuffle. Set false when the
+    * vertex table itself exceeds executor memory (the web-graph
+    * regime): every join in the loop then degrades to the keyed
+    * shuffle plan with no other change. */
+  def iterBroadcast(spark: SparkSession): Boolean =
+    spark.conf.get("graft.iter.broadcast", "true").toBoolean
 
   /** Fast ephemeral root for single-node harness I/O — shuffle local
     * dirs and streaming checkpoints. The harness host intermittently
