@@ -331,8 +331,25 @@ object Aggregates {
       .orderBy($"c_mktsegment")
   }
 
+  /** q_agg_sketch_theta — mergeable theta-sketch distinct counting as a
+    * native TypedImperativeAggregate (agg/ThetaSketch.scala scaladoc:
+    * live Union buffer in the partial-agg map, serialized only at
+    * shuffle boundaries). Per event_type: sketched distinct users
+    * alongside the row count. Approximate family ⇒ oracle omitted per
+    * contract; exactness-below-k, 2σ accuracy and merge-order
+    * independence are pinned by ThetaSketchSpec. */
+  private def aggSketchTheta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(streamline.agg.ThetaSketchDistinct.theta_distinct($"user_id")
+        .as("approx_users"), count(lit(1)).as("n_rows"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[streamline.Q] = Seq(
     streamline.Q("q_agg_group", aggGroup _, aggGroupSql),
+    streamline.Q.noOracle("q_agg_sketch_theta", aggSketchTheta _),
     streamline.Q.noOracle("q_agg_approx_quantile", aggApproxQuantile _),
     streamline.Q("q_agg_salted", aggSalted _, aggSaltedSql),
     streamline.Q("q_agg_percentile", aggPercentile _, aggPercentileSql),

@@ -166,6 +166,33 @@ object Relational {
       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
     FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** q_sink_partitioned — Hive-style partitioned sink + pruned re-read:
+    * documents written `partitionBy(lang)`, then read back under a
+    * partition-column predicate. THE layout decision at 100 TB: the
+    * `lang = 'en'` predicate resolves against directory names during
+    * planning (PartitionFilters in the scan node), so no file of any
+    * other partition is even opened — a selective read costs O(matching
+    * partition), not O(corpus). Partition count scales with the
+    * column's cardinality, not the data; writers append partitions
+    * independently with no coordination. */
+  private def sinkPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = streamline.util.Scratch.dir("part_docs", dir)
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    spark.read.parquet(tmp)
+      .where($"lang" === "en")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"source")
+  }
+
+  private val sinkPartitionedSql = """
+    SELECT source, count(*) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE lang = 'en'
+    GROUP BY source ORDER BY source"""
+
   // ---- §2.2 projection / filter / flatMap -------------------------------
 
   /** q_project — derived-column projection (Flink MapOperator / Table
@@ -358,6 +385,7 @@ object Relational {
     Q("q_source_text", sourceText _, sourceTextSql),
     Q("q_source_orc", sourceOrc _, sourceOrcSql),
     Q("q_sink_roundtrip", sinkRoundtrip _, sinkRoundtripSql),
+    Q("q_sink_partitioned", sinkPartitioned _, sinkPartitionedSql),
     Q("q_project", project _, projectSql),
     Q("q_filter", filter _, filterSql),
     Q("q_flatmap", flatmap _, flatmapSql),

@@ -237,7 +237,52 @@ object Windows {
       AND ts <= prev_ts + INTERVAL 10 MINUTE
     ORDER BY user_id, purchase_id"""
 
+  /** q_win_session — session windows in BATCH mode (the Table API's
+    * Session group-window over a bounded input — the hybrid-engine
+    * counterpart of q_stream_session, which runs the identical gap
+    * semantics incrementally with watermark state). Spark's native
+    * `session_window` in a batch groupBy: per user, events within a
+    * 30-minute gap merge into one session [first, last+gap).
+    *
+    * Scale posture: one hash shuffle on user_id, then per-partition
+    * sort-merge of per-event windows — session assembly never sees a
+    * global sort, and a user's events co-locate regardless of data
+    * size. Second-truncated like the streaming twin (events.ts is ns
+    * in the fixture; both engines compare at whole seconds). */
+  private def winSession(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("tss", date_trunc("second", $"ts"))
+      .groupBy(session_window($"tss", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n"), dsum("value").as("sum_val"))
+      .select($"user_id", tsOut($"sw.start").as("s_start"),
+        tsOut($"sw.end").as("s_end"), $"n", $"sum_val")
+      .orderBy($"user_id", $"s_start")
+  }
+
+  // Oracle: gaps-and-islands — a session break where the gap from the
+  // previous event (same user) exceeds 30 min; window end = last+gap.
+  // Same spelling as the streaming twin minus the watermark HAVING.
+  private val winSessionSql = """
+    WITH e AS (SELECT user_id, date_trunc('second', ts) AS t, value
+               FROM events),
+    o AS (SELECT user_id, t, value,
+            CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+    s AS (SELECT user_id, t, value,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM o)
+    SELECT user_id, min(t) AS s_start,
+      max(t) + INTERVAL 30 MINUTE AS s_end, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, s_start"""
+
   val all: Seq[Q] = Seq(
+    Q("q_win_session", winSession _, winSessionSql),
     Q("q_cep_pattern", cepPattern _, cepPatternSql),
     Q("q_win_dist", winDist _, winDistSql),
     Q("q_win_rank", winRank _, winRankSql),
