@@ -137,9 +137,16 @@ object Dedup {
     // Jaccard values are unchanged — the DuckDB oracle stays on strings
     // and hash-matches). Sorting by hash IS a valid prefix-filter order:
     // any fixed total order on the element universe works.
+    // Materialized ONCE: the shingle table feeds three plan sites — the
+    // exploded prefix index and BOTH broadcast verify sides — and a
+    // broadcast build cannot share work with anything (each site would
+    // re-run the shingle/hash/sort scan; measured ~3× the scan cost).
+    // (doc_id, hashes) is corpus-linear and far smaller than the text.
+    // At 100 TB the same move is a persisted intermediate table.
     val sh = Tables.documents(spark, dir)
       .select($"doc_id", array_sort(array_distinct(
         transform(shingles3($"text"), s => xxhash64(s)))).as("sh"))
+      .localCheckpoint(true)
     val pref = sh.select($"doc_id",
       slice($"sh", lit(1),
         (floor(size($"sh") * lit(1 - tau)) + 1).cast("int")).as("prefix"))
