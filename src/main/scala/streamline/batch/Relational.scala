@@ -193,6 +193,36 @@ object Relational {
     FROM documents WHERE lang = 'en'
     GROUP BY source ORDER BY source"""
 
+  /** q_source_evolve — schema evolution on read (`mergeSchema`): two
+    * parquet generations of one table — an old footprint (nationkey,
+    * name) and a widened one (+ regionkey) — read as ONE dataset whose
+    * schema is the union; old-generation rows surface NULL for the
+    * added column. The 100-TB lake reality: a petabyte table is never
+    * rewritten when a column lands, so the engine must reconcile
+    * footers per file. Spark does it at footer-merge time — schema
+    * resolution is metadata-only; column absence materializes as nulls
+    * during the scan, no data pass. */
+  private def sourceEvolve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = streamline.util.Scratch.dir("evolve", dir)
+    val n = Tables.nation(spark, dir)
+    n.where($"n_nationkey" < 10)
+      .select($"n_nationkey", $"n_name")
+      .write.mode("overwrite").parquet(s"$tmp/old")
+    n.where($"n_nationkey" >= 10)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .write.mode("overwrite").parquet(s"$tmp/new")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$tmp/old", s"$tmp/new")
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .orderBy($"n_nationkey")
+  }
+
+  private val sourceEvolveSql = """
+    SELECT n_nationkey, n_name,
+      CASE WHEN n_nationkey >= 10 THEN n_regionkey END AS n_regionkey
+    FROM nation ORDER BY n_nationkey"""
+
   // ---- §2.2 projection / filter / flatMap -------------------------------
 
   /** q_project — derived-column projection (Flink MapOperator / Table
@@ -386,6 +416,7 @@ object Relational {
     Q("q_source_orc", sourceOrc _, sourceOrcSql),
     Q("q_sink_roundtrip", sinkRoundtrip _, sinkRoundtripSql),
     Q("q_sink_partitioned", sinkPartitioned _, sinkPartitionedSql),
+    Q("q_source_evolve", sourceEvolve _, sourceEvolveSql),
     Q("q_project", project _, projectSql),
     Q("q_filter", filter _, filterSql),
     Q("q_flatmap", flatmap _, flatmapSql),

@@ -573,6 +573,75 @@ object Streams {
   private val sinkForeachBatchSql = """
     SELECT event_id, event_type, value FROM events ORDER BY event_id"""
 
+  /** q_sink_upsert — upsert (CDC / Flink retract-stream) sink via
+    * foreachBatch: each micro-batch MERGEs its rows into a keyed state
+    * table — read current generation → union the batch → keep the
+    * latest row per key (+ a running upsert count) → write the next
+    * generation. Downstream readers always see exactly one row per key,
+    * the Flink upsert-sink contract. Generation-dir rotation keeps read
+    * and write paths disjoint (an in-place overwrite would clobber the
+    * files it is still reading); at scale this loop is `MERGE INTO` on
+    * a table format with key clustering, and the per-batch cost is
+    * O(batch ⋈ current), a keyed join, never a corpus rewrite. */
+  private def sinkUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir("upsert", dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    var gen = 0
+    val st = eventsStream(spark, dir)
+      .where($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      streamline.util.Knobs.statePartitions(spark).toString)
+    try {
+      val q = st.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val s = df.sparkSession
+          val batch = df.withColumn("n_upserts", lit(1L))
+          val cur = s"$root/g$gen"
+          val merged0 =
+            if (fs.exists(new org.apache.hadoop.fs.Path(cur)))
+              s.read.parquet(cur).unionByName(batch)
+            else batch
+          merged0.groupBy($"user_id")
+            .agg(
+              max_by(struct($"ts", $"event_id", $"value"),
+                struct($"ts", $"event_id")).as("last"),
+              sum($"n_upserts").as("n_upserts"))
+            .select($"user_id", $"last.ts".as("ts"),
+              $"last.event_id".as("event_id"), $"last.value".as("value"),
+              $"n_upserts")
+            .write.mode("overwrite").parquet(s"$root/g${gen + 1}")
+          gen += 1
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(s"$root/g$gen")
+      .select($"user_id", $"event_id".as("last_event_id"),
+        $"value".as("last_value"), $"n_upserts")
+      .orderBy($"user_id")
+  }
+
+  // Oracle: latest purchase per user by (µs-truncated ts, event_id) —
+  // the same total order the merge's max_by key uses — plus the count.
+  private val sinkUpsertSql = """
+    WITH p AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
+                      event_id, value
+               FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT user_id, event_id, value,
+            count(*) OVER (PARTITION BY user_id) AS n_upserts,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM p)
+    SELECT user_id, event_id AS last_event_id, value AS last_value,
+           n_upserts
+    FROM r WHERE rn = 1 ORDER BY user_id"""
+
   /** q_stream_proctime — processing-time windows under a real
     * `Trigger.ProcessingTime` schedule (Flink
     * TumblingProcessingTimeWindows): rows are windowed on the WALL
@@ -622,6 +691,7 @@ object Streams {
     Q("q_stream_update", streamUpdate _, streamUpdateSql),
     Q("q_stream_union", streamUnion _, streamUnionSql),
     Q("q_sink_foreachbatch", sinkForeachBatch _, sinkForeachBatchSql),
+    Q("q_sink_upsert", sinkUpsert _, sinkUpsertSql),
     Q("q_join_stream_stream", joinStreamStream _, joinStreamStreamSql),
     Q("q_join_stream_window", joinStreamWindow _, joinStreamWindowSql),
     Q("q_join_stream_stream_left", joinStreamStreamLeft _,
