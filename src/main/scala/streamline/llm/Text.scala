@@ -2,6 +2,7 @@ package streamline.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import streamline.{Q, Tables}
 
 /** §2.11 [C] text-analysis operators for a training-data pipeline:
@@ -479,7 +480,61 @@ object Text {
         ' ') AS chunk_text
     FROM k ORDER BY doc_id, chunk_id"""
 
+  /** q_llm_bigram_lm — corpus bigram language-model scoring (the
+    * CCNet/KenLM-style quality signal: how "typical" of the corpus is
+    * this document?): per document, the mean MLE conditional
+    * probability P(w2|w1) = c(w1,w2)/c(w1·) of its bigrams, with the
+    * counts estimated over the WHOLE corpus.
+    *
+    * Scale shape: the bigram stream is materialized once
+    * (localCheckpoint — it feeds the count aggregation and the probe
+    * join; at 100 TB: a persisted intermediate). The model tables are
+    * vocabulary-sized, orders of magnitude below the corpus, so both
+    * joins BROADCAST — the per-doc scoring pass never shuffles; only
+    * the model aggregation does, keyed by bigram.
+    *
+    * Determinism: each probability is rounded to 9 dp (HALF_UP ≡
+    * round-half-away for positives; exact half-boundaries only arise
+    * from power-of-two quotients where both engines agree) and summed
+    * in exact DECIMAL before one final double division. */
+  private def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = expr("filter(split(text, ' '), x -> x <> '')")
+    val big = Tables.documents(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id", explode(expr(
+        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+           (a, b) -> struct(a, b))""")).as("bg"))
+      .select($"doc_id", $"bg.a".as("w1"), $"bg.b".as("w2"))
+      .localCheckpoint(true)
+    val cb = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c_ab"))
+    val ca = cb.groupBy($"w1").agg(sum($"c_ab").as("c_a"))
+    val p = round($"c_ab".cast("double") / $"c_a".cast("double"), 9)
+    big.join(broadcast(cb), Seq("w1", "w2"))
+      .join(broadcast(ca), Seq("w1"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (streamline.util.Det.asDouble(sum(p.cast(DecimalType(12, 9)))) /
+          count(lit(1)).cast("double")).as("lm_score"))
+      .orderBy($"doc_id")
+  }
+
+  private val bigramLmSql = """
+    WITH t AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+               FROM documents),
+    b AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+          FROM t, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+    cb AS (SELECT w1, w2, count(*) AS c_ab FROM b GROUP BY w1, w2),
+    ca AS (SELECT w1, sum(c_ab) AS c_a FROM cb GROUP BY w1)
+    SELECT doc_id, count(*) AS n_bigrams,
+      CAST(sum(CAST(round(c_ab / c_a, 9) AS DECIMAL(12,9))) AS DOUBLE)
+        / count(*) AS lm_score
+    FROM b JOIN cb USING (w1, w2) JOIN ca USING (w1)
+    GROUP BY doc_id ORDER BY doc_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_llm_bigram_lm", bigramLm _, bigramLmSql),
     Q("q_llm_gopher", gopher _, gopherSql),
     Q("q_llm_chunk", chunk _, chunkSql),
     Q("q_llm_selfrepeat", selfRepeat _, selfRepeatSql),
