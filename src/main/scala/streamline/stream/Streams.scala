@@ -186,6 +186,41 @@ object Streams {
     FROM events GROUP BY 1, 2
     ORDER BY w_start, event_type"""
 
+  /** q_stream_backpressure — bounded micro-batches under source rate
+    * limiting: the events table is laid out as 4 files and streamed ONE
+    * FILE PER MICRO-BATCH (`maxFilesPerTrigger=1`, which
+    * `Trigger.AvailableNow` honors — its documented advantage over the
+    * legacy one-giant-batch `Trigger.Once`), so the keyed aggregate is
+    * genuinely incremental: state carries partial counts/sums between
+    * triggers and update mode re-fires per batch (≥2 firings per key
+    * pinned in BackpressureSpec). THE operational lever for a
+    * backlogged source at scale — drain at a bounded per-batch cost
+    * instead of materializing the backlog in one batch. Final-per-key
+    * selection is max_by(sum, n): a key's count strictly grows per
+    * firing, and the last firing carries the full decimal sum
+    * (order-independent regardless of the file split). */
+  private def streamBackpressure(spark: SparkSession,
+                                 dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = streamline.util.Scratch.dir("bp_events", dir)
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    ev.repartition(4).write.mode("overwrite").parquet(tmp)
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val agg = src.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsum("value").as("sum_val"))
+    runToTable(spark, "backpressure", "update", agg)
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"), max_by($"sum_val", $"n").as("sum_val"))
+      .orderBy($"event_type")
+  }
+
+  private val streamBackpressureSql = """
+    SELECT event_type, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   /** q_stream_slide — sliding window (1 day / 6 h): each event lands in
     * four overlapping windows. Append mode + watermark, like
     * q_stream_tumble: emit-once on close, state evicted — the mode that
@@ -692,6 +727,7 @@ object Streams {
     Q("q_stream_union", streamUnion _, streamUnionSql),
     Q("q_sink_foreachbatch", sinkForeachBatch _, sinkForeachBatchSql),
     Q("q_sink_upsert", sinkUpsert _, sinkUpsertSql),
+    Q("q_stream_backpressure", streamBackpressure _, streamBackpressureSql),
     Q("q_join_stream_stream", joinStreamStream _, joinStreamStreamSql),
     Q("q_join_stream_window", joinStreamWindow _, joinStreamWindowSql),
     Q("q_join_stream_stream_left", joinStreamStreamLeft _,
