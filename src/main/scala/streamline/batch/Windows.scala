@@ -281,8 +281,63 @@ object Windows {
     FROM s GROUP BY user_id, sid
     ORDER BY user_id, s_start"""
 
+  /** q_win_session_dynamic — DYNAMIC session gap (Flink's
+    * `SessionWindowTimeGapExtractor`): the merge gap is a per-event
+    * expression — purchases keep a session alive for 1 h, everything
+    * else 15 min. Spark's `session_window(ts, gapExpr)` gives each
+    * event the interval [ts, ts+gap) and merges overlaps, so a session
+    * breaks exactly where an event's start passes the running max of
+    * previous interval ends (boundary-touch MERGES — same inclusive
+    * semantics the fixed-gap streaming oracle pins with its strict `>`
+    * gap test). Same one-shuffle shape as the fixed-gap form. The
+    * oracle spells that interval-union directly: brk ⟺ ts > max over
+    * previous (ts+gap), sid = running brk sum, session end = max
+    * (ts+gap) within the session. */
+  private def winSessionDynamic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // session_window's dynamic gap must be CalendarIntervalType —
+    // make_interval, not an ANSI day-time interval literal.
+    val gap = when($"event_type" === "purchase",
+        expr("make_interval(0, 0, 0, 0, 1, 0, 0)"))
+      .otherwise(expr("make_interval(0, 0, 0, 0, 0, 15, 0)"))
+    Tables.events(spark, dir)
+      .withColumn("tss", date_trunc("second", $"ts"))
+      .groupBy(session_window($"tss", gap).as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n"), dsum("value").as("sum_val"))
+      .select($"user_id", tsOut($"sw.start").as("s_start"),
+        tsOut($"sw.end").as("s_end"), $"n", $"sum_val")
+      .orderBy($"user_id", $"s_start")
+  }
+
+  private val winSessionDynamicSql = """
+    WITH e AS (SELECT user_id, date_trunc('second', ts) AS t, value,
+                 date_trunc('second', ts)
+                   + CASE WHEN event_type = 'purchase'
+                          THEN INTERVAL 1 HOUR
+                          ELSE INTERVAL 15 MINUTE END AS fin
+               FROM events),
+    o AS (SELECT user_id, t, value, fin,
+            CASE WHEN max(fin) OVER (PARTITION BY user_id ORDER BY t, fin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+                   OR t > max(fin) OVER (PARTITION BY user_id
+                     ORDER BY t, fin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS brk
+          FROM e),
+    s AS (SELECT user_id, t, value, fin,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY t, fin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM o)
+    SELECT user_id, min(t) AS s_start, max(fin) AS s_end,
+      count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, s_start"""
+
   val all: Seq[Q] = Seq(
     Q("q_win_session", winSession _, winSessionSql),
+    Q("q_win_session_dynamic", winSessionDynamic _, winSessionDynamicSql),
     Q("q_cep_pattern", cepPattern _, cepPatternSql),
     Q("q_win_dist", winDist _, winDistSql),
     Q("q_win_rank", winRank _, winRankSql),
