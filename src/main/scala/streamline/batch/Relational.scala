@@ -407,6 +407,47 @@ object Relational {
       SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
     ) ORDER BY nationkey"""
 
+  /** q_except_all / q_intersect_all — MULTISET set operations (the
+    * Table API's first-class `minusAll` / `intersectAll`): bag
+    * semantics — a row occurring m times on the left and n on the
+    * right survives max(m−n, 0) times (except) / min(m, n) times
+    * (intersect). Catalyst plans both as ONE keyed aggregation
+    * counting per-side multiplicities plus a generate to re-expand —
+    * a single shuffle on the row value, never a join, which is the
+    * scale-correct plan (the distinct variants above dedup first;
+    * these must NOT). */
+  private def exceptAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir).select($"c_nationkey".as("nationkey"))
+      .exceptAll(Tables.supplier(spark, dir)
+        .select($"s_nationkey".as("nationkey")))
+      .groupBy($"nationkey").agg(count(lit(1)).as("n"))
+      .orderBy($"nationkey")
+  }
+
+  private val exceptAllSql = """
+    SELECT nationkey, count(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey ORDER BY nationkey"""
+
+  private def intersectAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir).select($"c_nationkey".as("nationkey"))
+      .intersectAll(Tables.supplier(spark, dir)
+        .select($"s_nationkey".as("nationkey")))
+      .groupBy($"nationkey").agg(count(lit(1)).as("n"))
+      .orderBy($"nationkey")
+  }
+
+  private val intersectAllSql = """
+    SELECT nationkey, count(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey ORDER BY nationkey"""
+
   val all: Seq[Q] = Seq(
     Q("q_scan_parquet", scanParquet _, scanParquetSql),
     Q("q_scan_prune", scanPrune _, scanPruneSql),
@@ -426,5 +467,7 @@ object Relational {
     Q("q_union_all", unionAll _, unionAllSql),
     Q("q_union_distinct", unionDistinct _, unionDistinctSql),
     Q("q_intersect", intersect _, intersectSql),
-    Q("q_except", except _, exceptSql))
+    Q("q_except", except _, exceptSql),
+    Q("q_except_all", exceptAll _, exceptAllSql),
+    Q("q_intersect_all", intersectAll _, intersectAllSql))
 }

@@ -78,6 +78,12 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // Micro-batch cost breakdown, for perf triage only.
+      if (sys.env.get("GRAFT_STREAM_VERBOSE").contains("true"))
+        q.recentProgress.foreach { p =>
+          System.err.println(s"[stream] $name batch=${p.batchId} " +
+            s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+        }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       deleteRec(new java.io.File(ckpt))
