@@ -251,6 +251,42 @@ object Similarity {
       ascii(substring(text, 1, 1)) AS first_byte
     FROM documents ORDER BY doc_id"""
 
+  /** q_llm_mm_resize — multimodal downsample/resize pipeline: the
+    * binary payload is "resized" by stride-4 sampling of its byte grid
+    * (the deterministic stand-in for pixel-grid downsampling — real
+    * codecs aren't in this container, SURVEY §2.11), emitting the
+    * reduced payload's size and digest. The plumbing under test is the
+    * real thing: binary in → binary out through typed mapPartitions
+    * with an explicit schema, per-row work O(payload), no shuffle —
+    * at 100 TB this is the map-only transform stage between storage
+    * and the feature extractor. */
+  private def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, bytes) =>
+          val out = bytes.indices.by(4).map(bytes).toArray
+          md.reset()
+          (id, bytes.length.toLong, out.length.toLong,
+            md.digest(out).map("%02x".format(_)).mkString)
+        }
+      }
+      .toDF("doc_id", "in_bytes", "out_bytes", "out_sha")
+      .orderBy($"doc_id")
+  }
+
+  // Oracle: the same stride-4 sampling spelled on the (ASCII) text —
+  // keep one char, drop up to the next three, repeat.
+  private val mmResizeSql = """
+    SELECT doc_id, octet_length(encode(text)) AS in_bytes,
+      octet_length(encode(regexp_replace(text, '(.).{0,3}', '\1', 'g')))
+        AS out_bytes,
+      sha256(regexp_replace(text, '(.).{0,3}', '\1', 'g')) AS out_sha
+    FROM documents ORDER BY doc_id"""
+
   /** q_llm_mm_sample — multimodal frame-sampling pipeline: the binary
     * payload is treated as fixed-size frames (64-byte chunks standing in
     * for decoded video frames — real codecs aren't in this container,
@@ -300,5 +336,6 @@ object Similarity {
     Q("q_llm_dedup_embed", dedupEmbed _, dedupEmbedSql),
     Q("q_llm_multimodal", multimodal _, multimodalSql),
     Q("q_llm_mm_features", mmFeatures _, mmFeaturesSql),
+    Q("q_llm_mm_resize", mmResize _, mmResizeSql),
     Q("q_llm_mm_sample", mmSample _, mmSampleSql))
 }
