@@ -89,6 +89,53 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Euclidean (L2) distance over two float vectors, double-accumulated
+  * in one sequential loop — the LSH verify's hot path. Codegen'd for
+  * the same reason as [[CosineSim]]: the candidate-pair verify scan
+  * stays inside whole-stage codegen instead of an interpreted
+  * aggregate(zip_with(...)) higher-order-function tree per row. */
+case class EuclidDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Inputs are ArrayType(FloatType) by construction (see dataset schema).
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_euclid"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+          $s += $d * $d;
+        }
+        ${ev.value} = Math.sqrt($s);
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EuclidDist =
+    copy(left = newLeft, right = newRight)
+}
+
 object Exprs {
   /** Column-API entry points for the custom expressions. */
   def revenue(price: Column, discount: Column): Column =
@@ -97,5 +144,9 @@ object Exprs {
 
   def cosine(a: Column, b: Column): Column =
     GraftShim.column(CosineSim(GraftShim.expression(a),
+      GraftShim.expression(b)))
+
+  def euclid(a: Column, b: Column): Column =
+    GraftShim.column(EuclidDist(GraftShim.expression(a),
       GraftShim.expression(b)))
 }

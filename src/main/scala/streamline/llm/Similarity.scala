@@ -101,9 +101,10 @@ object Similarity {
         $"embedding".as("ea"))), "id_a")
       .join(broadcast(emb.select($"vec_id".as("id_b"),
         $"embedding".as("eb"))), "id_b")
-      .select($"id_a", $"id_b",
-        sqrt(aggregate(zip_with($"ea", $"eb", (x, y) => (x - y) * (x - y)),
-          lit(0.0d), (acc, x) => acc + x)).as("d"))
+      // codegen'd L2 (expr/Exprs.scala EuclidDist): the verify scan is
+      // candidate-pair-sized — an interpreted HOF tree here was the
+      // residual hot path.
+      .select($"id_a", $"id_b", Exprs.euclid($"ea", $"eb").as("d"))
       .where($"d" <= 1.1)
       .select($"id_a", $"id_b", round($"d", 6).as("dist"))
       .orderBy($"id_a", $"id_b")
