@@ -491,6 +491,54 @@ object Streams {
      AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
     ORDER BY e1.user_id, id1, id2"""
 
+  /** q_stream_join_agg — CHAINED stateful operators in one streaming
+    * query (stream⋈stream interval join feeding an event-time windowed
+    * aggregate), the multi-stage hybrid pipeline Flink composes freely
+    * and Spark supports since 3.4 (SPARK-42376): daily count of
+    * click→any pairs within 10 minutes. Two state stores live in one
+    * query — join state evicted by the band+watermark, window state by
+    * the PROPAGATED watermark, which the join delays by its state
+    * retention (the oracle pins the resulting emission bound).
+    * Click/purchase pre-filters keep the join state type-selective —
+    * the full-events interval join is already witnessed by
+    * q_join_stream_stream; this witness pays for the CHAINING. */
+  private def streamJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e1 = eventsStream(spark, dir)
+      .where($"event_type" === "click")
+      .select($"event_id".as("id1"), $"user_id", $"ts".as("ts1"))
+      .withWatermark("ts1", "10 minutes")
+    val e2 = eventsStream(spark, dir)
+      .where($"event_type" === "purchase")
+      .select($"event_id".as("id2"), $"user_id".as("u2"), $"ts".as("ts2"))
+      .withWatermark("ts2", "10 minutes")
+    val joined = e1.join(e2,
+      $"user_id" === $"u2" && $"id1" < $"id2" &&
+        $"ts2" >= $"ts1" && $"ts2" <= $"ts1" + expr("INTERVAL 10 MINUTES"))
+    val agg = joined
+      .groupBy(window($"ts1", "1 day"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(tsOut($"window.start").as("w_start"), $"n_pairs")
+    runToTable(spark, "join_agg", "append", agg)
+      .orderBy($"w_start")
+  }
+
+  private val streamJoinAggSql = """
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      date_trunc('microseconds', ts) AS ts FROM events),
+    p AS (SELECT e1.ts AS ts1
+          FROM e e1 JOIN e e2
+            ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
+           AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+          WHERE e1.event_type = 'click' AND e2.event_type = 'purchase'),
+    wm AS (SELECT date_trunc('millisecond', max(ts))
+             - INTERVAL 10 MINUTE - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT CAST(date_trunc('day', ts1) AS TIMESTAMP) AS w_start,
+      count(*) AS n_pairs
+    FROM p GROUP BY 1
+    HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
+    ORDER BY w_start"""
+
   /** q_join_stream_stream_left — stream ⋈ stream LEFT OUTER interval
     * join (Flink intervalJoin with outer emission): matches emit
     * immediately; an unmatched left row emits null-extended only once
@@ -734,6 +782,7 @@ object Streams {
     Q("q_sink_foreachbatch", sinkForeachBatch _, sinkForeachBatchSql),
     Q("q_sink_upsert", sinkUpsert _, sinkUpsertSql),
     Q("q_stream_backpressure", streamBackpressure _, streamBackpressureSql),
+    Q("q_stream_join_agg", streamJoinAgg _, streamJoinAggSql),
     Q("q_join_stream_stream", joinStreamStream _, joinStreamStreamSql),
     Q("q_join_stream_window", joinStreamWindow _, joinStreamWindowSql),
     Q("q_join_stream_stream_left", joinStreamStreamLeft _,
