@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Theta-sketch distinct count as a NATIVE Catalyst aggregate
@@ -91,4 +91,58 @@ object ThetaSketchDistinct {
   def theta_distinct(c: Column): Column =
     GraftShim.column(
       ThetaSketchDistinct(GraftShim.expression(c)).toAggregateExpression())
+
+  /** Column-API entry: `theta_sketch($"user_id")` — the serialized
+    * sketch itself, for set algebra downstream. */
+  def theta_sketch(c: Column): Column =
+    GraftShim.column(
+      ThetaSketchBinary(GraftShim.expression(c)).toAggregateExpression())
+}
+
+/** Same aggregation as [[ThetaSketchDistinct]] but the OUTPUT is the
+  * serialized compact sketch — the mergeable summary a warehouse stores
+  * per (day, segment, …) cell so distinct-set ALGEBRA (union /
+  * intersection / A-NOT-B, see [[ThetaOps]]) can run later over
+  * kilobyte summaries instead of re-scanning the corpus. */
+case class ThetaSketchBinary(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_theta_sketch"
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().buildUnion()
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) child.dataType match {
+      case LongType    => buf.update(v.asInstanceOf[Long])
+      case IntegerType => buf.update(v.asInstanceOf[Int].toLong)
+      case StringType  => buf.update(v.asInstanceOf[UTF8String].toString)
+      case t => throw new IllegalArgumentException(
+        s"theta_sketch: unsupported input type $t")
+    }
+    buf
+  }
+  override def merge(buf: Union, other: Union): Union = {
+    buf.union(other.getResult); buf
+  }
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+  override def serialize(buf: Union): Array[Byte] =
+    buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = SetOperation.builder().buildUnion()
+    u.union(Memory.wrap(bytes)); u
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ThetaSketchBinary =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(n: Int): ThetaSketchBinary =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): ThetaSketchBinary =
+    copy(inputAggBufferOffset = n)
 }

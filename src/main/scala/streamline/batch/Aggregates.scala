@@ -347,9 +347,33 @@ object Aggregates {
       .orderBy($"event_type")
   }
 
+  /** q_agg_sketch_algebra — distinct-set ALGEBRA over serialized theta
+    * sketches (expr/ThetaOps.scala scaladoc): the click and purchase
+    * audiences are sketched ONCE (one codegen'd aggregation pass over
+    * events), then overlap / union / difference are estimated by
+    * combining the two kilobyte summaries — the warehouse pattern that
+    * answers audience-overlap questions without re-scanning the corpus,
+    * and the capability (intersection) HLL sketches cannot express.
+    * The sketch⋈sketch combine is a broadcast-1-row probe, never a
+    * shuffle. Approximate family ⇒ oracle omitted; exactness below k
+    * against count(distinct) set algebra pinned in ThetaSketchSpec. */
+  private def aggSketchAlgebra(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import streamline.agg.ThetaSketchDistinct.theta_sketch
+    import streamline.expr.ThetaOps._
+    val ev = Tables.events(spark, dir)
+    def sk(t: String, name: String) =
+      ev.where($"event_type" === t).agg(theta_sketch($"user_id").as(name))
+    sk("click", "ck").crossJoin(broadcast(sk("purchase", "pu")))
+      .select(thetaIntersect($"ck", $"pu").as("both"),
+        thetaUnion($"ck", $"pu").as("either"),
+        thetaANotB($"ck", $"pu").as("click_only"))
+  }
+
   val all: Seq[streamline.Q] = Seq(
     streamline.Q("q_agg_group", aggGroup _, aggGroupSql),
     streamline.Q.noOracle("q_agg_sketch_theta", aggSketchTheta _),
+    streamline.Q.noOracle("q_agg_sketch_algebra", aggSketchAlgebra _),
     streamline.Q.noOracle("q_agg_approx_quantile", aggApproxQuantile _),
     streamline.Q("q_agg_salted", aggSalted _, aggSaltedSql),
     streamline.Q("q_agg_percentile", aggPercentile _, aggPercentileSql),

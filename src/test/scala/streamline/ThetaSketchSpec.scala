@@ -47,6 +47,21 @@ class ThetaSketchSpec extends SparkSuite {
     assert(a == b && b == c)
   }
 
+  test("sketch set algebra is exact below k") {
+    val s = spark
+    import s.implicits._
+    val row = SparkEntry.queries("q_agg_sketch_algebra")(spark, sfDir)
+      .collect().head
+    val ev = Tables.events(spark, sfDir)
+    def users(t: String): Set[Long] =
+      ev.where($"event_type" === t).select($"user_id")
+        .as[Long].collect().toSet
+    val (ck, pu) = (users("click"), users("purchase"))
+    assert(row.getAs[Long]("both") == (ck & pu).size.toLong)
+    assert(row.getAs[Long]("either") == (ck | pu).size.toLong)
+    assert(row.getAs[Long]("click_only") == (ck -- pu).size.toLong)
+  }
+
   test("string inputs sketch correctly too") {
     val s = spark
     import s.implicits._
