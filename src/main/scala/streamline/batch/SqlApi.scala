@@ -477,9 +477,24 @@ object SqlApi {
       count(*) FILTER (WHERE event_type = 'error') AS error
     FROM events GROUP BY cohort ORDER BY cohort"""
 
+  /** q_sql_offset — LIMIT/OFFSET pagination (Spark 3.4+): page 3 of
+    * the supplier list under a total order. Spark plans a global
+    * TakeOrdered of limit+offset then drops the prefix — constant
+    * driver memory; deep pagination at 100 TB belongs to keyset
+    * pagination (WHERE key > last_seen), which q_filter's pushdown
+    * shape already witnesses. */
+  private def sqlOffset(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, sqlOffsetSql)
+
+  private val sqlOffsetSql = """
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier ORDER BY s_acctbal DESC, s_suppkey
+    LIMIT 10 OFFSET 20"""
+
   val all: Seq[Q] = Seq(
     Q("q_sql_recursive", sqlRecursive _, sqlRecursiveText),
     Q("q_sql_pivot", sqlPivot _, sqlPivotSql),
+    Q("q_sql_offset", sqlOffset _, sqlOffsetSql),
     Q("q_sql_hint", sqlHint _, sqlHintSql),
     Q("q_sql_exists", sqlExists _, sqlExistsText),
     Q("q_sql_lateral", sqlLateral _, sqlLateralText),
