@@ -16,7 +16,8 @@ import streamline.stream.{CepStream, Connect, Stateful, Streams}
 object SparkEntry {
 
   private def modules: Seq[Q] =
-    Aggregates.all ++ Relational.all ++ Joins.all ++ Windows.all ++
+    Aggregates.all ++ Relational.all ++ Joins.all ++ SkewJoin.all ++
+      Windows.all ++
       Functions.all ++ UdfSurface.all ++ SqlApi.all ++ Iterate.all ++
       Cep.all ++ Partitioning.all ++ Enrich.all ++ Text.all ++
       Dedup.all ++ Pipeline.all ++ Similarity.all ++ Streams.all ++

@@ -52,7 +52,7 @@ case class ThetaSketchDistinct(
     if (v != null) child.dataType match {
       case LongType    => buf.update(v.asInstanceOf[Long])
       case IntegerType => buf.update(v.asInstanceOf[Int].toLong)
-      case StringType  => buf.update(v.asInstanceOf[UTF8String].toString)
+      case StringType  => buf.update(v.asInstanceOf[UTF8String].getBytes)
       case t => throw new IllegalArgumentException(
         s"theta_distinct: unsupported input type $t")
     }
@@ -122,7 +122,7 @@ case class ThetaSketchBinary(
     if (v != null) child.dataType match {
       case LongType    => buf.update(v.asInstanceOf[Long])
       case IntegerType => buf.update(v.asInstanceOf[Int].toLong)
-      case StringType  => buf.update(v.asInstanceOf[UTF8String].toString)
+      case StringType  => buf.update(v.asInstanceOf[UTF8String].getBytes)
       case t => throw new IllegalArgumentException(
         s"theta_sketch: unsupported input type $t")
     }

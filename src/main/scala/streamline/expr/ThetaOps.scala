@@ -5,7 +5,8 @@ import org.apache.datasketches.theta.{SetOperation, Sketches}
 import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
 /** Set algebra over SERIALIZED theta sketches (agg/ThetaSketch.scala's
   * `theta_sketch` output) — the capability that distinguishes theta
@@ -23,6 +24,20 @@ case class ThetaSetEstimate(left: Expression, right: Expression,
 
   override def dataType: DataType = LongType
   override def prettyName: String = s"graft_theta_$op"
+
+  // Fail at analysis time, not with an opaque Memory.wrap / cast error
+  // at execution: both children must be serialized sketches (binary)
+  // and op must be one of the three set operations.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (left.dataType != BinaryType || right.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two BINARY serialized theta sketches, " +
+          s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    else if (!Set("intersect", "union", "anotb").contains(op))
+      TypeCheckResult.TypeCheckFailure(
+        s"unknown theta set operation '$op' (expected intersect|union|anotb)")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val sa = Sketches.wrapSketch(Memory.wrap(a.asInstanceOf[Array[Byte]]))

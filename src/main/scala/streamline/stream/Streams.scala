@@ -671,14 +671,19 @@ object Streams {
     * and write paths disjoint (an in-place overwrite would clobber the
     * files it is still reading); at scale this loop is `MERGE INTO` on
     * a table format with key clustering, and the per-batch cost is
-    * O(batch ⋈ current), a keyed join, never a corpus rewrite. */
+    * O(batch ⋈ current), a keyed join, never a corpus rewrite.
+    * Generations are keyed by the sink-provided batchId, not a
+    * driver-side counter: foreachBatch may REPLAY a micro-batch after
+    * failure, and with batchId keying a replay re-reads the stable
+    * g(id) and overwrites g(id+1) — idempotent — where a counter would
+    * re-merge and double-count n_upserts. */
   private def sinkUpsert(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = streamline.util.Scratch.dir("upsert", dir)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(rootPath, true)
-    var gen = 0
+    @volatile var lastGen = 0L
     val st = eventsStream(spark, dir)
       .where($"event_type" === "purchase")
       .select($"user_id", $"ts", $"event_id", $"value")
@@ -687,10 +692,10 @@ object Streams {
       streamline.util.Knobs.statePartitions(spark).toString)
     try {
       val q = st.writeStream
-        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           val s = df.sparkSession
           val batch = df.withColumn("n_upserts", lit(1L))
-          val cur = s"$root/g$gen"
+          val cur = s"$root/g$id"
           val merged0 =
             if (fs.exists(new org.apache.hadoop.fs.Path(cur)))
               s.read.parquet(cur).unionByName(batch)
@@ -703,14 +708,14 @@ object Streams {
             .select($"user_id", $"last.ts".as("ts"),
               $"last.event_id".as("event_id"), $"last.value".as("value"),
               $"n_upserts")
-            .write.mode("overwrite").parquet(s"$root/g${gen + 1}")
-          gen += 1
+            .write.mode("overwrite").parquet(s"$root/g${id + 1}")
+          lastGen = id + 1
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.read.parquet(s"$root/g$gen")
+    spark.read.parquet(s"$root/g$lastGen")
       .select($"user_id", $"event_id".as("last_event_id"),
         $"value".as("last_value"), $"n_upserts")
       .orderBy($"user_id")

@@ -56,6 +56,15 @@ object Knobs {
   def iterBroadcast(spark: SparkSession): Boolean =
     spark.conf.get("graft.iter.broadcast", "true").toBoolean
 
+  /** Upper bound on distinct 3-shingles per benchmark document, used to
+    * size the q_llm_bloom filter WITHOUT an exact counting pass over
+    * the shingle stream (capacity = bench docs × this). Size to the
+    * corpus' p99 document length in words; too high only wastes filter
+    * bits (~9.6 bits/slot at 1% fpp), too low only raises fpp — the
+    * exact verify join keeps correctness either way. */
+  def bloomShinglesPerDoc(spark: SparkSession): Long =
+    spark.conf.get("graft.bloom.shinglesPerDoc", "1024").toLong
+
   /** Fast ephemeral root for single-node harness I/O — shuffle local
     * dirs and streaming checkpoints. The harness host intermittently
     * throttles block-device writes to ~40 MB/s (measured), which

@@ -36,7 +36,8 @@ class BloomPruneSpec extends SparkSuite {
     val bench = gq.where($"doc_id" % 50 === 0)
     val bf = bench.stat.bloomFilter("g", math.max(bench.count(), 1L), 0.01)
     val bfB = spark.sparkContext.broadcast(bf)
-    val mc = udf((g: Long) => bfB.value.mightContainLong(g))
+    def mc(c: org.apache.spark.sql.Column) =
+      streamline.expr.BloomProbe.mightContain(c, bfB)
     val corpus = gq.where($"doc_id" % 50 =!= 0)
     val total = corpus.count()
     val passed = corpus.where(mc($"g")).count()
@@ -46,5 +47,29 @@ class BloomPruneSpec extends SparkSuite {
     // negatives) — the property exactness above depends on
     val matching = corpus.join(bench.select($"g"), Seq("g"), "left_semi")
     assert(matching.where(!mc($"g")).count() == 0L)
+  }
+
+  test("the bloom probe is a codegen'd expression, not a UDF fence") {
+    val sp = spark; import sp.implicits._
+    // The prune runs on the corpus-row-count-sized side, so it must
+    // fuse into whole-stage codegen (expr/BloomProbe.scala), where the
+    // previous Scala-UDF probe forced interpreted eval (ADVICE r5).
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq(1L, 2L, 42L).foreach(bf.putLong)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val df = spark.range(0, 1000)
+      .where(streamline.expr.BloomProbe.mightContain($"id", bfB))
+    val got = df.toDF("id").collect().map(_.getLong(0)).toSet
+    // no false negatives on the planted members; ~1% fpp elsewhere
+    assert(Set(1L, 2L, 42L).subsetOf(got))
+    assert(got.size < 100, s"fpp blew up: ${got.size}/1000 passed")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_might_contain"))
+    // the Filter node carries the codegen star — inside a
+    // WholeStageCodegen span, not a fallback
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("graft_bloom_might_contain")
+        && l.contains("*(")),
+      s"bloom probe filter not codegen'd:\n$plan")
   }
 }

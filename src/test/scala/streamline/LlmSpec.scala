@@ -96,3 +96,20 @@ class CosineExprSpec extends SparkSuite {
     assert(math.abs(self - 1.0) < 1e-12)
   }
 }
+
+class MmResizeFixtureSpec extends SparkSuite {
+
+  test("mm_resize fixture invariant: documents text is ASCII") {
+    // q_llm_mm_resize strides the payload's BYTES; its DuckDB oracle
+    // strides regex CHARS. The two coincide iff every char is one byte,
+    // i.e. the fixture text is pure ASCII. Pin that assumption here so
+    // a multi-byte fixture fails loudly instead of silently diverging.
+    import org.apache.spark.sql.functions._
+    val nonAscii = Tables.documents(spark, sfDir)
+      .where(length(col("text")) =!= octet_length(col("text")))
+      .count()
+    assert(nonAscii == 0L,
+      s"$nonAscii documents contain multi-byte chars; byte-stride and " +
+        "char-stride resize would diverge")
+  }
+}
