@@ -127,5 +127,193 @@ object Cep {
     WHERE p.ts <= first_click_ts + INTERVAL 10 MINUTE
     ORDER BY user_id, purchase_id"""
 
-  val all: Seq[Q] = Seq(Q("q_cep_kleene", cepKleene _, cepKleeneSql))
+  // ---------------------------------------------------------------
+  // Relaxed contiguity + absence (upstream flink-libraries/flink-cep
+  // `followedBy` / `notFollowedBy`): unlike the strict-run Kleene
+  // automaton above, `followedBy` SKIPS irrelevant events between the
+  // pattern's stages, and `notFollowedBy ... within` asserts a stage
+  // never arrives inside the window. Same engine shape — one shuffle
+  // on the key, sorted partition scan — with the NFA register widened
+  // to the set of armed starts. That buffer is WATERMARK-BOUNDED, not
+  // key-bounded: every armed start either matches at the next bType
+  // event or expires `withinUs` after it was armed, so memory is
+  // O(starts per window), the same accounting Flink's CEP shared
+  // buffer does, and the scan stays O(1)-per-event amortized.
+  // ---------------------------------------------------------------
+
+  case class CepRel(user_id: Long, click_id: Long, purchase_id: Long,
+                    click_ts_us: Long, purchase_ts_us: Long)
+  case class CepAbs(user_id: Long, click_id: Long, click_ts_us: Long)
+
+  /** `a followedBy b within w` over one user's (ts, id)-sorted events:
+    * every armed `a` matches the FIRST `b` that arrives within `w` of
+    * it (Flink `followedBy` first-match semantics, not
+    * `followedByAny`); events of other types are skipped. A `b` event
+    * resolves every currently armed `a` — matched if within the
+    * window — and disarms them all. */
+  private def runFollowedBy(it: Iterator[CepEv], aType: String,
+                            bType: String,
+                            withinUs: Long): Iterator[CepRel] = {
+    var curUser = Long.MinValue
+    val pending = scala.collection.mutable.ArrayDeque[(Long, Long)]()
+    it.flatMap { e =>
+      if (e.user_id != curUser) { curUser = e.user_id; pending.clear() }
+      // expired starts can never match a later b: drop from the head
+      // (ts-ordered input ⇒ oldest first), keeping the buffer
+      // window-bounded
+      while (pending.nonEmpty && pending.head._2 < e.ts_us - withinUs)
+        pending.removeHead()
+      if (e.event_type == aType) {
+        pending.append((e.event_id, e.ts_us)); Iterator.empty
+      } else if (e.event_type == bType) {
+        val out = pending.iterator.map { case (id, ts) =>
+          CepRel(e.user_id, id, e.event_id, ts, e.ts_us)
+        }.toVector
+        pending.clear()
+        out.iterator
+      } else Iterator.empty
+    }
+  }
+
+  /** `a notFollowedBy b within w`: emit each `a` that is NOT followed
+    * by any `b` in the next `w` microseconds. An armed `a` is emitted
+    * the moment it provably survived (the scan reaches any event past
+    * its window), killed by an in-window `b`, and flushed at the user
+    * boundary / end of input — batch input is complete, so absence at
+    * end-of-data is decided, the batch shortcut streaming pays a
+    * watermark for. */
+  private def runAbsence(it: Iterator[CepEv], aType: String,
+                         bType: String,
+                         withinUs: Long): Iterator[CepAbs] = {
+    var curUser = Long.MinValue
+    val pending = scala.collection.mutable.ArrayDeque[(Long, Long)]()
+    def flush(): Vector[CepAbs] = {
+      val out = pending.iterator
+        .map { case (id, ts) => CepAbs(curUser, id, ts) }.toVector
+      pending.clear(); out
+    }
+    (it.map(Some(_)) ++ Iterator(None)).flatMap {
+      case None => flush().iterator // end of input: survivors all pass
+      case Some(e) =>
+        val boundary = if (e.user_id != curUser) {
+          val f = flush(); curUser = e.user_id; f
+        } else Vector.empty
+        // survived: window closed before this event without a bType
+        val survived = Vector.newBuilder[CepAbs]
+        while (pending.nonEmpty && pending.head._2 < e.ts_us - withinUs) {
+          val (id, ts) = pending.removeHead()
+          survived += CepAbs(e.user_id, id, ts)
+        }
+        if (e.event_type == bType) pending.clear() // in-window ⇒ killed
+        else if (e.event_type == aType) pending.append((e.event_id, e.ts_us))
+        (boundary ++ survived.result()).iterator
+    }
+  }
+
+  /** Keyed pipeline twins of [[kleeneMatches]]; public for the
+    * boundary spec. */
+  def followedByMatches(evs: org.apache.spark.sql.Dataset[CepEv],
+                        aType: String, bType: String,
+                        withinUs: Long): org.apache.spark.sql.Dataset[CepRel] = {
+    import evs.sparkSession.implicits._
+    evs.repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"ts_us", $"event_id")
+      .mapPartitions(it => runFollowedBy(it, aType, bType, withinUs))
+  }
+
+  def absenceMatches(evs: org.apache.spark.sql.Dataset[CepEv],
+                     aType: String, bType: String,
+                     withinUs: Long): org.apache.spark.sql.Dataset[CepAbs] = {
+    import evs.sparkSession.implicits._
+    evs.repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"ts_us", $"event_id")
+      .mapPartitions(it => runAbsence(it, aType, bType, withinUs))
+  }
+
+  private def cepEvents(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("ts_us"))
+      .as[CepEv]
+  }
+
+  /** q_cep_followedby — `click followedBy purchase within 10 min` per
+    * user, relaxed contiguity: any events may sit between the click
+    * and its purchase; each click matches the first purchase inside
+    * its window, and one purchase resolves all clicks armed before
+    * it. */
+  private def cepFollowedBy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withinUs = 10L * 60 * 1000 * 1000
+    followedByMatches(cepEvents(spark, dir), "click", "purchase", withinUs)
+      .toDF()
+      .select($"user_id", $"click_id", $"purchase_id",
+        tsSec(timestamp_micros($"click_ts_us")).as("click_ts"),
+        tsSec(timestamp_micros($"purchase_ts_us")).as("purchase_ts"))
+      .orderBy($"user_id", $"click_id")
+  }
+
+  /** Oracle: per click, the first purchase strictly after it in the
+    * per-user (ts, event_id) total order and within the window —
+    * "first" via arg_min over that order's row number. */
+  private val cepFollowedBySql = """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 date_trunc('microseconds', ts) AS ts FROM events),
+    o AS (SELECT user_id, event_id, event_type, ts,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+          FROM e),
+    c AS (SELECT user_id, event_id AS click_id, ts AS cts, rn FROM o
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS pts, rn FROM o
+          WHERE event_type = 'purchase')
+    SELECT c.user_id AS user_id, c.click_id,
+      arg_min(p.purchase_id, p.rn) AS purchase_id,
+      date_trunc('second', c.cts) AS click_ts,
+      date_trunc('second', arg_min(p.pts, p.rn)) AS purchase_ts
+    FROM c JOIN p
+      ON c.user_id = p.user_id AND p.rn > c.rn
+     AND p.pts <= c.cts + INTERVAL 10 MINUTE
+    GROUP BY c.user_id, c.click_id, c.cts
+    ORDER BY user_id, click_id"""
+
+  /** q_cep_absence — `click notFollowedBy purchase within 10 min`:
+    * clicks with NO purchase in their forward window (the negative
+    * pattern; upstream flink-cep `notFollowedBy` closed by `within`).
+    * The abandoned-cart query at 100 TB. */
+  private def cepAbsence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withinUs = 10L * 60 * 1000 * 1000
+    absenceMatches(cepEvents(spark, dir), "click", "purchase", withinUs)
+      .toDF()
+      .select($"user_id", $"click_id",
+        tsSec(timestamp_micros($"click_ts_us")).as("click_ts"))
+      .orderBy($"user_id", $"click_id")
+  }
+
+  private val cepAbsenceSql = """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 date_trunc('microseconds', ts) AS ts FROM events),
+    o AS (SELECT user_id, event_id, event_type, ts,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+          FROM e),
+    c AS (SELECT user_id, event_id AS click_id, ts AS cts, rn FROM o
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts AS pts, rn FROM o
+          WHERE event_type = 'purchase')
+    SELECT c.user_id AS user_id, c.click_id,
+      date_trunc('second', c.cts) AS click_ts
+    FROM c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = c.user_id AND p.rn > c.rn
+        AND p.pts <= c.cts + INTERVAL 10 MINUTE)
+    ORDER BY user_id, click_id"""
+
+  val all: Seq[Q] = Seq(
+    Q("q_cep_kleene", cepKleene _, cepKleeneSql),
+    Q("q_cep_followedby", cepFollowedBy _, cepFollowedBySql),
+    Q("q_cep_absence", cepAbsence _, cepAbsenceSql))
 }

@@ -491,7 +491,84 @@ object SqlApi {
     FROM supplier ORDER BY s_acctbal DESC, s_suppkey
     LIMIT 10 OFFSET 20"""
 
+  /** q_sql_stats — the cost-based-optimizer witness (the reference
+    * lineage's batch optimizer is cost-based; Flink 1.x
+    * `flink-optimizer/.../costs/CostEstimator.java` [UPSTREAM],
+    * SURVEY.md §2.13): `ANALYZE TABLE … COMPUTE STATISTICS FOR ALL
+    * COLUMNS` populates catalog row/column stats, and with
+    * `spark.sql.cbo.enabled` + `joinReorder.enabled` Catalyst's
+    * CostBasedJoinReorder re-orders the deliberately mis-written
+    * 3-table join below from its textual left-deep order
+    * (lineitem⋈orders first — the 4×-larger intermediate) to the
+    * stats-cheap order (orders⋈filtered-customer first). The flip is
+    * pinned by SqlPlanSpec; the oracle runs the semantically identical
+    * unhinted SQL — reorder must be invisible in the result.
+    *
+    * Catalog tables (not temp views) carry the stats; they are
+    * registered zero-copy with LOCATION pointing at the fixture
+    * parquet, and ANALYZE is re-run once per (session, sf dir) — a
+    * metadata-sized scan of three small-to-mid tables. At 100 TB this
+    * is the nightly ANALYZE every warehouse already runs; CBO then
+    * prices every join order from those stats instead of trusting
+    * query text. */
+  val cboConfs: Seq[(String, String)] = Seq(
+    "spark.sql.cbo.enabled" -> "true",
+    "spark.sql.cbo.joinReorder.enabled" -> "true")
+
+  @volatile private var statsFor: String = ""
+
+  /** Register graft_s_{lineitem,orders,customer} catalog tables over
+    * the fixture parquet and compute full column stats. Exposed for
+    * SqlPlanSpec. */
+  def statsTables(spark: SparkSession, dir: String): Unit = {
+    if (statsFor == dir && spark.catalog.tableExists("graft_s_orders"))
+      return
+    def reg(name: String, file: String, schemaDdl: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(s"""CREATE TABLE $name ($schemaDdl) USING parquet
+        LOCATION '$dir/$file'""")
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    reg("graft_s_lineitem", "lineitem.parquet",
+      Tables.lineitemSchema.toDDL)
+    reg("graft_s_orders", "orders.parquet", Tables.ordersSchema.toDDL)
+    reg("graft_s_customer", "customer.parquet",
+      Tables.customerSchema.toDDL)
+    statsFor = dir
+  }
+
+  /** The mis-ordered join text over the stats-bearing tables; shared
+    * with SqlPlanSpec so the spec pins exactly the shipped shape. */
+  val statsQueryText: String = """
+    SELECT o_orderpriority, count(*) AS n_rows,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        AS sum_price
+    FROM graft_s_lineitem
+    JOIN graft_s_orders ON l_orderkey = o_orderkey
+    JOIN graft_s_customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  private def sqlStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    statsTables(spark, dir)
+    SkewJoin.withConfs(spark, cboConfs) {
+      spark.sql(statsQueryText).localCheckpoint(true)
+    }.orderBy(col("o_orderpriority"))
+  }
+
+  private val sqlStatsSql = """
+    SELECT o_orderpriority, count(*) AS n_rows,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        AS sum_price
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val all: Seq[Q] = Seq(
+    Q("q_sql_stats", sqlStats _, sqlStatsSql),
     Q("q_sql_recursive", sqlRecursive _, sqlRecursiveText),
     Q("q_sql_pivot", sqlPivot _, sqlPivotSql),
     Q("q_sql_offset", sqlOffset _, sqlOffsetSql),

@@ -66,4 +66,40 @@ class SqlPlanSpec extends SparkSuite {
     assert(p.contains("partial_count") || p.contains("partial"),
       "window aggregate should map-side combine")
   }
+
+  test("stats witness: CBO + ANALYZE flips the join order") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import streamline.batch.{SkewJoin, SqlApi}
+    SqlApi.statsTables(spark, sfDir)
+
+    // innermost join = the first one executed in the left-deep tree;
+    // identify its inputs by which tables' columns they carry
+    def innermostJoinTables(plan: LogicalPlan): Set[String] = {
+      val joins = plan.collect { case j: Join => j }
+      val inner = joins.filter(_.children.forall(
+        _.collect { case j: Join => j }.isEmpty))
+      inner.flatMap(_.output.map(_.name)).collect {
+        case n if n.startsWith("l_") => "lineitem"
+        case n if n.startsWith("o_") => "orders"
+        case n if n.startsWith("c_") => "customer"
+      }.toSet
+    }
+
+    // textual order, no CBO: lineitem joins orders first
+    val off = spark.sql(SqlApi.statsQueryText).queryExecution.optimizedPlan
+    assert(innermostJoinTables(off) == Set("lineitem", "orders"),
+      s"expected textual left-deep order without CBO:\n$off")
+
+    // with stats + CBO: the 4x-smaller orders x filtered-customer first
+    val on = SkewJoin.withConfs(spark, SqlApi.cboConfs) {
+      val p = spark.sql(SqlApi.statsQueryText).queryExecution.optimizedPlan
+      // row-count stats must actually be present for the reorder
+      val rc = spark.table("graft_s_orders")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(rc.exists(_.longValue > 0), s"no rowCount stats: $rc")
+      p
+    }
+    assert(innermostJoinTables(on) == Set("orders", "customer"),
+      s"CBO did not reorder the join:\n$on")
+  }
 }
