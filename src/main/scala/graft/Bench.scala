@@ -3,8 +3,44 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val runToken = java.util.UUID.randomUUID().toString.take(8)
 
+  /** Timed fsync'd write of ~100 MB to the BLOCK DEVICE (cwd, not the
+    * tmpfs the shuffle dirs use): the harness host intermittently
+    * throttles block writes to ~40 MB/s (Knobs.fastTmp scaladoc),
+    * which inflated BENCH_r05 2× over a quiet-box run of identical
+    * code. Emitting the measured MB/s into bench.json makes a
+    * throttled run self-identifying — compare `io_probe_mb_s` across
+    * rounds before comparing totals. */
+  private def ioProbeMbS(): Double = {
+    val f = java.nio.file.Paths.get("graft_io_probe.tmp")
+    try {
+      val chunk = java.nio.ByteBuffer.allocate(4 << 20)
+      // non-constant bytes so a compressing/cow filesystem can't fake it
+      val rnd = new java.util.Random(42)
+      rnd.nextBytes(chunk.array())
+      val ch = java.nio.channels.FileChannel.open(f,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      val t0 = System.nanoTime()
+      try {
+        var written = 0L
+        while (written < (100L << 20)) {
+          chunk.rewind()
+          written += ch.write(chunk)
+        }
+        ch.force(true)
+      } finally ch.close()
+      val dt = (System.nanoTime() - t0) / 1e9
+      100.0 / dt
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] io probe failed: $e"); -1.0
+    } finally { java.nio.file.Files.deleteIfExists(f): Unit }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val ioMbS = ioProbeMbS()
+    System.err.println(f"[bench] io probe: $ioMbS%.1f MB/s")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,7 +83,7 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def line(qs: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"io_probe_mb_s":$ioMbS%.1f,"queries":$qs,"sf":"$sfDir"}"""
     val full = line(render(results))
     // Persist the full per-query detail to a file channel.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full)

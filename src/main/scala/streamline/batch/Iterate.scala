@@ -394,8 +394,93 @@ object Iterate {
     SELECT v, r AS rank_fp FROM r10 ORDER BY v"""
   }
 
+  /** Vertex-centric (Pregel / upstream `flink-graphs`-style
+    * vertex-centric iteration) combinator over [[deltaIterate]]: a
+    * superstep is message generation from the CHANGED vertices
+    * (`messageGen`: workset → raw (v, msg) rows), a per-vertex
+    * aggregator (`combine` — min/sum/…, one combined message per
+    * vertex), and a vertex update (`update`: (solution, combined) →
+    * delta = strictly improved vertex states). Messages are
+    * frontier-sized; the solution joins by [[stateSide]] (broadcast at
+    * bounded-vertex scale, keyed shuffle in the web-graph regime via
+    * `graft.iter.broadcast=false`) — the same accounting Flink's
+    * vertex-centric runtime does with its solution-set index. */
+  def vertexCentric(initSolution: DataFrame, key: String, maxIter: Int)(
+      messageGen: DataFrame => DataFrame)(
+      combine: DataFrame => DataFrame)(
+      update: (DataFrame, DataFrame) => DataFrame): (DataFrame, Int) =
+    withIterConfs(initSolution.sparkSession) {
+      deltaIterate(initSolution, key, maxIter) { (solution, workset) =>
+        update(solution, combine(messageGen(workset)))
+      }
+    }
+
+  /** q_iter_sssp — single-source shortest paths by Bellman-Ford over
+    * [[vertexCentric]]: distances over the weighted 1997-04
+    * customer–supplier graph (edge weight = number of lineitems linking
+    * the pair — a deterministic positive integer), source = smallest
+    * vertex id. Bounded to ≤8 edge hops so the oracle's recursive CTE
+    * terminates on the cyclic graph — after k supersteps the solution
+    * is exactly min-distance over paths of ≤k edges (Bellman-Ford
+    * invariant), and early convergence (empty delta) only ever equals
+    * the bound's answer. Per-superstep work ∝ frontier messages, the
+    * delta-iteration property. */
+  private def iterSssp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxHops = 8
+    val month = Tables.orders(spark, dir)
+      .where($"o_orderdate" >= lit("1997-04-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-05-01").cast("timestamp"))
+    val pairEdges = month
+      .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_custkey".as("src"),
+        ($"l_suppkey" + lit(1000000L)).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val undirected = pairEdges.select($"src", $"dst", $"w")
+      .union(pairEdges.select($"dst".as("src"), $"src".as("dst"), $"w"))
+      .persist()
+    val source = undirected.agg(min($"src")).as[Long].head()
+    val init = Seq((source, 0L)).toDF("v", "dist")
+    val (fixed, _) = vertexCentric(init, "v", maxHops) { workset =>
+      undirected.join(stateSide(workset),
+          undirected("src") === workset("v"))
+        .select(undirected("dst").as("v"),
+          (workset("dist") + undirected("w")).as("msg"))
+    } { msgs =>
+      msgs.groupBy($"v").agg(min($"msg").as("msg"))
+    } { (solution, combined) =>
+      combined.join(stateSide(solution), Seq("v"), "left_outer")
+        .where($"dist".isNull || $"msg" < $"dist")
+        .select($"v", $"msg".as("dist"))
+    }
+    undirected.unpersist()
+    fixed.orderBy($"v")
+  }
+
+  /** Oracle: bounded-hop reachability closure carrying (distance, hops)
+    * and min-distance per vertex — finite because hops ≤ 8 and UNION
+    * dedups the (v, d, h) states. */
+  private val iterSsspSql = """
+    WITH RECURSIVE
+    e AS (SELECT o_custkey AS src, l_suppkey + 1000000 AS dst,
+                 count(*) AS w
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderdate >= TIMESTAMP '1997-04-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-05-01 00:00:00'
+          GROUP BY 1, 2),
+    u AS (SELECT src, dst, w FROM e
+          UNION ALL SELECT dst, src, w FROM e),
+    reach(v, d, h) AS (
+      SELECT (SELECT min(src) FROM u), 0, 0
+      UNION
+      SELECT u.dst, reach.d + u.w, reach.h + 1
+      FROM reach JOIN u ON u.src = reach.v
+      WHERE reach.h < 8)
+    SELECT v, min(d) AS dist FROM reach GROUP BY v ORDER BY v"""
+
   val all: Seq[Q] = Seq(
     Q("q_iter_cc", iterCc _, iterCcSql),
     Q("q_iter_delta", iterDelta _, iterDeltaSql),
-    Q("q_iter_pagerank", iterPagerank _, iterPagerankSql))
+    Q("q_iter_pagerank", iterPagerank _, iterPagerankSql),
+    Q("q_iter_sssp", iterSssp _, iterSsspSql))
 }

@@ -256,6 +256,69 @@ object SqlApi {
     GROUP BY 1, 2
     ORDER BY w_start, event_type"""
 
+  /** q_sql_window_hop — the HOP (sliding) group window spelled in SQL
+    * text (Flink SQL `GROUP BY HOP(ts, INTERVAL '6' HOUR, INTERVAL '1'
+    * DAY)`): Spark's `window()` TVF with a slide — 1-day windows every
+    * 6 hours, so each event lands in 4 overlapping windows. The
+    * DataFrame spelling is witnessed by q_stream_slide; this is the
+    * SQL-text twin, batch semantics (no watermark cut). The oracle
+    * expands the 4 slide offsets explicitly. */
+  private def sqlWindowHop(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, """
+      SELECT CAST(window.start AS TIMESTAMP_NTZ) AS w_start,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+      FROM events
+      GROUP BY window(ts, '1 day', '6 hours')
+      ORDER BY w_start""")
+
+  private val sqlWindowHopSql = """
+    WITH b AS (SELECT CAST(to_timestamp(floor(epoch(ts)/21600)*21600)
+                 AS TIMESTAMP) AS b6, value FROM events),
+    w AS (SELECT b6 - (j * INTERVAL 6 HOUR) AS w_start, value
+          FROM b CROSS JOIN (SELECT unnest([0,1,2,3]) AS j))
+    SELECT w_start, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+    FROM w GROUP BY w_start
+    ORDER BY w_start"""
+
+  /** q_sql_window_session — the SESSION group window in SQL text
+    * (Flink SQL `GROUP BY SESSION(ts, INTERVAL '30' MINUTE)`): Spark's
+    * `session_window()` TVF — per-user sessions split at >30-minute
+    * gaps, batch semantics (every session emits; the streaming twin
+    * q_stream_session adds the watermark cut). Second-truncated input
+    * in both engines so the ns/µs precision mismatch can't split a
+    * session (SURVEY.md §2.12.3). */
+  private def sqlWindowSession(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, """
+      SELECT user_id,
+             CAST(session_window.start AS TIMESTAMP_NTZ) AS s_start,
+             CAST(session_window.end AS TIMESTAMP_NTZ) AS s_end,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+      FROM (SELECT user_id, date_trunc('second', ts) AS tss, value
+            FROM events)
+      GROUP BY session_window(tss, '30 minutes'), user_id
+      ORDER BY user_id, s_start""")
+
+  private val sqlWindowSessionSql = """
+    WITH e AS (SELECT user_id, date_trunc('second', ts) AS t, value
+               FROM events),
+    o AS (SELECT user_id, t, value,
+            CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+    s AS (SELECT user_id, t, value,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM o)
+    SELECT user_id, min(t) AS s_start,
+      max(t) + INTERVAL 30 MINUTE AS s_end, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, s_start"""
+
   /** q_sql_ddl — the SQL WRITE path (Table API `CREATE TABLE` /
     * `INSERT INTO` DDL/DML, Calcite-parsed in the lineage): create a
     * parquet-backed table at an explicit location, INSERT INTO it from
@@ -582,5 +645,7 @@ object SqlApi {
     Q("q_sql_tpch1", tpch1 _, tpch1OracleSql),
     Q("q_sql_tpch18", tpch18 _, tpch18Sql),
     Q("q_sql_tpch5", tpch5 _, tpch5Text),
-    Q("q_sql_window", sqlWindow _, sqlWindowSql))
+    Q("q_sql_window", sqlWindow _, sqlWindowSql),
+    Q("q_sql_window_hop", sqlWindowHop _, sqlWindowHopSql),
+    Q("q_sql_window_session", sqlWindowSession _, sqlWindowSessionSql))
 }

@@ -192,6 +192,32 @@ object Streams {
     FROM events GROUP BY 1, 2
     ORDER BY w_start, event_type"""
 
+  /** q_stream_sketch — the theta sketch aggregate
+    * (agg/ThetaSketch.scala's TypedImperativeAggregate) running INSIDE
+    * an update-mode streaming query: running approx-distinct users per
+    * event type, the hybrid twin of batch q_agg_sketch_theta — one
+    * sketch per key in the state store, merged incrementally per
+    * micro-batch (the buffer serializes as the compact ordered sketch,
+    * so state is O(k) per key, never O(distinct)). The sink takes the
+    * last firing per key: a theta union only ever adds hashes below
+    * theta, so its estimate is nondecreasing across firings and max()
+    * recovers the final value (same recovery argument as
+    * q_stream_update's monotone count). Approximate family ⇒ oracle
+    * omitted per the SparkEntry contract; equality with exact
+    * count(distinct) below k is pinned in ThetaSketchSpec's streaming
+    * case. */
+  private def streamSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import streamline.agg.ThetaSketchDistinct.theta_distinct
+    val agg = eventsStream(spark, dir)
+      .groupBy($"event_type")
+      .agg(theta_distinct($"user_id").as("approx_users"))
+    runToTable(spark, "sketch", "update", agg)
+      .groupBy($"event_type")
+      .agg(max($"approx_users").as("approx_users"))
+      .orderBy($"event_type")
+  }
+
   /** q_stream_backpressure — bounded micro-batches under source rate
     * limiting: the events table is laid out as 4 files and streamed ONE
     * FILE PER MICRO-BATCH (`maxFilesPerTrigger=1`, which
@@ -783,6 +809,7 @@ object Streams {
     Q("q_stream_proctime", streamProcTime _, streamProcTimeSql),
     Q("q_stream_tumble", streamTumble _, streamTumbleSql),
     Q("q_stream_update", streamUpdate _, streamUpdateSql),
+    Q.noOracle("q_stream_sketch", streamSketch _),
     Q("q_stream_union", streamUnion _, streamUnionSql),
     Q("q_sink_foreachbatch", sinkForeachBatch _, sinkForeachBatchSql),
     Q("q_sink_upsert", sinkUpsert _, sinkUpsertSql),

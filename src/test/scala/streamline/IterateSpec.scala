@@ -104,4 +104,31 @@ class IterateSpec extends SparkSuite {
       .as[Long].head().toDouble)
     assert(iters == 5 && steps == 5)
   }
+
+  test("vertexCentric SSSP relaxes a long-cheap path past a short-expensive one") {
+    import org.apache.spark.sql.functions._
+    // 1->2 costs 10 directly, but 1 via the 3-hop detour 1->3->4->2
+    // costs 3: Bellman-Ford must keep improving dist(2) across
+    // supersteps, and converge (empty delta) before the hop cap.
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 4L, 1L),
+      (4L, 2L, 1L)).toDF("src", "dst", "w")
+    val undirected = edges
+      .union(edges.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    val init = Seq((1L, 0L)).toDF("v", "dist")
+    val (fixed, iters) = Iterate.vertexCentric(init, "v", 20) { ws =>
+      undirected.join(broadcast(ws), undirected("src") === ws("v"))
+        .select(undirected("dst").as("v"),
+          (ws("dist") + undirected("w")).as("msg"))
+    } { msgs => msgs.groupBy($"v").agg(min($"msg").as("msg"))
+    } { (solution, combined) =>
+      combined.join(broadcast(solution), Seq("v"), "left_outer")
+        .where($"dist".isNull || $"msg" < $"dist")
+        .select($"v", $"msg".as("dist"))
+    }
+    val dist = fixed.as[(Long, Long)].collect().toMap
+    assert(dist == Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 2L))
+    // superstep 1 arms 2 via the direct edge; the detour wins later;
+    // convergence detected well before the 20-step cap
+    assert(iters < 20)
+  }
 }

@@ -71,4 +71,19 @@ class ThetaSketchSpec extends SparkSuite {
       .select(countDistinct($"lang")).as[Long].head()
     assert(est == exact)
   }
+
+  test("streaming sketch aggregate equals exact distinct below k") {
+    // q_stream_sketch: the TypedImperativeAggregate runs inside an
+    // update-mode streaming query (state-store-serialized buffers,
+    // incremental merge per micro-batch); below k the final estimate
+    // is exact, so it must equal the batch count(distinct) per key.
+    val s = spark
+    import s.implicits._
+    val got = SparkEntry.queries("q_stream_sketch")(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == exact)
+  }
 }
