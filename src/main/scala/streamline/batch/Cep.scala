@@ -101,7 +101,7 @@ object Cep {
   /** Oracle: the gaps-and-islands spelling — click islands via the
     * row_number-difference trick, joined to the purchase sitting at
     * exactly island-end + 1. */
-  private val cepKleeneSql = """
+  private[batch] val cepKleeneSql = """
     WITH e AS (SELECT user_id, event_id, event_type,
                  date_trunc('microseconds', ts) AS ts FROM events),
     o AS (SELECT user_id, event_id, event_type, ts,

@@ -319,6 +319,44 @@ object SqlApi {
     FROM s GROUP BY user_id, sid
     ORDER BY user_id, s_start"""
 
+  /** q_sql_match — MATCH_RECOGNIZE-shaped pattern matching from the
+    * SQL-text entry (Flink 1.7 SQL `MATCH_RECOGNIZE (PATTERN (A+ B)
+    * DEFINE …)`): Spark has no MATCH_RECOGNIZE clause, so the same
+    * match language as q_cep_kleene (`click+ purchase within 10 min`,
+    * greedy, non-overlapping) is composed in plain SQL text — click
+    * islands via the row_number-difference trick, the run's purchase
+    * at island-end + 1, the within filter over the whole match. Same
+    * result as the NFA scan by construction; the island aggregation
+    * and join are keyed shuffles on user_id, no window without a
+    * partition key. The DataFrame NFA (batch/Cep.scala) remains the
+    * scale path — this witnesses the SQL-entry spelling. */
+  private def sqlMatch(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, """
+      WITH o AS (SELECT user_id, event_id, event_type, ts,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS rn
+            FROM events),
+      isl AS (SELECT user_id, event_id, ts, rn,
+                rn - row_number() OVER (PARTITION BY user_id
+                                        ORDER BY rn) AS grp
+              FROM o WHERE event_type = 'click'),
+      runs AS (SELECT user_id, grp, count(*) AS n_clicks,
+                 min(ts) AS first_click_ts,
+                 min_by(event_id, rn) AS first_click_id,
+                 max(rn) AS end_rn
+               FROM isl GROUP BY user_id, grp),
+      p AS (SELECT user_id, event_id, ts, rn FROM o
+            WHERE event_type = 'purchase')
+      SELECT r.user_id AS user_id, n_clicks, first_click_id,
+        p.event_id AS purchase_id,
+        CAST(date_trunc('second', first_click_ts) AS TIMESTAMP_NTZ)
+          AS first_click_ts,
+        CAST(date_trunc('second', p.ts) AS TIMESTAMP_NTZ) AS purchase_ts
+      FROM runs r JOIN p
+        ON r.user_id = p.user_id AND p.rn = r.end_rn + 1
+      WHERE p.ts <= first_click_ts + INTERVAL 10 MINUTE
+      ORDER BY user_id, purchase_id""")
+
   /** q_sql_ddl — the SQL WRITE path (Table API `CREATE TABLE` /
     * `INSERT INTO` DDL/DML, Calcite-parsed in the lineage): create a
     * parquet-backed table at an explicit location, INSERT INTO it from
@@ -647,5 +685,7 @@ object SqlApi {
     Q("q_sql_tpch5", tpch5 _, tpch5Text),
     Q("q_sql_window", sqlWindow _, sqlWindowSql),
     Q("q_sql_window_hop", sqlWindowHop _, sqlWindowHopSql),
-    Q("q_sql_window_session", sqlWindowSession _, sqlWindowSessionSql))
+    Q("q_sql_window_session", sqlWindowSession _, sqlWindowSessionSql),
+    // oracle shared with q_cep_kleene: same match language by design
+    Q("q_sql_match", sqlMatch _, Cep.cepKleeneSql))
 }

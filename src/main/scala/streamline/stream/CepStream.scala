@@ -147,5 +147,105 @@ object CepStream {
       AND p.ts <= (SELECT w FROM wm)
     ORDER BY user_id, purchase_id"""
 
-  val all: Seq[Q] = Seq(Q("q_stream_cep", streamCep _, streamCepSql))
+  // ---------------------------------------------------------------
+  // Relaxed contiguity on the stream: `click followedBy purchase
+  // within 10 min` (batch twin q_cep_followedby, batch/Cep.scala).
+  // State per key = the unsealed event suffix PLUS the armed-clicks
+  // buffer — both watermark-bounded: an armed click either matches
+  // the next sealed purchase or is pruned once the watermark passes
+  // its `within` expiry, so the operator never holds more than one
+  // delay-plus-window of events per key on an unbounded stream.
+  // ---------------------------------------------------------------
+
+  /** Unsealed suffix + armed (click_id, click_ts_us) starts. */
+  case class FbBuf(buf: List[CepEv], pending: List[(Long, Long)])
+
+  private[streamline] def updateFollowedByStream(uid: Long,
+      rows: Iterator[CepEv],
+      state: GroupState[FbBuf]): Iterator[Cep.CepRel] = {
+    val prev = state.getOption.getOrElse(FbBuf(Nil, Nil))
+    val wmMs = try state.getCurrentWatermarkMs()
+    catch { case _: UnsupportedOperationException => 0L }
+    val wmUs = wmMs * 1000L
+    val all = (prev.buf ++ rows.toList).sortBy(e => (e.ts_us, e.event_id))
+    val (ready, future) = all.partition(_.ts_us <= wmUs)
+    var pending = prev.pending
+    val out = ready.flatMap { e =>
+      // expired starts can never match a later (sealed, ts-ordered) b
+      pending = pending.dropWhile(_._2 < e.ts_us - withinUs)
+      if (e.event_type == "click") {
+        pending = pending :+ (e.event_id, e.ts_us); Nil
+      } else if (e.event_type == "purchase") {
+        val matched = pending.map { case (id, ts) =>
+          Cep.CepRel(e.user_id, id, e.event_id, ts, e.ts_us)
+        }
+        pending = Nil
+        matched
+      } else Nil
+    }
+    // watermark-prune: any future-fed event has ts > wm, so a start
+    // with expiry below the watermark is dead regardless of data
+    pending = pending.dropWhile(_._2 + withinUs < wmUs)
+    if (future.isEmpty && pending.isEmpty) state.remove()
+    else {
+      state.update(FbBuf(future, pending))
+      val nextUs = future.headOption.map(_.ts_us)
+        .getOrElse(pending.head._2 + withinUs)
+      state.setTimeoutTimestamp(math.max(nextUs / 1000L + 1L, wmMs + 1L))
+    }
+    out.iterator
+  }
+
+  /** q_stream_cep_followedby — the relaxed-contiguity pattern on the
+    * unbounded stream; on finite input = the batch q_cep_followedby
+    * result restricted to purchases the final watermark sealed. */
+  private def streamCepFollowedBy(spark: SparkSession,
+                                  dir: String): DataFrame = {
+    import spark.implicits._
+    val matches = Streams.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .as[CepRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[CepRow], state: GroupState[FbBuf]) =>
+          updateFollowedByStream(uid, rows.map(_.toEv), state)
+      }
+      .toDF()
+    Streams.runToTable(spark, "cep_fb", "append", matches)
+      .select($"user_id", $"click_id", $"purchase_id",
+        tsSec(timestamp_micros($"click_ts_us")).as("click_ts"),
+        tsSec(timestamp_micros($"purchase_ts_us")).as("purchase_ts"))
+      .orderBy($"user_id", $"click_id")
+  }
+
+  private val streamCepFollowedBySql = """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 date_trunc('microseconds', ts) AS ts FROM events),
+    wm AS (SELECT date_trunc('millisecond', max(ts))
+             - INTERVAL 10 MINUTE AS w FROM events),
+    o AS (SELECT user_id, event_id, event_type, ts,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+          FROM e),
+    c AS (SELECT user_id, event_id AS click_id, ts AS cts, rn FROM o
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS pts, rn FROM o
+          WHERE event_type = 'purchase')
+    SELECT c.user_id AS user_id, c.click_id,
+      arg_min(p.purchase_id, p.rn) AS purchase_id,
+      date_trunc('second', c.cts) AS click_ts,
+      date_trunc('second', arg_min(p.pts, p.rn)) AS purchase_ts
+    FROM c JOIN p
+      ON c.user_id = p.user_id AND p.rn > c.rn
+     AND p.pts <= c.cts + INTERVAL 10 MINUTE
+    WHERE p.pts <= (SELECT w FROM wm)
+    GROUP BY c.user_id, c.click_id, c.cts
+    ORDER BY user_id, click_id"""
+
+  val all: Seq[Q] = Seq(
+    Q("q_stream_cep", streamCep _, streamCepSql),
+    Q("q_stream_cep_followedby", streamCepFollowedBy _,
+      streamCepFollowedBySql))
 }
