@@ -123,9 +123,13 @@ object SkewJoin {
     val fact = skewedFact(spark, dir)
       .withColumn("salt",
         pmod(hash($"l_orderkey", $"l_linenumber"), lit(nSalt)))
+    // hint sits on the DIM side: the hinted side becomes the hash
+    // BUILD side, and the build table must be the (replicated but
+    // still dimension-sized) side, never the fact
     val dim = Tables.part(spark, dir)
       .withColumn("salt", explode(sequence(lit(0), lit(nSalt - 1))))
-    fact.hint("shuffle_hash")
+      .hint("shuffle_hash")
+    fact
       .join(dim, $"hot_part" === $"p_partkey" && fact("salt") === dim("salt"))
       .groupBy($"p_brand")
       .agg(count(lit(1)).as("n_rows"),

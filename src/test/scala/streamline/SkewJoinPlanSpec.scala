@@ -26,6 +26,16 @@ class SkewJoinPlanSpec extends SparkSuite {
       s"no skew-split in final adaptive plan:\n$plan")
   }
 
+  test("salted join builds its hash on the replicated dimension side") {
+    // the shuffle_hash hint sits on the dim: the build table must be
+    // the dimension (8x-replicated but still tiny), never the fact
+    val plan = graft.SparkEntry.queries("q_join_salted")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"not a shuffle hash join:\n$plan")
+    assert(plan.contains("BuildRight"),
+      s"hash build must sit on the dim (right) side:\n$plan")
+  }
+
   test("salted join spreads the hot key over all salts") {
     import org.apache.spark.sql.functions._
     import graft.SparkTestBase.spark.implicits._
