@@ -334,7 +334,48 @@ object Similarity {
       sha256(substring(text, sample_idx * 4 * 64 + 1, 64)) AS frame_sha
     FROM s ORDER BY doc_id, sample_idx"""
 
+  /** q_llm_quantize — symmetric int8 embedding quantization, the
+    * storage/bandwidth lever of a 100 TB vector corpus (float32 → int8
+    * is a 4× cut; ANN recall loss is typically <1% at this scheme):
+    * per-vector scale = max|x| / 127, q_i = floor(x_i/scale + 0.5)
+    * (explicit half-up — both engines share the formula, so no
+    * round()-tie-semantics divergence), zero vectors map to scale 0 /
+    * all-zero codes. Pure per-row projection over codegen'd array
+    * lambdas — map-only, no shuffle; float→double casts are exact in
+    * both engines so the scale and codes hash identically. */
+  private def quantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxabs = aggregate(
+      transform($"embedding", x => abs(x.cast("double"))),
+      lit(0.0), (a, x) => greatest(a, x))
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", maxabs.as("maxabs"))
+      .select($"vec_id",
+        when($"maxabs" === 0.0, 0.0)
+          .otherwise($"maxabs" / 127.0).as("scale"),
+        when($"maxabs" === 0.0,
+            transform($"embedding", _ => lit(0)))
+          .otherwise(transform($"embedding", x =>
+            floor(x.cast("double") / ($"maxabs" / 127.0) + 0.5)
+              .cast("int"))).as("q"))
+      .orderBy($"vec_id")
+  }
+
+  private val quantizeSql = """
+    WITH m AS (SELECT vec_id, embedding,
+        list_aggregate(list_transform(embedding,
+          x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
+      FROM embeddings)
+    SELECT vec_id,
+      CASE WHEN maxabs = 0 THEN 0.0 ELSE maxabs / 127 END AS scale,
+      list_transform(embedding, x ->
+        CASE WHEN maxabs = 0 THEN 0
+             ELSE CAST(floor(CAST(x AS DOUBLE) / (maxabs / 127) + 0.5)
+                       AS INT) END) AS q
+    FROM m ORDER BY vec_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_llm_quantize", quantize _, quantizeSql),
     Q("q_llm_knn", knn _, knnSql),
     Q.noOracle("q_llm_knn_lsh", knnLsh _),
     Q.noOracle("q_llm_knn_ivf", knnIvf _),
