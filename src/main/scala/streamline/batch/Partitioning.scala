@@ -209,7 +209,42 @@ object Partitioning {
       count(*) AS n_events
     FROM o GROUP BY user_id ORDER BY user_id"""
 
+  /** q_partition_custom — `partitionCustom` (user-supplied
+    * `Partitioner`, upstream `flink-java/.../DataSet.java`): the
+    * escape hatch when neither hash nor range routing fits — tenant
+    * pinning, locality-aware placement, regulatory data residency.
+    * Spark's equivalent lives at the RDD layer (`PairRDD.partitionBy`
+    * with a custom `Partitioner` — one of the few sanctioned RDD
+    * drops, SURVEY §2.17): customers are routed by an explicit
+    * domain rule (nation mod 4 — stand-in for a tenant→shard map),
+    * and the emitted partition id proves the routing. The rule is
+    * pure and key-deterministic, so the output is partitioning-
+    * invariant and fully oracle-able. One shuffle, same cost as any
+    * keyed repartition. */
+  private def partitionCustom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nShards = 4
+    val routed = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey").as[(Long, Int)]
+      .rdd
+      .map { case (ck, nk) => (nk, ck) }
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nShards
+        override def getPartition(key: Any): Int =
+          key.asInstanceOf[Int] % nShards
+      })
+    routed.mapPartitionsWithIndex { (pid, it) =>
+      it.map { case (nk, ck) => (pid, nk, ck) }
+    }.toDF("shard", "c_nationkey", "c_custkey")
+      .orderBy($"shard", $"c_nationkey", $"c_custkey")
+  }
+
+  private val partitionCustomSql = """
+    SELECT c_nationkey % 4 AS shard, c_nationkey, c_custkey
+    FROM customer ORDER BY shard, c_nationkey, c_custkey"""
+
   val all: Seq[Q] = Seq(
+    Q("q_partition_custom", partitionCustom _, partitionCustomSql),
     Q("q_group_sorted", groupSorted _, groupSortedSql),
     Q("q_partition_hash", partitionHash _, partitionHashSql),
     Q("q_partition_range", partitionRange _, partitionRangeSql),

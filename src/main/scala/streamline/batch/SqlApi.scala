@@ -357,6 +357,47 @@ object SqlApi {
       WHERE p.ts <= first_click_ts + INTERVAL 10 MINUTE
       ORDER BY user_id, purchase_id""")
 
+  /** q_sql_window_cumulate — the CUMULATE window TVF in SQL text
+    * (Flink SQL `GROUP BY CUMULATE(ts, INTERVAL '6' HOUR, INTERVAL '1'
+    * DAY)`): expanding windows sharing a day start — [d, d+6h),
+    * [d, d+12h), [d, d+18h), [d, d+24h). Spark has no CUMULATE TVF, so
+    * the query composes it the way the upstream runtime executes it
+    * (FLIP-145 slice sharing, same design as q_stream_cumulate): one
+    * aggregate at the 6-hour slice granularity, then each slice fans
+    * into the expanding windows it contributes to (slice i of the day
+    * → windows k = i..3) and merges — the heavy aggregation happens
+    * ONCE per slice, the fan-out is slice-count-sized. */
+  private def sqlWindowCumulate(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, """
+      WITH s AS (
+        SELECT window(ts, '6 hours') AS w, count(*) AS n,
+               sum(CAST(value AS DECIMAL(18,4))) AS sv
+        FROM events GROUP BY window(ts, '6 hours')),
+      x AS (SELECT date_trunc('DAY', w.start) AS d,
+                   hour(w.start) div 6 AS i, n, sv
+            FROM s)
+      SELECT CAST(d AS TIMESTAMP_NTZ) AS w_start,
+             CAST(d + (k + 1) * INTERVAL '6' HOUR AS TIMESTAMP_NTZ)
+               AS w_end,
+             sum(n) AS n, CAST(sum(sv) AS DOUBLE) AS sum_val
+      FROM x LATERAL VIEW explode(array(0, 1, 2, 3)) t AS k
+      WHERE k >= i
+      GROUP BY d, k ORDER BY w_start, w_end""")
+
+  private val sqlWindowCumulateSql = """
+    WITH b AS (SELECT CAST(to_timestamp(floor(epoch(ts)/21600)*21600)
+                 AS TIMESTAMP) AS s_start, value FROM events),
+    x AS (SELECT date_trunc('day', s_start) AS d,
+            CAST(hour(s_start) // 6 AS INT) AS i,
+            CAST(value AS DECIMAL(18,4)) AS v
+          FROM b),
+    f AS (SELECT d, j AS k, v
+          FROM x CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+          WHERE j >= i)
+    SELECT d AS w_start, d + (k + 1) * INTERVAL 6 HOUR AS w_end,
+      count(*) AS n, CAST(sum(v) AS DOUBLE) AS sum_val
+    FROM f GROUP BY d, k ORDER BY w_start, w_end"""
+
   /** q_sql_ddl — the SQL WRITE path (Table API `CREATE TABLE` /
     * `INSERT INTO` DDL/DML, Calcite-parsed in the lineage): create a
     * parquet-backed table at an explicit location, INSERT INTO it from
@@ -694,6 +735,7 @@ object SqlApi {
     Q("q_sql_window", sqlWindow _, sqlWindowSql),
     Q("q_sql_window_hop", sqlWindowHop _, sqlWindowHopSql),
     Q("q_sql_window_session", sqlWindowSession _, sqlWindowSessionSql),
+    Q("q_sql_window_cumulate", sqlWindowCumulate _, sqlWindowCumulateSql),
     // oracle shared with q_cep_kleene: same match language by design
     Q("q_sql_match", sqlMatch _, Cep.cepKleeneSql))
 }
