@@ -448,7 +448,61 @@ object Relational {
       SELECT s_nationkey AS nationkey FROM supplier
     ) GROUP BY nationkey ORDER BY nationkey"""
 
+  /** q_source_corrupt — error-tolerant ingestion (the reference
+    * lineage's DeserializationSchema error contract: a bad record must
+    * not kill the job; upstream flink-json's `ignore-parse-errors` /
+    * `DeserializationSchema.deserialize` returning null): the supplier
+    * table rides through a JSON file with deliberately malformed lines
+    * injected, read back in PERMISSIVE mode with an explicit corrupt
+    * -record column. Bad lines land whole in the quarantine column
+    * (dead-letter pattern — at 100 TB they'd be written to a
+    * quarantine sink for triage, never dropped silently); the query
+    * emits the valid rows, which must be bit-identical to the source
+    * table (oracle). The corrupt-row count and quarantine content are
+    * pinned by CorruptSourceSpec. */
+  def corruptSourceRaw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val loc = streamline.util.Scratch.dir("corrupt", dir)
+    Tables.supplier(spark, dir).write.mode("overwrite").json(loc)
+    // inject after the overwrite (which clears the dir) so re-runs are
+    // idempotent; three distinct malformation shapes
+    val bad = new java.io.PrintWriter(
+      new java.io.File(loc, "part-corrupt.json"), "UTF-8")
+    try {
+      bad.println("""{"s_suppkey": 900001, "s_name": "TRUNCATED""")
+      bad.println("""not json at all""")
+      bad.println("""{"s_suppkey": }""")
+    } finally bad.close()
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType(
+        Tables.supplierSchema.fields :+
+          org.apache.spark.sql.types.StructField("_quarantine",
+            org.apache.spark.sql.types.StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_quarantine")
+      .json(loc)
+  }
+
+  private def sourceCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    corruptSourceRaw(spark, dir)
+      // the s_suppkey conjunct is load-bearing for the plan, not the
+      // semantics (corrupt rows null every data field anyway): under
+      // aggressive column pruning (e.g. a downstream count()) a filter
+      // referencing ONLY the corrupt column is disallowed over raw
+      // JSON (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — anchoring a data
+      // column keeps the scan legal in every pruned shape
+      .where($"_quarantine".isNull && $"s_suppkey".isNotNull)
+      .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+      .orderBy($"s_suppkey")
+  }
+
+  private val sourceCorruptSql = """
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier ORDER BY s_suppkey"""
+
   val all: Seq[Q] = Seq(
+    Q("q_source_corrupt", sourceCorrupt _, sourceCorruptSql),
     Q("q_scan_parquet", scanParquet _, scanParquetSql),
     Q("q_scan_prune", scanPrune _, scanPruneSql),
     Q("q_source_json", sourceJson _, sourceJsonSql),

@@ -244,8 +244,107 @@ object CepStream {
     GROUP BY c.user_id, c.click_id, c.cts
     ORDER BY user_id, click_id"""
 
+  // ---------------------------------------------------------------
+  // Negative pattern on the stream: `click notFollowedBy purchase
+  // within 10 min` (batch twin q_cep_absence). Absence is the
+  // TIMER-driven emission pattern — a match exists precisely when
+  // NOTHING arrives, so the alert cannot be data-driven: an armed
+  // click is killed by a sealed in-window purchase, and EMITTED when
+  // the WATERMARK (or an event past its window) proves the purchase
+  // can no longer come. This is the flink ProcessFunction
+  // register-timer/clear-timer idiom (the abandoned-cart alert) on
+  // Spark's EventTimeTimeout. State is the unsealed suffix + armed
+  // clicks, both watermark-bounded as in the followedBy operator.
+  // ---------------------------------------------------------------
+
+  private[streamline] def updateAbsenceStream(uid: Long,
+      rows: Iterator[CepEv],
+      state: GroupState[FbBuf]): Iterator[Cep.CepAbs] = {
+    val prev = state.getOption.getOrElse(FbBuf(Nil, Nil))
+    val wmMs = try state.getCurrentWatermarkMs()
+    catch { case _: UnsupportedOperationException => 0L }
+    val wmUs = wmMs * 1000L
+    val all = (prev.buf ++ rows.toList).sortBy(e => (e.ts_us, e.event_id))
+    val (ready, future) = all.partition(_.ts_us <= wmUs)
+    var pending = prev.pending
+    val out = List.newBuilder[Cep.CepAbs]
+    ready.foreach { e =>
+      // survivors: window closed strictly before this sealed event
+      // (same strict boundary as the batch scan)
+      val (survived, rest) = pending.span(_._2 < e.ts_us - withinUs)
+      survived.foreach { case (id, ts) => out += Cep.CepAbs(uid, id, ts) }
+      pending = rest
+      if (e.event_type == "purchase") pending = Nil
+      else if (e.event_type == "click")
+        pending = pending :+ (e.event_id, e.ts_us)
+    }
+    // timer path: the watermark alone proves absence once it passes an
+    // armed click's window end — any later-fed event has ts > wm
+    val (proven, keep) = pending.span(_._2 + withinUs < wmUs)
+    proven.foreach { case (id, ts) => out += Cep.CepAbs(uid, id, ts) }
+    pending = keep
+    if (future.isEmpty && pending.isEmpty) state.remove()
+    else {
+      state.update(FbBuf(future, pending))
+      val candidates = future.headOption.map(_.ts_us).toList ++
+        pending.headOption.map(_._2 + withinUs).toList
+      state.setTimeoutTimestamp(
+        math.max(candidates.min / 1000L + 1L, wmMs + 1L))
+    }
+    out.result().iterator
+  }
+
+  /** q_stream_cep_absence — abandoned-cart alerts on the unbounded
+    * stream; on finite input = the batch q_cep_absence result
+    * restricted to clicks whose window end the final watermark
+    * strictly passed (the only ones whose absence is PROVEN — later
+    * data could still kill the rest). */
+  private def streamCepAbsence(spark: SparkSession,
+                               dir: String): DataFrame = {
+    import spark.implicits._
+    val matches = Streams.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .as[CepRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[CepRow], state: GroupState[FbBuf]) =>
+          updateAbsenceStream(uid, rows.map(_.toEv), state)
+      }
+      .toDF()
+    Streams.runToTable(spark, "cep_abs", "append", matches)
+      .select($"user_id", $"click_id",
+        tsSec(timestamp_micros($"click_ts_us")).as("click_ts"))
+      .orderBy($"user_id", $"click_id")
+  }
+
+  private val streamCepAbsenceSql = """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 date_trunc('microseconds', ts) AS ts FROM events),
+    wm AS (SELECT date_trunc('millisecond', max(ts))
+             - INTERVAL 10 MINUTE AS w FROM events),
+    o AS (SELECT user_id, event_id, event_type, ts,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+          FROM e),
+    c AS (SELECT user_id, event_id AS click_id, ts AS cts, rn FROM o
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts AS pts, rn FROM o
+          WHERE event_type = 'purchase')
+    SELECT c.user_id AS user_id, c.click_id,
+      date_trunc('second', c.cts) AS click_ts
+    FROM c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = c.user_id AND p.rn > c.rn
+        AND p.pts <= c.cts + INTERVAL 10 MINUTE)
+      AND c.cts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+    ORDER BY user_id, click_id"""
+
   val all: Seq[Q] = Seq(
     Q("q_stream_cep", streamCep _, streamCepSql),
     Q("q_stream_cep_followedby", streamCepFollowedBy _,
-      streamCepFollowedBySql))
+      streamCepFollowedBySql),
+    Q("q_stream_cep_absence", streamCepAbsence _, streamCepAbsenceSql))
 }

@@ -1,0 +1,29 @@
+package streamline
+
+import graft.SparkSuite
+import streamline.batch.Relational
+
+/** q_source_corrupt pins: malformed lines must be QUARANTINED (whole
+  * line captured in the corrupt-record column), not silently dropped
+  * and not fatal — and exactly the injected lines land there. */
+class CorruptSourceSpec extends SparkSuite {
+
+  test("the three injected malformed lines land in quarantine, nothing else") {
+    val sp = spark; import sp.implicits._
+    // cache first: Spark disallows queries over the raw file whose
+    // referenced columns reduce to only the corrupt-record column
+    val raw = Relational.corruptSourceRaw(spark, sfDir).cache()
+    val quarantined = raw.where($"_quarantine".isNotNull)
+      .select($"_quarantine", $"s_suppkey")
+      .collect()
+    assert(quarantined.length == 3, quarantined.mkString("; "))
+    // the whole raw line is preserved for triage
+    val lines = quarantined.map(_.getString(0)).sorted
+    assert(lines.contains("not json at all"))
+    assert(lines.exists(_.startsWith("""{"s_suppkey": 900001""")))
+    // valid rows parse with null quarantine and full fidelity
+    val valid = raw.where($"_quarantine".isNull).count()
+    val expected = Tables.supplier(spark, sfDir).count()
+    assert(valid == expected)
+  }
+}
