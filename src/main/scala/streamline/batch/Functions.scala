@@ -239,7 +239,44 @@ object Functions {
       contains(props, 'k') AS js_has_k
     FROM events ORDER BY event_id"""
 
+  /** q_fn_struct — nested ROW-type manipulation (the Table API's
+    * composite ROW type and nested-field access/update; Flink
+    * `Row`/`RowTypeInfo` with nested projections): build a nested
+    * struct, EVOLVE it in place with `withField` (add a derived
+    * field) and `dropFields` (remove the superseded one) — Spark's
+    * nested-schema-evolution pair, which rewrites only the struct
+    * expression, never the row — then project nested leaves back out.
+    * Money is converted to integer cents via the explicit half-up
+    * floor(x*100 + 0.5) shared with the oracle (no round()-tie
+    * divergence). Flattened output keeps the oracle engine-neutral;
+    * all struct surgery is codegen'd projection, no shuffle. */
+  private def fnStruct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .select($"c_custkey",
+        struct($"c_name".as("name"), $"c_acctbal".as("bal"),
+          struct($"c_nationkey".as("nk"), $"c_mktsegment".as("seg"))
+            .as("geo")).as("cust"))
+      .withColumn("cust", $"cust".withField("bal_cents",
+        floor($"cust.bal" * 100 + 0.5).cast("long")))
+      .withColumn("cust", $"cust".dropFields("bal"))
+      // nested-field update: uppercase the segment INSIDE the struct
+      .withColumn("cust", $"cust".withField("geo.seg",
+        upper($"cust.geo.seg")))
+      .select($"c_custkey", $"cust.name".as("name"),
+        $"cust.bal_cents".as("bal_cents"),
+        $"cust.geo.nk".as("nationkey"), $"cust.geo.seg".as("segment"))
+      .orderBy($"c_custkey")
+  }
+
+  private val fnStructSql = """
+    SELECT c_custkey, c_name AS name,
+      CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+      c_nationkey AS nationkey, upper(c_mktsegment) AS segment
+    FROM customer ORDER BY c_custkey"""
+
   val all: Seq[Q] = Seq(
+    Q("q_fn_struct", fnStruct _, fnStructSql),
     Q("q_fn_string", fnString _, fnStringSql),
     Q("q_fn_date", fnDate _, fnDateSql),
     Q("q_fn_math", fnMath _, fnMathSql),
