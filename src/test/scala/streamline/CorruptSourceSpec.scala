@@ -24,6 +24,7 @@ class CorruptSourceSpec extends SparkSuite {
     // valid rows parse with null quarantine and full fidelity
     val valid = raw.where($"_quarantine".isNull).count()
     val expected = Tables.supplier(spark, sfDir).count()
+    raw.unpersist() // shared session — don't hold the cache
     assert(valid == expected)
   }
 }
