@@ -262,7 +262,14 @@ object SqlApi {
     * 6 hours, so each event lands in 4 overlapping windows. The
     * DataFrame spelling is witnessed by q_stream_slide; this is the
     * SQL-text twin, batch semantics (no watermark cut). The oracle
-    * expands the 4 slide offsets explicitly. */
+    * expands the 4 slide offsets explicitly.
+    *
+    * Scale note: the TVF expands BEFORE aggregating (4× the shuffle
+    * rows — that is what the SQL surface does). When window/slide is
+    * large, pre-aggregate at slide granularity and merge slices into
+    * windows instead — the FLIP-145 slice-sharing composition
+    * q_sql_window_cumulate demonstrates; the map-side partial
+    * aggregation already absorbs most of the 4× here. */
   private def sqlWindowHop(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir, """
       SELECT CAST(window.start AS TIMESTAMP_NTZ) AS w_start,
