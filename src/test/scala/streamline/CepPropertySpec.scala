@@ -1,0 +1,100 @@
+package streamline
+
+import graft.SparkSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import streamline.batch.Cep
+import Cep.{CepAbs, CepEv, CepRel}
+
+/** Property tests for the relaxed-contiguity CEP automata: the
+  * streaming-shaped scan implementations (armed-starts buffer,
+  * head-eviction, boundary flush) must agree with OBVIOUS brute-force
+  * definitions on random event sequences — random types, random
+  * timestamps with heavy collisions, multiple users. Fixed seeds keep
+  * CI deterministic (scalacheck core only; same convention as
+  * PropertySpec). */
+class CepPropertySpec extends SparkSuite {
+
+  private val MIN = 60L * 1000 * 1000
+  private val withinUs = 10 * MIN
+
+  private def evsGen: Gen[List[CepEv]] = for {
+    n <- Gen.choose(20, 60)
+    evs <- Gen.listOfN(n, for {
+      u <- Gen.choose(1L, 3L)
+      t <- Gen.oneOf("click", "purchase", "view")
+      // dense range forces equal-ts collisions and window-edge hits
+      ts <- Gen.choose(0L, 25L).map(_ * MIN)
+    } yield (u, t, ts))
+  } yield evs.zipWithIndex.map { case ((u, t, ts), i) =>
+    CepEv(u, i.toLong + 1, t, ts)
+  }
+
+  // the per-user (ts, id) total order the engine sorts by
+  private def ordered(evs: Seq[CepEv], u: Long): Seq[CepEv] =
+    evs.filter(_.user_id == u).sortBy(e => (e.ts_us, e.event_id))
+
+  /** Brute force `a followedBy b within w`: for every click, the FIRST
+    * purchase strictly after it in scan order and inside the window —
+    * except that an intervening purchase (matched or not) disarms
+    * every earlier click, so the candidate purchase must also be the
+    * first purchase after the click, full stop. */
+  private def refFollowedBy(evs: Seq[CepEv]): Set[CepRel] =
+    evs.map(_.user_id).distinct.flatMap { u =>
+      val seq = ordered(evs, u)
+      seq.zipWithIndex.collect { case (c, ci) if c.event_type == "click" =>
+        seq.drop(ci + 1).find(_.event_type == "purchase")
+          .filter(p => p.ts_us <= c.ts_us + withinUs)
+          .map(p => CepRel(u, c.event_id, p.event_id, c.ts_us, p.ts_us))
+      }.flatten
+    }.toSet
+
+  /** Brute force `a notFollowedBy b within w`: clicks with NO purchase
+    * after them (scan order) inside the window. */
+  private def refAbsence(evs: Seq[CepEv]): Set[CepAbs] =
+    evs.map(_.user_id).distinct.flatMap { u =>
+      val seq = ordered(evs, u)
+      seq.zipWithIndex.collect { case (c, ci) if c.event_type == "click" =>
+        val killed = seq.drop(ci + 1).exists(p =>
+          p.event_type == "purchase" && p.ts_us <= c.ts_us + withinUs)
+        if (killed) None else Some(CepAbs(u, c.event_id, c.ts_us))
+      }.flatten
+    }.toSet
+
+  test("followedBy scan agrees with brute force on random sequences") {
+    val sp = spark; import sp.implicits._
+    (1L to 8L).foreach { seed =>
+      val evs = evsGen(Gen.Parameters.default, Seed(seed)).get
+      val got = Cep.followedByMatches(evs.toDS(), "click", "purchase",
+        withinUs).collect().toSet
+      assert(got == refFollowedBy(evs), s"seed $seed")
+    }
+  }
+
+  test("absence scan agrees with brute force on random sequences") {
+    val sp = spark; import sp.implicits._
+    (1L to 8L).foreach { seed =>
+      val evs = evsGen(Gen.Parameters.default, Seed(seed)).get
+      val got = Cep.absenceMatches(evs.toDS(), "click", "purchase",
+        withinUs).collect().toSet
+      assert(got == refAbsence(evs), s"seed $seed")
+    }
+  }
+
+  test("followedBy and absence partition the clicks with a purchase-window complement") {
+    val sp = spark; import sp.implicits._
+    // every click either matches some purchase (followedBy), survives
+    // (absence), or was armed when a LATE purchase arrived outside its
+    // window — with the same within, matched ∩ absent = ∅ and
+    // matched ∪ absent = clicks whose first following purchase decides
+    // inside/outside the window (i.e. all clicks)
+    val evs = evsGen(Gen.Parameters.default, Seed(99L)).get
+    val matched = Cep.followedByMatches(evs.toDS(), "click", "purchase",
+      withinUs).collect().map(_.click_id).toSet
+    val absent = Cep.absenceMatches(evs.toDS(), "click", "purchase",
+      withinUs).collect().map(_.click_id).toSet
+    val clicks = evs.filter(_.event_type == "click").map(_.event_id).toSet
+    assert((matched & absent).isEmpty)
+    assert((matched | absent) == clicks)
+  }
+}
