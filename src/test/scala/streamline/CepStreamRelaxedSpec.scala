@@ -1,0 +1,93 @@
+package streamline
+
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+import graft.SparkSuite
+import streamline.batch.Cep.{CepAbs, CepEv, CepRel}
+import streamline.stream.CepStream
+import streamline.stream.CepStream.FbBuf
+
+/** Incremental semantics of the streaming RELAXED patterns (followedBy /
+  * absence, stream/CepStream.scala): watermark-gated feeding, armed-
+  * start carry across batches, timer-driven absence emission, and state
+  * removal once drained. Same TestGroupState harness as CepStreamSpec. */
+class CepStreamRelaxedSpec extends SparkSuite {
+
+  private val MIN_US = 60L * 1000 * 1000
+  private val MIN_MS = 60L * 1000
+
+  private def fresh(prev: Option[FbBuf], wmMs: Long): TestGroupState[FbBuf] =
+    TestGroupState.create[FbBuf](
+      optionalState = prev match {
+        case Some(p) => org.apache.spark.api.java.Optional.of(p)
+        case None => org.apache.spark.api.java.Optional.empty[FbBuf]()
+      },
+      timeoutConf = GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(wmMs),
+      hasTimedOut = false)
+
+  private def ev(id: Long, t: String, m: Long) = CepEv(1L, id, t, m * MIN_US)
+
+  test("followedBy: a click armed in one batch matches a purchase sealed later") {
+    val st1 = fresh(None, wmMs = 1 * MIN_MS)
+    val out1 = CepStream.updateFollowedByStream(1L,
+      Iterator(ev(1, "click", 0), ev(2, "view", 1), ev(3, "purchase", 5)),
+      st1).toList
+    // click@0 sealed and armed; view@1 sealed, skipped; purchase@5
+    // still above the watermark — buffered, nothing emitted yet
+    assert(out1.isEmpty)
+    assert(st1.get.pending == List((1L, 0L)))
+    assert(st1.get.buf.map(_.event_id) == List(3L))
+    val out2 = CepStream.updateFollowedByStream(1L, Iterator.empty,
+      fresh(Some(st1.get), wmMs = 6 * MIN_MS)).toList
+    assert(out2 == List(CepRel(1L, 1L, 3L, 0L, 5 * MIN_US)))
+  }
+
+  test("followedBy: watermark prunes an expired armed click with no purchase") {
+    val st1 = fresh(None, wmMs = 1 * MIN_MS)
+    CepStream.updateFollowedByStream(1L,
+      Iterator(ev(1, "click", 0)), st1).toList
+    // wm far past the click's window: the armed start is dead weight
+    val st2 = fresh(Some(st1.get), wmMs = 30 * MIN_MS)
+    val out = CepStream.updateFollowedByStream(1L, Iterator.empty, st2).toList
+    assert(out.isEmpty)
+    assert(st2.isRemoved, "drained key must drop its state entirely")
+  }
+
+  test("absence: emission is timer-driven, not data-driven") {
+    val st1 = fresh(None, wmMs = 1 * MIN_MS)
+    val out1 = CepStream.updateAbsenceStream(1L,
+      Iterator(ev(1, "click", 0)), st1).toList
+    // absence not yet proven at wm=1min — armed, timer at the expiry
+    assert(out1.isEmpty)
+    assert(st1.get.pending == List((1L, 0L)))
+    assert(st1.getTimeoutTimestampMs.get == 10 * MIN_MS + 1)
+    // watermark passes the window end with no data at all: emit
+    val st2 = fresh(Some(st1.get), wmMs = 11 * MIN_MS)
+    val out2 = CepStream.updateAbsenceStream(1L, Iterator.empty, st2).toList
+    assert(out2 == List(CepAbs(1L, 1L, 0L)))
+    assert(st2.isRemoved)
+  }
+
+  test("absence: a sealed in-window purchase kills the armed click") {
+    val st1 = fresh(None, wmMs = 1 * MIN_MS)
+    CepStream.updateAbsenceStream(1L, Iterator(ev(1, "click", 0)), st1).toList
+    val st2 = fresh(Some(st1.get), wmMs = 11 * MIN_MS)
+    // purchase@10 is inside [0, 0+10] (inclusive edge) and sealed now:
+    // the click must NOT emit, ever
+    val out = CepStream.updateAbsenceStream(1L,
+      Iterator(ev(2, "purchase", 10)), st2).toList
+    assert(out.isEmpty)
+    assert(st2.isRemoved)
+  }
+
+  test("absence: watermark just short of the window end does not emit") {
+    val st1 = fresh(None, wmMs = 1 * MIN_MS)
+    CepStream.updateAbsenceStream(1L, Iterator(ev(1, "click", 0)), st1).toList
+    // wm == expiry exactly: strict < means absence is NOT yet proven
+    val st2 = fresh(Some(st1.get), wmMs = 10 * MIN_MS)
+    val out = CepStream.updateAbsenceStream(1L, Iterator.empty, st2).toList
+    assert(out.isEmpty)
+    assert(st2.get.pending == List((1L, 0L)), "still armed at the edge")
+  }
+}
