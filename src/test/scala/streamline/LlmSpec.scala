@@ -113,3 +113,29 @@ class MmResizeFixtureSpec extends SparkSuite {
         "char-stride resize would diverge")
   }
 }
+
+class QuantizeErrorSpec extends SparkSuite {
+
+  test("int8 quantization reconstructs within half a scale step") {
+    // the quality contract of q_llm_quantize: |x - q*scale| <= scale/2
+    // per element (half-up rounding), and codes stay inside int8 range
+    import org.apache.spark.sql.functions._
+    import graft.SparkTestBase.spark.implicits._
+    val rows = graft.SparkEntry.queries("q_llm_quantize")(spark, sfDir)
+      .join(Tables.embeddings(spark, sfDir), "vec_id")
+      .select($"vec_id", $"scale", $"q", $"embedding")
+      .as[(Long, Double, Array[Int], Array[Float])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, scale, q, x) =>
+      assert(q.length == x.length, s"vec $id arity")
+      if (scale == 0.0) assert(q.forall(_ == 0))
+      else {
+        assert(q.forall(c => c >= -127 && c <= 127), s"vec $id code range")
+        q.zip(x).foreach { case (c, xi) =>
+          val err = math.abs(xi.toDouble - c * scale)
+          assert(err <= scale / 2 + 1e-12, s"vec $id err=$err scale=$scale")
+        }
+      }
+    }
+  }
+}
