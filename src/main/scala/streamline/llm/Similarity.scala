@@ -342,8 +342,16 @@ object Similarity {
     * round()-tie-semantics divergence), zero vectors map to scale 0 /
     * all-zero codes. Pure per-row projection over codegen'd array
     * lambdas — map-only, no shuffle; float→double casts are exact in
-    * both engines so the scale and codes hash identically. */
-  private def quantize(spark: SparkSession, dir: String): DataFrame = {
+    * both engines so the scale and codes hash identically.
+    *
+    * The code vector is emitted CSV-serialized (`q` is a string, not
+    * list<int>): the driver's pandas comparator sorts result frames by
+    * every column, and a raw list column makes that sort throw
+    * (`unhashable type: numpy.ndarray` — CORRECTNESS_r06). SURVEY §2.12
+    * rule: no non-scalar column in a declared output. The array-typed
+    * form stays pinned by QuantizeErrorSpec. */
+  private[streamline] def quantizeCodes(spark: SparkSession,
+                                 dir: String): DataFrame = {
     import spark.implicits._
     val maxabs = aggregate(
       transform($"embedding", x => abs(x.cast("double"))),
@@ -358,6 +366,13 @@ object Similarity {
           .otherwise(transform($"embedding", x =>
             floor(x.cast("double") / ($"maxabs" / 127.0) + 0.5)
               .cast("int"))).as("q"))
+  }
+
+  private def quantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    quantizeCodes(spark, dir)
+      .select($"vec_id", $"scale",
+        array_join($"q".cast("array<string>"), ",").as("q_csv"))
       .orderBy($"vec_id")
   }
 
@@ -368,10 +383,10 @@ object Similarity {
       FROM embeddings)
     SELECT vec_id,
       CASE WHEN maxabs = 0 THEN 0.0 ELSE maxabs / 127 END AS scale,
-      list_transform(embedding, x ->
+      array_to_string(list_transform(embedding, x ->
         CASE WHEN maxabs = 0 THEN 0
              ELSE CAST(floor(CAST(x AS DOUBLE) / (maxabs / 127) + 0.5)
-                       AS INT) END) AS q
+                       AS INT) END), ',') AS q_csv
     FROM m ORDER BY vec_id"""
 
   val all: Seq[Q] = Seq(

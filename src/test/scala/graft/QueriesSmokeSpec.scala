@@ -22,6 +22,19 @@ class QueriesSmokeSpec extends SparkSuite {
     test(s"$name runs on sf0.001") {
       val df = fn(spark, sfDir)
       assert(df.columns.nonEmpty)
+      // SURVEY §2.12: no non-scalar column in a declared output. The
+      // driver's pandas comparator sorts by EVERY column; an array/
+      // struct/map cell makes that sort throw (unhashable ndarray —
+      // the q_llm_quantize red row in CORRECTNESS_r06). Queries that
+      // compute collections must serialize them (concat_ws/to_json).
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val nonScalar = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"${f.name}: ${f.dataType.simpleString}"
+      }
+      assert(nonScalar.isEmpty,
+        s"non-scalar declared output column(s): ${nonScalar.mkString(", ")}")
       df.count() // force full execution
     }
   }

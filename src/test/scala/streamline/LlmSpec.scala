@@ -118,10 +118,13 @@ class QuantizeErrorSpec extends SparkSuite {
 
   test("int8 quantization reconstructs within half a scale step") {
     // the quality contract of q_llm_quantize: |x - q*scale| <= scale/2
-    // per element (half-up rounding), and codes stay inside int8 range
+    // per element (half-up rounding), and codes stay inside int8 range.
+    // Uses the array-typed internal form (quantizeCodes) — the declared
+    // query serializes q to CSV per SURVEY §2.12, so the list-shape
+    // contract lives here.
     import org.apache.spark.sql.functions._
     import graft.SparkTestBase.spark.implicits._
-    val rows = graft.SparkEntry.queries("q_llm_quantize")(spark, sfDir)
+    val rows = streamline.llm.Similarity.quantizeCodes(spark, sfDir)
       .join(Tables.embeddings(spark, sfDir), "vec_id")
       .select($"vec_id", $"scale", $"q", $"embedding")
       .as[(Long, Double, Array[Int], Array[Float])].collect()
@@ -137,5 +140,18 @@ class QuantizeErrorSpec extends SparkSuite {
         }
       }
     }
+  }
+
+  test("declared CSV serialization round-trips the code array") {
+    // q_llm_quantize emits q_csv (string) for the driver comparator;
+    // splitting it back must reproduce the internal array form exactly.
+    import org.apache.spark.sql.functions._
+    val declared = graft.SparkEntry.queries("q_llm_quantize")(spark, sfDir)
+    val mismatches = declared
+      .join(streamline.llm.Similarity.quantizeCodes(spark, sfDir)
+        .select(col("vec_id"), col("q")), "vec_id")
+      .where(split(col("q_csv"), ",").cast("array<int>") =!= col("q"))
+      .count()
+    assert(mismatches == 0L)
   }
 }
