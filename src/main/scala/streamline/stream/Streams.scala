@@ -32,6 +32,18 @@ object Streams {
   private val jvmToken =
     java.util.UUID.randomUUID().toString.take(8)
 
+  /** `a < b`, value-deterministic, but DECLARED non-deterministic: an
+    * optimizer barrier. PushPredicateThroughJoin only moves
+    * deterministic predicates, so a stream-stream join's post-join id
+    * dedup filter wrapped in this stays OUT of the join condition —
+    * keeping the condition purely key + time-band so
+    * StreamingJoinHelper can solve the state-value watermark for BOTH
+    * sides (a non-time conjunct makes the solver throw and one side's
+    * eviction bound is lost; JoinStateEvictionSpec pins both shapes).
+    * Runs on join OUTPUT rows only — off the state-store hot path. */
+  private[streamline] val ltBarrier =
+    udf((a: Long, b: Long) => a < b).asNondeterministic()
+
   /** Events as an unbounded source: same pinned schema + ns→µs
     * conversion as the batch reader (Tables.events). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
@@ -497,9 +509,19 @@ object Streams {
     val e2 = eventsStream(spark, dir)
       .select($"event_id".as("id2"), $"user_id".as("u2"), $"ts".as("ts2"))
       .withWatermark("ts2", "10 minutes")
+    // The id1<id2 dedup predicate is applied POST-join, not as a join
+    // conjunct: StreamingJoinHelper derives the state-value watermark by
+    // solving the join condition for each side's event-time column, and
+    // a non-time conjunct mixed into the conjunction makes that
+    // extraction throw internally on one side ("Cannot evaluate
+    // expression: id1" WARN) — eviction then rides only the cleanly
+    // extracted bound, and a stricter Spark could stop evicting
+    // entirely. Inner join ⇒ the post-filter is semantically identical;
+    // ltBarrier keeps the optimizer from folding it back in.
     val joined = e1.join(e2,
-        $"user_id" === $"u2" && $"id1" < $"id2" &&
+        $"user_id" === $"u2" &&
           $"ts2" >= $"ts1" && $"ts2" <= $"ts1" + expr("INTERVAL 10 MINUTES"))
+      .where(ltBarrier($"id1", $"id2"))
       .select($"user_id", $"id1", $"id2",
         tsSec($"ts1").as("t1"), tsSec($"ts2").as("t2"))
     runToTable(spark, "ss_interval", "append", joined)
@@ -538,9 +560,12 @@ object Streams {
       .where($"event_type" === "purchase")
       .select($"event_id".as("id2"), $"user_id".as("u2"), $"ts".as("ts2"))
       .withWatermark("ts2", "10 minutes")
+    // id1<id2 post-join for the same state-watermark-extraction reason
+    // as q_join_stream_stream above (inner join ⇒ equivalent).
     val joined = e1.join(e2,
-      $"user_id" === $"u2" && $"id1" < $"id2" &&
+      $"user_id" === $"u2" &&
         $"ts2" >= $"ts1" && $"ts2" <= $"ts1" + expr("INTERVAL 10 MINUTES"))
+      .where(ltBarrier($"id1", $"id2"))
     val agg = joined
       .groupBy(window($"ts1", "1 day"))
       .agg(count(lit(1)).as("n_pairs"))
@@ -582,6 +607,11 @@ object Streams {
     val e2 = eventsStream(spark, dir)
       .select($"event_id".as("id2"), $"user_id".as("u2"), $"ts".as("ts2"))
       .withWatermark("ts2", "10 minutes")
+    // Unlike the inner interval joins, id1<id2 MUST stay a join conjunct
+    // here: under leftOuter it decides which left rows are unmatched
+    // (null-extended), so a post-join filter would change the result.
+    // The one-sided watermark-extraction WARN this causes is benign —
+    // JoinStateEvictionSpec pins that eviction still happens.
     val joined = e1.join(e2,
         $"user_id" === $"u2" && $"id1" < $"id2" &&
           $"ts2" >= $"ts1" && $"ts2" <= $"ts1" + expr("INTERVAL 10 MINUTES"),
