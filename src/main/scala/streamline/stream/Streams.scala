@@ -143,6 +143,83 @@ object Streams {
     HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
     ORDER BY w_start, event_type"""
 
+  /** q_stream_recovery — checkpoint STOP → RESTART witness, the
+    * operational half of the exactly-once story (the upsert sink's
+    * batchId keying is the sink half). A watermarked daily aggregate
+    * runs over a file source with a FIXED checkpoint location; the
+    * source dir initially holds only the event-time-early half of the
+    * corpus. The first query drains it (AvailableNow) and stops — its
+    * closed windows are emitted through foreachBatch and its state
+    * store + watermark land in the checkpoint. The late half is then
+    * added and a SECOND query starts from the same checkpoint: the
+    * offset log skips the already-committed files, the restored state
+    * resumes the still-open windows, and the restored watermark
+    * carries over. The union of both runs' emissions must equal the
+    * batch aggregate under the final watermark — any state loss,
+    * offset replay, or double emission through foreachBatch breaks the
+    * oracle match (duplicated or wrong window rows). The time-ordered
+    * split guarantees no restart row is late: wm₁ = max(early)−10min <
+    * cut ≤ every late ts. */
+  private def streamRecovery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir("recov", dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    val (stage, ckpt, out) = (s"$root/in", s"$root/ck", s"$root/out")
+    val events = Tables.events(spark, dir)
+    // Two-scalar bounds collect (metadata-scale): the split point.
+    val b = events.agg(min($"ts"), max($"ts")).head()
+    val cut = new java.sql.Timestamp(
+      (b.getTimestamp(0).getTime + b.getTimestamp(1).getTime) / 2)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      streamline.util.Knobs.statePartitions(spark).toString)
+    def drain(): Unit = {
+      val q = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1") // several micro-batches/run
+        .parquet(stage)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 day"), $"event_type")
+        .agg(dsum("value").as("sum_val"), count(lit(1)).as("n"))
+        .select(tsOut($"window.start").as("w_start"), $"event_type",
+          $"sum_val", $"n")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          df.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(out): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      events.where($"ts" < lit(cut)).repartition(2).write.parquet(stage)
+      drain() // run 1: early half only, then STOP
+      events.where($"ts" >= lit(cut)).repartition(2)
+        .write.mode("append").parquet(stage)
+      drain() // run 2: RESTART from the same checkpoint, drain the rest
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(out)
+      .select($"w_start", $"event_type", $"sum_val", $"n")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  // Same closed-window bound as q_stream_tumble: the restart restores
+  // the watermark, so the final one is max(all ts) − 10 min exactly as
+  // a single uninterrupted run would produce.
+  private val streamRecoverySql = """
+    WITH wm AS (SELECT date_trunc('millisecond', max(ts))
+                  - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+      count(*) AS n
+    FROM events GROUP BY 1, 2
+    HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
+    ORDER BY w_start, event_type"""
+
   /** q_stream_union — DataStream.union: two independently-constructed
     * unbounded sources (here: the click substream and the error
     * substream, each its own file-source stream) unioned into one
@@ -838,6 +915,7 @@ object Streams {
   val all: Seq[Q] = Seq(
     Q("q_stream_proctime", streamProcTime _, streamProcTimeSql),
     Q("q_stream_tumble", streamTumble _, streamTumbleSql),
+    Q("q_stream_recovery", streamRecovery _, streamRecoverySql),
     Q("q_stream_update", streamUpdate _, streamUpdateSql),
     Q.noOracle("q_stream_sketch", streamSketch _),
     Q("q_stream_union", streamUnion _, streamUnionSql),

@@ -39,6 +39,41 @@ class StreamRecoverySpec extends SparkSuite {
     assert(vals.toSet == (1L to 150L).toSet)
   }
 
+  test("q_stream_recovery restarts from checkpoint without double emission") {
+    import org.apache.spark.sql.functions._
+    // Run the declared query, then audit the RAW foreachBatch output
+    // (batch_id-tagged parquet in the scratch dir) that the declared
+    // projection drops: the flow must have split work across several
+    // micro-batches (two runs, maxFilesPerTrigger=1), and no window key
+    // may be emitted by more than one micro-batch — double emission
+    // through foreachBatch after restart is exactly the failure this
+    // witnesses against.
+    val res = graft.SparkEntry.queries("q_stream_recovery")(spark, sfDir)
+      .cache()
+    val keyed = res.groupBy("w_start", "event_type").count()
+    assert(keyed.where(col("count") > 1).count() == 0L,
+      "a closed window was emitted more than once")
+    // Equality with the batch reference (same closed-window bound).
+    val ref = Tables.events(spark, sfDir)
+      .withColumn("w_start", date_trunc("day", col("ts")))
+      .groupBy("w_start", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .join(Tables.events(spark, sfDir)
+          .agg((max(col("ts")).cast("long") - 600).as("wm")),
+        expr("unix_timestamp(w_start) + 86400 <= wm"))
+    assert(res.count() == ref.count(),
+      s"recovered result has ${res.count()} windows, batch says ${ref.count()}")
+    val raw = spark.read.parquet(
+      streamline.util.Scratch.dir("recov", sfDir) + "/out")
+    assert(raw.select("batch_id").distinct().count() >= 2,
+      "expected the emissions to span several micro-batches/runs")
+    val overlap = raw.groupBy("w_start", "event_type")
+      .agg(countDistinct(col("batch_id")).as("nb"))
+      .where(col("nb") > 1).count()
+    assert(overlap == 0L, "a window key appears in more than one batch")
+    res.unpersist()
+  }
+
   test("streaming session windows close when the watermark passes") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import sqlCtx.implicits._
