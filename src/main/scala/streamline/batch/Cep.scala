@@ -175,6 +175,84 @@ object Cep {
     }
   }
 
+  /** `a followedByAny b within w` — the ALL-matches quantifier
+    * (upstream flink-cep `followedByAny`, Quantifier's
+    * non-deterministic relaxed contiguity): where `followedBy` lets a
+    * `b` resolve-and-disarm every armed `a`, here each armed `a` keeps
+    * matching EVERY `b` inside its window, so one click with three
+    * in-window purchases yields three pairs. The armed buffer is still
+    * window-bounded — a start lives exactly `withinUs` past its
+    * arrival, never longer — so the all-matches form costs output
+    * size, not state. */
+  private def runFollowedByAny(it: Iterator[CepEv], aType: String,
+                               bType: String,
+                               withinUs: Long): Iterator[CepRel] = {
+    var curUser = Long.MinValue
+    val pending = scala.collection.mutable.ArrayDeque[(Long, Long)]()
+    it.flatMap { e =>
+      if (e.user_id != curUser) { curUser = e.user_id; pending.clear() }
+      while (pending.nonEmpty && pending.head._2 < e.ts_us - withinUs)
+        pending.removeHead()
+      if (e.event_type == aType) {
+        pending.append((e.event_id, e.ts_us)); Iterator.empty
+      } else if (e.event_type == bType) {
+        // every remaining armed start is in-window (ts-ordered input +
+        // head expiry) — emit all, KEEP them armed for later b's
+        pending.iterator.map { case (id, ts) =>
+          CepRel(e.user_id, id, e.event_id, ts, e.ts_us)
+        }.toVector.iterator
+      } else Iterator.empty
+    }
+  }
+
+  case class CepTimes(user_id: Long, first_click_id: Long,
+                      third_click_id: Long, purchase_id: Long,
+                      first_ts_us: Long, purchase_ts_us: Long)
+
+  /** `a.times(n) followedBy b within w` for n=3 — bounded repetition
+    * with the relaxed contiguity Flink's `times(n)` defaults to
+    * (repetitions are n SUCCESSIVE `a`-occurrences in the
+    * type-filtered substream; other event types interleave freely, but
+    * the combination is not free — that would be `allowCombinations`).
+    * A triple arms when its third click arrives; the first `b` after
+    * that, within `w` of the triple's FIRST click (within spans the
+    * whole match), completes it and — first-match semantics, as in
+    * `followedBy` — disarms every armed triple. State is the last
+    * n−1 clicks plus the armed triples, both window-bounded. */
+  private def runTimesFollowedBy(it: Iterator[CepEv], aType: String,
+                                 bType: String, n: Int,
+                                 withinUs: Long): Iterator[CepTimes] = {
+    require(n == 3, "runner is specialized to times(3)")
+    var curUser = Long.MinValue
+    val recent = scala.collection.mutable.ArrayDeque[(Long, Long)]()
+    val armed = scala.collection.mutable.ArrayDeque[(Long, Long, Long)]()
+    it.flatMap { e =>
+      if (e.user_id != curUser) {
+        curUser = e.user_id; recent.clear(); armed.clear()
+      }
+      // expire triples whose whole-match window closed (firstTs-anchored)
+      while (armed.nonEmpty && armed.head._2 < e.ts_us - withinUs)
+        armed.removeHead()
+      if (e.event_type == aType) {
+        if (recent.size == 2) {
+          val (fid, fts) = recent.head
+          // arm only if the third click itself is still inside the
+          // first click's window — otherwise no b can ever complete it
+          if (e.ts_us <= fts + withinUs) armed.append((fid, fts, e.event_id))
+        }
+        recent.append((e.event_id, e.ts_us))
+        if (recent.size > 2) recent.removeHead(): Unit
+        Iterator.empty
+      } else if (e.event_type == bType) {
+        val out = armed.iterator.map { case (fid, fts, tid) =>
+          CepTimes(e.user_id, fid, tid, e.event_id, fts, e.ts_us)
+        }.toVector
+        armed.clear()
+        out.iterator
+      } else Iterator.empty
+    }
+  }
+
   /** `a notFollowedBy b within w`: emit each `a` that is NOT followed
     * by any `b` in the next `w` microseconds. An armed `a` is emitted
     * the moment it provably survived (the scan reaches any event past
@@ -228,6 +306,24 @@ object Cep {
     evs.repartition($"user_id")
       .sortWithinPartitions($"user_id", $"ts_us", $"event_id")
       .mapPartitions(it => runAbsence(it, aType, bType, withinUs))
+  }
+
+  def followedByAnyMatches(evs: org.apache.spark.sql.Dataset[CepEv],
+                           aType: String, bType: String,
+                           withinUs: Long): org.apache.spark.sql.Dataset[CepRel] = {
+    import evs.sparkSession.implicits._
+    evs.repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"ts_us", $"event_id")
+      .mapPartitions(it => runFollowedByAny(it, aType, bType, withinUs))
+  }
+
+  def timesMatches(evs: org.apache.spark.sql.Dataset[CepEv],
+                   aType: String, bType: String, n: Int,
+                   withinUs: Long): org.apache.spark.sql.Dataset[CepTimes] = {
+    import evs.sparkSession.implicits._
+    evs.repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"ts_us", $"event_id")
+      .mapPartitions(it => runTimesFollowedBy(it, aType, bType, n, withinUs))
   }
 
   private def cepEvents(spark: SparkSession, dir: String) = {
@@ -312,8 +408,100 @@ object Cep {
         AND p.pts <= c.cts + INTERVAL 10 MINUTE)
     ORDER BY user_id, click_id"""
 
+  /** q_cep_followedby_any — `click followedByAny purchase within 10
+    * min`: the ALL-matches cross of armed clicks × in-window purchases
+    * (every click pairs with EVERY purchase inside its window), vs
+    * q_cep_followedby's first-match-and-disarm. */
+  private def cepFollowedByAny(spark: SparkSession,
+                               dir: String): DataFrame = {
+    import spark.implicits._
+    val withinUs = 10L * 60 * 1000 * 1000
+    followedByAnyMatches(cepEvents(spark, dir), "click", "purchase",
+        withinUs)
+      .toDF()
+      .select($"user_id", $"click_id", $"purchase_id",
+        tsSec(timestamp_micros($"click_ts_us")).as("click_ts"),
+        tsSec(timestamp_micros($"purchase_ts_us")).as("purchase_ts"))
+      .orderBy($"user_id", $"click_id", $"purchase_id")
+  }
+
+  /** Oracle: the plain window join — every (click, later purchase)
+    * pair inside the window, no arg_min. */
+  private val cepFollowedByAnySql = """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 date_trunc('microseconds', ts) AS ts FROM events),
+    o AS (SELECT user_id, event_id, event_type, ts,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+          FROM e),
+    c AS (SELECT user_id, event_id AS click_id, ts AS cts, rn FROM o
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS pts, rn FROM o
+          WHERE event_type = 'purchase')
+    SELECT c.user_id AS user_id, c.click_id, p.purchase_id,
+      date_trunc('second', c.cts) AS click_ts,
+      date_trunc('second', p.pts) AS purchase_ts
+    FROM c JOIN p
+      ON c.user_id = p.user_id AND p.rn > c.rn
+     AND p.pts <= c.cts + INTERVAL 10 MINUTE
+    ORDER BY user_id, click_id, purchase_id"""
+
+  /** q_cep_times — `click.times(3) followedBy purchase within 1 day`:
+    * bounded repetition (three successive clicks in the click
+    * substream, relaxed contiguity) completed by the first subsequent
+    * purchase within one day of the triple's FIRST click. The window
+    * is a day, not the usual 10 minutes, because a triple-click chain
+    * is a much rarer anchor than a single event — the 10-minute form
+    * is empty on the harness corpus and would make a vacuous witness
+    * (the automaton's edge cases are property-tested separately at
+    * tight windows in CepPropertySpec). */
+  private def cepTimes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withinUs = 24L * 3600 * 1000 * 1000
+    timesMatches(cepEvents(spark, dir), "click", "purchase", 3, withinUs)
+      .toDF()
+      .select($"user_id", $"first_click_id", $"third_click_id",
+        $"purchase_id",
+        tsSec(timestamp_micros($"first_ts_us")).as("first_click_ts"),
+        tsSec(timestamp_micros($"purchase_ts_us")).as("purchase_ts"))
+      .orderBy($"user_id", $"first_click_id", $"purchase_id")
+  }
+
+  /** Oracle: number the clicks per user (cn); a triple is (cn, cn+2)
+    * with the third click inside the first's window; its purchase is
+    * the first one after the third click (arg_min over rn) within the
+    * window of the first. */
+  private val cepTimesSql = """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 date_trunc('microseconds', ts) AS ts FROM events),
+    o AS (SELECT user_id, event_id, event_type, ts,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+          FROM e),
+    c AS (SELECT user_id, event_id, ts, rn,
+            row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cn
+          FROM o WHERE event_type = 'click'),
+    t AS (SELECT c1.user_id, c1.event_id AS first_click_id,
+            c1.ts AS cts, c3.event_id AS third_click_id, c3.rn AS arn
+          FROM c c1 JOIN c c3
+            ON c1.user_id = c3.user_id AND c3.cn = c1.cn + 2
+          WHERE c3.ts <= c1.ts + INTERVAL 1 DAY),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS pts, rn FROM o
+          WHERE event_type = 'purchase')
+    SELECT t.user_id AS user_id, t.first_click_id, t.third_click_id,
+      arg_min(p.purchase_id, p.rn) AS purchase_id,
+      date_trunc('second', t.cts) AS first_click_ts,
+      date_trunc('second', arg_min(p.pts, p.rn)) AS purchase_ts
+    FROM t JOIN p
+      ON t.user_id = p.user_id AND p.rn > t.arn
+     AND p.pts <= t.cts + INTERVAL 1 DAY
+    GROUP BY t.user_id, t.first_click_id, t.third_click_id, t.cts
+    ORDER BY user_id, first_click_id, purchase_id"""
+
   val all: Seq[Q] = Seq(
     Q("q_cep_kleene", cepKleene _, cepKleeneSql),
     Q("q_cep_followedby", cepFollowedBy _, cepFollowedBySql),
+    Q("q_cep_followedby_any", cepFollowedByAny _, cepFollowedByAnySql),
+    Q("q_cep_times", cepTimes _, cepTimesSql),
     Q("q_cep_absence", cepAbsence _, cepAbsenceSql))
 }

@@ -244,6 +244,89 @@ object CepStream {
     GROUP BY c.user_id, c.click_id, c.cts
     ORDER BY user_id, click_id"""
 
+  /** followedByAny on the stream: identical sealed-prefix machinery,
+    * but a sealed purchase emits every armed in-window click WITHOUT
+    * disarming — each start keeps matching later sealed purchases
+    * until the watermark passes its `within` expiry. State stays
+    * window-bounded (a start lives exactly one window), so all-matches
+    * costs output, not state. */
+  private[streamline] def updateFollowedByAnyStream(uid: Long,
+      rows: Iterator[CepEv],
+      state: GroupState[FbBuf]): Iterator[Cep.CepRel] = {
+    val prev = state.getOption.getOrElse(FbBuf(Nil, Nil))
+    val wmMs = try state.getCurrentWatermarkMs()
+    catch { case _: UnsupportedOperationException => 0L }
+    val wmUs = wmMs * 1000L
+    val all = (prev.buf ++ rows.toList).sortBy(e => (e.ts_us, e.event_id))
+    val (ready, future) = all.partition(_.ts_us <= wmUs)
+    var pending = prev.pending
+    val out = ready.flatMap { e =>
+      pending = pending.dropWhile(_._2 < e.ts_us - withinUs)
+      if (e.event_type == "click") {
+        pending = pending :+ (e.event_id, e.ts_us); Nil
+      } else if (e.event_type == "purchase") {
+        pending.map { case (id, ts) =>
+          Cep.CepRel(e.user_id, id, e.event_id, ts, e.ts_us)
+        } // armed starts stay — all-matches semantics
+      } else Nil
+    }
+    pending = pending.dropWhile(_._2 + withinUs < wmUs)
+    if (future.isEmpty && pending.isEmpty) state.remove()
+    else {
+      state.update(FbBuf(future, pending))
+      val nextUs = future.headOption.map(_.ts_us)
+        .getOrElse(pending.head._2 + withinUs)
+      state.setTimeoutTimestamp(math.max(nextUs / 1000L + 1L, wmMs + 1L))
+    }
+    out.iterator
+  }
+
+  /** q_stream_cep_followedby_any — all-matches relaxed contiguity on
+    * the unbounded stream; on finite input = the batch
+    * q_cep_followedby_any result restricted to sealed purchases. */
+  private def streamCepFollowedByAny(spark: SparkSession,
+                                     dir: String): DataFrame = {
+    import spark.implicits._
+    val matches = Streams.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .as[CepRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[CepRow], state: GroupState[FbBuf]) =>
+          updateFollowedByAnyStream(uid, rows.map(_.toEv), state)
+      }
+      .toDF()
+    Streams.runToTable(spark, "cep_fba", "append", matches)
+      .select($"user_id", $"click_id", $"purchase_id",
+        tsSec(timestamp_micros($"click_ts_us")).as("click_ts"),
+        tsSec(timestamp_micros($"purchase_ts_us")).as("purchase_ts"))
+      .orderBy($"user_id", $"click_id", $"purchase_id")
+  }
+
+  private val streamCepFollowedByAnySql = """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 date_trunc('microseconds', ts) AS ts FROM events),
+    wm AS (SELECT date_trunc('millisecond', max(ts))
+             - INTERVAL 10 MINUTE AS w FROM events),
+    o AS (SELECT user_id, event_id, event_type, ts,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+          FROM e),
+    c AS (SELECT user_id, event_id AS click_id, ts AS cts, rn FROM o
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS pts, rn FROM o
+          WHERE event_type = 'purchase')
+    SELECT c.user_id AS user_id, c.click_id, p.purchase_id,
+      date_trunc('second', c.cts) AS click_ts,
+      date_trunc('second', p.pts) AS purchase_ts
+    FROM c JOIN p
+      ON c.user_id = p.user_id AND p.rn > c.rn
+     AND p.pts <= c.cts + INTERVAL 10 MINUTE
+    WHERE p.pts <= (SELECT w FROM wm)
+    ORDER BY user_id, click_id, purchase_id"""
+
   // ---------------------------------------------------------------
   // Negative pattern on the stream: `click notFollowedBy purchase
   // within 10 min` (batch twin q_cep_absence). Absence is the
@@ -346,5 +429,7 @@ object CepStream {
     Q("q_stream_cep", streamCep _, streamCepSql),
     Q("q_stream_cep_followedby", streamCepFollowedBy _,
       streamCepFollowedBySql),
+    Q("q_stream_cep_followedby_any", streamCepFollowedByAny _,
+      streamCepFollowedByAnySql),
     Q("q_stream_cep_absence", streamCepAbsence _, streamCepAbsenceSql))
 }

@@ -81,6 +81,69 @@ class CepPropertySpec extends SparkSuite {
     }
   }
 
+  /** Brute force `a followedByAny b within w`: EVERY (click, later
+    * purchase) pair inside the click's window — no disarming. */
+  private def refFollowedByAny(evs: Seq[CepEv]): Set[CepRel] =
+    evs.map(_.user_id).distinct.flatMap { u =>
+      val seq = ordered(evs, u)
+      seq.zipWithIndex.flatMap { case (c, ci) =>
+        if (c.event_type != "click") Nil
+        else seq.drop(ci + 1)
+          .filter(p => p.event_type == "purchase" &&
+            p.ts_us <= c.ts_us + withinUs)
+          .map(p => CepRel(u, c.event_id, p.event_id, c.ts_us, p.ts_us))
+      }
+    }.toSet
+
+  /** Brute force `a.times(3) followedBy b within w`: every pair of
+    * clicks two apart in the per-user click subsequence (third inside
+    * the first's window), completed by the FIRST purchase after the
+    * third click iff it falls inside the first click's window (the
+    * first purchase decides — purchases are ts-ordered). */
+  private def refTimes(evs: Seq[CepEv]): Set[Cep.CepTimes] =
+    evs.map(_.user_id).distinct.flatMap { u =>
+      val seq = ordered(evs, u)
+      val clicks = seq.zipWithIndex.filter(_._1.event_type == "click")
+      clicks.sliding(3).filter(_.size == 3).flatMap { w =>
+        val (c1, _) = w(0); val (c3, i3) = w(2)
+        if (c3.ts_us > c1.ts_us + withinUs) None
+        else seq.drop(i3 + 1).find(_.event_type == "purchase")
+          .filter(p => p.ts_us <= c1.ts_us + withinUs)
+          .map(p => Cep.CepTimes(u, c1.event_id, c3.event_id,
+            p.event_id, c1.ts_us, p.ts_us))
+      }
+    }.toSet
+
+  test("followedByAny scan agrees with brute force on random sequences") {
+    val sp = spark; import sp.implicits._
+    (1L to 8L).foreach { seed =>
+      val evs = evsGen(Gen.Parameters.default, Seed(seed)).get
+      val got = Cep.followedByAnyMatches(evs.toDS(), "click", "purchase",
+        withinUs).collect().toSet
+      assert(got == refFollowedByAny(evs), s"seed $seed")
+    }
+  }
+
+  test("times(3) scan agrees with brute force on random sequences") {
+    val sp = spark; import sp.implicits._
+    (1L to 8L).foreach { seed =>
+      val evs = evsGen(Gen.Parameters.default, Seed(seed)).get
+      val got = Cep.timesMatches(evs.toDS(), "click", "purchase", 3,
+        withinUs).collect().toSet
+      assert(got == refTimes(evs), s"seed $seed")
+    }
+  }
+
+  test("followedByAny is a superset of followedBy (first match is a match)") {
+    val sp = spark; import sp.implicits._
+    val evs = evsGen(Gen.Parameters.default, Seed(42L)).get
+    val any = Cep.followedByAnyMatches(evs.toDS(), "click", "purchase",
+      withinUs).collect().toSet
+    val first = Cep.followedByMatches(evs.toDS(), "click", "purchase",
+      withinUs).collect().toSet
+    assert(first.subsetOf(any))
+  }
+
   test("followedBy and absence partition the clicks with a purchase-window complement") {
     val sp = spark; import sp.implicits._
     // every click either matches some purchase (followedBy), survives

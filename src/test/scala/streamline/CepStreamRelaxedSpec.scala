@@ -90,4 +90,26 @@ class CepStreamRelaxedSpec extends SparkSuite {
     assert(out.isEmpty)
     assert(st2.get.pending == List((1L, 0L)), "still armed at the edge")
   }
+
+  test("followedByAny: an armed click matches EVERY sealed in-window purchase") {
+    val st1 = fresh(None, wmMs = 6 * MIN_MS)
+    val out1 = CepStream.updateFollowedByAnyStream(1L,
+      Iterator(ev(1, "click", 0), ev(2, "purchase", 3),
+        ev(3, "purchase", 5)),
+      st1).toList
+    // both purchases sealed: all-matches emits BOTH pairs, and the
+    // click stays armed for later sealed purchases
+    assert(out1 == List(
+      CepRel(1L, 1L, 2L, 0L, 3 * MIN_US),
+      CepRel(1L, 1L, 3L, 0L, 5 * MIN_US)))
+    assert(st1.get.pending == List((1L, 0L)), "start must stay armed")
+    // a later sealed purchase at the window edge (10 = 0 + within)
+    // still matches — and the same step's watermark (11 min) then
+    // proves the start expired, so the drained key drops its state
+    val st2 = fresh(Some(st1.get), wmMs = 11 * MIN_MS)
+    val out2 = CepStream.updateFollowedByAnyStream(1L,
+      Iterator(ev(4, "purchase", 10)), st2).toList
+    assert(out2 == List(CepRel(1L, 1L, 4L, 0L, 10 * MIN_US)))
+    assert(st2.isRemoved, "expired start must not outlive its window")
+  }
 }
