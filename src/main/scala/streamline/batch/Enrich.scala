@@ -134,16 +134,32 @@ object Enrich {
   private def distCache(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // Stage the reference file (driver-side, 5 rows — metadata-scale).
-    // Basename carries the dir hash: SparkFiles resolves by basename
-    // and one JVM may register files for several scale factors.
+    // Basename carries a CONTENT hash: SparkFiles resolves by basename
+    // (one JVM may register files for several scale factors), same
+    // content always maps to the same name (so a re-run re-registers
+    // an identical file, which addFile allows), and two concurrent
+    // JVMs can only race on byte-identical payloads — settled by an
+    // atomic rename of a private temp file, never an in-place
+    // truncate-while-registered.
     val regions = Tables.region(spark, dir)
       .select($"r_regionkey", $"r_name").as[(Int, String)]
       .collect().sortBy(_._1)
-    val f = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_regions_${dir.replaceAll("[^A-Za-z0-9]", "_")}.csv")
-    val w = new java.io.PrintWriter(f, "UTF-8")
-    try regions.foreach { case (k, n) => w.println(s"$k,$n") }
-    finally w.close()
+    val payload = regions.map { case (k, n) => s"$k,$n\n" }.mkString
+    val hash = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(payload.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val tmpDir = new java.io.File(sys.props("java.io.tmpdir"))
+    val f = new java.io.File(tmpDir, s"graft_regions_$hash.csv")
+    if (!f.exists()) {
+      val staging =
+        java.io.File.createTempFile("graft_regions_", ".tmp", tmpDir)
+      val w = new java.io.PrintWriter(staging, "UTF-8")
+      try w.print(payload) finally w.close()
+      // Atomic publish; losing the rename race means an identical file
+      // already landed (name is content-addressed) — just discard ours.
+      if (!staging.renameTo(f)) staging.delete(): Unit
+    }
+    f.deleteOnExit()
     spark.sparkContext.addFile(f.getAbsolutePath)
     val base = f.getName
     Tables.nation(spark, dir)

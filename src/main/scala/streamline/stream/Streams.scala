@@ -287,23 +287,48 @@ object Streams {
     * event type, the hybrid twin of batch q_agg_sketch_theta — one
     * sketch per key in the state store, merged incrementally per
     * micro-batch (the buffer serializes as the compact ordered sketch,
-    * so state is O(k) per key, never O(distinct)). The sink takes the
-    * last firing per key: a theta union only ever adds hashes below
-    * theta, so its estimate is nondecreasing across firings and max()
-    * recovers the final value (same recovery argument as
-    * q_stream_update's monotone count). Approximate family ⇒ oracle
-    * omitted per the SparkEntry contract; equality with exact
-    * count(distinct) below k is pinned in ThetaSketchSpec's streaming
-    * case. */
+    * so state is O(k) per key, never O(distinct)). The sink recovers
+    * the LAST firing per key by batch id (max_by on the foreachBatch-
+    * stamped batch_id) — NOT max(estimate): once a sketch saturates
+    * past k, a union can LOWER theta and with it the estimate, so an
+    * intermediate firing may exceed the final value and max() would
+    * overstate it. Last-firing recovery is correct in both regimes.
+    * Approximate family ⇒ oracle omitted per the SparkEntry contract;
+    * equality with exact count(distinct) below k is pinned in
+    * ThetaSketchSpec's streaming case. */
   private def streamSketch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import streamline.agg.ThetaSketchDistinct.theta_distinct
+    val root = streamline.util.Scratch.dir("sketch", dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
     val agg = eventsStream(spark, dir)
       .groupBy($"event_type")
       .agg(theta_distinct($"user_id").as("approx_users"))
-    runToTable(spark, "sketch", "update", agg)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      streamline.util.Knobs.statePartitions(spark).toString)
+    val ckpt = s"${streamline.util.Knobs.fastTmp}/ck_${jvmToken}_sketch_" +
+      seq.incrementAndGet()
+    try {
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          df.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(root): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      deleteRec(new java.io.File(ckpt))
+    }
+    spark.read.parquet(root)
       .groupBy($"event_type")
-      .agg(max($"approx_users").as("approx_users"))
+      .agg(max_by($"approx_users", $"batch_id").as("approx_users"))
       .orderBy($"event_type")
   }
 
@@ -848,7 +873,15 @@ object Streams {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.read.parquet(s"$root/g$lastGen")
+    // Zero micro-batches (an empty purchase set) never writes g1, and
+    // lastGen stays 0 with no g0 on disk — an upsert table with no
+    // upserts is EMPTY, not an error.
+    val lastPath = new org.apache.hadoop.fs.Path(s"$root/g$lastGen")
+    val sink =
+      if (fs.exists(lastPath)) spark.read.parquet(lastPath.toString)
+      else Seq.empty[(Long, java.sql.Timestamp, Long, Double, Long)]
+        .toDF("user_id", "ts", "event_id", "value", "n_upserts")
+    sink
       .select($"user_id", $"event_id".as("last_event_id"),
         $"value".as("last_value"), $"n_upserts")
       .orderBy($"user_id")
