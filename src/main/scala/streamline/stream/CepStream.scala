@@ -327,6 +327,122 @@ object CepStream {
     WHERE p.pts <= (SELECT w FROM wm)
     ORDER BY user_id, click_id, purchase_id"""
 
+  /** Unsealed suffix + last n−1 clicks + armed (first_id, first_ts,
+    * third_id) triples for the streaming times(3) operator. */
+  case class TimesBuf(buf: List[CepEv], recent: List[(Long, Long)],
+                      armed: List[(Long, Long, Long)])
+
+  private val dayUs = 24L * 3600 * 1000 * 1000
+
+  /** times(3)+followedBy on the stream — the batch
+    * `runTimesFollowedBy` logic fed by the sealed prefix. State: the
+    * unsealed suffix (watermark-delay-bounded), the last two clicks
+    * (prunable once their whole-match window closes — an expired
+    * click can head no armable triple, and any triple it sits in has
+    * an even older, equally expired head), and the armed triples
+    * (window-bounded like followedBy's starts). A sealed purchase
+    * completes every armed triple and disarms all — first-match
+    * semantics, same as the batch twin. */
+  private[streamline] def updateTimesStream(uid: Long,
+      rows: Iterator[CepEv],
+      state: GroupState[TimesBuf]): Iterator[Cep.CepTimes] = {
+    val prev = state.getOption.getOrElse(TimesBuf(Nil, Nil, Nil))
+    val wmMs = try state.getCurrentWatermarkMs()
+    catch { case _: UnsupportedOperationException => 0L }
+    val wmUs = wmMs * 1000L
+    val all = (prev.buf ++ rows.toList).sortBy(e => (e.ts_us, e.event_id))
+    val (ready, future) = all.partition(_.ts_us <= wmUs)
+    var recent = prev.recent
+    var armed = prev.armed
+    val out = ready.flatMap { e =>
+      armed = armed.dropWhile(_._2 < e.ts_us - dayUs)
+      if (e.event_type == "click") {
+        if (recent.size == 2) {
+          val (fid, fts) = recent.head
+          if (e.ts_us <= fts + dayUs)
+            armed = armed :+ ((fid, fts, e.event_id))
+        }
+        recent = (recent :+ ((e.event_id, e.ts_us))).takeRight(2)
+        Nil
+      } else if (e.event_type == "purchase") {
+        val matched = armed.map { case (fid, fts, tid) =>
+          Cep.CepTimes(uid, fid, tid, e.event_id, fts, e.ts_us)
+        }
+        armed = Nil
+        matched
+      } else Nil
+    }
+    // watermark pruning: expired triples can never complete; expired
+    // clicks can never head (or sit inside) an armable triple
+    armed = armed.dropWhile(_._2 + dayUs < wmUs)
+    recent = recent.dropWhile(_._2 + dayUs < wmUs)
+    if (future.isEmpty && armed.isEmpty && recent.isEmpty) state.remove()
+    else {
+      state.update(TimesBuf(future, recent, armed))
+      val candidates = future.headOption.map(_.ts_us).toList ++
+        armed.headOption.map(_._2 + dayUs).toList ++
+        recent.headOption.map(_._2 + dayUs).toList
+      state.setTimeoutTimestamp(
+        math.max(candidates.min / 1000L + 1L, wmMs + 1L))
+    }
+    out.iterator
+  }
+
+  /** q_stream_cep_times — bounded repetition on the unbounded stream;
+    * on finite input = the batch q_cep_times result restricted to
+    * sealed purchases. */
+  private def streamCepTimes(spark: SparkSession,
+                             dir: String): DataFrame = {
+    import spark.implicits._
+    val matches = Streams.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .as[CepRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[CepRow], state: GroupState[TimesBuf]) =>
+          updateTimesStream(uid, rows.map(_.toEv), state)
+      }
+      .toDF()
+    Streams.runToTable(spark, "cep_times", "append", matches)
+      .select($"user_id", $"first_click_id", $"third_click_id",
+        $"purchase_id",
+        tsSec(timestamp_micros($"first_ts_us")).as("first_click_ts"),
+        tsSec(timestamp_micros($"purchase_ts_us")).as("purchase_ts"))
+      .orderBy($"user_id", $"first_click_id", $"purchase_id")
+  }
+
+  private val streamCepTimesSql = """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 date_trunc('microseconds', ts) AS ts FROM events),
+    wm AS (SELECT date_trunc('millisecond', max(ts))
+             - INTERVAL 10 MINUTE AS w FROM events),
+    o AS (SELECT user_id, event_id, event_type, ts,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+          FROM e),
+    c AS (SELECT user_id, event_id, ts, rn,
+            row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cn
+          FROM o WHERE event_type = 'click'),
+    t AS (SELECT c1.user_id, c1.event_id AS first_click_id,
+            c1.ts AS cts, c3.event_id AS third_click_id, c3.rn AS arn
+          FROM c c1 JOIN c c3
+            ON c1.user_id = c3.user_id AND c3.cn = c1.cn + 2
+          WHERE c3.ts <= c1.ts + INTERVAL 1 DAY),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS pts, rn FROM o
+          WHERE event_type = 'purchase')
+    SELECT t.user_id AS user_id, t.first_click_id, t.third_click_id,
+      arg_min(p.purchase_id, p.rn) AS purchase_id,
+      date_trunc('second', t.cts) AS first_click_ts,
+      date_trunc('second', arg_min(p.pts, p.rn)) AS purchase_ts
+    FROM t JOIN p
+      ON t.user_id = p.user_id AND p.rn > t.arn
+     AND p.pts <= t.cts + INTERVAL 1 DAY
+    WHERE p.pts <= (SELECT w FROM wm)
+    GROUP BY t.user_id, t.first_click_id, t.third_click_id, t.cts
+    ORDER BY user_id, first_click_id, purchase_id"""
+
   // ---------------------------------------------------------------
   // Negative pattern on the stream: `click notFollowedBy purchase
   // within 10 min` (batch twin q_cep_absence). Absence is the
@@ -431,5 +547,6 @@ object CepStream {
       streamCepFollowedBySql),
     Q("q_stream_cep_followedby_any", streamCepFollowedByAny _,
       streamCepFollowedByAnySql),
+    Q("q_stream_cep_times", streamCepTimes _, streamCepTimesSql),
     Q("q_stream_cep_absence", streamCepAbsence _, streamCepAbsenceSql))
 }

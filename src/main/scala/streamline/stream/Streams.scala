@@ -207,6 +207,80 @@ object Streams {
       .orderBy($"w_start", $"event_type")
   }
 
+  /** q_stream_late_metric — late-drop OBSERVABILITY (Flink's
+    * `numLateRecordsDropped`; Spark's stateOperators
+    * `numRowsDroppedByWatermark`): the composed late/side-output
+    * witnesses (q_stream_late / q_stream_late_side) pin drop
+    * semantics; this query surfaces the dropped-row COUNT as a
+    * declared, oracle-checked metric — the number an operator watches
+    * on a dashboard. Deterministic lateness by construction: stage the
+    * even-event_id half, drain it (watermark lands at
+    * floor_ms(max even ts) − 10 min), then restart on the odd half —
+    * a single file, so every odd row is judged against exactly that
+    * restored watermark. The stateful operator is a streaming DEDUP,
+    * deliberately: its state op receives RAW rows, so
+    * numRowsDroppedByWatermark counts late RECORDS (ts ≤ watermark) —
+    * under an aggregation the same metric sits after partial
+    * aggregation and would count late window-partials instead. The
+    * oracle computes the same record count in SQL from the watermark
+    * rule. */
+  private def streamLateMetric(spark: SparkSession,
+                               dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir("latemetric", dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    val (stage, ckpt) = (s"$root/in", s"$root/ck")
+    val events = Tables.events(spark, dir)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      streamline.util.Knobs.statePartitions(spark).toString)
+    def drain(): Long = {
+      val q = spark.readStream.schema(events.schema)
+        .parquet(stage)
+        .withWatermark("ts", "10 minutes")
+        // event-time column in the dedup key ⇒ state evicts by
+        // watermark too (bounded state), not just late-row dropping
+        .dropDuplicates("event_id", "ts")
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .format("noop")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .map(_.numRowsDroppedByWatermark).sum
+    }
+    val dropped = try {
+      // each half as ONE file = one micro-batch, so run 2's rows are
+      // all judged against the restored run-1 watermark, nothing else
+      events.where(pmod($"event_id", lit(2)) === 0)
+        .coalesce(1).write.parquet(stage)
+      drain() // run 1: baseline watermark, no drops (wm starts at 0)
+      events.where(pmod($"event_id", lit(2)) === 1)
+        .coalesce(1).write.mode("append").parquet(stage)
+      drain() // run 2: odd half vs restored watermark → the drops
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val total = events.count()
+    Seq((total, dropped)).toDF("n_events", "n_dropped")
+  }
+
+  // The drop rule mirrored in SQL: a record is dropped iff its event
+  // time is at or below the restored watermark floor_ms(max even-half
+  // ts) − 10 min (WatermarkSupport's watermarkPredicateForData; run 1
+  // drops nothing — its watermark starts at 0).
+  private val streamLateMetricSql = """
+    WITH wm AS (SELECT date_trunc('millisecond', max(ts))
+                  - INTERVAL 10 MINUTE AS w FROM events
+                WHERE event_id % 2 = 0)
+    SELECT (SELECT count(*) FROM events) AS n_events,
+           (SELECT count(*) FROM events
+            WHERE event_id % 2 = 1
+              AND ts <= (SELECT w FROM wm)) AS n_dropped"""
+
   // Same closed-window bound as q_stream_tumble: the restart restores
   // the watermark, so the final one is max(all ts) − 10 min exactly as
   // a single uninterrupted run would produce.
@@ -949,6 +1023,7 @@ object Streams {
     Q("q_stream_proctime", streamProcTime _, streamProcTimeSql),
     Q("q_stream_tumble", streamTumble _, streamTumbleSql),
     Q("q_stream_recovery", streamRecovery _, streamRecoverySql),
+    Q("q_stream_late_metric", streamLateMetric _, streamLateMetricSql),
     Q("q_stream_update", streamUpdate _, streamUpdateSql),
     Q.noOracle("q_stream_sketch", streamSketch _),
     Q("q_stream_union", streamUnion _, streamUnionSql),

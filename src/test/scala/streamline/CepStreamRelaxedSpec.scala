@@ -2,6 +2,7 @@ package streamline
 
 import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
 import graft.SparkSuite
+import streamline.batch.Cep
 import streamline.batch.Cep.{CepAbs, CepEv, CepRel}
 import streamline.stream.CepStream
 import streamline.stream.CepStream.FbBuf
@@ -111,5 +112,42 @@ class CepStreamRelaxedSpec extends SparkSuite {
       Iterator(ev(4, "purchase", 10)), st2).toList
     assert(out2 == List(CepRel(1L, 1L, 4L, 0L, 10 * MIN_US)))
     assert(st2.isRemoved, "expired start must not outlive its window")
+  }
+
+  test("times(3): a triple armed across batches matches the first sealed purchase") {
+    import streamline.stream.CepStream.TimesBuf
+    def freshT(prev: Option[TimesBuf],
+               wmMs: Long): TestGroupState[TimesBuf] =
+      TestGroupState.create[TimesBuf](
+        optionalState = prev match {
+          case Some(p) => org.apache.spark.api.java.Optional.of(p)
+          case None => org.apache.spark.api.java.Optional.empty[TimesBuf]()
+        },
+        timeoutConf = GroupStateTimeout.EventTimeTimeout,
+        batchProcessingTimeMs = 0L,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(wmMs),
+        hasTimedOut = false)
+    // batch 1: two clicks sealed — no triple yet, both retained
+    val st1 = freshT(None, wmMs = 3 * MIN_MS)
+    val out1 = CepStream.updateTimesStream(1L,
+      Iterator(ev(1, "click", 0), ev(2, "click", 1)), st1).toList
+    assert(out1.isEmpty)
+    assert(st1.get.recent == List((1L, 0L), (2L, 1 * MIN_US)))
+    assert(st1.get.armed.isEmpty)
+    // batch 2: third click arms the (1,2,3) triple; purchase still
+    // above the watermark stays buffered
+    val st2 = freshT(Some(st1.get), wmMs = 5 * MIN_MS)
+    val out2 = CepStream.updateTimesStream(1L,
+      Iterator(ev(3, "click", 4), ev(4, "purchase", 7)), st2).toList
+    assert(out2.isEmpty)
+    assert(st2.get.armed == List((1L, 0L, 3L)))
+    assert(st2.get.buf.map(_.event_id) == List(4L))
+    // batch 3: the purchase seals — completes the triple and disarms
+    val st3 = freshT(Some(st2.get), wmMs = 8 * MIN_MS)
+    val out3 = CepStream.updateTimesStream(1L, Iterator.empty, st3).toList
+    assert(out3 == List(Cep.CepTimes(1L, 1L, 3L, 4L, 0L, 7 * MIN_US)))
+    assert(st3.get.armed.isEmpty)
+    assert(st3.get.recent == List((2L, 1 * MIN_US), (3L, 4 * MIN_US)),
+      "last two clicks stay for future triples")
   }
 }
