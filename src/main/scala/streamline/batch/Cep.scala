@@ -209,6 +209,48 @@ object Cep {
                       third_click_id: Long, purchase_id: Long,
                       first_ts_us: Long, purchase_ts_us: Long)
 
+  case class CepOpt(user_id: Long, click_id: Long, view_id: Option[Long],
+                    purchase_id: Long, click_ts_us: Long,
+                    purchase_ts_us: Long)
+
+  /** `a (m?) b within w` — the OPTIONAL quantifier (flink-cep
+    * `optional`): the three-stage pattern matches with or without its
+    * middle stage, and when the middle occurred the match CAPTURES it.
+    * followedBy first-match semantics on the (a, b) spine: each armed
+    * `a` matches the first in-window `b`, one `b` resolves-and-disarms
+    * all; the optional `m` is the first m-event seen after the `a`
+    * (necessarily before the resolving `b`, hence inside the window),
+    * or None. Same window-bounded armed buffer, widened by one
+    * captured id per start. */
+  private def runOptional(it: Iterator[CepEv], aType: String,
+                          mType: String, bType: String,
+                          withinUs: Long): Iterator[CepOpt] = {
+    var curUser = Long.MinValue
+    val pending =
+      scala.collection.mutable.ArrayDeque[(Long, Long, Option[Long])]()
+    it.flatMap { e =>
+      if (e.user_id != curUser) { curUser = e.user_id; pending.clear() }
+      while (pending.nonEmpty && pending.head._2 < e.ts_us - withinUs)
+        pending.removeHead()
+      if (e.event_type == aType) {
+        pending.append((e.event_id, e.ts_us, None)); Iterator.empty
+      } else if (e.event_type == mType) {
+        // first m after each armed a fills its optional slot
+        pending.mapInPlace {
+          case (id, ts, None) => (id, ts, Some(e.event_id))
+          case filled => filled
+        }
+        Iterator.empty
+      } else if (e.event_type == bType) {
+        val out = pending.iterator.map { case (id, ts, m) =>
+          CepOpt(e.user_id, id, m, e.event_id, ts, e.ts_us)
+        }.toVector
+        pending.clear()
+        out.iterator
+      } else Iterator.empty
+    }
+  }
+
   /** `a.times(n) followedBy b within w` for n=3 — bounded repetition
     * with the relaxed contiguity Flink's `times(n)` defaults to
     * (repetitions are n SUCCESSIVE `a`-occurrences in the
@@ -324,6 +366,15 @@ object Cep {
     evs.repartition($"user_id")
       .sortWithinPartitions($"user_id", $"ts_us", $"event_id")
       .mapPartitions(it => runTimesFollowedBy(it, aType, bType, n, withinUs))
+  }
+
+  def optionalMatches(evs: org.apache.spark.sql.Dataset[CepEv],
+                      aType: String, mType: String, bType: String,
+                      withinUs: Long): org.apache.spark.sql.Dataset[CepOpt] = {
+    import evs.sparkSession.implicits._
+    evs.repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"ts_us", $"event_id")
+      .mapPartitions(it => runOptional(it, aType, mType, bType, withinUs))
   }
 
   private def cepEvents(spark: SparkSession, dir: String) = {
@@ -498,10 +549,64 @@ object Cep {
     GROUP BY t.user_id, t.first_click_id, t.third_click_id, t.cts
     ORDER BY user_id, first_click_id, purchase_id"""
 
+  /** q_cep_optional — `click (view?) purchase within 4 hours`: the
+    * followedBy spine with an OPTIONAL captured middle stage — the
+    * match reports the first view between the click and its purchase,
+    * or NULL when the pattern matched without one. The 4-hour window
+    * (vs the family's usual 10 minutes) is what makes BOTH branches
+    * live on the harness corpus: at 10 min every match is view-less
+    * and the capture path would be vacuous (the tight-window edge
+    * cases stay covered by CepPropertySpec's random corpora). */
+  private def cepOptional(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withinUs = 4L * 3600 * 1000 * 1000
+    optionalMatches(cepEvents(spark, dir), "click", "view", "purchase",
+        withinUs)
+      .toDF()
+      .select($"user_id", $"click_id", $"view_id", $"purchase_id",
+        tsSec(timestamp_micros($"click_ts_us")).as("click_ts"),
+        tsSec(timestamp_micros($"purchase_ts_us")).as("purchase_ts"))
+      .orderBy($"user_id", $"click_id")
+  }
+
+  /** Oracle: the q_cep_followedby match spine, LEFT-extended by a
+    * correlated first-view-between lookup (NULL when the optional
+    * stage did not occur). */
+  private val cepOptionalSql = """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 date_trunc('microseconds', ts) AS ts FROM events),
+    o AS (SELECT user_id, event_id, event_type, ts,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+          FROM e),
+    c AS (SELECT user_id, event_id AS click_id, ts AS cts, rn FROM o
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS pts, rn FROM o
+          WHERE event_type = 'purchase'),
+    m AS (SELECT c.user_id AS user_id, c.click_id, c.rn AS crn,
+            c.cts AS cts,
+            arg_min(p.purchase_id, p.rn) AS purchase_id,
+            arg_min(p.pts, p.rn) AS pts,
+            min(p.rn) AS prn
+          FROM c JOIN p
+            ON c.user_id = p.user_id AND p.rn > c.rn
+           AND p.pts <= c.cts + INTERVAL 4 HOUR
+          GROUP BY c.user_id, c.click_id, c.rn, c.cts)
+    SELECT m.user_id, m.click_id,
+      (SELECT v.event_id FROM o v
+       WHERE v.user_id = m.user_id AND v.event_type = 'view'
+         AND v.rn > m.crn AND v.rn < m.prn
+       ORDER BY v.rn LIMIT 1) AS view_id,
+      m.purchase_id,
+      date_trunc('second', m.cts) AS click_ts,
+      date_trunc('second', m.pts) AS purchase_ts
+    FROM m ORDER BY user_id, click_id"""
+
   val all: Seq[Q] = Seq(
     Q("q_cep_kleene", cepKleene _, cepKleeneSql),
     Q("q_cep_followedby", cepFollowedBy _, cepFollowedBySql),
     Q("q_cep_followedby_any", cepFollowedByAny _, cepFollowedByAnySql),
     Q("q_cep_times", cepTimes _, cepTimesSql),
+    Q("q_cep_optional", cepOptional _, cepOptionalSql),
     Q("q_cep_absence", cepAbsence _, cepAbsenceSql))
 }

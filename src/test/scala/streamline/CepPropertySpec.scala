@@ -114,6 +114,45 @@ class CepPropertySpec extends SparkSuite {
       }
     }.toSet
 
+  /** Brute force `a (m?) b within w`: the refFollowedBy spine with the
+    * first in-between m-event captured (None when absent). The random
+    * corpus already mixes "view" events in, so both branches of the
+    * optional are exercised. */
+  private def refOptional(evs: Seq[CepEv]): Set[Cep.CepOpt] =
+    evs.map(_.user_id).distinct.flatMap { u =>
+      val seq = ordered(evs, u)
+      seq.zipWithIndex.collect { case (c, ci) if c.event_type == "click" =>
+        val rest = seq.drop(ci + 1)
+        rest.zipWithIndex.find(_._1.event_type == "purchase")
+          .filter { case (p, _) => p.ts_us <= c.ts_us + withinUs }
+          .map { case (p, pi) =>
+            val view = rest.take(pi).find(_.event_type == "view")
+            Cep.CepOpt(u, c.event_id, view.map(_.event_id), p.event_id,
+              c.ts_us, p.ts_us)
+          }
+      }.flatten
+    }.toSet
+
+  test("optional scan agrees with brute force on random sequences") {
+    val sp = spark; import sp.implicits._
+    (1L to 8L).foreach { seed =>
+      val evs = evsGen(Gen.Parameters.default, Seed(seed)).get
+      val got = Cep.optionalMatches(evs.toDS(), "click", "view",
+        "purchase", withinUs).collect().toSet
+      assert(got == refOptional(evs), s"seed $seed")
+    }
+  }
+
+  test("optional's match spine is exactly followedBy") {
+    val sp = spark; import sp.implicits._
+    val evs = evsGen(Gen.Parameters.default, Seed(7L)).get
+    val opt = Cep.optionalMatches(evs.toDS(), "click", "view", "purchase",
+      withinUs).collect().map(o => (o.click_id, o.purchase_id)).toSet
+    val fb = Cep.followedByMatches(evs.toDS(), "click", "purchase",
+      withinUs).collect().map(r => (r.click_id, r.purchase_id)).toSet
+    assert(opt == fb)
+  }
+
   test("followedByAny scan agrees with brute force on random sequences") {
     val sp = spark; import sp.implicits._
     (1L to 8L).foreach { seed =>
