@@ -327,6 +327,115 @@ object CepStream {
     WHERE p.pts <= (SELECT w FROM wm)
     ORDER BY user_id, click_id, purchase_id"""
 
+  /** Unsealed suffix + armed (click_id, click_ts_us, captured
+    * optional-view id) for the streaming optional operator. */
+  case class OptBuf(buf: List[CepEv],
+                    pending: List[(Long, Long, Option[Long])])
+
+  private val fourHoursUs = 4L * 3600 * 1000 * 1000
+
+  /** optional on the stream — the followedBy machinery with each armed
+    * start carrying its captured optional stage: a sealed view fills
+    * every still-empty slot, a sealed purchase completes-and-disarms
+    * all (first-match spine), and the watermark prunes expired starts.
+    * State widens by one optional id per start — still
+    * window-bounded. */
+  private[streamline] def updateOptionalStream(uid: Long,
+      rows: Iterator[CepEv],
+      state: GroupState[OptBuf]): Iterator[Cep.CepOpt] = {
+    val prev = state.getOption.getOrElse(OptBuf(Nil, Nil))
+    val wmMs = try state.getCurrentWatermarkMs()
+    catch { case _: UnsupportedOperationException => 0L }
+    val wmUs = wmMs * 1000L
+    val all = (prev.buf ++ rows.toList).sortBy(e => (e.ts_us, e.event_id))
+    val (ready, future) = all.partition(_.ts_us <= wmUs)
+    var pending = prev.pending
+    val out = ready.flatMap { e =>
+      pending = pending.dropWhile(_._2 < e.ts_us - fourHoursUs)
+      if (e.event_type == "click") {
+        pending = pending :+ ((e.event_id, e.ts_us, None)); Nil
+      } else if (e.event_type == "view") {
+        pending = pending.map {
+          case (id, ts, None) => (id, ts, Some(e.event_id))
+          case filled => filled
+        }
+        Nil
+      } else if (e.event_type == "purchase") {
+        val matched = pending.map { case (id, ts, v) =>
+          Cep.CepOpt(uid, id, v, e.event_id, ts, e.ts_us)
+        }
+        pending = Nil
+        matched
+      } else Nil
+    }
+    pending = pending.dropWhile(_._2 + fourHoursUs < wmUs)
+    if (future.isEmpty && pending.isEmpty) state.remove()
+    else {
+      state.update(OptBuf(future, pending))
+      val nextUs = future.headOption.map(_.ts_us)
+        .getOrElse(pending.head._2 + fourHoursUs)
+      state.setTimeoutTimestamp(math.max(nextUs / 1000L + 1L, wmMs + 1L))
+    }
+    out.iterator
+  }
+
+  /** q_stream_cep_optional — the optional-stage pattern on the
+    * unbounded stream; on finite input = the batch q_cep_optional
+    * result restricted to sealed purchases. */
+  private def streamCepOptional(spark: SparkSession,
+                                dir: String): DataFrame = {
+    import spark.implicits._
+    val matches = Streams.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .as[CepRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[CepRow], state: GroupState[OptBuf]) =>
+          updateOptionalStream(uid, rows.map(_.toEv), state)
+      }
+      .toDF()
+    Streams.runToTable(spark, "cep_opt", "append", matches)
+      .select($"user_id", $"click_id", $"view_id", $"purchase_id",
+        tsSec(timestamp_micros($"click_ts_us")).as("click_ts"),
+        tsSec(timestamp_micros($"purchase_ts_us")).as("purchase_ts"))
+      .orderBy($"user_id", $"click_id")
+  }
+
+  private val streamCepOptionalSql = """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 date_trunc('microseconds', ts) AS ts FROM events),
+    wm AS (SELECT date_trunc('millisecond', max(ts))
+             - INTERVAL 10 MINUTE AS w FROM events),
+    o AS (SELECT user_id, event_id, event_type, ts,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+          FROM e),
+    c AS (SELECT user_id, event_id AS click_id, ts AS cts, rn FROM o
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS pts, rn FROM o
+          WHERE event_type = 'purchase'),
+    m AS (SELECT c.user_id AS user_id, c.click_id, c.rn AS crn,
+            c.cts AS cts,
+            arg_min(p.purchase_id, p.rn) AS purchase_id,
+            arg_min(p.pts, p.rn) AS pts,
+            min(p.rn) AS prn
+          FROM c JOIN p
+            ON c.user_id = p.user_id AND p.rn > c.rn
+           AND p.pts <= c.cts + INTERVAL 4 HOUR
+          WHERE p.pts <= (SELECT w FROM wm)
+          GROUP BY c.user_id, c.click_id, c.rn, c.cts)
+    SELECT m.user_id, m.click_id,
+      (SELECT v.event_id FROM o v
+       WHERE v.user_id = m.user_id AND v.event_type = 'view'
+         AND v.rn > m.crn AND v.rn < m.prn
+       ORDER BY v.rn LIMIT 1) AS view_id,
+      m.purchase_id,
+      date_trunc('second', m.cts) AS click_ts,
+      date_trunc('second', m.pts) AS purchase_ts
+    FROM m ORDER BY user_id, click_id"""
+
   /** Unsealed suffix + last n−1 clicks + armed (first_id, first_ts,
     * third_id) triples for the streaming times(3) operator. */
   case class TimesBuf(buf: List[CepEv], recent: List[(Long, Long)],
@@ -548,5 +657,6 @@ object CepStream {
     Q("q_stream_cep_followedby_any", streamCepFollowedByAny _,
       streamCepFollowedByAnySql),
     Q("q_stream_cep_times", streamCepTimes _, streamCepTimesSql),
+    Q("q_stream_cep_optional", streamCepOptional _, streamCepOptionalSql),
     Q("q_stream_cep_absence", streamCepAbsence _, streamCepAbsenceSql))
 }

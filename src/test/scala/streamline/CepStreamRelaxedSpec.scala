@@ -114,6 +114,35 @@ class CepStreamRelaxedSpec extends SparkSuite {
     assert(st2.isRemoved, "expired start must not outlive its window")
   }
 
+  test("optional: a sealed view fills the armed slot before the purchase seals") {
+    import streamline.stream.CepStream.OptBuf
+    def freshO(prev: Option[OptBuf], wmMs: Long): TestGroupState[OptBuf] =
+      TestGroupState.create[OptBuf](
+        optionalState = prev match {
+          case Some(p) => org.apache.spark.api.java.Optional.of(p)
+          case None => org.apache.spark.api.java.Optional.empty[OptBuf]()
+        },
+        timeoutConf = GroupStateTimeout.EventTimeTimeout,
+        batchProcessingTimeMs = 0L,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(wmMs),
+        hasTimedOut = false)
+    // batch 1: click + view sealed — slot filled, nothing emitted
+    val st1 = freshO(None, wmMs = 4 * MIN_MS)
+    val out1 = CepStream.updateOptionalStream(1L,
+      Iterator(ev(1, "click", 0), ev(2, "view", 2)), st1).toList
+    assert(out1.isEmpty)
+    assert(st1.get.pending == List((1L, 0L, Some(2L))))
+    // batch 2: the purchase seals — match carries the captured view;
+    // a second armed click without a view reports None
+    val st2 = freshO(Some(st1.get), wmMs = 8 * MIN_MS)
+    val out2 = CepStream.updateOptionalStream(1L,
+      Iterator(ev(3, "click", 5), ev(4, "purchase", 7)), st2).toList
+    assert(out2 == List(
+      Cep.CepOpt(1L, 1L, Some(2L), 4L, 0L, 7 * MIN_US),
+      Cep.CepOpt(1L, 3L, None, 4L, 5 * MIN_US, 7 * MIN_US)))
+    assert(st2.isRemoved)
+  }
+
   test("times(3): a triple armed across batches matches the first sealed purchase") {
     import streamline.stream.CepStream.TimesBuf
     def freshT(prev: Option[TimesBuf],
