@@ -783,14 +783,17 @@ object Streams {
     val e2 = eventsStream(spark, dir)
       .select($"event_id".as("id2"), $"user_id".as("u2"), $"ts".as("ts2"))
       .withWatermark("ts2", "10 minutes")
-    // Unlike the inner interval joins, id1<id2 MUST stay a join conjunct
-    // here: under leftOuter it decides which left rows are unmatched
-    // (null-extended), so a post-join filter would change the result.
-    // The one-sided watermark-extraction WARN this causes is benign —
-    // JoinStateEvictionSpec pins that eviction still happens.
+    // Under leftOuter the pair-dedup predicate decides which left rows
+    // are unmatched (null-extended), so it cannot move to a post-join
+    // filter like the inner joins'. Instead the band is STRICT
+    // (ts2 > ts1): it excludes the self-pair and time-orders every
+    // pair, so no id conjunct is needed at all — the condition is
+    // purely key + time and StreamingJoinHelper solves BOTH sides'
+    // state-value watermarks (equal-ts pairs are deliberately outside
+    // the declared semantics; the oracle mirrors the strict band).
     val joined = e1.join(e2,
-        $"user_id" === $"u2" && $"id1" < $"id2" &&
-          $"ts2" >= $"ts1" && $"ts2" <= $"ts1" + expr("INTERVAL 10 MINUTES"),
+        $"user_id" === $"u2" &&
+          $"ts2" > $"ts1" && $"ts2" <= $"ts1" + expr("INTERVAL 10 MINUTES"),
         "leftOuter")
       .select($"user_id", $"id1", $"id2",
         tsSec($"ts1").as("t1"), tsSec($"ts2").as("t2"))
@@ -807,8 +810,8 @@ object Streams {
             date_trunc('second', e1.ts) AS t1,
             date_trunc('second', e2.ts) AS t2
           FROM e e1 JOIN e e2
-            ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
-           AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE),
+            ON e1.user_id = e2.user_id
+           AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE),
     u AS (SELECT e1.user_id, e1.event_id AS id1,
             CAST(NULL AS BIGINT) AS id2,
             date_trunc('second', e1.ts) AS t1,
@@ -817,8 +820,7 @@ object Streams {
           WHERE e1.ts + INTERVAL 10 MINUTE <= (SELECT w FROM wm)
             AND NOT EXISTS (SELECT 1 FROM e e2
               WHERE e2.user_id = e1.user_id
-                AND e1.event_id < e2.event_id
-                AND e2.ts >= e1.ts
+                AND e2.ts > e1.ts
                 AND e2.ts <= e1.ts + INTERVAL 10 MINUTE))
     SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM u)
     ORDER BY user_id, id1, id2"""
