@@ -82,8 +82,14 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Second probe AFTER the run: the block-device throttle can begin
+    // (or end) mid-bench, and a single pre-run reading would then
+    // misattribute the inflation. Min(start, end) is the conservative
+    // bound to compare totals against.
+    val ioMbSEnd = ioProbeMbS()
+    System.err.println(f"[bench] io probe (end): $ioMbSEnd%.1f MB/s")
     def line(qs: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"io_probe_mb_s":$ioMbS%.1f,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"io_probe_mb_s":$ioMbS%.1f,"io_probe_mb_s_end":$ioMbSEnd%.1f,"queries":$qs,"sf":"$sfDir"}"""
     val full = line(render(results))
     // Persist the full per-query detail to a file channel.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full)

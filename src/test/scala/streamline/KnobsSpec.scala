@@ -56,6 +56,20 @@ class KnobsSpec extends SparkSuite {
     assert(base.nonEmpty || q(spark, sfDir).count() == 0)
   }
 
+  test("streaming result is independent of the state-partition count") {
+    // graft.stream.statePartitions sizes the state store to the
+    // cluster; it must never reach the answer. Witnessed on the
+    // checkpoint-recovery query — the most state-machinery-heavy flow
+    // (two runs, restore, foreachBatch) — at 2 vs the default 4.
+    val q = SparkEntry.queries("q_stream_recovery")
+    val base = q(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(base.nonEmpty)
+    try {
+      spark.conf.set("graft.stream.statePartitions", "2")
+      assert(q(spark, sfDir).collect().map(_.toSeq).toSet == base)
+    } finally spark.conf.unset("graft.stream.statePartitions")
+  }
+
   test("scratch paths encode the source dir") {
     val a = Scratch.dir("x", "/root/testdata/sf0.01")
     val b = Scratch.dir("x", "/root/testdata/sf0.1")
