@@ -628,6 +628,64 @@ object Streams {
     HAVING max(t) + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
     ORDER BY user_id, s_start"""
 
+  /** q_stream_session_dynamic — event-dependent session gaps on the
+    * unbounded stream (Flink's `SessionWindowTimeGapExtractor`): the
+    * batch q_win_session_dynamic merge rule — purchases keep a session
+    * alive 1 hour, everything else 15 minutes — under a watermark in
+    * append mode; a session emits once, when the watermark passes its
+    * (dynamic) end. Same state machinery as the fixed-gap
+    * q_stream_session: windows merge in the session store, evicted on
+    * close. */
+  private def streamSessionDynamic(spark: SparkSession,
+                                   dir: String): DataFrame = {
+    import spark.implicits._
+    val gap = when($"event_type" === "purchase",
+        expr("make_interval(0, 0, 0, 0, 1, 0, 0)"))
+      .otherwise(expr("make_interval(0, 0, 0, 0, 0, 15, 0)"))
+    val agg = eventsStream(spark, dir)
+      .withColumn("tss", date_trunc("second", $"ts"))
+      .withWatermark("tss", "10 minutes")
+      .groupBy(session_window($"tss", gap).as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n"), dsum("value").as("sum_val"))
+      .select($"user_id", tsOut($"sw.start").as("s_start"),
+        tsOut($"sw.end").as("s_end"), $"n", $"sum_val")
+    runToTable(spark, "session_dyn", "append", agg)
+      .orderBy($"user_id", $"s_start")
+  }
+
+  // The batch dynamic-session assembly (max-finish-line island trick)
+  // restricted to sessions whose dynamic end closed under the final
+  // watermark floor_ms(max tss) − 10 min (= exact: tss is
+  // second-truncated).
+  private val streamSessionDynamicSql = """
+    WITH wm AS (SELECT max(date_trunc('second', ts)) - INTERVAL 10 MINUTE
+                  AS w FROM events),
+    e AS (SELECT user_id, date_trunc('second', ts) AS t, value,
+            date_trunc('second', ts)
+              + CASE WHEN event_type = 'purchase'
+                     THEN INTERVAL 1 HOUR
+                     ELSE INTERVAL 15 MINUTE END AS fin
+          FROM events),
+    o AS (SELECT user_id, t, value, fin,
+            CASE WHEN max(fin) OVER (PARTITION BY user_id ORDER BY t, fin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+                   OR t > max(fin) OVER (PARTITION BY user_id
+                     ORDER BY t, fin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS brk
+          FROM e),
+    s AS (SELECT user_id, t, value, fin,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY t, fin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM o)
+    SELECT user_id, min(t) AS s_start, max(fin) AS s_end,
+      count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+    FROM s GROUP BY user_id, sid
+    HAVING max(fin) <= (SELECT w FROM wm)
+    ORDER BY user_id, s_start"""
+
   /** q_stream_dedup — streaming dedup on key under a watermark, via
     * `dropDuplicatesWithinWatermark`: dedup state carries an expiry at
     * (first-seen ts + delay) and the watermark evicts it, so state stays
@@ -1041,6 +1099,8 @@ object Streams {
     Q("q_stream_cumulate", streamCumulate _, streamCumulateSql),
     Q("q_stream_wintopn", streamWinTopN _, streamWinTopNSql),
     Q("q_stream_session", streamSession _, streamSessionSql),
+    Q("q_stream_session_dynamic", streamSessionDynamic _,
+      streamSessionDynamicSql),
     Q("q_stream_dedup", streamDedup _, streamDedupSql),
     Q("q_join_stream_static", joinStreamStatic _, joinStreamStaticSql))
 }
