@@ -107,6 +107,34 @@ object Relational {
     SELECT n_nationkey, n_name, n_regionkey
     FROM nation ORDER BY n_nationkey"""
 
+  /** q_source_jsonl_gz — gzip-compressed JSON-lines round-trip, the
+    * de-facto wire format of web-scale training corpora (every crawl
+    * pipeline ships .jsonl.gz shards). The scale trap this witnesses
+    * around: gzip is NOT splittable, so one .gz file = one task no
+    * matter its size — a single 100 GB shard serializes the whole
+    * scan. The write therefore SHARDS FIRST (repartition before the
+    * codec) so the read side gets file-level parallelism; doubles
+    * round-trip bit-exact through Spark's shortest-repr JSON
+    * formatting. Oracle reads the parquet original. */
+  private def sourceJsonlGz(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = streamline.util.Scratch.dir("jsonl_gz", dir)
+    val proj = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    proj.repartition(4) // shard BEFORE compressing: .gz is one-task-per-file
+      .write.mode("overwrite")
+      .option("compression", "gzip")
+      .json(tmp)
+    spark.read
+      .schema(proj.schema)
+      .json(tmp)
+      .orderBy($"event_id")
+  }
+
+  private val sourceJsonlGzSql = """
+    SELECT event_id, user_id, event_type, value
+    FROM events ORDER BY event_id"""
+
   /** q_source_text — line-oriented text source + WordCount (the
     * lineage's founding example: readTextFile → flatMap(split) →
     * groupBy(word).sum; upstream
@@ -507,6 +535,7 @@ object Relational {
     Q("q_scan_prune", scanPrune _, scanPruneSql),
     Q("q_source_json", sourceJson _, sourceJsonSql),
     Q("q_source_csv", sourceCsv _, sourceCsvSql),
+    Q("q_source_jsonl_gz", sourceJsonlGz _, sourceJsonlGzSql),
     Q("q_source_text", sourceText _, sourceTextSql),
     Q("q_source_orc", sourceOrc _, sourceOrcSql),
     Q("q_sink_roundtrip", sinkRoundtrip _, sinkRoundtripSql),
