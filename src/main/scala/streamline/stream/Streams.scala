@@ -324,6 +324,85 @@ object Streams {
     HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
     ORDER BY w_start, event_type"""
 
+  /** Two separately-watermarked branches (error / view — the two
+    * event-type substreams whose max timestamps diverge the most)
+    * unioned into one 15-minute windowed count: the query whose result
+    * DEPENDS on the multiple-watermark policy. */
+  private def wmPolicyAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = eventsStream(spark, dir).where($"event_type" === "error")
+      .withWatermark("ts", "10 minutes")
+    val b = eventsStream(spark, dir).where($"event_type" === "view")
+      .withWatermark("ts", "10 minutes")
+    a.unionByName(b)
+      .groupBy(window($"ts", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(tsOut($"window.start").as("w_start"), $"event_type", $"n")
+  }
+
+  /** q_stream_wm_min — the MIN multiple-watermark policy (Spark's
+    * default; Flink's only rule — an operator's watermark is the min
+    * across its inputs): with two watermarked branches the global
+    * watermark trails the SLOWER one, so windows close only under
+    * min(max error ts, max view ts) − delay. The operational corollary
+    * this witnesses: one idle/slow source holds back every window of
+    * the union (Flink's withIdleness pain). On this corpus the error
+    * branch ends ~34 min before the view branch, so the min policy
+    * provably closes FEWER windows than q_stream_wm_max over the
+    * identical input. */
+  private def streamWmMin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    runToTable(spark, "wm_min", "append", wmPolicyAgg(spark, dir))
+      .orderBy($"w_start", $"event_type")
+  }
+
+  private val streamWmMinSql = """
+    WITH wm AS (SELECT least(
+        (SELECT date_trunc('millisecond', max(ts)) FROM events
+         WHERE event_type = 'error'),
+        (SELECT date_trunc('millisecond', max(ts)) FROM events
+         WHERE event_type = 'view')) - INTERVAL 10 MINUTE AS w)
+    SELECT CAST(time_bucket(INTERVAL 15 MINUTE, ts) AS TIMESTAMP)
+        AS w_start, event_type, count(*) AS n
+    FROM events WHERE event_type IN ('error', 'view')
+    GROUP BY 1, 2
+    HAVING w_start + INTERVAL 15 MINUTE <= (SELECT w FROM wm)
+    ORDER BY w_start, event_type"""
+
+  /** q_stream_wm_max — the MAX policy
+    * (`spark.sql.streaming.multipleWatermarkPolicy=max`): the global
+    * watermark rides the FASTER branch, so the slow branch's tail
+    * windows close (and its straggler rows would be dropped as late —
+    * the availability-over-completeness trade). Same query as
+    * q_stream_wm_min; only the policy conf differs, and the two
+    * oracles differ exactly by least↔greatest. */
+  private def streamWmMax(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.multipleWatermarkPolicy"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "max")
+      runToTable(spark, "wm_max", "append", wmPolicyAgg(spark, dir))
+        .orderBy($"w_start", $"event_type")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private val streamWmMaxSql = """
+    WITH wm AS (SELECT greatest(
+        (SELECT date_trunc('millisecond', max(ts)) FROM events
+         WHERE event_type = 'error'),
+        (SELECT date_trunc('millisecond', max(ts)) FROM events
+         WHERE event_type = 'view')) - INTERVAL 10 MINUTE AS w)
+    SELECT CAST(time_bucket(INTERVAL 15 MINUTE, ts) AS TIMESTAMP)
+        AS w_start, event_type, count(*) AS n
+    FROM events WHERE event_type IN ('error', 'view')
+    GROUP BY 1, 2
+    HAVING w_start + INTERVAL 15 MINUTE <= (SELECT w FROM wm)
+    ORDER BY w_start, event_type"""
+
   /** q_stream_update — UPDATE output mode: the window emits its current
     * aggregate every micro-batch it changes in (the lineage's
     * early-firing trigger — `ContinuousEventTimeTrigger` /
@@ -1101,6 +1180,8 @@ object Streams {
     Q("q_stream_session", streamSession _, streamSessionSql),
     Q("q_stream_session_dynamic", streamSessionDynamic _,
       streamSessionDynamicSql),
+    Q("q_stream_wm_min", streamWmMin _, streamWmMinSql),
+    Q("q_stream_wm_max", streamWmMax _, streamWmMaxSql),
     Q("q_stream_dedup", streamDedup _, streamDedupSql),
     Q("q_join_stream_static", joinStreamStatic _, joinStreamStaticSql))
 }
