@@ -27,4 +27,21 @@ class CorruptSourceSpec extends SparkSuite {
     raw.unpersist() // shared session — don't hold the cache
     assert(valid == expected)
   }
+
+  test("gzip jsonl source reads with file-level parallelism") {
+    // q_source_jsonl_gz's scale claim: gzip is unsplittable, so the
+    // write shards BEFORE compressing and the read side must see one
+    // task per shard — a single fused .gz would scan on one core.
+    val sp = spark; import sp.implicits._
+    graft.SparkEntry.queries("q_source_jsonl_gz")(spark, sfDir).count()
+    val tmp = streamline.util.Scratch.dir("jsonl_gz", sfDir)
+    val gzFiles = new java.io.File(tmp).listFiles()
+      .count(_.getName.endsWith(".json.gz"))
+    assert(gzFiles >= 2, s"expected sharded .gz output, got $gzFiles file(s)")
+    val parts = spark.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .json(tmp).rdd.getNumPartitions
+    assert(parts >= gzFiles,
+      s"gz read planned $parts partition(s) for $gzFiles shards")
+  }
 }
