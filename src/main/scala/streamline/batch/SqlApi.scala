@@ -234,6 +234,98 @@ object SqlApi {
     GROUP BY n_name
     ORDER BY revenue DESC, n_name"""
 
+  /** q_sql_tpch11 — important-part-value shape (TPC-H Q11): a keyed
+    * aggregate filtered against a SCALAR SUBQUERY over the same
+    * aggregate (parts whose line count exceeds twice the per-part
+    * average). Catalyst plans the two scalar subqueries as one-row
+    * broadcast exchanges over a REUSED aggregate subtree — at 100 TB
+    * the threshold is computed once and shipped as a literal, never a
+    * join. The threshold predicate is spelled in pure BIGINT arithmetic
+    * (`10·n·|pc| > 13·Σn` ⟺ `n > 1.3·avg`) so the cut is bit-exact in
+    * both engines — a decimal or double average would put boundary
+    * rows at the mercy of each engine's scale-capping rules. The
+    * revenue payload keeps the §2.12 decimal conventions. */
+  private def tpch11(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, tpch11Text)
+
+  private val tpch11Text = s"""
+    WITH pc AS (
+      SELECT l_partkey, count(*) AS n_lines, $revenue AS part_value
+      FROM lineitem
+      GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, n_lines, part_value
+    FROM pc
+    WHERE 10 * n_lines * (SELECT count(*) FROM pc)
+          > 13 * (SELECT sum(n_lines) FROM pc)
+    ORDER BY n_lines DESC, partkey"""
+
+  private val tpch11Sql = """
+    WITH pc AS (
+      SELECT l_partkey, count(*) AS n_lines,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4))))
+             AS VARCHAR) AS DOUBLE) AS part_value
+      FROM lineitem
+      GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, n_lines, part_value
+    FROM pc
+    WHERE 10 * n_lines * (SELECT count(*) FROM pc)
+          > 13 * (SELECT sum(n_lines) FROM pc)
+    ORDER BY n_lines DESC, partkey"""
+
+  /** q_sql_tpch16 — supplier-count shape (TPC-H Q16): DISTINCT
+    * aggregation over a join, with a null-aware NOT IN subquery that
+    * Spark must plan as a null-aware anti join (here a broadcast: the
+    * excluded supplier set is tiny at any scale). The part attribute
+    * filters push into the part scan; lineitem supplies the
+    * part–supplier pairs (the fixture ships no partsupp table). */
+  private def tpch16(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, tpch16Text)
+
+  private val tpch16Text = """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** q_sql_tpch22 — global-customer-relationship shape (TPC-H Q22):
+    * a scalar-subquery threshold (balance above the positive-balance
+    * mean) combined with a NOT EXISTS anti join against orders,
+    * rolled up per nation. The mean comparison runs on exact integer
+    * 10⁻⁴-units — `cents · |positive| > Σcents` — because a
+    * decimal/double average's engine-specific rounding could flip
+    * boundary customers; DECIMAL(18,4)×10⁴ is precision-exact
+    * (DECIMAL(23,4)) in both engines before the BIGINT cast. At scale:
+    * two tiny scalar broadcasts plus one shuffled anti join on
+    * custkey. */
+  private def tpch22(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, tpch22Text)
+
+  private val tpch22Text = """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+        CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT)
+          AS bal_e4
+      FROM customer)
+    SELECT c_nationkey, count(*) AS numcust,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        AS totacctbal
+    FROM c
+    WHERE bal_e4 * (SELECT count(*) FROM c WHERE bal_e4 > 0)
+          > (SELECT sum(bal_e4) FROM c WHERE bal_e4 > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey"""
+
   /** q_sql_window — the Table API's windowed aggregate spelled in SQL
     * text (Flink `GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)`): Spark's
     * `window()` table function in a SQL string, batch semantics over
@@ -739,6 +831,9 @@ object SqlApi {
     Q("q_sql_tpch1", tpch1 _, tpch1OracleSql),
     Q("q_sql_tpch18", tpch18 _, tpch18Sql),
     Q("q_sql_tpch5", tpch5 _, tpch5Text),
+    Q("q_sql_tpch11", tpch11 _, tpch11Sql),
+    Q("q_sql_tpch16", tpch16 _, tpch16Text),
+    Q("q_sql_tpch22", tpch22 _, tpch22Text),
     Q("q_sql_window", sqlWindow _, sqlWindowSql),
     Q("q_sql_window_hop", sqlWindowHop _, sqlWindowHopSql),
     Q("q_sql_window_session", sqlWindowSession _, sqlWindowSessionSql),
