@@ -1115,6 +1115,105 @@ object Streams {
            n_upserts
     FROM r WHERE rn = 1 ORDER BY user_id"""
 
+  /** Apply one CDC micro-batch to the keyed state table: union the
+    * current state with the batch's op rows and keep the LATEST op per
+    * key by (ts, event_id) — tombstones ('D') INCLUDED, so a replayed
+    * older upsert can never resurrect a deleted key; readers filter
+    * them out. `n_ops` accumulates the total ops applied per key.
+    * Factored out of [[sinkCdc]] so CdcSinkSpec can drive the
+    * tombstone / resurrection sequences batch by batch. */
+  private[streamline] def cdcMerge(cur: Option[DataFrame],
+                                   batch: DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val b = batch.withColumn("n_ops", lit(1L))
+    cur.map(_.unionByName(b)).getOrElse(b)
+      .groupBy($"user_id")
+      .agg(
+        max_by(struct($"ts", $"event_id", $"op", $"value"),
+          struct($"ts", $"event_id")).as("last"),
+        sum($"n_ops").as("n_ops"))
+      .select($"user_id", $"last.ts".as("ts"),
+        $"last.event_id".as("event_id"), $"last.op".as("op"),
+        $"last.value".as("value"), $"n_ops")
+  }
+
+  /** q_sink_cdc — changelog-apply (CDC) sink: the full Flink
+    * retract/upsert-stream contract INCLUDING deletes (upsert-kafka
+    * tombstones; [UPSTREAM `flink-table/.../connector/ChangelogMode`]),
+    * which q_sink_upsert's insert/update-only merge does not cover.
+    * The event stream carries an op column ('D' tombstone for
+    * event_id ≡ 0 (mod 7), else 'U'); each micro-batch MERGEs into a
+    * generation-rotated keyed state table via [[cdcMerge]] — latest op
+    * per key wins, a key whose latest op is a tombstone vanishes from
+    * the read view, and a LATER upsert resurrects it (both sequences
+    * pinned in CdcSinkSpec). Generations are keyed by the sink batchId
+    * so a foreachBatch replay overwrites instead of double-applying —
+    * idempotent, exactly like the upsert sink. At scale this is
+    * `MERGE INTO ... WHEN MATCHED AND op='D' THEN DELETE` on a keyed
+    * table format: per-batch cost O(batch ⋈ current) on the key, never
+    * a table rewrite. */
+  private def sinkCdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir("cdc", dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    @volatile var lastGen = 0L
+    val st = eventsStream(spark, dir)
+      .select($"user_id", $"ts", $"event_id",
+        when(pmod($"event_id", lit(7L)) === 0, "D").otherwise("U")
+          .as("op"),
+        $"value")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      streamline.util.Knobs.statePartitions(spark).toString)
+    try {
+      val q = st.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val s = df.sparkSession
+          val cur = s"$root/g$id"
+          val curDf =
+            if (fs.exists(new org.apache.hadoop.fs.Path(cur)))
+              Some(s.read.parquet(cur))
+            else None
+          cdcMerge(curDf, df)
+            .write.mode("overwrite").parquet(s"$root/g${id + 1}")
+          lastGen = id + 1
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val lastPath = new org.apache.hadoop.fs.Path(s"$root/g$lastGen")
+    val sink =
+      if (fs.exists(lastPath)) spark.read.parquet(lastPath.toString)
+      else Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, Long)]
+        .toDF("user_id", "ts", "event_id", "op", "value", "n_ops")
+    sink
+      .where($"op" =!= "D")
+      .select($"user_id", $"event_id".as("last_event_id"),
+        $"value".as("last_value"), $"n_ops")
+      .orderBy($"user_id")
+  }
+
+  // Oracle: latest op per user by (µs-truncated ts, event_id); users
+  // whose latest op is the tombstone are absent; n_ops counts ALL ops.
+  private val sinkCdcSql = """
+    WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
+                      event_id, value,
+                      CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END
+                        AS op
+               FROM events),
+    r AS (SELECT user_id, event_id, value, op,
+            count(*) OVER (PARTITION BY user_id) AS n_ops,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM e)
+    SELECT user_id, event_id AS last_event_id, value AS last_value,
+           n_ops
+    FROM r WHERE rn = 1 AND op = 'U' ORDER BY user_id"""
+
   /** q_stream_proctime — processing-time windows under a real
     * `Trigger.ProcessingTime` schedule (Flink
     * TumblingProcessingTimeWindows): rows are windowed on the WALL
@@ -1168,6 +1267,7 @@ object Streams {
     Q("q_stream_union", streamUnion _, streamUnionSql),
     Q("q_sink_foreachbatch", sinkForeachBatch _, sinkForeachBatchSql),
     Q("q_sink_upsert", sinkUpsert _, sinkUpsertSql),
+    Q("q_sink_cdc", sinkCdc _, sinkCdcSql),
     Q("q_stream_backpressure", streamBackpressure _, streamBackpressureSql),
     Q("q_stream_join_agg", streamJoinAgg _, streamJoinAggSql),
     Q("q_join_stream_stream", joinStreamStream _, joinStreamStreamSql),
