@@ -265,8 +265,60 @@ object Pipeline {
     FROM c GROUP BY (cum - n_tok) // 512
     ORDER BY pack_id"""
 
+  /** q_llm_mix — domain-mixture resampling: reweight a corpus toward
+    * target per-domain proportions (the DoReMi / data-mixing step every
+    * large pretraining run applies: up-sample scarce high-value
+    * domains, down-sample the over-represented crawl bulk). Each
+    * source s gets keep-rate `min(1, target_share_s / actual_share_s)`
+    * (here target weights cycle 1..4 over the source index — the
+    * weights are the tunable, the MACHINERY is the witness), and a
+    * document survives iff its 16-bit content-hash fraction falls
+    * under its domain's rate — the same stateless, partitioning-proof,
+    * engine-reproducible hash cut as q_llm_sample_hash, so the sample
+    * is a pure function of (content, weights). Scale shape: one tiny
+    * per-domain count aggregate (domains, not documents) broadcast
+    * back onto the corpus; the cut itself is map-side. The rate
+    * arithmetic stays in exact integer products until ONE double
+    * division (`wt·N / (Σwt·n)`) — identical IEEE result in both
+    * engines — and the hash compare is long < double, exact in the
+    * 16-bit range. */
+  private def mix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val w = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("wt",
+        substring($"source", 4, 10).cast("long") % 4 + 1)
+    val tot = w.agg(sum($"n").as("n_tot"), sum($"wt").as("wt_tot"))
+    val rates = w.crossJoin(broadcast(tot))
+      .withColumn("rate",
+        ($"wt" * $"n_tot").cast("double")
+          / ($"wt_tot" * $"n").cast("double"))
+      .select($"source", $"rate")
+    docs.join(broadcast(rates), "source")
+      .where(conv(substring(md5($"text"), 1, 4), 16, 10).cast("long")
+        < $"rate" * 65536.0)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  private val mixSql = """
+    WITH w AS (SELECT source, count(*) AS n,
+                 (CAST(substring(source, 4) AS BIGINT) % 4) + 1 AS wt
+               FROM documents GROUP BY source),
+    t AS (SELECT source,
+            CAST(wt * (SELECT sum(n) FROM w) AS DOUBLE)
+            / CAST((SELECT sum(wt) FROM w) * n AS DOUBLE) AS rate
+          FROM w)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN t ON d.source = t.source
+    WHERE CAST('0x' || substring(md5(d.text), 1, 4) AS BIGINT)
+          < rate * 65536
+    ORDER BY d.doc_id"""
+
   val all: Seq[Q] = Seq(
     Q("q_llm_pipeline", pipelineE2e _, pipelineE2eSql),
+    Q("q_llm_mix", mix _, mixSql),
     Q("q_llm_sample_hash", sampleHash _, sampleHashSql),
     Q("q_llm_sample_stratified", sampleStratified _, sampleStratifiedSql),
     Q("q_llm_shuffle", shuffleCorpus _, shuffleCorpusSql),
