@@ -1,6 +1,6 @@
 package streamline.batch
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import streamline.{Q, Tables}
 import streamline.util.Det._
@@ -245,6 +245,113 @@ object Relational {
       .select($"n_nationkey", $"n_name", $"n_regionkey")
       .orderBy($"n_nationkey")
   }
+
+  /** q_sink_compact — small-file compaction: the table-maintenance
+    * pass every streaming/append ingest needs (a micro-batch sink
+    * writing every trigger leaves thousands of KB-files; at 100 TB the
+    * file-listing and per-file open cost alone kills scans — the
+    * lakehouse OPTIMIZE/rewrite step). Staged here honestly: the
+    * source projection is first written deliberately fragmented (64
+    * files), then compacted by a range-repartition on the sort key +
+    * in-partition sort — the compacted files carry DISJOINT key ranges
+    * so parquet min/max footer pruning works on the result, and the
+    * target file count (not size — the fixture is small) stands in for
+    * the size-targeted binpacking a table format does. Content is
+    * bit-identical through both layouts (the oracle); the 64→4 file
+    * collapse and the disjoint per-file ranges are pinned in
+    * CompactLayoutSpec. */
+  private def sinkCompact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = streamline.util.Scratch.dir("compact", dir)
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice")
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$tmp/small")
+    spark.read.parquet(s"$tmp/small")
+      .repartitionByRange(4, $"l_orderkey")
+      .sortWithinPartitions($"l_orderkey", $"l_linenumber")
+      .write.mode("overwrite").parquet(s"$tmp/compacted")
+    spark.read.parquet(s"$tmp/compacted")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice")
+      // (orderkey, linenumber) is NOT unique in the fixture — the
+      // ORDER BY must cover every column to be total (§2.12).
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice")
+  }
+
+  private val sinkCompactSql = """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""
+
+  /** Z-value: interleave the low `bits` bits of two non-negative long
+    * columns (a→even positions, b→odd). Pure bitwise Catalyst
+    * expression tree — codegen'd, map-side, no UDF. 16 bits per
+    * dimension covers the fixture key domains with headroom; real
+    * tables widen `bits` to the key range. */
+  private[streamline] def zvalue(a: Column, b: Column,
+                                 bits: Int = 16): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)),
+          2 * i + 1))
+    }
+
+  /** q_sink_zorder — multi-dimensional data clustering (Z-order): lay
+    * the table out along an interleaved-bit space-filling curve over
+    * (l_partkey, l_suppkey) so that EVERY file's footer min/max
+    * bounding box is narrow in BOTH dimensions — a predicate on either
+    * key (or both) then prunes most files at planning time. A 1-D sort
+    * can only do this for its leading key: the trailing dimension
+    * spans the full range in every file (the contrast is measured, not
+    * assumed — ZOrderLayoutSpec lays the same rows out both ways and
+    * asserts the bounding-box collapse). THE clustering decision for
+    * multi-key point/range lookups at 100 TB (Delta/Iceberg OPTIMIZE
+    * ZORDER); the curve computation itself is a map-side codegen'd
+    * bitwise expression, and the layout write is one range exchange on
+    * the z-value. The dimensions are RANGE-NORMALIZED onto a common
+    * 8-bit grid before interleaving — raw-bit interleave is the known
+    * z-order pitfall when domain widths differ (here suppkey uses 4
+    * bits where partkey uses 11+, so partkey's high bits would
+    * dominate the curve and the layout would degenerate to a 1-D
+    * partkey sort; production ZORDER normalizes by rank for the same
+    * reason). The min/max bounds feeding the normalization are 4
+    * numbers from one tiny aggregate — metadata-scale driver state.
+    * Content is unchanged by layout — the oracle is the projection
+    * itself. */
+  private def sinkZorder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = streamline.util.Scratch.dir("zorder", dir)
+    val src = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        $"l_quantity")
+    val mm = src.agg(min($"l_partkey"), max($"l_partkey"),
+      min($"l_suppkey"), max($"l_suppkey")).head()
+    def bucket(c: Column, lo: Long, hi: Long): Column =
+      (c - lit(lo)) * 256L / lit(hi - lo + 1L)
+    src
+      .withColumn("z", zvalue(
+        bucket($"l_partkey", mm.getLong(0), mm.getLong(1)),
+        bucket($"l_suppkey", mm.getLong(2), mm.getLong(3)), bits = 8))
+      .repartitionByRange(8, $"z")
+      .sortWithinPartitions($"z")
+      .drop("z")
+      .write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        $"l_quantity")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        $"l_quantity")
+  }
+
+  private val sinkZorderSql = """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             l_quantity"""
 
   private val sourceEvolveSql = """
     SELECT n_nationkey, n_name,
@@ -540,6 +647,8 @@ object Relational {
     Q("q_source_orc", sourceOrc _, sourceOrcSql),
     Q("q_sink_roundtrip", sinkRoundtrip _, sinkRoundtripSql),
     Q("q_sink_partitioned", sinkPartitioned _, sinkPartitionedSql),
+    Q("q_sink_compact", sinkCompact _, sinkCompactSql),
+    Q("q_sink_zorder", sinkZorder _, sinkZorderSql),
     Q("q_source_evolve", sourceEvolve _, sourceEvolveSql),
     Q("q_project", project _, projectSql),
     Q("q_filter", filter _, filterSql),
