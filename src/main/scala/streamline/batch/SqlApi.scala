@@ -236,11 +236,13 @@ object SqlApi {
 
   /** q_sql_tpch11 — important-part-value shape (TPC-H Q11): a keyed
     * aggregate filtered against a SCALAR SUBQUERY over the same
-    * aggregate (parts whose line count exceeds twice the per-part
-    * average). Catalyst plans the two scalar subqueries as one-row
-    * broadcast exchanges over a REUSED aggregate subtree — at 100 TB
-    * the threshold is computed once and shipped as a literal, never a
-    * join. The threshold predicate is spelled in pure BIGINT arithmetic
+    * aggregate (parts whose line count exceeds 1.3× the per-part
+    * average). The global count+sum pair is ONE single-row CTE
+    * cross-joined back in (a 1-row broadcast): spelling it as two
+    * scalar subqueries planned the pc aggregate THREE times — three
+    * full lineitem scans — where this shape scans once and reuses the
+    * aggregate exchange. The threshold predicate is in pure BIGINT
+    * arithmetic
     * (`10·n·|pc| > 13·Σn` ⟺ `n > 1.3·avg`) so the cut is bit-exact in
     * both engines — a decimal or double average would put boundary
     * rows at the mercy of each engine's scale-capping rules. The
@@ -252,11 +254,11 @@ object SqlApi {
     WITH pc AS (
       SELECT l_partkey, count(*) AS n_lines, $revenue AS part_value
       FROM lineitem
-      GROUP BY l_partkey)
+      GROUP BY l_partkey),
+    t AS (SELECT count(*) AS n_parts, sum(n_lines) AS tot_lines FROM pc)
     SELECT l_partkey AS partkey, n_lines, part_value
-    FROM pc
-    WHERE 10 * n_lines * (SELECT count(*) FROM pc)
-          > 13 * (SELECT sum(n_lines) FROM pc)
+    FROM pc, t
+    WHERE 10 * n_lines * n_parts > 13 * tot_lines
     ORDER BY n_lines DESC, partkey"""
 
   private val tpch11Sql = """
@@ -266,11 +268,11 @@ object SqlApi {
                       * (1 - CAST(l_discount AS DECIMAL(18,4))))
              AS VARCHAR) AS DOUBLE) AS part_value
       FROM lineitem
-      GROUP BY l_partkey)
+      GROUP BY l_partkey),
+    t AS (SELECT count(*) AS n_parts, sum(n_lines) AS tot_lines FROM pc)
     SELECT l_partkey AS partkey, n_lines, part_value
-    FROM pc
-    WHERE 10 * n_lines * (SELECT count(*) FROM pc)
-          > 13 * (SELECT sum(n_lines) FROM pc)
+    FROM pc, t
+    WHERE 10 * n_lines * n_parts > 13 * tot_lines
     ORDER BY n_lines DESC, partkey"""
 
   /** q_sql_tpch16 — supplier-count shape (TPC-H Q16): DISTINCT
@@ -302,9 +304,10 @@ object SqlApi {
     * 10⁻⁴-units — `cents · |positive| > Σcents` — because a
     * decimal/double average's engine-specific rounding could flip
     * boundary customers; DECIMAL(18,4)×10⁴ is precision-exact
-    * (DECIMAL(23,4)) in both engines before the BIGINT cast. At scale:
-    * two tiny scalar broadcasts plus one shuffled anti join on
-    * custkey. */
+    * (DECIMAL(23,4)) in both engines before the BIGINT cast. The
+    * count+sum threshold pair is one single-row CTE broadcast back in
+    * (not two scalar subqueries — same triple-scan trap as Q11); the
+    * anti join shuffles on custkey. */
   private def tpch22(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir, tpch22Text)
 
@@ -313,13 +316,14 @@ object SqlApi {
       SELECT c_custkey, c_nationkey, c_acctbal,
         CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT)
           AS bal_e4
-      FROM customer)
+      FROM customer),
+    t AS (SELECT count(*) AS n_pos, sum(bal_e4) AS tot_e4
+          FROM c WHERE bal_e4 > 0)
     SELECT c_nationkey, count(*) AS numcust,
       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
         AS totacctbal
-    FROM c
-    WHERE bal_e4 * (SELECT count(*) FROM c WHERE bal_e4 > 0)
-          > (SELECT sum(bal_e4) FROM c WHERE bal_e4 > 0)
+    FROM c, t
+    WHERE bal_e4 * n_pos > tot_e4
       AND NOT EXISTS (
         SELECT 1 FROM orders WHERE o_custkey = c_custkey
           AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
