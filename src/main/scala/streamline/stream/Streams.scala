@@ -1115,6 +1115,38 @@ object Streams {
            n_upserts
     FROM r WHERE rn = 1 ORDER BY user_id"""
 
+  /** q_stream_distinct — EXACT windowed distinct count as a streaming
+    * query: per-(window, user) dedup state feeding a windowed count —
+    * two chained stateful operators (dedup → agg) with one watermark
+    * propagated through both (the chain Flink plans for
+    * `COUNT(DISTINCT user)` over a group window). The exact counterpart
+    * of q_stream_sketch's approximate theta path: state here is
+    * O(distinct keys per open window), evicted when the watermark
+    * seals the window — the honest cost of exactness that the sketch
+    * trades away at 100 TB key cardinalities. Append mode ⇒ sealed
+    * windows only, so the batch oracle filters to closed windows. */
+  private def streamDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(window($"ts", "1 day").as("w"), $"user_id")
+      .dropDuplicates("w", "user_id")
+      .groupBy($"w")
+      .agg(count(lit(1)).as("n_users"))
+      .select(tsOut($"w.start").as("w_start"), $"n_users")
+    runToTable(spark, "sdistinct", "append", agg)
+      .orderBy($"w_start")
+  }
+
+  private val streamDistinctSql = """
+    WITH wm AS (SELECT date_trunc('millisecond', max(ts))
+                  - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
+    ORDER BY w_start"""
+
   /** Apply one CDC micro-batch to the keyed state table: union the
     * current state with the batch's op rows and keep the LATEST op per
     * key by (ts, event_id) — tombstones ('D') INCLUDED, so a replayed
@@ -1268,6 +1300,7 @@ object Streams {
     Q("q_sink_foreachbatch", sinkForeachBatch _, sinkForeachBatchSql),
     Q("q_sink_upsert", sinkUpsert _, sinkUpsertSql),
     Q("q_sink_cdc", sinkCdc _, sinkCdcSql),
+    Q("q_stream_distinct", streamDistinct _, streamDistinctSql),
     Q("q_stream_backpressure", streamBackpressure _, streamBackpressureSql),
     Q("q_stream_join_agg", streamJoinAgg _, streamJoinAggSql),
     Q("q_join_stream_stream", joinStreamStream _, joinStreamStreamSql),
