@@ -370,8 +370,36 @@ object Aggregates {
         thetaANotB($"ck", $"pu").as("click_only"))
   }
 
+  /** q_agg_bitops — bitwise aggregates (BIT_AND/BIT_OR/BIT_XOR): the
+    * flag-intersection / flag-union / parity fold over a group —
+    * bitmap-index maintenance and feature-flag rollups at warehouse
+    * scale. All three are associative+commutative, so Spark plans them
+    * with map-side partial aggregation like any sum; integer-exact in
+    * both engines, no rounding discipline needed. */
+  private def aggBitops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(bit_and($"l_orderkey").as("k_and"),
+        bit_or($"l_orderkey").as("k_or"),
+        bit_xor($"l_orderkey").as("k_xor"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  private val aggBitopsSql = """
+    SELECT l_returnflag, l_linestatus,
+      bit_and(l_orderkey) AS k_and,
+      bit_or(l_orderkey) AS k_or,
+      bit_xor(l_orderkey) AS k_xor,
+      count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
   val all: Seq[streamline.Q] = Seq(
     streamline.Q("q_agg_group", aggGroup _, aggGroupSql),
+    streamline.Q("q_agg_bitops", aggBitops _, aggBitopsSql),
     streamline.Q.noOracle("q_agg_sketch_theta", aggSketchTheta _),
     streamline.Q.noOracle("q_agg_sketch_algebra", aggSketchAlgebra _),
     streamline.Q.noOracle("q_agg_approx_quantile", aggApproxQuantile _),

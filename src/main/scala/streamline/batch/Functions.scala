@@ -275,8 +275,39 @@ object Functions {
       c_nationkey AS nationkey, upper(c_mktsegment) AS segment
     FROM customer ORDER BY c_custkey"""
 
+  /** q_fn_bitwise — the bitwise scalar family (AND/OR/XOR/NOT, shifts,
+    * popcount): flag fields, bitmap encodings, hash mixing — all
+    * integer-exact, so the oracle needs no rounding discipline at all.
+    * Every op is a codegen'd arithmetic instruction; outputs cast to
+    * BIGINT on both sides so the column types hash identically. */
+  private def fnBitwise(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        $"o_orderkey".bitwiseAND($"o_custkey").as("b_and"),
+        $"o_orderkey".bitwiseOR($"o_custkey").as("b_or"),
+        $"o_orderkey".bitwiseXOR($"o_custkey").as("b_xor"),
+        bitwise_not($"o_orderkey").as("b_not"),
+        shiftleft($"o_custkey", 3).cast("long").as("b_shl"),
+        shiftright($"o_orderkey", 2).cast("long").as("b_shr"),
+        bit_count($"o_orderkey").cast("long").as("b_cnt"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val fnBitwiseSql = """
+    SELECT o_orderkey,
+      o_orderkey & o_custkey AS b_and,
+      o_orderkey | o_custkey AS b_or,
+      xor(o_orderkey, o_custkey) AS b_xor,
+      ~o_orderkey AS b_not,
+      CAST(o_custkey << 3 AS BIGINT) AS b_shl,
+      CAST(o_orderkey >> 2 AS BIGINT) AS b_shr,
+      CAST(bit_count(o_orderkey) AS BIGINT) AS b_cnt
+    FROM orders ORDER BY o_orderkey"""
+
   val all: Seq[Q] = Seq(
     Q("q_fn_struct", fnStruct _, fnStructSql),
+    Q("q_fn_bitwise", fnBitwise _, fnBitwiseSql),
     Q("q_fn_string", fnString _, fnStringSql),
     Q("q_fn_date", fnDate _, fnDateSql),
     Q("q_fn_math", fnMath _, fnMathSql),
