@@ -18,7 +18,8 @@ object SparkEntry {
   private def modules: Seq[Q] =
     Aggregates.all ++ Relational.all ++ Joins.all ++ SkewJoin.all ++
       Windows.all ++
-      Functions.all ++ UdfSurface.all ++ SqlApi.all ++ Iterate.all ++
+      Functions.all ++ UdfSurface.all ++ SqlApi.all ++ SqlTpch.all ++
+      Iterate.all ++
       Cep.all ++ Partitioning.all ++ Enrich.all ++ Text.all ++
       Dedup.all ++ Pipeline.all ++ Similarity.all ++ Streams.all ++
       Stateful.all ++ Connect.all ++ CepStream.all

@@ -36,7 +36,7 @@ object SqlApi {
     * name them exactly as the oracle does. Re-registered per call:
     * the sf dir is a parameter, and view registration is a metadata
     * operation (no scan). */
-  private def sql(spark: SparkSession, dir: String, text: String): DataFrame = {
+  private[batch] def sql(spark: SparkSession, dir: String, text: String): DataFrame = {
     Tables.customer(spark, dir).createOrReplaceTempView("customer")
     Tables.orders(spark, dir).createOrReplaceTempView("orders")
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
