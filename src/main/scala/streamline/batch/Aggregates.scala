@@ -397,7 +397,103 @@ object Aggregates {
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""
 
+  /** q_agg_corr — correlation / covariance / least-squares regression,
+    * BIT-EXACT across engines. The built-in corr/covar/regr_* use
+    * Welford-style merges whose low bits depend on partition merge
+    * order (q_agg_stats works around that by rounding); here the five
+    * moment sums (Σx, Σy, Σxy, Σx², Σy²) are computed in exact narrow
+    * DECIMAL — every product fits its precision, so the sums are
+    * order-independent integers — and the statistics are assembled
+    * from their correctly-rounded double images with a fixed IEEE
+    * expression tree. Same map-side-partial scaling as any sum: the
+    * shuffle carries 5 decimals per (group × partition), Welford-free.
+    *
+    * Oracle note: Σy² has scale 4 and a scaled-int magnitude ~6·10¹⁸
+    * at sf0.01 — past 2^53, where DuckDB's direct decimal→double cast
+    * double-rounds; its VARCHAR→DOUBLE parse is correctly rounded like
+    * Spark's BigDecimal.doubleValue (the r2 tpch1 lesson), so the
+    * oracle casts that one sum through VARCHAR. */
+  private def aggCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = $"l_quantity".cast("decimal(4,0)")   // integral 1..50
+    val p = $"l_extendedprice".cast("decimal(12,2)") // 2-dec money
+    val s = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        count(lit(1)).cast("double").as("dn"),
+        asDouble(sum(q)).as("sx"),
+        asDouble(sum(p)).as("sy"),
+        asDouble(sum(q * p)).as("sxy"),
+        asDouble(sum(q * q)).as("sx2"),
+        asDouble(sum(p * p)).as("sy2"))
+    val num = $"dn" * $"sxy" - $"sx" * $"sy"
+    val slope = num / ($"dn" * $"sx2" - $"sx" * $"sx")
+    s.select($"l_returnflag", $"n",
+        (num / (sqrt($"dn" * $"sx2" - $"sx" * $"sx")
+          * sqrt($"dn" * $"sy2" - $"sy" * $"sy"))).as("corr_qty_price"),
+        (num / ($"dn" * $"dn")).as("covar_pop"),
+        slope.as("slope"),
+        (($"sy" - slope * $"sx") / $"dn").as("intercept"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val aggCorrSql = """
+    WITH s AS (
+      SELECT l_returnflag,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(count(*) AS DOUBLE) AS dn,
+        CAST(sum(CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(l_quantity AS DECIMAL(4,0))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS sxy,
+        CAST(sum(CAST(l_quantity AS DECIMAL(4,0))
+                 * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sx2,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2)))
+             AS VARCHAR) AS DOUBLE) AS sy2
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+      (dn*sxy - sx*sy)
+        / (sqrt(dn*sx2 - sx*sx) * sqrt(dn*sy2 - sy*sy))
+        AS corr_qty_price,
+      (dn*sxy - sx*sy) / (dn*dn) AS covar_pop,
+      (dn*sxy - sx*sy) / (dn*sx2 - sx*sx) AS slope,
+      (sy - (dn*sxy - sx*sy) / (dn*sx2 - sx*sx) * sx) / dn AS intercept
+    FROM s ORDER BY l_returnflag"""
+
+  /** q_agg_mode — deterministic mode (most frequent value, smallest
+    * value on ties). Spark 3.4's built-in `mode()` breaks ties
+    * arbitrarily, so it can't hash-match any oracle; this spelling is
+    * two keyed aggregates — count per (group, value), then
+    * max_by over a (count, -value) struct — with a total tie order.
+    * Scale: both shuffles are map-side partial; no window sort over
+    * the values (the oracle's row_number spelling is the small-data
+    * twin, the nested aggregate is the 100 TB path). */
+  private def aggMode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_quantity").agg(count(lit(1)).as("cnt"))
+      .groupBy($"l_returnflag")
+      .agg(max_by($"l_quantity", struct($"cnt", -$"l_quantity"))
+             .as("mode_qty"),
+        max($"cnt").as("cnt"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val aggModeSql = """
+    SELECT l_returnflag, l_quantity AS mode_qty, cnt
+    FROM (
+      SELECT l_returnflag, l_quantity, count(*) AS cnt,
+        row_number() OVER (PARTITION BY l_returnflag
+                           ORDER BY count(*) DESC, l_quantity) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity) t
+    WHERE rn = 1
+    ORDER BY l_returnflag"""
+
   val all: Seq[streamline.Q] = Seq(
+    streamline.Q("q_agg_corr", aggCorr _, aggCorrSql),
+    streamline.Q("q_agg_mode", aggMode _, aggModeSql),
     streamline.Q("q_agg_group", aggGroup _, aggGroupSql),
     streamline.Q("q_agg_bitops", aggBitops _, aggBitopsSql),
     streamline.Q.noOracle("q_agg_sketch_theta", aggSketchTheta _),
