@@ -305,7 +305,42 @@ object Functions {
       CAST(bit_count(o_orderkey) AS BIGINT) AS b_cnt
     FROM orders ORDER BY o_orderkey"""
 
+  /** q_fn_regex — the regex scalar family over document text:
+    * rlike / regexp_count / regexp_replace / regexp_extract /
+    * split-cardinality. Patterns stay in the POSIX-simple
+    * Java∩RE2 intersection (ASCII classes, \b, alternation,
+    * bounded quantifiers) — the rule the module header pins — so
+    * both engines' regex dialects agree. Engine deltas handled:
+    * Spark's regexp_replace is replace-ALL, DuckDB's default is
+    * first-match ⇒ the oracle passes the 'g' flag; DuckDB counts
+    * via len(regexp_extract_all). All codegen'd expressions —
+    * per-row map work, no shuffle. */
+  private def fnRegex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        $"text".rlike("scan (fast|slow)").as("rx_like"),
+        regexp_count($"text", lit("\\btable\\b")).as("rx_count"),
+        substring(regexp_replace($"text", "\\bthe\\b", "THE"), 1, 60)
+          .as("rx_replace"),
+        regexp_extract($"text", "\\b(s[a-z]+)\\b", 1).as("rx_first"),
+        size(split($"text", " ")).as("rx_ntok"))
+      .orderBy($"doc_id")
+  }
+
+  private val fnRegexSql = """
+    SELECT doc_id,
+      regexp_matches(text, 'scan (fast|slow)') AS rx_like,
+      CAST(len(regexp_extract_all(text, '\btable\b')) AS INT)
+        AS rx_count,
+      substring(regexp_replace(text, '\bthe\b', 'THE', 'g'), 1, 60)
+        AS rx_replace,
+      regexp_extract(text, '\b(s[a-z]+)\b', 1) AS rx_first,
+      CAST(len(string_split(text, ' ')) AS INT) AS rx_ntok
+    FROM documents ORDER BY doc_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_fn_regex", fnRegex _, fnRegexSql),
     Q("q_fn_struct", fnStruct _, fnStructSql),
     Q("q_fn_bitwise", fnBitwise _, fnBitwiseSql),
     Q("q_fn_string", fnString _, fnStringSql),

@@ -93,6 +93,42 @@ object Windows {
         AS sum_in_range
     FROM orders ORDER BY o_orderkey"""
 
+  /** q_win_time_range — time-interval RANGE frame (the reference
+    * lineage's `OVER ... RANGE INTERVAL '1' HOUR PRECEDING`, Flink SQL
+    * bounded event-time OVER): per user, the trailing-hour event count
+    * and value sum at every event. Spark's rangeBetween takes numeric
+    * offsets, so the order key is the second-truncated epoch and the
+    * frame is [-3600, 0] — identical to the oracle's
+    * INTERVAL 1 HOUR PRECEDING over the truncated timestamp.
+    * Value-based frames are tie-insensitive: same-second events share
+    * a frame in both engines, no row tiebreak needed. Scale: one
+    * shuffle on user_id + a local sort — the running-frame aggregate
+    * is O(events) with a sliding two-pointer, not O(events × frame). */
+  private def winTimeRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sec = date_trunc("second", $"ts")
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_timestamp(sec).asc)
+      .rangeBetween(-3600L, 0L)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", tsOut(sec).as("ts_sec"),
+        $"value",
+        count(lit(1)).over(w).as("n_1h"),
+        asDouble(sum(dec("value")).over(w)).as("sum_1h"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val winTimeRangeSql = """
+    WITH e AS (SELECT user_id, event_id, value,
+                      date_trunc('second', ts) AS ts_sec FROM events)
+    SELECT user_id, event_id, ts_sec, value,
+      count(*) OVER w AS n_1h,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id"""
+
   /** q_win_lag — lag/lead over event time per user. `events.ts` is ns in
     * parquet, µs in Spark: both engines order and compute on
     * second-truncated time so sort keys are identical (SURVEY §7.3.4). */
@@ -343,6 +379,7 @@ object Windows {
     Q("q_win_rank", winRank _, winRankSql),
     Q("q_win_running", winRunning _, winRunningSql),
     Q("q_win_range", winRange _, winRangeSql),
+    Q("q_win_time_range", winTimeRange _, winTimeRangeSql),
     Q("q_win_lag", winLag _, winLagSql),
     Q("q_win_ntile_first", winNtileFirst _, winNtileFirstSql),
     Q("q_topk", topk _, topkSql))
