@@ -1289,7 +1289,103 @@ object Streams {
     SELECT event_type, count(*) AS n_events
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** q_stream_retract_hist — aggregating ON TOP of an updating stream:
+    * per-user running event counts (an UPDATE stream) feed a histogram
+    * of counts, so when a user's count moves n → n+k the histogram
+    * must RETRACT one user from bucket n and add one to bucket n+k.
+    * This is the reference lineage's retract-stream hallmark (Flink's
+    * two-level agg sends -1/+1 retraction records between operators);
+    * Spark's Structured Streaming cannot chain a second aggregate onto
+    * an update-mode aggregate, so the outer level is an INCREMENTAL
+    * delta-apply in foreachBatch — never a recompute over all users:
+    * each micro-batch joins its changed users against the previous
+    * counts generation (old bucket −1, new bucket +1) and applies the
+    * per-bucket deltas to the previous histogram generation.
+    *
+    * Replay safety follows the sinkUpsert pattern: generations are
+    * keyed by the sink batchId, so a replayed batch re-reads stable
+    * c(id)/h(id) and overwrites c(id+1)/h(id+1) — idempotent. The
+    * events table is staged as 4 files with maxFilesPerTrigger=1 so
+    * the count transitions (and hence real retractions) actually
+    * happen across micro-batches. Scale: per batch two keyed joins of
+    * O(changed users) against the counts table and O(buckets) against
+    * the histogram — Flink's running-count state equivalent lives in
+    * the counts generation table; nothing rescans history. */
+  private def streamRetractHist(spark: SparkSession,
+                                dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = streamline.util.Scratch.dir("retract_ev", dir)
+    val ev = Tables.events(spark, dir).select($"event_id", $"user_id")
+    ev.repartition(4).write.mode("overwrite").parquet(tmp)
+    val root = streamline.util.Scratch.dir("retract_hist", dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    @volatile var lastGen = 0L
+    val counts = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      streamline.util.Knobs.statePartitions(spark).toString)
+    try {
+      val q = counts.writeStream
+        .outputMode("update") // emits ONLY users whose count changed
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val s = df.sparkSession
+          val cCur = s"$root/c$id"
+          val hCur = s"$root/h$id"
+          val prevCounts =
+            if (fs.exists(new org.apache.hadoop.fs.Path(cCur)))
+              s.read.parquet(cCur)
+            else Seq.empty[(Long, Long)].toDF("user_id", "old_cnt")
+          val updates = df.select($"user_id", $"cnt")
+          val transitions = updates
+            .join(prevCounts, Seq("user_id"), "left")
+          // retraction records: −1 from the old bucket, +1 to the new
+          val deltas = transitions
+            .where($"old_cnt".isNotNull)
+            .select($"old_cnt".as("c_count"), lit(-1L).as("d"))
+            .unionByName(
+              transitions.select($"cnt".as("c_count"), lit(1L).as("d")))
+            .groupBy($"c_count").agg(sum($"d").as("d"))
+          val prevHist =
+            if (fs.exists(new org.apache.hadoop.fs.Path(hCur)))
+              s.read.parquet(hCur)
+            else Seq.empty[(Long, Long)].toDF("c_count", "n_users")
+          prevHist.join(deltas, Seq("c_count"), "full_outer")
+            .select($"c_count",
+              (coalesce($"n_users", lit(0L)) + coalesce($"d", lit(0L)))
+                .as("n_users"))
+            .where($"n_users" > 0)
+            .write.mode("overwrite").parquet(s"$root/h${id + 1}")
+          // roll the counts generation forward
+          prevCounts.join(updates, Seq("user_id"), "left_anti")
+            .select($"user_id", $"old_cnt")
+            .unionByName(updates.select($"user_id",
+              $"cnt".as("old_cnt")))
+            .write.mode("overwrite").parquet(s"$root/c${id + 1}")
+          lastGen = id + 1
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val lastPath = new org.apache.hadoop.fs.Path(s"$root/h$lastGen")
+    val sink =
+      if (fs.exists(lastPath)) spark.read.parquet(lastPath.toString)
+      else Seq.empty[(Long, Long)].toDF("c_count", "n_users")
+    sink.orderBy($"c_count")
+  }
+
+  private val streamRetractHistSql = """
+    SELECT cnt AS c_count, CAST(count(*) AS BIGINT) AS n_users
+    FROM (SELECT user_id, count(*) AS cnt
+          FROM events GROUP BY user_id) t
+    GROUP BY cnt ORDER BY c_count"""
+
   val all: Seq[Q] = Seq(
+    Q("q_stream_retract_hist", streamRetractHist _, streamRetractHistSql),
     Q("q_stream_proctime", streamProcTime _, streamProcTimeSql),
     Q("q_stream_tumble", streamTumble _, streamTumbleSql),
     Q("q_stream_recovery", streamRecovery _, streamRecoverySql),

