@@ -491,9 +491,38 @@ object Aggregates {
     WHERE rn = 1
     ORDER BY l_returnflag"""
 
+  /** q_agg_multi_distinct — several COUNT(DISTINCT …) over different
+    * columns in ONE aggregate plus plain aggregates alongside. Spark
+    * plans this with an Expand (one input row per distinct column +
+    * one for the plain aggs) feeding a two-phase aggregate — the
+    * standard multi-distinct shape every BI query hits; the expand
+    * factor is the number of distinct columns, paid map-side before
+    * the keyed shuffle. */
+  private def aggMultiDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey").as("n_cust"),
+        countDistinct($"o_orderpriority").as("n_prio"),
+        count(lit(1)).as("n"),
+        dsum("o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private val aggMultiDistinctSql = """
+    SELECT o_orderstatus,
+      CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+      CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+      count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        AS sum_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val all: Seq[streamline.Q] = Seq(
     streamline.Q("q_agg_corr", aggCorr _, aggCorrSql),
     streamline.Q("q_agg_mode", aggMode _, aggModeSql),
+    streamline.Q("q_agg_multi_distinct", aggMultiDistinct _,
+      aggMultiDistinctSql),
     streamline.Q("q_agg_group", aggGroup _, aggGroupSql),
     streamline.Q("q_agg_bitops", aggBitops _, aggBitopsSql),
     streamline.Q.noOracle("q_agg_sketch_theta", aggSketchTheta _),

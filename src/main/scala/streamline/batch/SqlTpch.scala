@@ -334,6 +334,24 @@ object SqlTpch {
     ORDER BY numwait DESC, s_name
     LIMIT 100"""
 
+  /** q_sql_correlated_scalar — a correlated scalar aggregate subquery
+    * in the SELECT list (Calcite CORRELATE → scalar agg). Catalyst
+    * decorrelates it to one keyed aggregate LEFT-OUTER-joined back,
+    * never a per-row re-execution, and handles the classic COUNT bug
+    * (an order with no lineitems must read 0, not NULL — the outer
+    * join's NULL is coalesced by the decorrelation). The 1998+ date
+    * filter keeps some orders lineitem-less so the COUNT-bug path is
+    * actually exercised in the data. */
+  private val correlatedScalarText = """
+    SELECT o_orderkey, o_totalprice,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+       WHERE l_orderkey = o_orderkey) AS n_items,
+      (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+       FROM lineitem WHERE l_orderkey = o_orderkey) AS sum_qty
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    ORDER BY o_orderkey"""
+
   private def q(name: String, text: String): Q =
     Q(name, (spark: SparkSession, dir: String) => sql(spark, dir, text),
       text)
@@ -352,5 +370,6 @@ object SqlTpch {
     q("q_sql_tpch17", tpch17Text),
     q("q_sql_tpch19", tpch19Text),
     q("q_sql_tpch20", tpch20Text),
-    q("q_sql_tpch21", tpch21Text))
+    q("q_sql_tpch21", tpch21Text),
+    q("q_sql_correlated_scalar", correlatedScalarText))
 }

@@ -533,7 +533,42 @@ object Text {
     FROM b JOIN cb USING (w1, w2) JOIN ca USING (w1)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  /** q_llm_bpe_pairs — one round of BPE tokenizer training: the
+    * adjacent-symbol pair frequencies over the corpus (symbols =
+    * characters on the first round), top-20 merge candidates. This is
+    * THE inner loop of byte-pair-encoding vocabulary construction
+    * (Sennrich et al. 2016): each round counts all adjacent pairs and
+    * merges the most frequent. The pair extraction is pure codegen —
+    * `transform(sequence(...))` over each word, no UDF — then one
+    * keyed count; at 100 TB the pair space is tiny (|alphabet|² per
+    * round) so the aggregate collapses map-side and the top-20 is a
+    * TakeOrdered, never a full sort. Deterministic: tie-break on the
+    * pair string. */
+  private def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .where(length($"w") >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length($"w") - 1),
+        i => $"w".substr(i, lit(2)))).as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"pair")
+      .limit(20)
+  }
+
+  private val bpePairsSql = """
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    p AS (SELECT substring(w, i, 2) AS pair
+          FROM w, LATERAL (SELECT unnest(generate_series(1, len(w)-1))
+                           AS i) g
+          WHERE len(w) >= 2)
+    SELECT pair, count(*) AS cnt FROM p
+    GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""
+
   val all: Seq[Q] = Seq(
+    Q("q_llm_bpe_pairs", bpePairs _, bpePairsSql),
     Q("q_llm_bigram_lm", bigramLm _, bigramLmSql),
     Q("q_llm_gopher", gopher _, gopherSql),
     Q("q_llm_chunk", chunk _, chunkSql),

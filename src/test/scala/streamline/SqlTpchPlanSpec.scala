@@ -67,6 +67,26 @@ class SqlTpchPlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("correlated scalar subquery decorrelates to one agg + outer " +
+       "join, and the COUNT bug reads 0") {
+    val df = SparkEntry.queries("q_sql_correlated_scalar")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftOuter") || p.contains("Join"),
+      "scalar subquery should decorrelate to a join")
+    assert(!p.contains("CartesianProduct"))
+    // COUNT bug: an order with no lineitems must read n_items = 0
+    import org.apache.spark.sql.functions.col
+    val zeros = df.where(col("n_items") === 0L).count()
+    assert(zeros > 0, "expected lineitem-less orders counting 0")
+  }
+
+  test("multi-distinct aggregate plans through Expand") {
+    val p = SparkEntry.queries("q_agg_multi_distinct")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Expand"),
+      s"multi COUNT(DISTINCT) should plan via Expand:\n${p.take(400)}")
+  }
+
   test("tpch13: ON-clause filter preserves every customer and drops " +
        "only urgent orders") {
     import org.apache.spark.sql.functions.{col, expr}
