@@ -554,7 +554,66 @@ object Iterate {
     SELECT v AS suppkey, count(*) AS n_tri
     FROM v GROUP BY v ORDER BY suppkey"""
 
+  /** q_iter_kcore — k-core peeling (k = 3, three rounds) on the
+    * customer–supplier month graph: repeatedly drop vertices with
+    * degree < k and restrict the edge set to survivors. Vertex-REMOVAL
+    * dynamics — a different iteration family from the label
+    * propagation (cc/sssp) and value mixing (pagerank) already
+    * witnessed: the per-round work is one keyed degree count plus two
+    * semi joins, and the edge set only ever SHRINKS, so each superstep
+    * is cheaper than the last. Rounds are fixed at 3 to match the
+    * oracle's non-recursive chained-CTE spelling exactly (the
+    * unbounded form is `fixpoint` over the same step; bounding is what
+    * makes the cut engine-portable — a converged core is identical in
+    * both, a partial peel is only comparable at equal round counts).
+    * Output: surviving edges' per-vertex degrees after round 3. */
+  private def iterKcore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 3
+    val month = Tables.orders(spark, dir)
+      .where($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-02-01").cast("timestamp"))
+    val pairs = month
+      .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"), ($"l_suppkey" + lit(1000000L)).as("b"))
+      .distinct()
+    var edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+      .localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val keep = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .where($"deg" >= k).select($"src")
+      edges = edges
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select($"src", $"dst")
+        .localCheckpoint(true)
+    }
+    edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .select($"src".as("v"), $"deg")
+      .orderBy($"v")
+  }
+
+  private val iterKcoreSql = """
+    WITH d AS (SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                 AND o_orderdate < TIMESTAMP '1997-02-01 00:00:00'),
+    e0 AS (SELECT a AS src, b AS dst FROM d
+           UNION ALL SELECT b, a FROM d),
+    k1 AS (SELECT src AS v FROM e0 GROUP BY src HAVING count(*) >= 3),
+    e1 AS (SELECT src, dst FROM e0
+           WHERE src IN (SELECT v FROM k1) AND dst IN (SELECT v FROM k1)),
+    k2 AS (SELECT src AS v FROM e1 GROUP BY src HAVING count(*) >= 3),
+    e2 AS (SELECT src, dst FROM e1
+           WHERE src IN (SELECT v FROM k2) AND dst IN (SELECT v FROM k2)),
+    k3 AS (SELECT src AS v FROM e2 GROUP BY src HAVING count(*) >= 3),
+    e3 AS (SELECT src, dst FROM e2
+           WHERE src IN (SELECT v FROM k3) AND dst IN (SELECT v FROM k3))
+    SELECT src AS v, count(*) AS deg FROM e3 GROUP BY src ORDER BY v"""
+
   val all: Seq[Q] = Seq(
+    Q("q_iter_kcore", iterKcore _, iterKcoreSql),
     Q("q_iter_cc", iterCc _, iterCcSql),
     Q("q_iter_triangles", iterTriangles _, iterTrianglesSql),
     Q("q_iter_delta", iterDelta _, iterDeltaSql),

