@@ -94,8 +94,12 @@ object SkewJoin {
     * body — a lazily returned plan would execute after restore. */
   def withConfs[T](spark: SparkSession, confs: Seq[(String, String)])
                   (body: => T): T = {
+    // Option(...) not Some(...): a conf whose default is undefined
+    // (e.g. spark.sql.adaptive.autoBroadcastJoinThreshold) returns
+    // null from get instead of throwing, and set(k, null) is illegal —
+    // treat it as absent and unset on restore.
     val prev = confs.map { case (k, _) =>
-      k -> (try Some(spark.conf.get(k)) catch { case _: Exception => None })
+      k -> (try Option(spark.conf.get(k)) catch { case _: Exception => None })
     }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
@@ -150,7 +154,60 @@ object SkewJoin {
     FROM f JOIN part ON hot_part = p_partkey
     GROUP BY p_brand ORDER BY p_brand"""
 
+  /** Confs for the AQE join-demotion witness. The regular threshold
+    * keeps the STATIC planner on a sort-merge join (a Filter's size
+    * estimate equals its child's without CBO stats, so the filtered
+    * orders side still "looks" file-sized at plan time); the adaptive
+    * threshold lets DynamicJoinSelection demote to a broadcast join
+    * once the shuffle map stage reveals the side's true (tiny) size.
+    * Byte values are harness-scaled the same way skewConfs are — the
+    * production trigger is the same static-vs-runtime size gap. */
+  val demoteConfs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> "8KB",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "8KB",
+    "spark.sql.adaptive.localShuffleReader.enabled" -> "true")
+
+  /** The demotion stage, shared with AqeDemoteSpec: ~0.1% of orders
+    * (an unselective-looking modulus filter no static estimator can
+    * price) joined to lineitem. */
+  def demoteJoinStage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .where(pmod($"o_orderkey", lit(997)) === 0)
+      .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        asDouble(sum(dec("l_extendedprice"))).as("sum_price"))
+  }
+
+  /** q_join_aqe_demote — AQE runtime join-strategy demotion (the
+    * second of AQE's three big levers, next to the skew split already
+    * witnessed): the static plan is a sort-merge join because the
+    * filtered side's compile-time size estimate is its full file size,
+    * and at runtime the materialized shuffle stage shows ~0.1% of
+    * that, so DynamicJoinSelection rewrites the remaining stages to a
+    * broadcast join. At 100 TB this is the difference between
+    * shuffling the fact table and shipping a few MB — and it needs no
+    * stats, no hints, no manual sizing. AqeDemoteSpec pins both ends
+    * (initial plan SMJ, final adaptive plan BHJ). */
+  private def joinAqeDemote(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withConfs(spark, demoteConfs) {
+      demoteJoinStage(spark, dir).localCheckpoint(true)
+    }.orderBy($"o_orderstatus")
+  }
+
+  private val aqeDemoteSql = """
+    SELECT o_orderstatus, count(*) AS n_rows,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        AS sum_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey % 997 = 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val all: Seq[Q] = Seq(
     Q("q_join_skew", joinSkew _, skewSql),
-    Q("q_join_salted", joinSalted _, skewSql))
+    Q("q_join_salted", joinSalted _, skewSql),
+    Q("q_join_aqe_demote", joinAqeDemote _, aqeDemoteSql))
 }
