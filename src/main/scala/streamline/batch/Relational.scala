@@ -636,7 +636,44 @@ object Relational {
     SELECT s_suppkey, s_name, s_nationkey, s_acctbal
     FROM supplier ORDER BY s_suppkey"""
 
+  /** q_source_binary — whole-file binary source (`format("binaryFile")`),
+    * the ingest path for multimodal shards: each file arrives as one
+    * row of (path, length, content) with NO parsing, the schema the
+    * mm_* decode operators consume. Twenty documents are staged as
+    * individual UTF-8 files (driver-side loop — 20 files, metadata
+    * scale, same class as the dist-cache staging); the read-back must
+    * reproduce byte length and md5 of every payload against the
+    * parquet originals. Scale: binaryFile is NOT splittable (one file
+    * = one task = one row in memory) — the right unit is a shard-sized
+    * payload file, and the path/length columns prune before content
+    * is ever materialized. */
+  private def sourceBinary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = streamline.util.Scratch.dir("bin_docs", dir)
+    val d = new java.io.File(tmp)
+    org.apache.commons.io.FileUtils.deleteQuietly(d); d.mkdirs()
+    Tables.documents(spark, dir).where($"doc_id" < 20)
+      .select($"doc_id", $"text").collect().foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, s"${r.getLong(0)}.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    spark.read.format("binaryFile").load(tmp)
+      .select(
+        regexp_extract($"path", "([0-9]+)\\.bin$", 1).cast("long")
+          .as("doc_id"),
+        $"length", md5($"content").as("h"))
+      .orderBy($"doc_id")
+  }
+
+  private val sourceBinarySql = """
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS length,
+      md5(text) AS h
+    FROM documents WHERE doc_id < 20 ORDER BY doc_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_source_binary", sourceBinary _, sourceBinarySql),
     Q("q_source_corrupt", sourceCorrupt _, sourceCorruptSql),
     Q("q_scan_parquet", scanParquet _, scanParquetSql),
     Q("q_scan_prune", scanPrune _, scanPruneSql),
