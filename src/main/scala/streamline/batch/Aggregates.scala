@@ -518,7 +518,67 @@ object Aggregates {
         AS sum_price
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** q_agg_distinct_split — skew-resilient two-phase COUNT(DISTINCT):
+    * the reference lineage's split-distinct rewrite (Flink
+    * `table.optimizer.distinct-agg.split.enabled`, SURVEY.md §2.4). A
+    * plain grouped count-distinct lands every distinct value of a hot
+    * group on ONE reducer; this spelling buckets the distinct key first
+    * (xxhash64 mod 16 as an inner grouping key), counts distinct per
+    * (group, bucket), then sums the per-bucket counts. Correct because
+    * the buckets partition the distinct-value domain; at 100 TB the hot
+    * group's distinct state is spread across 16 reducers instead of
+    * stalling one. Both aggregations keep Spark's map-side partial
+    * combine, so the extra phase costs one narrow shuffle of
+    * |groups|×16 rows. */
+  private def aggDistinctSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type",
+        pmod(xxhash64($"user_id"), lit(16L)).as("bucket"))
+      .agg(countDistinct($"user_id").as("pc"))
+      .groupBy($"event_type")
+      .agg(sum($"pc").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  private val aggDistinctSplitSql = """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** q_agg_percentile_disc — discrete percentiles (PERCENTILE_DISC
+    * WITHIN GROUP): returns an ACTUAL data value, the SQL-standard
+    * "smallest value whose cume_dist ≥ p" — vs q_agg_percentile's
+    * interpolation. p ∈ {0.25, 0.5, 0.75} on purpose: exactly
+    * representable doubles make p·n and the cume_dist comparison exact
+    * in both engines, so group sizes that land a percentile ON a value
+    * boundary still agree (0.9·n would tie-break on 1-ulp rounding).
+    * The oracle spells the standard definition explicitly (DuckDB's
+    * quantile_disc uses floor((n−1)p) indexing — a DIFFERENT, non-
+    * standard pick when frac(np) < p, e.g. p=0.75 n=6). */
+  private def aggPercentileDisc(spark: SparkSession, dir: String): DataFrame =
+    SqlApi.sql(spark, dir, """
+      SELECT l_returnflag,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+        percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+
+  private val aggPercentileDiscSql = """
+    WITH c AS (SELECT l_returnflag, l_quantity,
+                 cume_dist() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_quantity) AS cd
+               FROM lineitem)
+    SELECT l_returnflag,
+      min(l_quantity) FILTER (WHERE cd >= 0.25) AS p25,
+      min(l_quantity) FILTER (WHERE cd >= 0.5)  AS p50,
+      min(l_quantity) FILTER (WHERE cd >= 0.75) AS p75
+    FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val all: Seq[streamline.Q] = Seq(
+    streamline.Q("q_agg_percentile_disc", aggPercentileDisc _,
+      aggPercentileDiscSql),
+    streamline.Q("q_agg_distinct_split", aggDistinctSplit _,
+      aggDistinctSplitSql),
     streamline.Q("q_agg_corr", aggCorr _, aggCorrSql),
     streamline.Q("q_agg_mode", aggMode _, aggModeSql),
     streamline.Q("q_agg_multi_distinct", aggMultiDistinct _,

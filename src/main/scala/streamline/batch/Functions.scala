@@ -339,7 +339,125 @@ object Functions {
       CAST(len(string_split(text, ' ')) AS INT) AS rx_ntok
     FROM documents ORDER BY doc_id"""
 
+  /** q_fn_interval — interval arithmetic on event-time: timestamp ±
+    * INTERVAL literals, month addition with day-of-month clamping
+    * (Jan 31 + 1 month = Feb 28/29 in both engines), and the
+    * millisecond-epoch round-trip. All map-side codegen'd expressions.
+    *
+    * Dialect notes: the µs-precision event ts is truncated to µs in the
+    * oracle first (DuckDB reads the ns parquet as TIMESTAMP_NS);
+    * add_months returns DATE in Spark, so the oracle casts its
+    * `+ INTERVAL n MONTH` result back to DATE; unix_millis floors to
+    * the millisecond exactly like DuckDB's epoch_ms on post-epoch
+    * values. */
+  private def fnInterval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id",
+        tsOut($"ts" + expr("INTERVAL 36 HOURS")).as("plus_36h"),
+        tsOut($"ts" - expr("INTERVAL 90 MINUTES")).as("minus_90m"),
+        add_months(to_date($"ts"), 3).as("plus_3mo"),
+        add_months(to_date($"ts"), -1).as("minus_1mo"),
+        unix_millis($"ts").as("epoch_ms"),
+        tsOut(timestamp_millis(unix_millis($"ts"))).as("roundtrip_ms"))
+      .orderBy($"event_id")
+  }
+
+  private val fnIntervalSql = """
+    WITH e AS (SELECT event_id,
+                 date_trunc('microseconds', ts) AS t FROM events)
+    SELECT event_id,
+      t + INTERVAL 36 HOUR AS plus_36h,
+      t - INTERVAL 90 MINUTE AS minus_90m,
+      CAST(CAST(t AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+      CAST(CAST(t AS DATE) - INTERVAL 1 MONTH AS DATE) AS minus_1mo,
+      epoch_ms(t) AS epoch_ms,
+      make_timestamp(epoch_ms(t) * 1000) AS roundtrip_ms
+    FROM e ORDER BY event_id"""
+
+  /** q_fn_try — error-safe expression family (ANSI `TRY_`): a bad cell
+    * yields NULL instead of failing the job. The 100 TB argument IS the
+    * semantics: one malformed row in a petabyte scan must not kill the
+    * query (the row-level twin of q_source_corrupt's file-level
+    * quarantine). try_cast on a non-numeric string, try_mod hitting a
+    * genuine zero modulus (props.k = 0 rows exist in the fixture), and
+    * try_add at the bigint overflow boundary — all codegen'd, map-side.
+    * (try_divide is deliberately NOT the witness: double division by
+    * zero is IEEE Infinity, not an error, so its try_ form never
+    * fires; the integer modulus is the honest error site.)
+    *
+    * Dialect notes: DuckDB has TRY_CAST but no try_mod/try_add, so the
+    * oracle spells those as CASE guards with the same NULL semantics;
+    * everything compared is integer-exact. */
+  private def fnTry(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("k",
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
+      .select($"event_id", $"k",
+        expr("try_cast(event_type AS BIGINT)").as("bad_int"),
+        expr("try_mod(event_id, k)").as("safe_mod"),
+        expr("try_add(9223372036854775807L, event_id)").as("overflowed"),
+        expr("try_cast(event_type AS DATE)").as("bad_date"))
+      .orderBy($"event_id")
+  }
+
+  private val fnTrySql = """
+    WITH e AS (SELECT event_id, event_type,
+                 TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   AS k
+               FROM events)
+    SELECT event_id, k,
+      TRY_CAST(event_type AS BIGINT) AS bad_int,
+      CASE WHEN k = 0 THEN NULL
+           ELSE event_id % k END AS safe_mod,
+      CASE WHEN event_id > 0 THEN NULL
+           ELSE 9223372036854775807 END AS overflowed,
+      TRY_CAST(event_type AS DATE) AS bad_date
+    FROM e ORDER BY event_id"""
+
+  /** q_fn_url — URL parsing family (the reference lineage ships
+    * PARSE_URL in its Table API function library [B]; web-corpus
+    * pipelines normalize/split URLs constantly). Deterministic URLs are
+    * synthesized from document attributes, then decomposed with
+    * `parse_url` (protocol/host/path/query/fragment + one query param).
+    * DuckDB has no parse_url, so the oracle specifies the identical
+    * semantics as anchored regexes — which doubles as a precise spec of
+    * the components; all map-side codegen. */
+  private def fnUrl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("url",
+        concat(lit("https://"), $"source", lit(".example.org/docs/"),
+          $"doc_id", lit("?lang="), $"lang", lit("&page=2#s1")))
+      .select($"doc_id", $"url",
+        expr("parse_url(url, 'PROTOCOL')").as("u_proto"),
+        expr("parse_url(url, 'HOST')").as("u_host"),
+        expr("parse_url(url, 'PATH')").as("u_path"),
+        expr("parse_url(url, 'QUERY')").as("u_query"),
+        expr("parse_url(url, 'REF')").as("u_frag"),
+        expr("parse_url(url, 'QUERY', 'lang')").as("u_lang"))
+      .orderBy($"doc_id")
+  }
+
+  private val fnUrlSql = """
+    WITH d AS (SELECT doc_id,
+                 'https://' || source || '.example.org/docs/' || doc_id
+                   || '?lang=' || lang || '&page=2#s1' AS url
+               FROM documents)
+    SELECT doc_id, url,
+      regexp_extract(url, '^([a-z]+):', 1) AS u_proto,
+      regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS u_host,
+      regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS u_path,
+      regexp_extract(url, '\?([^#]*)', 1) AS u_query,
+      regexp_extract(url, '#(.*)$', 1) AS u_frag,
+      regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS u_lang
+    FROM d ORDER BY doc_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_fn_url", fnUrl _, fnUrlSql),
+    Q("q_fn_try", fnTry _, fnTrySql),
+    Q("q_fn_interval", fnInterval _, fnIntervalSql),
     Q("q_fn_regex", fnRegex _, fnRegexSql),
     Q("q_fn_struct", fnStruct _, fnStructSql),
     Q("q_fn_bitwise", fnBitwise _, fnBitwiseSql),

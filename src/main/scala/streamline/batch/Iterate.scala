@@ -612,7 +612,98 @@ object Iterate {
            WHERE src IN (SELECT v FROM k3) AND dst IN (SELECT v FROM k3))
     SELECT src AS v, count(*) AS deg FROM e3 GROUP BY src ORDER BY v"""
 
+  /** Synchronous label propagation (the Gelly LabelPropagation shape
+    * [UPSTREAM `flink-libraries/flink-gelly/.../LabelPropagation.java`]):
+    * each superstep every vertex adopts the most frequent label among
+    * its DISTINCT neighbors, ties broken to the smallest label (the
+    * deterministic tie order — Gelly's "select the minimum" rule). A
+    * FIXED superstep count, not a convergence test: synchronous LPA can
+    * 2-cycle forever on bipartite structure, so bounded supersteps are
+    * the correct termination at any scale. Per superstep: one edge⋈label
+    * join + two keyed aggregates (count per (v,label), argmax per v) —
+    * all hash-partitioned by vertex; the argmax is max_by over a
+    * (cnt, −label) struct, no per-vertex sort. Superstep outputs are
+    * lineage-truncated like every loop in this module. Exposed for
+    * LpaSpec. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    withIterConfs(spark) {
+      val und = edges.select($"src", $"dst")
+        .union(edges.select($"dst".as("src"), $"src".as("dst")))
+        .distinct()
+        .localCheckpoint()
+      var labels = und.select($"src".as("v")).distinct()
+        .select($"v", $"v".as("label"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        val msgs = und.join(stateSide(labels), $"src" === $"v")
+          .select($"dst".as("v"), $"label")
+        labels = msgs.groupBy($"v", $"label")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy($"v")
+          .agg(max_by($"label", struct($"cnt", (-$"label").as("nl")))
+            .as("label"))
+          .localCheckpoint()
+      }
+      labels
+    }
+  }
+
+  /** q_iter_lpa — community detection by label propagation on the
+    * 1997-01 customer–supplier graph (same edge derivation as
+    * q_iter_cc), 3 synchronous supersteps. Output: each vertex with its
+    * label and the label's community size. */
+  private def iterLpa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val month = Tables.orders(spark, dir)
+      .where($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-02-01").cast("timestamp"))
+    val edges = month
+      .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("src"),
+        ($"l_suppkey" + lit(1000000L)).as("dst"))
+      .distinct()
+    val labels = labelPropagation(edges, 3)
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("comm_size"))
+    labels.join(sizes, "label")
+      .select($"v", $"label", $"comm_size")
+      .orderBy($"v")
+  }
+
+  /** Oracle: the 3 supersteps unrolled as chained CTEs — per step a
+    * message join, a (v,label) count, and a rank-1 window with the
+    * identical (cnt DESC, label ASC) tie order. */
+  private val iterLpaSql = """
+    WITH
+    e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-02-01 00:00:00'),
+    u AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    l0 AS (SELECT DISTINCT src AS v, src AS label FROM u),
+    c1 AS (SELECT u.dst AS v, l0.label, count(*) AS cnt
+           FROM u JOIN l0 ON u.src = l0.v GROUP BY u.dst, l0.label),
+    l1 AS (SELECT v, label FROM (
+             SELECT v, label, row_number() OVER (PARTITION BY v
+               ORDER BY cnt DESC, label) AS rn FROM c1) WHERE rn = 1),
+    c2 AS (SELECT u.dst AS v, l1.label, count(*) AS cnt
+           FROM u JOIN l1 ON u.src = l1.v GROUP BY u.dst, l1.label),
+    l2 AS (SELECT v, label FROM (
+             SELECT v, label, row_number() OVER (PARTITION BY v
+               ORDER BY cnt DESC, label) AS rn FROM c2) WHERE rn = 1),
+    c3 AS (SELECT u.dst AS v, l2.label, count(*) AS cnt
+           FROM u JOIN l2 ON u.src = l2.v GROUP BY u.dst, l2.label),
+    l3 AS (SELECT v, label FROM (
+             SELECT v, label, row_number() OVER (PARTITION BY v
+               ORDER BY cnt DESC, label) AS rn FROM c3) WHERE rn = 1),
+    sizes AS (SELECT label, count(*) AS comm_size FROM l3 GROUP BY label)
+    SELECT v, l3.label AS label, comm_size
+    FROM l3 JOIN sizes USING (label)
+    ORDER BY v"""
+
   val all: Seq[Q] = Seq(
+    Q("q_iter_lpa", iterLpa _, iterLpaSql),
     Q("q_iter_kcore", iterKcore _, iterKcoreSql),
     Q("q_iter_cc", iterCc _, iterCcSql),
     Q("q_iter_triangles", iterTriangles _, iterTrianglesSql),

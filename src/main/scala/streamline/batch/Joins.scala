@@ -435,7 +435,37 @@ object Joins {
     FROM o FULL JOIN c ON o.k = c.k
     ORDER BY custkey"""
 
+  /** q_join_null_safe — null-safe equality join (`<=>` / IS NOT
+    * DISTINCT FROM, the Calcite surface the reference lineage exposes):
+    * nation 13 plays the "unknown" dimension row — its key is NULLed on
+    * BOTH sides, and null-safe equality matches the null fact keys to
+    * the null dimension row (a plain equi join silently drops them, the
+    * classic missing-dimension bug). `<=>` is still an EQUI key to
+    * Spark: the plan stays a broadcast hash join, never a
+    * nested-loop — NullSafeJoinSpec pins that, which is the whole
+    * 100 TB point. */
+  private def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .withColumn("nk", expr("nullif(c_nationkey, 13)"))
+    val nat = Tables.nation(spark, dir)
+      .withColumn("nk", expr("nullif(n_nationkey, 13)"))
+    cust.join(broadcast(nat), cust("nk") <=> nat("nk"))
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_cust"), dsum("c_acctbal").as("sum_bal"))
+      .orderBy($"n_name")
+  }
+
+  private val joinNullSafeSql = """
+    SELECT n_name, count(*) AS n_cust,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+    FROM customer JOIN nation
+      ON nullif(c_nationkey, 13) IS NOT DISTINCT FROM
+         nullif(n_nationkey, 13)
+    GROUP BY n_name ORDER BY n_name"""
+
   val all: Seq[Q] = Seq(
+    Q("q_join_null_safe", joinNullSafe _, joinNullSafeSql),
     Q("q_join_hash", joinHash _, joinHashSql),
     Q("q_cogroup", cogroup _, cogroupSql),
     Q("q_join_bucketed", joinBucketed _, joinBucketedSql),

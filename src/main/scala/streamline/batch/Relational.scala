@@ -107,6 +107,39 @@ object Relational {
     SELECT n_nationkey, n_name, n_regionkey
     FROM nation ORDER BY n_nationkey"""
 
+  /** q_source_csv_multiline — RFC 4180 CSV with quoted embedded
+    * newlines (real-world CSV: free-text columns carry line breaks).
+    * Every document's spaces become newlines, the write quotes all
+    * fields, and the read uses `multiLine` — which is the scale trap
+    * this witnesses: a multiLine CSV file is NOT SPLITTABLE (a record
+    * boundary can sit at any byte offset), so one file = one task no
+    * matter its size. The write therefore shards first, same discipline
+    * as the gzip witness; the comparison is a content digest against
+    * the parquet original, so any quoting/parsing loss flips the hash. */
+  private def sourceCsvMultiline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = streamline.util.Scratch.dir("csv_ml", dir)
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id",
+        regexp_replace($"text", " ", "\n").as("text_nl"), $"lang")
+    docs.repartition(4) // shard first: multiLine CSV is one-task-per-file
+      .write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true")
+      .csv(tmp)
+    spark.read
+      .schema(docs.schema)
+      .option("header", "true").option("multiLine", "true")
+      .csv(tmp)
+      .select($"doc_id", sha2($"text_nl", 256).as("sha"),
+        length($"text_nl").as("n_chars"), $"lang")
+      .orderBy($"doc_id")
+  }
+
+  private val sourceCsvMultilineSql = """
+    SELECT doc_id, sha256(replace(text, ' ', chr(10))) AS sha,
+      length(replace(text, ' ', chr(10))) AS n_chars, lang
+    FROM documents ORDER BY doc_id"""
+
   /** q_source_jsonl_gz — gzip-compressed JSON-lines round-trip, the
     * de-facto wire format of web-scale training corpora (every crawl
     * pipeline ships .jsonl.gz shards). The scale trap this witnesses
@@ -679,6 +712,7 @@ object Relational {
     Q("q_scan_prune", scanPrune _, scanPruneSql),
     Q("q_source_json", sourceJson _, sourceJsonSql),
     Q("q_source_csv", sourceCsv _, sourceCsvSql),
+    Q("q_source_csv_multiline", sourceCsvMultiline _, sourceCsvMultilineSql),
     Q("q_source_jsonl_gz", sourceJsonlGz _, sourceJsonlGzSql),
     Q("q_source_text", sourceText _, sourceTextSql),
     Q("q_source_orc", sourceOrc _, sourceOrcSql),

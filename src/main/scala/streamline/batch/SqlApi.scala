@@ -820,7 +820,40 @@ object SqlApi {
     WHERE c_mktsegment = 'BUILDING'
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** q_sql_unpivot — UNPIVOT in SQL text (Spark 3.4+): the inverse of
+    * q_sql_pivot, melting a wide per-cohort metrics row back into
+    * (cohort, metric, n) tuples. Planned as an Expand over the wide
+    * aggregate — 3 output rows per input row, produced map-side with no
+    * extra shuffle beyond the aggregate's own; at 100 TB the wide
+    * aggregate (|cohorts| rows) is the only state. The oracle spells
+    * the same melt as a UNION ALL stack, the dialect-neutral form. */
+  private def sqlUnpivot(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, """
+      WITH w AS (
+        SELECT user_id % 10 AS cohort,
+          count(*) FILTER (WHERE event_type = 'click') AS click,
+          count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+          count(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events GROUP BY user_id % 10)
+      SELECT cohort, metric, n
+      FROM w UNPIVOT (n FOR metric IN (click, purchase, view))
+      ORDER BY cohort, metric""")
+
+  private val sqlUnpivotSql = """
+    WITH w AS (
+      SELECT user_id % 10 AS cohort,
+        count(*) FILTER (WHERE event_type = 'click') AS click,
+        count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        count(*) FILTER (WHERE event_type = 'view') AS view
+      FROM events GROUP BY user_id % 10)
+    SELECT cohort, metric, n FROM (
+      SELECT cohort, 'click' AS metric, click AS n FROM w
+      UNION ALL SELECT cohort, 'purchase', purchase FROM w
+      UNION ALL SELECT cohort, 'view', view FROM w)
+    ORDER BY cohort, metric"""
+
   val all: Seq[Q] = Seq(
+    Q("q_sql_unpivot", sqlUnpivot _, sqlUnpivotSql),
     Q("q_sql_stats", sqlStats _, sqlStatsSql),
     Q("q_sql_recursive", sqlRecursive _, sqlRecursiveText),
     Q("q_sql_pivot", sqlPivot _, sqlPivotSql),

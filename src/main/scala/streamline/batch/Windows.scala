@@ -371,7 +371,43 @@ object Windows {
     FROM s GROUP BY user_id, sid
     ORDER BY user_id, s_start"""
 
+  /** q_win_fill — forward-fill (last observation carried forward): the
+    * time-series gap-fill every feature pipeline needs. `error` events
+    * are treated as missing readings (deterministic NULL injection);
+    * `last_value IGNORE NULLS` over the per-user event-time order
+    * carries the previous good reading forward. One shuffle on user_id
+    * + a local sort; the running IGNORE-NULLS frame is O(events). Users
+    * whose first readings are missing stay NULL — pinned by the oracle
+    * rather than coalesced away. */
+  private def winFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sec = date_trunc("second", $"ts")
+    val v = when($"event_type" === "error", lit(null).cast("double"))
+      .otherwise($"value")
+    val w = Window.partitionBy($"user_id")
+      .orderBy(sec.asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", tsOut(sec).as("ts_sec"),
+        v.as("reading"),
+        last(v, ignoreNulls = true).over(w).as("filled"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val winFillSql = """
+    WITH e AS (SELECT user_id, event_id,
+                 date_trunc('second', ts) AS ts_sec,
+                 CASE WHEN event_type = 'error' THEN NULL
+                      ELSE value END AS reading
+               FROM events)
+    SELECT user_id, event_id, ts_sec, reading,
+      last_value(reading IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM e ORDER BY user_id, event_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_win_fill", winFill _, winFillSql),
     Q("q_win_session", winSession _, winSessionSql),
     Q("q_win_session_dynamic", winSessionDynamic _, winSessionDynamicSql),
     Q("q_cep_pattern", cepPattern _, cepPatternSql),

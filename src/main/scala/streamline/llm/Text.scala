@@ -567,7 +567,42 @@ object Text {
     SELECT pair, count(*) AS cnt FROM p
     GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""
 
+  /** q_llm_inverted_index — posting-list construction, the retrieval
+    * side of a corpus pipeline (BM25/contamination lookup both start
+    * here): token → (document frequency, capped sorted posting list).
+    * One explode + one keyed aggregation; the posting list is
+    * `slice(sort_array(collect_set))` — bounded at 8 doc ids per term,
+    * so the output row is fixed-width no matter how common the term
+    * (the full list for a stopword at 100 TB would be the corpus
+    * itself; a capped list + the exact df count is the scalable
+    * contract). Serialized to CSV per SURVEY §2.12's no-array rule.
+    * Terms below df 3 are dropped — the long tail is noise for
+    * retrieval and would dominate the output row count. */
+  private def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("term"))
+      .where($"term" =!= "")
+      .groupBy($"term")
+      .agg(countDistinct($"doc_id").as("df"),
+        array_join(slice(sort_array(collect_set($"doc_id")), 1, 8), ",")
+          .as("postings"))
+      .where($"df" >= 3)
+      .orderBy($"term")
+  }
+
+  private val invertedIndexSql = """
+    WITH toks AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                  FROM documents),
+    pl AS (SELECT term, count(DISTINCT doc_id) AS df,
+             array_to_string(list_sort(list(DISTINCT doc_id))[1:8], ',')
+               AS postings
+           FROM toks GROUP BY term)
+    SELECT term, df, postings FROM pl WHERE df >= 3 ORDER BY term"""
+
   val all: Seq[Q] = Seq(
+    Q("q_llm_inverted_index", invertedIndex _, invertedIndexSql),
     Q("q_llm_bpe_pairs", bpePairs _, bpePairsSql),
     Q("q_llm_bigram_lm", bigramLm _, bigramLmSql),
     Q("q_llm_gopher", gopher _, gopherSql),

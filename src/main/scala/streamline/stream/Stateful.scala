@@ -442,7 +442,75 @@ object Stateful {
     FROM e WHERE tsu <= (SELECT w FROM wm)
     ORDER BY user_id, event_id"""
 
+  case class DlRow(user_id: Long, event_id: Long,
+                   ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class DlState(event_id: Long, tsUs: Long,
+                     event_type: String, value: Double)
+  case class DlOut(user_id: Long, event_id: Long, ts_us: Long,
+                   event_type: String, value: Double)
+
+  private def dlUs(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000 + t.getNanos / 1000
+
+  private[streamline] def updateDedupLast(uid: Long, rows: Iterator[DlRow],
+      state: GroupState[DlState]): Iterator[DlOut] = {
+    var best = state.getOption.getOrElse(DlState(Long.MinValue, Long.MinValue, "", 0.0))
+    rows.foreach { r =>
+      val us = dlUs(r.ts)
+      if (us > best.tsUs || (us == best.tsUs && r.event_id > best.event_id))
+        best = DlState(r.event_id, us, r.event_type, r.value)
+    }
+    state.update(best)
+    Iterator(DlOut(uid, best.event_id, best.tsUs, best.event_type, best.value))
+  }
+
+  /** q_stream_dedup_last — keep-LAST-row deduplication on an unbounded
+    * stream: the reference lineage's Deduplication operator in its
+    * `ROW_NUMBER() ... ORDER BY rowtime DESC` form (keep-first is
+    * q_stream_dedup via dropDuplicatesWithinWatermark; keep-last needs
+    * UPDATE semantics because a later row replaces an earlier answer).
+    * Keyed state holds one (ts, event_id)-max row per key; each batch
+    * emits the current winner, and because that winner is monotone in
+    * the (ts, id) total order, the per-key argmax over all emitted
+    * updates IS the final state — arrival order and batch boundaries
+    * cannot change it. State is one fixed-width row per key (the 100 TB
+    * bound is key cardinality, same as Flink's; production adds a state
+    * TTL where the key domain is unbounded). */
+  private def streamDedupLast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val updates = Streams.eventsStream(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+      .as[DlRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(updateDedupLast)
+      .toDF()
+    val collected = Streams.runToTable(spark, "dedup_last", "update", updates)
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts_us".desc, $"event_id".desc)
+    collected
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"user_id", $"event_id".as("last_event_id"),
+        streamline.util.Det.tsOut(timestamp_micros($"ts_us")).as("last_ts"),
+        $"event_type".as("last_type"), $"value".as("last_value"))
+      .orderBy($"user_id")
+  }
+
+  private val streamDedupLastSql = """
+    WITH e AS (SELECT user_id, event_id,
+                 date_trunc('microseconds', ts) AS tsu,
+                 event_type, value FROM events),
+    r AS (SELECT user_id, event_id, tsu, event_type, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY tsu DESC, event_id DESC) AS rn
+          FROM e)
+    SELECT user_id, event_id AS last_event_id, tsu AS last_ts,
+      event_type AS last_type, value AS last_value
+    FROM r WHERE rn = 1 ORDER BY user_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_stream_dedup_last", streamDedupLast _, streamDedupLastSql),
     Q("q_stream_stateful", streamStateful _, streamStatefulSql),
     Q("q_stream_over", streamOver _, streamOverSql),
     Q("q_stream_count_window", streamCountWindow _, streamCountWindowSql),
