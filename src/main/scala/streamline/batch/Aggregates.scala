@@ -574,7 +574,151 @@ object Aggregates {
       min(l_quantity) FILTER (WHERE cd >= 0.75) AS p75
     FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** The bucketed-aggregation stage, shared with BucketedJoinPlanSpec
+    * (which pins zero Exchange in its physical plan — the orderBy that
+    * the declared query adds for determinism is deliberately outside
+    * this stage, since a total sort legitimately range-shuffles). */
+  def aggBucketedStage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Joins.bucketedTables(spark, dir)
+    spark.table("graft_b_orders")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        asDouble(sum(dec("o_totalprice"))).as("sum_price"))
+  }
+
+  /** q_agg_bucketed — SHUFFLE-FREE aggregation over a bucketed table:
+    * the orders table is stored bucketed on `o_custkey`
+    * (Joins.bucketedTables, shared with q_join_bucketed), so the scan
+    * already satisfies the aggregate's clustering requirement and the
+    * groupBy plans with NO Exchange at all — partial and final
+    * aggregation fuse into one in-task pass per bucket file. The
+    * ingest-time layout decision that turns every subsequent
+    * aggregation on the table's key from a full shuffle into a local
+    * scan at 100 TB — the same economics the bucketed JOIN witness
+    * pins, on the aggregation path. */
+  private def aggBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    aggBucketedStage(spark, dir).orderBy($"o_custkey")
+  }
+
+  private val aggBucketedSql = """
+    SELECT o_custkey, count(*) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
+
+  /** q_agg_listagg — ordered string aggregation (SQL-standard LISTAGG
+    * ... WITHIN GROUP, the Calcite surface; DuckDB spells it
+    * string_agg ORDER BY). The WITHIN GROUP order is what makes a
+    * string-concatenation aggregate deterministic at all — without it
+    * the result depends on partition merge order and can never
+    * hash-match. Spark executes it as a sort-based aggregate buffer;
+    * the per-group sort cost is bounded by group size, and the shuffle
+    * carries one concatenated buffer per group×partition. */
+  private def aggListagg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.nation(spark, dir)
+      .groupBy($"n_regionkey")
+      .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+        .as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy($"n_regionkey")
+  }
+
+  private val aggListaggSql = """
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      count(*) AS n
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
+
+  /** q_agg_bool — boolean aggregate family (SQL-standard EVERY / ANY +
+    * the COUNT_IF shorthand): predicate rollups are the cheapest
+    * data-quality gate at scale — associative, map-side partial, one
+    * boolean per group×partition over the shuffle. */
+  private def aggBool(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .groupBy($"c_mktsegment")
+      .agg(every($"c_acctbal" > 0d).as("all_positive"),
+        bool_or($"c_acctbal" < 0d).as("any_negative"),
+        count_if($"c_acctbal" > 5000d).as("n_rich"),
+        count(lit(1)).as("n"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val aggBoolSql = """
+    SELECT c_mktsegment,
+      bool_and(c_acctbal > 0) AS all_positive,
+      bool_or(c_acctbal < 0) AS any_negative,
+      count(*) FILTER (WHERE c_acctbal > 5000) AS n_rich,
+      count(*) AS n
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** q_agg_skew_kurt — BIT-EXACT skewness / kurtosis from exact decimal
+    * power sums, extending the q_agg_corr discipline to the 3rd and 4th
+    * moments. The built-in skewness/kurtosis are single-pass central-
+    * moment merges (Welford-style) whose low bits depend on partition
+    * merge order — they can never hash-match an oracle. Here the only
+    * aggregates are Σq, Σq², Σq³, Σq⁴ in exact integer-valued DECIMAL
+    * (l_quantity is integral 1..50, so every power fits its precision
+    * with zero rounding), and the statistics are assembled from the
+    * correctly-rounded double images of those sums with a fixed IEEE
+    * expression tree mirrored literally in the oracle SQL. Shuffle
+    * carries 4 decimals per group×partition. AggCorrModeSpec pins
+    * 1e-10 agreement with the built-ins. */
+  def aggSkewKurt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = $"l_quantity".cast("decimal(4,0)")
+    val s = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        count(lit(1)).cast("double").as("dn"),
+        asDouble(sum(q)).as("s1"),
+        asDouble(sum(q * q)).as("s2"),
+        asDouble(sum(q * q * q)).as("s3"),
+        asDouble(sum(q * q * q * q)).as("s4"))
+      .withColumn("mu", $"s1" / $"dn")
+      .withColumn("m2", $"s2" - $"mu" * $"s1")
+      .withColumn("m3",
+        $"s3" - lit(3) * $"mu" * $"s2" + lit(2) * $"mu" * $"mu" * $"s1")
+      .withColumn("m4",
+        $"s4" - lit(4) * $"mu" * $"s3" + lit(6) * $"mu" * $"mu" * $"s2"
+          - lit(3) * $"mu" * $"mu" * $"mu" * $"s1")
+    s.select($"l_returnflag", $"n",
+        (sqrt($"dn") * $"m3" / sqrt($"m2" * $"m2" * $"m2")).as("skew_qty"),
+        ($"dn" * $"m4" / ($"m2" * $"m2") - lit(3)).as("kurt_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val aggSkewKurtSql = """
+    WITH s AS (
+      SELECT l_returnflag, count(*) AS n, CAST(count(*) AS DOUBLE) AS dn,
+        CAST(sum(CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS s1,
+        CAST(sum(CAST(l_quantity AS DECIMAL(4,0))
+               * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS s2,
+        CAST(sum(CAST(l_quantity AS DECIMAL(4,0))
+               * CAST(l_quantity AS DECIMAL(4,0))
+               * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS s3,
+        CAST(sum(CAST(l_quantity AS DECIMAL(4,0))
+               * CAST(l_quantity AS DECIMAL(4,0))
+               * CAST(l_quantity AS DECIMAL(4,0))
+               * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag),
+    m AS (SELECT *, s1 / dn AS mu FROM s),
+    mm AS (SELECT *,
+      s2 - mu * s1 AS m2,
+      s3 - 3 * mu * s2 + 2 * mu * mu * s1 AS m3,
+      s4 - 4 * mu * s3 + 6 * mu * mu * s2 - 3 * mu * mu * mu * s1 AS m4
+      FROM m)
+    SELECT l_returnflag, n,
+      sqrt(dn) * m3 / sqrt(m2 * m2 * m2) AS skew_qty,
+      dn * m4 / (m2 * m2) - 3 AS kurt_qty
+    FROM mm ORDER BY l_returnflag"""
+
   val all: Seq[streamline.Q] = Seq(
+    streamline.Q("q_agg_listagg", aggListagg _, aggListaggSql),
+    streamline.Q("q_agg_bool", aggBool _, aggBoolSql),
+    streamline.Q("q_agg_skew_kurt", aggSkewKurt _, aggSkewKurtSql),
+    streamline.Q("q_agg_bucketed", aggBucketed _, aggBucketedSql),
     streamline.Q("q_agg_percentile_disc", aggPercentileDisc _,
       aggPercentileDiscSql),
     streamline.Q("q_agg_distinct_split", aggDistinctSplit _,

@@ -464,7 +464,58 @@ object Joins {
          nullif(n_nationkey, 13)
     GROUP BY n_name ORDER BY n_name"""
 
+  /** q_join_dpp — dynamic partition pruning: the fact side is a
+    * directory-partitioned table on the join key (`o_year`) and the
+    * selective predicate lives on the DIMENSION (`d_era = 'modern'`, a
+    * non-key attribute), so no static partition filter exists at plan
+    * time. The optimizer plants a `DynamicPruningExpression` into the
+    * fact scan's PartitionFilters, fed at runtime by the (reused)
+    * broadcast of the filtered dimension — only matching partition
+    * directories are ever listed or opened. The runtime companion of
+    * static pruning (q_sink_partitioned) and the single biggest scan
+    * saver in star-schema joins at 100 TB: the fact read costs
+    * O(matching partitions), not O(table), even though the filter is
+    * on the dimension. DppSpec pins the dynamicpruning filter in the
+    * plan and result-equality with the rule disabled. */
+  def dppStage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = streamline.util.Scratch.dir("dpp", dir)
+    Tables.orders(spark, dir)
+      .withColumn("o_year", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("o_year")
+      .parquet(s"$tmp/orders")
+    // Year dimension derived from the data itself (deterministic): the
+    // era attribute is what the query filters on — never the join key.
+    Tables.orders(spark, dir)
+      .select(year($"o_orderdate").as("d_year")).distinct()
+      .withColumn("d_era",
+        when($"d_year" >= 1996, lit("modern")).otherwise(lit("classic")))
+      .write.mode("overwrite").parquet(s"$tmp/years")
+    val fact = spark.read.parquet(s"$tmp/orders")
+    val dim = spark.read.parquet(s"$tmp/years").where($"d_era" === "modern")
+    fact.join(dim, $"o_year" === $"d_year")
+      .groupBy($"o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        asDouble(sum(dec("o_totalprice"))).as("sum_price"))
+  }
+
+  private def joinDpp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dppStage(spark, dir)
+      .select($"o_year".cast("long").as("o_year"), $"n_orders",
+        $"sum_price")
+      .orderBy($"o_year")
+  }
+
+  private val joinDppSql = """
+    SELECT year(o_orderdate) AS o_year, count(*) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE year(o_orderdate) >= 1996
+    GROUP BY year(o_orderdate) ORDER BY o_year"""
+
   val all: Seq[Q] = Seq(
+    Q("q_join_dpp", joinDpp _, joinDppSql),
     Q("q_join_null_safe", joinNullSafe _, joinNullSafeSql),
     Q("q_join_hash", joinHash _, joinHashSql),
     Q("q_cogroup", cogroup _, cogroupSql),

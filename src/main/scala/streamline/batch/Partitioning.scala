@@ -243,7 +243,55 @@ object Partitioning {
     SELECT c_nationkey % 4 AS shard, c_nationkey, c_custkey
     FROM customer ORDER BY shard, c_nationkey, c_custkey"""
 
+  /** Confs for the AQE-coalesce witness: the shuffle is forced to start
+    * at 64 partitions (the static over-provisioning every production
+    * job does — size `shuffle.partitions` for the biggest stage) and
+    * `parallelismFirst=false` makes AQE honor the advisory partition
+    * size, so the kilobyte-sized sf0.01 reduce outputs collapse to a
+    * handful of partitions exactly as multi-GB outputs would collapse
+    * under the 64 MB advisory size in production. */
+  val coalesceConfs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "64")
+
+  /** The coalesce stage, shared with AqeCoalesceSpec (which pins the
+    * `AQEShuffleRead coalesced` node and the shrunken partition count
+    * in the final adaptive plan). */
+  def aqeCoalesceStage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  /** q_part_aqe_coalesce — AQE post-shuffle partition COALESCING, the
+    * third of AQE's three big runtime levers next to the skew split
+    * (q_join_skew) and the join demotion (q_join_aqe_demote). A static
+    * `shuffle.partitions` must be sized for the LARGEST stage of a job,
+    * so every smaller stage over-shuffles into mostly-empty reducers —
+    * at 1000 executors that is thousands of tiny tasks, each paying
+    * scheduler + fetch overhead. AQE measures the real map-output sizes
+    * at the stage boundary and merges adjacent undersized partitions up
+    * to the advisory size, so reducer count tracks DATA volume, not the
+    * static conf. The result is coalescing-invariant (same rows, one
+    * reducer fewer-ways merged), which is what makes it oracle-able. */
+  private def partAqeCoalesce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    SkewJoin.withConfs(spark, coalesceConfs) {
+      aqeCoalesceStage(spark, dir).localCheckpoint(true)
+    }.orderBy($"event_type")
+  }
+
+  private val partAqeCoalesceSql = """
+    SELECT event_type, count(*) AS n_events,
+      count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   val all: Seq[Q] = Seq(
+    Q("q_part_aqe_coalesce", partAqeCoalesce _, partAqeCoalesceSql),
     Q("q_partition_custom", partitionCustom _, partitionCustomSql),
     Q("q_group_sorted", groupSorted _, groupSortedSql),
     Q("q_partition_hash", partitionHash _, partitionHashSql),

@@ -852,7 +852,26 @@ object SqlApi {
       UNION ALL SELECT cohort, 'view', view FROM w)
     ORDER BY cohort, metric"""
 
+  /** q_sql_groupby_all — GROUP BY ALL: every non-aggregate select item
+    * becomes a grouping key implicitly (the modern-warehouse dialect
+    * convergence both engines share). Same text runs verbatim on Spark
+    * and DuckDB — the witness IS the dialect agreement, including that
+    * a derived expression (the year) groups correctly. */
+  private val sqlGroupByAllText = """
+    SELECT o_orderstatus, year(o_orderdate) AS o_year, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY ALL
+    ORDER BY o_orderstatus, o_year"""
+
+  private def sqlGroupByAll(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    sql(spark, dir, sqlGroupByAllText)
+      .withColumn("o_year", col("o_year").cast("long"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_sql_groupby_all", sqlGroupByAll _, sqlGroupByAllText),
     Q("q_sql_unpivot", sqlUnpivot _, sqlUnpivotSql),
     Q("q_sql_stats", sqlStats _, sqlStatsSql),
     Q("q_sql_recursive", sqlRecursive _, sqlRecursiveText),

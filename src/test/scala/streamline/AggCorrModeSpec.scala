@@ -33,6 +33,26 @@ class AggCorrModeSpec extends SparkSuite {
     }
   }
 
+  test("exact-sum skewness/kurtosis match the built-ins to 1e-10 relative") {
+    val out = streamline.batch.Aggregates.aggSkewKurt(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("skew_qty"), r.getAs[Double]("kurt_qty"))).toMap
+    val ref = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(skewness($"l_quantity").as("sk"),
+        kurtosis($"l_quantity").as("ku"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out.keySet == ref.keySet)
+    for ((k, (sk, ku)) <- out) {
+      val (rsk, rku) = ref(k)
+      def close(a: Double, b: Double) =
+        math.abs(a - b) <= 1e-10 * math.max(math.abs(a), math.abs(b))
+      assert(close(sk, rsk), s"$k skew $sk vs builtin $rsk")
+      assert(close(ku, rku), s"$k kurt $ku vs builtin $rku")
+    }
+  }
+
   test("corr magnitudes are sane (|corr| <= 1, n sums to row count)") {
     val rows = SparkEntry.queries("q_agg_corr")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n")).sum ==

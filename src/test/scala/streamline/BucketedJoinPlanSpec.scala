@@ -21,6 +21,26 @@ class BucketedJoinPlanSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("bucketed aggregation plans with no exchange at all") {
+    val stage = streamline.batch.Aggregates.aggBucketedStage(spark, sfDir)
+    val plan = stage.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(500))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("q_agg_bucketed equals the plain shuffled aggregation result") {
+    import org.apache.spark.sql.functions._
+    import graft.SparkTestBase.spark.implicits._
+    val got = SparkEntry.queries("q_agg_bucketed")(spark, sfDir).collect()
+    val plain = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,4)")).cast("double")
+          .as("sum_price"))
+      .orderBy($"o_custkey").collect()
+    assert(got.toSeq == plain.toSeq)
+  }
+
   test("q_join_bucketed equals the plain shuffled join result") {
     import org.apache.spark.sql.functions._
     import graft.SparkTestBase.spark.implicits._
