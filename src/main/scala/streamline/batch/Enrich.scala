@@ -184,8 +184,54 @@ object Enrich {
     FROM nation JOIN region ON n_regionkey = r_regionkey
     ORDER BY n_nationkey"""
 
+  /** q_obs_metrics — the `Observation` / `df.observe` surface
+    * (CollectMetrics operator): named aggregate metrics computed ON
+    * the same pass as the real query — zero extra scan, zero extra
+    * shuffle — and delivered to the driver with the query result, the
+    * declarative twin of q_acc_metrics' imperative accumulator. The
+    * observe point sits BEFORE the error filter while the output
+    * aggregate sits after, so the metrics see rows the result never
+    * does (total row count, error count, total value) — exactly the
+    * audit/reconciliation counter a pipeline reports per run. The
+    * observed sum runs in exact DECIMAL; the collected metrics are
+    * joined onto the per-type output as constant columns. */
+  private def obsMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = Tables.events(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("n_total"),
+        sum(when($"event_type" === "error", 1L).otherwise(0L))
+          .as("n_errors"),
+        sum(streamline.util.Det.dec("value")).as("sum_value"))
+      .where($"event_type" =!= "error")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val kept = observed.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val m = obs.get
+    val sumVal = m("sum_value").asInstanceOf[java.math.BigDecimal]
+      .doubleValue()
+    spark.createDataFrame(kept.map { case (t, n) =>
+      (t, n, m("n_total").asInstanceOf[Long],
+        m("n_errors").asInstanceOf[Long], sumVal)
+    }).toDF("event_type", "n", "n_total", "n_errors", "sum_value")
+      .orderBy($"event_type")
+  }
+
+  private val obsMetricsSql = """
+    WITH m AS (SELECT count(*) AS n_total,
+        count(*) FILTER (event_type = 'error') AS n_errors,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events)
+    SELECT e.event_type, count(*) AS n,
+      m.n_total, m.n_errors, m.sum_value
+    FROM events e, m WHERE e.event_type <> 'error'
+    GROUP BY e.event_type, m.n_total, m.n_errors, m.sum_value
+    ORDER BY e.event_type"""
+
   val all: Seq[Q] = Seq(
     Q("q_async_enrich", asyncEnrich _, asyncEnrichSql),
     Q("q_acc_metrics", accMetrics _, accMetricsSql),
+    Q("q_obs_metrics", obsMetrics _, obsMetricsSql),
     Q("q_dist_cache", distCache _, distCacheSql))
 }

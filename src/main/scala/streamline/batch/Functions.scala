@@ -454,7 +454,239 @@ object Functions {
       regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS u_lang
     FROM d ORDER BY doc_id"""
 
+  /** q_fn_lambda — higher-order (lambda) array functions over the
+    * embedding column: predicate forms `filter`/`exists`/`forall` and
+    * the binary-zip `zip_with`, complementing q_fn_array's
+    * transform/aggregate pair. These run INSIDE codegen as loops over
+    * the array — no explode, no shuffle, no UDF serialization: the
+    * per-row array never leaves the task, which is what makes
+    * vector-column feature engineering affordable at 100 TB. The
+    * zip_with fold casts each float to double BEFORE multiplying and
+    * folds left-to-right — a fixed IEEE tree, so the 4-dp round is
+    * belt-and-suspenders, not a mask. */
+  private def fnLambda(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = $"embedding"
+    Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        size(filter(emb, x => x > lit(0.0f))).as("n_pos"),
+        exists(emb, x => abs(x) > lit(2.0f)).as("any_big"),
+        forall(emb, x => abs(x) < lit(8.0f)).as("all_small"),
+        round(aggregate(
+          zip_with(emb, reverse(emb),
+            (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0d), (acc, x) => acc + x), 4).as("dot_rev"))
+      .orderBy($"vec_id")
+  }
+
+  private val fnLambdaSql = """
+    SELECT vec_id,
+      len(list_filter(embedding, x -> x > 0)) AS n_pos,
+      len(list_filter(embedding, x -> abs(x) > 2)) > 0 AS any_big,
+      len(list_filter(embedding, x -> NOT (abs(x) < 8))) = 0 AS all_small,
+      round(list_reduce(
+        list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_zip(embedding, list_reverse(embedding)),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+        (acc, x) -> acc + x), 4) AS dot_rev
+    FROM embeddings ORDER BY vec_id"""
+
+  /** q_fn_hash — hashing / binary-encoding scalar family: md5, sha256,
+    * base64 and hex with their decode round-trips. Content hashing is
+    * the backbone of exact dedup, shard assignment and cache keys in a
+    * corpus pipeline; the round-trips pin that both engines agree on
+    * the byte-level encoding (UTF-8 in, same digest/base64/hex out),
+    * not just on a string's happy path. All map-side codegen. */
+  private def fnHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = $"n_name".cast("binary")
+    Tables.nation(spark, dir)
+      .select($"n_nationkey",
+        md5(b).as("h_md5"),
+        sha2(b, 256).as("h_sha256"),
+        base64(b).as("h_b64"),
+        decode(unbase64(base64(b)), "UTF-8").as("h_b64_rt"),
+        lower(hex($"n_name")).as("h_hex"),
+        decode(unhex(lower(hex($"n_name"))), "UTF-8").as("h_hex_rt"))
+      .orderBy($"n_nationkey")
+  }
+
+  private val fnHashSql = """
+    SELECT n_nationkey,
+      md5(n_name) AS h_md5,
+      sha256(n_name) AS h_sha256,
+      to_base64(encode(n_name)) AS h_b64,
+      decode(from_base64(to_base64(encode(n_name)))) AS h_b64_rt,
+      lower(hex(n_name)) AS h_hex,
+      decode(unhex(lower(hex(n_name)))) AS h_hex_rt
+    FROM nation ORDER BY n_nationkey"""
+
+  /** q_fn_variant — the VARIANT semi-structured type (Spark 4's
+    * open-lakehouse JSON encoding): parse once into the binary variant
+    * form, then typed path extraction. Versus q_fn_json's per-call
+    * string re-parse, a variant column is parsed ONCE at ingest and
+    * every downstream `variant_get` is a binary-offset walk — the
+    * difference between O(fields × queries) and O(1) parses per row at
+    * 100 TB. Declared outputs are scalars (typed gets + a try_ miss);
+    * the oracle spells the same accesses as DuckDB JSON extraction. */
+  private def fnVariant(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = parse_json($"props")
+    Tables.events(spark, dir)
+      .select($"event_id",
+        variant_get(v, "$.k", "bigint").as("v_k"),
+        variant_get(v, "$.k", "string").as("v_k_str"),
+        try_variant_get(v, "$.missing", "bigint").as("v_missing"),
+        is_variant_null(try_parse_json(lit("null"))).as("v_null_lit"))
+      .orderBy($"event_id")
+  }
+
+  private val fnVariantSql = """
+    SELECT event_id,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS v_k,
+      json_extract_string(props, '$.k') AS v_k_str,
+      CAST(NULL AS BIGINT) AS v_missing,
+      TRUE AS v_null_lit
+    FROM events ORDER BY event_id"""
+
+  /** q_fn_collation — Spark 4 COLLATION support (SPARK-46830: collated
+    * string types flow through comparisons, grouping and shuffles):
+    * grouping under `UTF8_LCASE` collapses case variants that binary
+    * equality keeps apart. The witness doubles `nation` with a
+    * case-mangled twin (initcap of lower) and groups by the collated
+    * name — 25×2 surface forms → 25 ci-groups, each holding 2
+    * binary-distinct members; the group representative is min() over
+    * the BINARY (non-collated) copy so the output never depends on
+    * which form the hash saw first. The point at scale: collation is
+    * honored INSIDE the hash shuffle (ci-equal keys land on one
+    * partition), not by a post-hoc lower() projection — though the
+    * oracle derives the same groups independently via lower(). */
+  private def fnCollation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nation = Tables.nation(spark, dir)
+    val doubled = nation.select($"n_name")
+      .unionAll(nation.select(initcap(lower($"n_name")).as("n_name")))
+    doubled
+      .groupBy(collate($"n_name", "UTF8_LCASE").as("k"))
+      .agg(min($"n_name".cast("string")).as("name_rep"),
+        count(lit(1)).as("n_forms"),
+        countDistinct($"n_name".cast("string")).as("n_bin_distinct"))
+      .select($"name_rep", $"n_forms", $"n_bin_distinct",
+        contains(collate($"name_rep", "UTF8_LCASE"),
+          collate(lit("An"), "UTF8_LCASE")).as("has_an_ci"))
+      .orderBy($"name_rep")
+  }
+
+  private val fnCollationSql = """
+    WITH d AS (
+      SELECT n_name FROM nation
+      UNION ALL
+      SELECT upper(n_name[1]) || lower(n_name[2:]) FROM nation)
+    SELECT min(n_name) AS name_rep, count(*) AS n_forms,
+      count(DISTINCT n_name) AS n_bin_distinct,
+      contains(lower(min(n_name)), 'an') AS has_an_ci
+    FROM d GROUP BY lower(n_name) ORDER BY name_rep"""
+
+  /** q_fn_aes — AES column encryption round-trip (`aes_encrypt` /
+    * `aes_decrypt`, the PII-at-rest surface for sensitive columns).
+    * ECB/PKCS is the deterministic mode (GCM salts a random IV per
+    * call, which would make the ciphertext unoracleable), so the
+    * witness pins (a) plaintext survives the round trip byte-exactly
+    * and (b) the ciphertext length follows the PKCS#7 block formula
+    * 16·(⌊len/16⌋+1) — DuckDB has no AES, so the oracle derives both
+    * from the plaintext alone, which is exactly what makes them
+    * engine-checkable. Both directions are codegen'd scalar calls,
+    * map-side only. */
+  private def fnAes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = lit("0123456789abcdef").cast("binary")
+    val ct = aes_encrypt($"n_name".cast("binary"), key, lit("ECB"))
+    Tables.nation(spark, dir)
+      .select($"n_nationkey",
+        aes_decrypt(ct, key, lit("ECB")).cast("string").as("rt"),
+        length(ct).cast("long").as("ct_len"),
+        (aes_decrypt(ct, key, lit("ECB")).cast("string") === $"n_name")
+          .as("rt_ok"))
+      .orderBy($"n_nationkey")
+  }
+
+  private val fnAesSql = """
+    SELECT n_nationkey, n_name AS rt,
+      CAST(16 * (length(n_name) // 16 + 1) AS BIGINT) AS ct_len,
+      TRUE AS rt_ok
+    FROM nation ORDER BY n_nationkey"""
+
+  /** q_fn_xpath — XPath scalar extraction family (`xpath_string` /
+    * `xpath_long` / `xpath(...)` node-set, the Hive-compat XML scalar
+    * surface complementing q_source_xml's format roundtrip). The XML
+    * is synthesized per row from safe columns (uppercase name words →
+    * one <t> element each), so the oracle derives every output
+    * INDEPENDENTLY from the synthesis inputs — a parser bug cannot
+    * cancel out. All map-side; xpath compiles the path once per
+    * expression, per-row work is the document walk. */
+  private def fnXpath(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = concat(lit("<r><n>"), $"n_name", lit("</n><k>"),
+      $"n_nationkey".cast("string"), lit("</k><tags><t>"),
+      regexp_replace($"n_name", " ", "</t><t>"), lit("</t></tags></r>"))
+    Tables.nation(spark, dir)
+      .withColumn("x", x)
+      .select($"n_nationkey",
+        expr("xpath_string(x, '/r/n')").as("x_name"),
+        expr("xpath_long(x, '/r/k')").as("x_key"),
+        size(expr("xpath(x, '/r/tags/t/text()')")).as("n_tags"),
+        expr("xpath_string(x, '/r/tags/t[1]')").as("first_tag"))
+      .orderBy($"n_nationkey")
+  }
+
+  private val fnXpathSql = """
+    SELECT n_nationkey, n_name AS x_name, n_nationkey AS x_key,
+      CAST(length(string_split(n_name, ' ')) AS INT) AS n_tags,
+      string_split(n_name, ' ')[1] AS first_tag
+    FROM nation ORDER BY n_nationkey"""
+
+  /** q_fn_csv — scalar CSV codec (`to_csv` / `from_csv`), the per-cell
+    * twin of the q_source_csv format roundtrip: serialize a struct to
+    * one CSV line, parse it back under an explicit schema. The
+    * injected ", Inc." suffix forces RFC 4180 quoting through the
+    * round trip, and the double survives bit-exactly via shortest-repr
+    * formatting (the jsonl_gz precedent). This is the shape of
+    * embedded-CSV payloads inside another table (log lines, message
+    * envelopes) — parsed per row, map-side, no source involved. */
+  private def fnCsv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val line = to_csv(struct(
+      $"s_suppkey",
+      concat($"s_name", lit(", Inc.")).as("corp"),
+      $"s_acctbal"))
+    val parsed = from_csv(line,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "s_suppkey BIGINT, corp STRING, s_acctbal DOUBLE"),
+      Map.empty[String, String])
+    Tables.supplier(spark, dir)
+      .select($"s_suppkey", $"s_name", $"s_acctbal", parsed.as("p"))
+      .select($"s_suppkey",
+        $"p.corp".as("corp"),
+        $"p.s_acctbal".as("bal_rt"),
+        ($"p.s_suppkey" === $"s_suppkey" &&
+          $"p.s_acctbal" === $"s_acctbal" &&
+          $"p.corp" === concat($"s_name", lit(", Inc."))).as("rt_ok"))
+      .orderBy($"s_suppkey")
+  }
+
+  private val fnCsvSql = """
+    SELECT s_suppkey, s_name || ', Inc.' AS corp, s_acctbal AS bal_rt,
+      TRUE AS rt_ok
+    FROM supplier ORDER BY s_suppkey"""
+
   val all: Seq[Q] = Seq(
+    Q("q_fn_collation", fnCollation _, fnCollationSql),
+    Q("q_fn_aes", fnAes _, fnAesSql),
+    Q("q_fn_xpath", fnXpath _, fnXpathSql),
+    Q("q_fn_csv", fnCsv _, fnCsvSql),
+    Q("q_fn_lambda", fnLambda _, fnLambdaSql),
+    Q("q_fn_hash", fnHash _, fnHashSql),
+    Q("q_fn_variant", fnVariant _, fnVariantSql),
     Q("q_fn_url", fnUrl _, fnUrlSql),
     Q("q_fn_try", fnTry _, fnTrySql),
     Q("q_fn_interval", fnInterval _, fnIntervalSql),

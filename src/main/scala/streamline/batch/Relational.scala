@@ -140,6 +140,34 @@ object Relational {
       length(replace(text, ' ', chr(10))) AS n_chars, lang
     FROM documents ORDER BY doc_id"""
 
+  /** q_source_json_multiline — multiLine (document-style) JSON source:
+    * each file holds ONE pretty-printed JSON ARRAY of records — the
+    * shape of API exports and config dumps, vs q_source_jsonl_gz's
+    * line-per-record wire form. Same scale discipline as the other
+    * non-splittable sources: a multiLine JSON file is one task at any
+    * size (the parser must see the whole document), so the write
+    * SHARDS FIRST (4 array files) and each task builds its array
+    * per-partition — no driver-side collect. Doubles round-trip
+    * bit-exact through Spark's shortest-repr JSON formatting (the
+    * jsonl_gz precedent); oracle reads the parquet original. */
+  private def sourceJsonMultiline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = streamline.util.Scratch.dir("json_ml", dir)
+    val proj = Tables.supplier(spark, dir)
+      .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+    proj.repartition(4) // shard first: multiLine JSON is one-task-per-file
+      .toJSON
+      .mapPartitions(it => Iterator(it.mkString("[\n", ",\n", "\n]")))
+      .write.mode("overwrite").text(tmp)
+    spark.read.schema(proj.schema)
+      .option("multiLine", "true").json(tmp)
+      .orderBy($"s_suppkey")
+  }
+
+  private val sourceJsonMultilineSql = """
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier ORDER BY s_suppkey"""
+
   /** q_source_jsonl_gz — gzip-compressed JSON-lines round-trip, the
     * de-facto wire format of web-scale training corpora (every crawl
     * pipeline ships .jsonl.gz shards). The scale trap this witnesses
@@ -209,6 +237,77 @@ object Relational {
 
   private val sourceOrcSql = """
     SELECT * FROM supplier ORDER BY s_suppkey"""
+
+  /** q_source_xml — XML format source/sink, NATIVE in Spark 4
+    * (SPARK-44265 folded the spark-xml connector into sql/core): write
+    * `nation` as row-tagged XML documents, read back under the
+    * explicit schema (no inference — the same no-inference discipline
+    * as the CSV witness; typed fields parse from element text). The
+    * comment column carries punctuation that must survive XML
+    * entity escaping, so the roundtrip witnesses the escaper, not just
+    * a happy-path tag walk. Same scale posture as the other textual
+    * sources: row-tagged XML splits on row boundaries per file, files
+    * shard the write; int/string columns only (XML is not a lossless
+    * float transport, the CSV precedent). */
+  private def sourceXml(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = streamline.util.Scratch.dir("xml_nation", dir)
+    val nation = Tables.nation(spark, dir)
+    nation.write.mode("overwrite")
+      .option("rootTag", "nations").option("rowTag", "nation")
+      .xml(tmp)
+    spark.read
+      .schema(nation.schema)
+      .option("rowTag", "nation")
+      .xml(tmp)
+      .orderBy($"n_nationkey")
+  }
+
+  private val sourceXmlSql = """
+    SELECT * FROM nation ORDER BY n_nationkey"""
+
+  /** q_cache_reuse — `persist`/cache: one expensive keyed aggregate
+    * materialized (columnar, MEMORY_AND_DISK) and consumed by TWO
+    * downstream aggregations, so the shuffle+agg runs ONCE — the
+    * iterative/multi-consumer reuse pattern (Flink's equivalent is a
+    * shared intermediate result; Spark makes it explicit). The second
+    * consumer's plan reads InMemoryTableScan, not a re-shuffle —
+    * pinned in CacheReuseSpec. The result is collected and the cache
+    * released BEFORE returning, so the witness leaves no pinned
+    * executor memory behind (at 100 TB an un-dropped cache is a
+    * cluster-wide memory leak). MEMORY_AND_DISK because a cache that
+    * only fits memory silently recomputes on eviction — disk spill
+    * keeps reuse O(read), never O(recompute). */
+  private def cacheReuse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perSupp = Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey")
+      .agg(dsum("l_quantity").as("sum_qty"), count(lit(1)).as("n_items"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val busy = perSupp.where($"n_items" >= 30)
+        .agg(count(lit(1)).as("n_busy"))
+      val global = perSupp.agg(
+        count(lit(1)).as("n_suppliers"),
+        asDouble(max($"sum_qty")).as("max_qty"),
+        asDouble(min($"sum_qty")).as("min_qty"))
+      val Array(b) = busy.collect()
+      val Array(g) = global.collect()
+      spark.createDataFrame(Seq((
+        g.getLong(0), b.getLong(0), g.getDouble(1), g.getDouble(2))))
+        .toDF("n_suppliers", "n_busy", "max_qty", "min_qty")
+    } finally perSupp.unpersist()
+  }
+
+  private val cacheReuseSql = """
+    WITH s AS (SELECT l_suppkey,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        count(*) AS n_items
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT (SELECT count(*) FROM s) AS n_suppliers,
+      (SELECT count(*) FROM s WHERE n_items >= 30) AS n_busy,
+      (SELECT max(sum_qty) FROM s) AS max_qty,
+      (SELECT min(sum_qty) FROM s) AS min_qty"""
 
   /** q_sink_roundtrip — durable write + re-read (Flink file OutputFormat
     * equivalent). The roundtrip is through real parquet on disk. */
@@ -713,9 +812,13 @@ object Relational {
     Q("q_source_json", sourceJson _, sourceJsonSql),
     Q("q_source_csv", sourceCsv _, sourceCsvSql),
     Q("q_source_csv_multiline", sourceCsvMultiline _, sourceCsvMultilineSql),
+    Q("q_source_json_multiline", sourceJsonMultiline _,
+      sourceJsonMultilineSql),
     Q("q_source_jsonl_gz", sourceJsonlGz _, sourceJsonlGzSql),
     Q("q_source_text", sourceText _, sourceTextSql),
     Q("q_source_orc", sourceOrc _, sourceOrcSql),
+    Q("q_source_xml", sourceXml _, sourceXmlSql),
+    Q("q_cache_reuse", cacheReuse _, cacheReuseSql),
     Q("q_sink_roundtrip", sinkRoundtrip _, sinkRoundtripSql),
     Q("q_sink_partitioned", sinkPartitioned _, sinkPartitionedSql),
     Q("q_sink_compact", sinkCompact _, sinkCompactSql),

@@ -406,7 +406,74 @@ object Windows {
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
     FROM e ORDER BY user_id, event_id"""
 
+  /** q_win_sliding — bounded two-sided ROWS frame (2 PRECEDING .. 2
+    * FOLLOWING): the centered moving aggregate of smoothing /
+    * neighborhood features, completing the frame-type matrix next to
+    * the running (UNBOUNDED PRECEDING), RANGE and time-RANGE frames.
+    * One shuffle on the partition key + a local sort; the frame slides
+    * with two pointers, O(1) state — the total (date, orderkey) order
+    * makes every frame's membership deterministic. Exact DECIMAL sum
+    * inside the frame, double on output. */
+  private def winSliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(-2, 2)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        asDouble(sum(dec("o_totalprice")).over(w)).as("win_sum"),
+        count(lit(1)).over(w).as("win_n"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  private val winSlidingSql = """
+    SELECT o_custkey, o_orderkey,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        AS win_sum,
+      count(*) OVER w AS win_n
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+    ORDER BY o_custkey, o_orderkey"""
+
+  /** q_win_nth — positional window access: `nth_value` over the full
+    * partition frame plus offset `lag`/`lead` WITH DEFAULTS,
+    * completing the navigation-function surface next to q_win_lag's
+    * adjacent-row pair. nth_value needs the explicit two-sided
+    * unbounded frame — under the default running frame the "2nd value"
+    * is invisible until row 2, which is a correctness trap, not a
+    * tuning detail. Short partitions yield NULL (nth) / the default
+    * (lag,lead) identically in both engines. */
+  private def winNth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    val wf = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.customer(spark, dir)
+      .select($"c_nationkey", $"c_custkey",
+        nth_value($"c_custkey", 2).over(wf).as("second_richest"),
+        lag($"c_custkey", 2, -1L).over(w).as("lag2"),
+        lead($"c_custkey", 3, -1L).over(w).as("lead3"))
+      .orderBy($"c_nationkey", $"c_custkey")
+  }
+
+  private val winNthSql = """
+    SELECT c_nationkey, c_custkey,
+      nth_value(c_custkey, 2) OVER wf AS second_richest,
+      lag(c_custkey, 2, CAST(-1 AS BIGINT)) OVER w AS lag2,
+      lead(c_custkey, 3, CAST(-1 AS BIGINT)) OVER w AS lead3
+    FROM customer
+    WINDOW
+      w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+      wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY c_nationkey, c_custkey"""
+
   val all: Seq[Q] = Seq(
+    Q("q_win_nth", winNth _, winNthSql),
+    Q("q_win_sliding", winSliding _, winSlidingSql),
     Q("q_win_fill", winFill _, winFillSql),
     Q("q_win_session", winSession _, winSessionSql),
     Q("q_win_session_dynamic", winSessionDynamic _, winSessionDynamicSql),

@@ -389,7 +389,62 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** q_llm_dedup_url — URL canonicalization dedup, the FIRST dedup any
+    * crawl pipeline runs (two fetches of one page differ only in
+    * scheme/host case, tracking params, trailing slash, fragment —
+    * dropping them collapses refetches before any content pass runs).
+    * The surface forms are synthesized deterministically (doc pairs
+    * share a target page; the odd twin gets uppercase scheme+host, a
+    * trailing slash, utm_* tracking params and a fragment) and the
+    * canonicalizer must reach the clean form through REAL parsing:
+    * parse_url components, lowercased scheme/host, trailing slash
+    * stripped, query filtered through a higher-order lambda that drops
+    * utm_* keys, fragment ignored. Map-side codegen per row + one
+    * keyed aggregation on the canonical URL — at 100 TB this is the
+    * cheapest dedup in the pipeline because it never touches content.
+    * The oracle derives the canonical form INDEPENDENTLY (from the
+    * synthesis rule, not from parsing), so a canonicalizer bug cannot
+    * cancel out. */
+  private def dedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        concat(
+          when(pmod($"doc_id", lit(2)) === 0, lit("https://"))
+            .otherwise(lit("HTTPS://")),
+          when(pmod($"doc_id", lit(2)) === 0, $"source")
+            .otherwise(upper($"source")),
+          lit(".example.org/docs/"), expr("doc_id DIV 2").cast("string"),
+          when(pmod($"doc_id", lit(2)) === 0, lit(""))
+            .otherwise(lit("/?utm_source=feed&utm_campaign=x#top")))
+          .as("url"))
+    val q = coalesce(expr("parse_url(url, 'QUERY')"), lit(""))
+    val keptQuery = array_join(
+      filter(split(q, "&"),
+        x => !x.startsWith("utm_") && x =!= ""), "&")
+    val canon = concat(
+      lower(expr("parse_url(url, 'PROTOCOL')")), lit("://"),
+      lower(expr("parse_url(url, 'HOST')")),
+      regexp_replace(expr("parse_url(url, 'PATH')"), "/$", ""),
+      when(keptQuery === "", lit("")).otherwise(concat(lit("?"), keptQuery)))
+    raw.select($"doc_id", canon.as("canon"))
+      .groupBy($"canon")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_variants"))
+      .select($"keep_id", $"canon", $"n_variants")
+      .orderBy($"keep_id")
+  }
+
+  private val dedupUrlSql = """
+    WITH c AS (
+      SELECT doc_id,
+        'https://' || lower(source) || '.example.org/docs/'
+          || CAST(doc_id // 2 AS VARCHAR) AS canon
+      FROM documents)
+    SELECT min(doc_id) AS keep_id, canon, count(*) AS n_variants
+    FROM c GROUP BY canon ORDER BY keep_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_llm_dedup_url", dedupUrl _, dedupUrlSql),
     Q("q_llm_dedup_exact", dedupExact _, dedupExactSql),
     Q.noOracle("q_llm_dedup_near", dedupNear _),
     Q("q_llm_dedup_jaccard", dedupJaccard _, dedupJaccardSql),

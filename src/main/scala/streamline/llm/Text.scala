@@ -601,7 +601,64 @@ object Text {
            FROM toks GROUP BY term)
     SELECT term, df, postings FROM pl WHERE df >= 3 ORDER BY term"""
 
+  /** q_llm_entropy — token-entropy quality signal: Shannon entropy of
+    * each document's token distribution (low entropy = repetitive /
+    * template text, a standard corpus-quality gate next to the Gopher
+    * rules). Determinism is the whole design: H = log2(n) − (Σ c·log2 c)/n
+    * needs an order-dependent double sum, so instead of folding over
+    * tokens (whose sort order would drag string collation into the
+    * hash), the counts are HISTOGRAMMED — per doc and count-value k,
+    * m_k = number of distinct tokens occurring exactly k times — and
+    * the fold runs over ascending INTEGER k with term m_k·k·log2(k).
+    * Tokens with k=1 contribute exactly 0.0, so the fold touches only
+    * the few repeated-count classes; the k-order is engine-neutral and
+    * the IEEE tree is mirrored in the oracle. Two keyed shuffles
+    * ((doc,tok) then doc), both map-side combined; at 100 TB this is
+    * the same shape as the tf pass of tf-idf. */
+  private def entropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val hist = counts
+      .groupBy($"doc_id", $"c").agg(count(lit(1)).as("m"))
+      .select($"doc_id", $"c", $"m",
+        ($"m".cast("double") * $"c".cast("double")
+          * log2($"c".cast("double"))).as("term"))
+    hist.groupBy($"doc_id")
+      .agg(sum($"c" * $"m").as("n_tok"),
+        sum($"m").as("n_distinct"),
+        aggregate(
+          transform(array_sort(collect_list(struct($"c", $"term"))),
+            x => x.getField("term")),
+          lit(0.0d), (acc, x) => acc + x).as("clogc"))
+      .select($"doc_id", $"n_tok", $"n_distinct",
+        round(log2($"n_tok".cast("double"))
+          - $"clogc" / $"n_tok".cast("double"), 6).as("entropy"))
+      .orderBy($"doc_id")
+  }
+
+  private val entropySql = """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+    h AS (SELECT doc_id, c, count(*) AS m,
+            CAST(count(*) AS DOUBLE) * CAST(c AS DOUBLE)
+              * log2(CAST(c AS DOUBLE)) AS term
+          FROM c GROUP BY doc_id, c),
+    a AS (SELECT doc_id, CAST(sum(c * m) AS BIGINT) AS n_tok,
+            CAST(sum(m) AS BIGINT) AS n_distinct,
+            list_reduce(
+              list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY c)),
+              (acc, x) -> acc + x) AS clogc
+          FROM h GROUP BY doc_id)
+    SELECT doc_id, n_tok, n_distinct,
+      round(log2(CAST(n_tok AS DOUBLE)) - clogc / CAST(n_tok AS DOUBLE), 6)
+        AS entropy
+    FROM a ORDER BY doc_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_llm_entropy", entropy _, entropySql),
     Q("q_llm_inverted_index", invertedIndex _, invertedIndexSql),
     Q("q_llm_bpe_pairs", bpePairs _, bpePairsSql),
     Q("q_llm_bigram_lm", bigramLm _, bigramLmSql),

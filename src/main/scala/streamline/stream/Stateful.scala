@@ -509,7 +509,365 @@ object Stateful {
       event_type AS last_type, value AS last_value
     FROM r WHERE rn = 1 ORDER BY user_id"""
 
+  case class TwsOut(user_id: Long, n_events: Long, sum_val: Double)
+
+  /** StatefulProcessor for q_stream_tws: one (count, 4-dp-scaled-sum)
+    * ValueState cell per key, updated per batch, running totals
+    * emitted. The scaled-long sum keeps the accumulation exact and
+    * merge-order free (same dec4 discipline as the mapGroupsWithState
+    * witnesses). */
+  private class TwsCount extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, EvRow, TwsOut] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("agg",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EvRow],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsOut] = {
+      var (n, s) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { r =>
+        n += 1
+        s += dec4(r.value).bigDecimal.movePointRight(4).longValueExact()
+      }
+      st.update((n, s))
+      Iterator.single(TwsOut(key, n, BigDecimal(s, 4).toDouble))
+    }
+  }
+
+  /** q_stream_tws — `transformWithState` (Spark 4's arbitrary-state
+    * operator, the successor of (flat)MapGroupsWithState and the
+    * closest Spark surface to the reference lineage's keyed
+    * ProcessFunction: named state variables, timers, TTL on a typed
+    * StatefulProcessor). Runs the same running per-user aggregate as
+    * q_stream_stateful so the two APIs witness each other —
+    * same oracle by design. transformWithState REQUIRES the RocksDB
+    * state store provider (the operator's state layout is
+    * multi-column-family), which is itself the reference parity point:
+    * Flink's production state backend is RocksDB, and here the state
+    * actually lives in it rather than only in RocksDbStateSpec's
+    * backend-swap check. */
+  private def streamTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    streamline.batch.SkewJoin.withConfs(spark, Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+      val out = Streams.eventsStream(spark, dir)
+        .select($"user_id", $"value").as[EvRow]
+        .groupByKey(_.user_id)
+        .transformWithState(new TwsCount,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+        .toDF()
+      val collected = Streams.runToTable(spark, "tws", "update", out)
+      val w = Window.partitionBy($"user_id").orderBy($"n_events".desc)
+      collected
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"user_id", $"n_events", $"sum_val")
+        .orderBy($"user_id")
+    }
+  }
+
+  case class TwtOut(user_id: Long, n_events: Long, sum_val: Double,
+                    fired_ms: Long)
+
+  /** StatefulProcessor for q_stream_tws_timer: the tws twin of
+    * updateTimeout — accumulate (count, scaled-sum, last-event-ms)
+    * silently, keep exactly ONE event-time timer armed at
+    * (last event + 30 min) by deleting the previous registration, and
+    * emit only from `handleExpiredTimer` when the watermark passes the
+    * timer; the fired state is then cleared, so an idle key holds
+    * state for one gap at most. listTimers() is O(timers-per-key) = 1
+    * here — the delete-then-register discipline is what keeps the
+    * timer column family from accumulating dead timers at scale. */
+  private class TwsIdleFlush extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, ToRow, TwtOut] {
+    @transient private var st: org.apache.spark.sql.streaming
+      .ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("agg",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ToRow],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwtOut] = {
+      var (n, s, last) =
+        if (st.exists()) st.get() else (0L, 0L, 0L)
+      rows.foreach { r =>
+        n += 1
+        s += dec4(r.value).bigDecimal.movePointRight(4).longValueExact()
+        // Timestamp.getTime floors µs→ms exactly like EventTimeStats,
+        // so the armed timer is ms-aligned with the oracle.
+        last = math.max(last, r.ts.getTime)
+      }
+      st.update((n, s, last))
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(last + idleGapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[TwtOut] = {
+      val (n, s, _) = st.get()
+      st.clear()
+      Iterator.single(
+        TwtOut(key, n, BigDecimal(s, 4).toDouble,
+          expired.getExpiryTimeInMs()))
+    }
+  }
+
+  /** q_stream_tws_timer — event-time TIMERS on `transformWithState`
+    * (`getHandle.registerTimer`/`deleteTimer` + `handleExpiredTimer`,
+    * `TimeMode.EventTime`): the full Flink
+    * `KeyedProcessFunction.onTimer` surface on Spark 4's arbitrary-
+    * state operator, next to q_stream_timeout's older
+    * GroupStateTimeout rendering of the same idle-key flush. Same
+    * deterministic oracle shape: with the finite input, the final
+    * watermark is floor_ms(max ts) − 10 min and a key fires iff its
+    * armed timer (floor_ms(key max ts) + 30 min) is AT OR below it —
+    * transformWithState drains timers INCLUSIVELY
+    * (`expiryTimestampMs <= watermark`), a genuine boundary-semantics
+    * difference from fmGWS's strict `<` timeout check, pinned in
+    * TwsTimerBoundarySpec (an fmGWS port inherits a one-tick shift).
+    * The emitted fired_ms pins WHERE the timer fired, not just that
+    * it did. */
+  private def streamTwsTimer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    streamline.batch.SkewJoin.withConfs(spark, Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+      val out = Streams.eventsStream(spark, dir)
+        .withWatermark("ts", "10 minutes")
+        .select($"user_id", $"ts", $"value").as[ToRow]
+        .groupByKey(_.user_id)
+        .transformWithState(new TwsIdleFlush,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF()
+      Streams.runToTable(spark, "tws_timer", "append", out)
+        .orderBy($"user_id")
+    }
+  }
+
+  private val streamTwsTimerSql = """
+    WITH wm AS (SELECT date_trunc('millisecond', max(ts))
+                  - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT user_id, count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+      CAST(epoch_ms(date_trunc('millisecond', max(ts))
+             + INTERVAL 30 MINUTE) AS BIGINT) AS fired_ms
+    FROM events GROUP BY user_id
+    HAVING date_trunc('millisecond', max(ts)) + INTERVAL 30 MINUTE
+             <= (SELECT w FROM wm)
+    ORDER BY user_id"""
+
+  case class TmRow(user_id: Long, event_type: String, value: Double)
+  case class TmOut(user_id: Long, event_type: String, n: Long,
+                   sum_val: Double)
+
+  /** StatefulProcessor for q_stream_tws_map: a MapState variable —
+    * per-user map event_type → (count, scaled-sum), the composite-key
+    * state layout that RocksDB serves as (grouping key, user key)
+    * prefix scans. Each batch emits the key's ENTIRE current map
+    * (iterator()), so per (user, type) the emitted count is monotone
+    * and last-firing recovery is max(n) under any batch split. */
+  private class TwsTypeCount extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, TmRow, TmOut] {
+    @transient private var ms: org.apache.spark.sql.streaming
+      .MapState[String, (Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      ms = getHandle.getMapState[String, (Long, Long)]("perType",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TmRow],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TmOut] = {
+      rows.foreach { r =>
+        val (n, s) =
+          if (ms.containsKey(r.event_type)) ms.getValue(r.event_type)
+          else (0L, 0L)
+        ms.updateValue(r.event_type,
+          (n + 1,
+            s + dec4(r.value).bigDecimal.movePointRight(4)
+              .longValueExact()))
+      }
+      ms.iterator().map { case (t, (n, s)) =>
+        TmOut(key, t, n, BigDecimal(s, 4).toDouble)
+      }
+    }
+  }
+
+  /** q_stream_tws_map — MAP state variable on `transformWithState`
+    * (`getHandle.getMapState`): per-user per-event-type running
+    * (count, sum), the Flink `MapState` analog and the third state
+    * surface next to q_stream_tws's ValueState and q_stream_tws_timer's
+    * timers. The point of MapState over a ValueState holding a Scala
+    * Map: RocksDB stores each (user, type) entry as its OWN key-value
+    * pair, so updating one type rewrites one entry, not the whole
+    * map — the layout that keeps wide per-key composite state
+    * affordable. Update-mode firings re-emit a user's full map
+    * whenever the user appears, counts are monotone per (user, type),
+    * so max(n) recovers the final snapshot under any batch split. */
+  private def streamTwsMap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    streamline.batch.SkewJoin.withConfs(spark, Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+      val out = Streams.eventsStream(spark, dir)
+        .select($"user_id", $"event_type", $"value").as[TmRow]
+        .groupByKey(_.user_id)
+        .transformWithState(new TwsTypeCount,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+        .toDF()
+      val collected = Streams.runToTable(spark, "tws_map", "update", out)
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"n".desc)
+      collected
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"user_id", $"event_type", $"n", $"sum_val")
+        .orderBy($"user_id", $"event_type")
+    }
+  }
+
+  private val streamTwsMapSql = """
+    SELECT user_id, event_type, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+    FROM events GROUP BY user_id, event_type
+    ORDER BY user_id, event_type"""
+
+  case class TlRow(user_id: Long, ts_us: Long, event_id: Long,
+                   value: Double)
+  case class TlOut(user_id: Long, n_seen: Long, last3_ids: String,
+                   last3_sum: Double)
+
+  /** StatefulProcessor for q_stream_tws_list: a ListState variable
+    * holding the last-3 events per user by (event time, id), plus a
+    * ValueState counter. Append is O(1) (RocksDB merge operand — the
+    * reason ListState beats a ValueState holding a Scala list: no
+    * read-modify-write of the whole buffer per event); the batch-end
+    * compaction rewrites at most 3 entries via put(). The kept set is
+    * determined purely by the (ts_us, event_id) total order, so batch
+    * splits and arrival order cannot change it. */
+  private class TwsLastN extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, TlRow, TlOut] {
+    @transient private var ls: org.apache.spark.sql.streaming
+      .ListState[(Long, Long, Long)] = _
+    @transient private var cnt:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val e3 = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
+      ls = getHandle.getListState[(Long, Long, Long)]("last3", e3,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TlRow],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TlOut] = {
+      var n = if (cnt.exists()) cnt.get() else 0L
+      rows.foreach { r =>
+        n += 1
+        ls.appendValue((r.ts_us, r.event_id,
+          dec4(r.value).bigDecimal.movePointRight(4).longValueExact()))
+      }
+      cnt.update(n)
+      val kept = ls.get().toSeq
+        .sortBy { case (ts, id, _) => (-ts, -id) }.take(3)
+      ls.put(kept.toArray)
+      Iterator.single(TlOut(key, n,
+        kept.map(_._2).mkString(","),
+        BigDecimal(kept.map(_._3).sum, 4).toDouble))
+    }
+  }
+
+  /** q_stream_tws_list — LIST state variable on `transformWithState`
+    * (`getHandle.getListState`): the keep-last-N event buffer (session
+    * context windows, recent-history features), completing the state
+    * surface next to ValueState (q_stream_tws), timers
+    * (q_stream_tws_timer) and MapState (q_stream_tws_map). ListState's
+    * append is a RocksDB merge operand — O(1) per event with no
+    * read-modify-write of the buffer, which is what makes per-event
+    * buffering affordable; the compaction to 3 entries bounds state at
+    * O(N) per key. Emitted n_seen is strictly monotone per key, so
+    * max(n_seen) recovers the final firing under any batch split; the
+    * kept set itself depends only on the (event-time, id) total
+    * order. */
+  private def streamTwsList(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    streamline.batch.SkewJoin.withConfs(spark, Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+      val out = Streams.eventsStream(spark, dir)
+        .select($"user_id", unix_micros($"ts").as("ts_us"),
+          $"event_id", $"value").as[TlRow]
+        .groupByKey(_.user_id)
+        .transformWithState(new TwsLastN,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+        .toDF()
+      val collected = Streams.runToTable(spark, "tws_list", "update", out)
+      val w = Window.partitionBy($"user_id").orderBy($"n_seen".desc)
+      collected
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"user_id", $"n_seen", $"last3_ids", $"last3_sum")
+        .orderBy($"user_id")
+    }
+  }
+
+  private val streamTwsListSql = """
+    WITH e AS (SELECT user_id,
+                 epoch_us(date_trunc('microseconds', ts)) AS ts_us,
+                 event_id, CAST(value AS DECIMAL(18,4)) AS v
+               FROM events),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts_us DESC, event_id DESC) AS rn FROM e),
+    n AS (SELECT user_id, count(*) AS n_seen FROM e GROUP BY user_id),
+    k AS (SELECT user_id,
+            string_agg(event_id, ',' ORDER BY ts_us DESC, event_id DESC)
+              AS last3_ids,
+            CAST(sum(v) AS DOUBLE) AS last3_sum
+          FROM r WHERE rn <= 3 GROUP BY user_id)
+    SELECT n.user_id, n.n_seen, k.last3_ids, k.last3_sum
+    FROM n JOIN k ON n.user_id = k.user_id
+    ORDER BY n.user_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_stream_tws", streamTws _, streamStatefulSql),
+    Q("q_stream_tws_timer", streamTwsTimer _, streamTwsTimerSql),
+    Q("q_stream_tws_map", streamTwsMap _, streamTwsMapSql),
+    Q("q_stream_tws_list", streamTwsList _, streamTwsListSql),
     Q("q_stream_dedup_last", streamDedupLast _, streamDedupLastSql),
     Q("q_stream_stateful", streamStateful _, streamStatefulSql),
     Q("q_stream_over", streamOver _, streamOverSql),

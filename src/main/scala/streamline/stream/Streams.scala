@@ -434,6 +434,33 @@ object Streams {
     FROM events GROUP BY 1, 2
     ORDER BY w_start, event_type"""
 
+  /** q_stream_complete — COMPLETE output mode, the third of Spark's
+    * three streaming output modes next to append (emit-once on window
+    * close, q_stream_tumble) and update (changed-rows delta,
+    * q_stream_update): every trigger re-emits the ENTIRE aggregate
+    * table and the sink REPLACES its contents — the materialized-view
+    * contract, and the one mode whose sink needs no merge logic at
+    * all. The trade is that state never evicts (the full result must
+    * stay addressable), which is exactly why it is only sane for
+    * small-cardinality aggregates — here one row per event type. The
+    * final replacement over finite input IS the batch aggregate, no
+    * recovery expression needed (contrast the update witness's max()
+    * recovery). */
+  private def streamComplete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec("value"))).as("sum_value"))
+    runToTable(spark, "complete", "complete", agg)
+      .orderBy($"event_type")
+  }
+
+  private val streamCompleteSql = """
+    SELECT event_type, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   /** q_stream_sketch — the theta sketch aggregate
     * (agg/ThetaSketch.scala's TypedImperativeAggregate) running INSIDE
     * an update-mode streaming query: running approx-distinct users per
@@ -852,6 +879,48 @@ object Streams {
      AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
     ORDER BY e1.user_id, id1, id2"""
 
+  /** q_join_stream_stream_semi — stream ⋈ stream LEFT SEMI interval
+    * join: clicks that ARE followed by a purchase within 10 minutes,
+    * emitted with left-side columns only (the streaming EXISTS). The
+    * output-cardinality twin of the inner join — a click with five
+    * in-window purchases emits ONCE, so join state still evicts on the
+    * band+watermark but the output never multiplies; exactly the shape
+    * for funnel-qualification at scale where the match count is
+    * irrelevant and the pair blow-up is not affordable. The condition
+    * stays purely key+band (no id conjunct — the sides are
+    * type-disjoint), so the state-value watermark extracts on both
+    * sides, same discipline as the inner/left witnesses. */
+  private def joinStreamStreamSemi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clicks = eventsStream(spark, dir)
+      .where($"event_type" === "click")
+      .select($"event_id".as("id1"), $"user_id", $"ts".as("ts1"))
+      .withWatermark("ts1", "10 minutes")
+    val buys = eventsStream(spark, dir)
+      .where($"event_type" === "purchase")
+      .select($"event_id".as("id2"), $"user_id".as("u2"), $"ts".as("ts2"))
+      .withWatermark("ts2", "10 minutes")
+    val joined = clicks.join(buys,
+        $"user_id" === $"u2" &&
+          $"ts2" >= $"ts1" && $"ts2" <= $"ts1" + expr("INTERVAL 10 MINUTES"),
+        "left_semi")
+      .select($"user_id", $"id1", tsSec($"ts1").as("t1"))
+    runToTable(spark, "ss_semi", "append", joined)
+      .orderBy($"user_id", $"id1")
+  }
+
+  private val joinStreamStreamSemiSql = """
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      date_trunc('microseconds', ts) AS ts FROM events)
+    SELECT e1.user_id, e1.event_id AS id1,
+           date_trunc('second', e1.ts) AS t1
+    FROM e e1
+    WHERE e1.event_type = 'click' AND EXISTS (
+      SELECT 1 FROM e e2
+      WHERE e2.event_type = 'purchase' AND e2.user_id = e1.user_id
+        AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE)
+    ORDER BY e1.user_id, id1"""
+
   /** q_stream_join_agg — CHAINED stateful operators in one streaming
     * query (stream⋈stream interval join feeding an event-time windowed
     * aggregate), the multi-stage hybrid pipeline Flink composes freely
@@ -1032,6 +1101,50 @@ object Streams {
 
   private val sinkForeachBatchSql = """
     SELECT event_id, event_type, value FROM events ORDER BY event_id"""
+
+  /** q_sink_stream_files — the streaming FILE sink (`writeStream
+    * .format("parquet")`): exactly-once file output via the
+    * `_spark_metadata` commit log, the production durable sink (vs the
+    * memory sink the other witnesses use as a collect harness). Each
+    * micro-batch writes its files then atomically commits the batch's
+    * file LIST to the metadata log; a re-read of the directory goes
+    * through that log, so files from an uncommitted/failed batch are
+    * invisible — the exactly-once contract a plain directory listing
+    * cannot give. The read-back here IS that log-mediated path. The
+    * output dir is fully reset per run: a stale `_spark_metadata` with
+    * a fresh checkpoint would make the sink skip "already committed"
+    * batch ids and silently serve the previous run's files. At scale
+    * this sink partitions like any batch parquet write and the log adds
+    * one tiny file per batch (compacted every 10). */
+  private def sinkStreamFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = streamline.util.Scratch.dir("stream_files", dir)
+    deleteRec(new java.io.File(out))
+    val ckpt = s"${streamline.util.Knobs.fastTmp}/ck_${jvmToken}_files_" +
+      seq.incrementAndGet()
+    val proj = eventsStream(spark, dir)
+      .where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", tsSec($"ts").as("t"),
+        asDouble(dec("value")).as("value"))
+    try {
+      val q = proj.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally deleteRec(new java.io.File(ckpt))
+    spark.read.parquet(out).orderBy($"event_id")
+  }
+
+  private val sinkStreamFilesSql = """
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      date_trunc('microseconds', ts) AS ts, value
+               FROM events)
+    SELECT event_id, user_id, date_trunc('second', ts) AS t,
+      CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value
+    FROM e WHERE event_type = 'purchase' ORDER BY event_id"""
 
   /** q_sink_upsert — upsert (CDC / Flink retract-stream) sink via
     * foreachBatch: each micro-batch MERGEs its rows into a keyed state
@@ -1391,8 +1504,10 @@ object Streams {
     Q("q_stream_recovery", streamRecovery _, streamRecoverySql),
     Q("q_stream_late_metric", streamLateMetric _, streamLateMetricSql),
     Q("q_stream_update", streamUpdate _, streamUpdateSql),
+    Q("q_stream_complete", streamComplete _, streamCompleteSql),
     Q.noOracle("q_stream_sketch", streamSketch _),
     Q("q_stream_union", streamUnion _, streamUnionSql),
+    Q("q_sink_stream_files", sinkStreamFiles _, sinkStreamFilesSql),
     Q("q_sink_foreachbatch", sinkForeachBatch _, sinkForeachBatchSql),
     Q("q_sink_upsert", sinkUpsert _, sinkUpsertSql),
     Q("q_sink_cdc", sinkCdc _, sinkCdcSql),
@@ -1400,6 +1515,8 @@ object Streams {
     Q("q_stream_backpressure", streamBackpressure _, streamBackpressureSql),
     Q("q_stream_join_agg", streamJoinAgg _, streamJoinAggSql),
     Q("q_join_stream_stream", joinStreamStream _, joinStreamStreamSql),
+    Q("q_join_stream_stream_semi", joinStreamStreamSemi _,
+      joinStreamStreamSemiSql),
     Q("q_join_stream_window", joinStreamWindow _, joinStreamWindowSql),
     Q("q_join_stream_stream_left", joinStreamStreamLeft _,
       joinStreamStreamLeftSql),
