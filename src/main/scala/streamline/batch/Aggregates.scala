@@ -84,6 +84,43 @@ object Aggregates {
   /** q_agg_distinct — distinct + count-distinct (Flink `distinct`;
     * Spark plans count(DISTINCT) as a two-phase expand+agg, partial
     * per-partition dedup bounds the shuffle at scale). */
+  /** q_agg_bitmap — EXACT distinct counting via roaring-style bitmaps
+    * (`bitmap_bit_position` / `bitmap_construct_agg` / `bitmap_count`
+    * / `bitmap_or_agg`, Spark 3.5's bitmap family): integer keys are
+    * bucketed (2^15 positions per bucket), each (group, bucket) folds
+    * its keys into ONE bitmap on the map side, and the final per-group
+    * count is a sum of per-bucket cardinalities after an OR-merge. The
+    * scale contrast with q_agg_distinct's expand-based countDistinct:
+    * shuffle traffic is O(groups × touched buckets × 4 KB) fixed-size
+    * bitmaps instead of O(distinct keys) rows — the standard exact-
+    * distinct at 100 TB when keys are dense integers (and the bitmaps
+    * themselves are storable for incremental re-aggregation, which
+    * count-distinct rows are not). Exactness checked against the same
+    * oracle as countDistinct. */
+  private def aggBitmap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Level 1: one bitmap per (flag, status, bucket) — the shape a
+    // warehouse would STORE as a pre-aggregated distinct sketch-exact.
+    val perStatus = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus",
+        expr("bitmap_bucket_number(l_suppkey)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_suppkey))")
+        .as("bm"))
+    // Level 2: union the stored per-status bitmaps (same bucket, OR)
+    // without ever touching raw keys again — the incremental-refresh
+    // re-aggregation countDistinct rows cannot do.
+    perStatus
+      .groupBy($"l_returnflag", $"bucket")
+      .agg(expr("bitmap_or_agg(bm)").as("bmm"))
+      .groupBy($"l_returnflag")
+      .agg(sum(expr("bitmap_count(bmm)")).as("n_supps"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val aggBitmapSql = """
+    SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   private def aggDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
@@ -735,6 +772,7 @@ object Aggregates {
     streamline.Q("q_agg_salted", aggSalted _, aggSaltedSql),
     streamline.Q("q_agg_percentile", aggPercentile _, aggPercentileSql),
     streamline.Q("q_agg_global", aggGlobal _, aggGlobalSql),
+    streamline.Q("q_agg_bitmap", aggBitmap _, aggBitmapSql),
     streamline.Q("q_agg_distinct", aggDistinct _, aggDistinctSql),
     streamline.Q("q_agg_argmax", aggArgmax _, aggArgmaxSql),
     streamline.Q("q_agg_having", aggHaving _, aggHavingSql),

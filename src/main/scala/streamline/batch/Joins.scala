@@ -514,8 +514,57 @@ object Joins {
     WHERE year(o_orderdate) >= 1996
     GROUP BY year(o_orderdate) ORDER BY o_year"""
 
+  /** q_join_bloom_runtime — runtime BLOOM FILTER injection
+    * (InjectRuntimeFilter): the row-level companion of q_join_dpp's
+    * partition-level pruning. A selective predicate lives on the
+    * small (creation) side of a shuffle join; the optimizer plants a
+    * `bloom_filter_agg` subquery over the creation side's join keys
+    * and a `might_contain` probe on the BIG side's scan, so
+    * non-matching fact rows are dropped BEFORE the shuffle — at
+    * 100 TB the shuffle write is the cost, and the bloom turns
+    * O(fact) shuffled bytes into O(matching fact). Thresholds are
+    * lowered locally (the application-side default is 10 GB — sized
+    * for real clusters, not a test harness) and broadcast is disabled
+    * so the join actually shuffles, which is the regime the filter
+    * exists for. BloomRuntimeSpec pins might_contain in the plan and
+    * rule-off result equality. */
+  private[streamline] val bloomConfs = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  /** The join shape InjectRuntimeFilter targets, without confs — the
+    * declared query and BloomRuntimeSpec each wrap it in
+    * [[bloomConfs]] (the optimizer runs lazily, so the confs must be
+    * active when the plan is optimized/materialized, the joinSkew
+    * localCheckpoint discipline). */
+  private[streamline] def bloomRuntimeRaw(spark: SparkSession,
+                                          dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val supp = Tables.supplier(spark, dir).where($"s_nationkey" < 5)
+    li.join(supp, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_items"), dsum("l_quantity").as("sum_qty"))
+  }
+
+  private def joinBloomRuntime(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    streamline.batch.SkewJoin.withConfs(spark, bloomConfs) {
+      bloomRuntimeRaw(spark, dir).localCheckpoint(true)
+    }.orderBy($"s_nationkey")
+  }
+
+  private val joinBloomRuntimeSql = """
+    SELECT s_nationkey, count(*) AS n_items,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_nationkey < 5
+    GROUP BY s_nationkey ORDER BY s_nationkey"""
+
   val all: Seq[Q] = Seq(
     Q("q_join_dpp", joinDpp _, joinDppSql),
+    Q("q_join_bloom_runtime", joinBloomRuntime _, joinBloomRuntimeSql),
     Q("q_join_null_safe", joinNullSafe _, joinNullSafeSql),
     Q("q_join_hash", joinHash _, joinHashSql),
     Q("q_cogroup", cogroup _, cogroupSql),

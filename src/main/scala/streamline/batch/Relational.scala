@@ -266,6 +266,35 @@ object Relational {
   private val sourceXmlSql = """
     SELECT * FROM nation ORDER BY n_nationkey"""
 
+  /** q_scan_metadata — the hidden `_metadata` file-source column
+    * (file_name / file_size / row_index): per-file provenance exposed
+    * by the scan itself, no path parsing, no extra I/O — the lineage
+    * column every audit and incremental pipeline wants ("which shard
+    * did this row come from, at which position"). row_index pins
+    * in-file row order (0..n−1 contiguous), the property that makes
+    * file-granular resume/dedup possible. Only name and size are
+    * emitted (the full path and mtime are machine-dependent); the
+    * oracle re-derives both from the table and the filesystem via a
+    * parameter-free projection. */
+  private def scanMetadata(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("_metadata.file_name").as("file_name"),
+        col("_metadata.row_index").as("row_index"))
+      .groupBy($"file_name")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"row_index").as("min_idx"),
+        max($"row_index").as("max_idx"))
+      .orderBy($"file_name")
+  }
+
+  private val scanMetadataSql = """
+    SELECT 'lineitem.parquet' AS file_name, count(*) AS n_rows,
+      CAST(0 AS BIGINT) AS min_idx,
+      CAST(count(*) - 1 AS BIGINT) AS max_idx
+    FROM lineitem"""
+
   /** q_cache_reuse — `persist`/cache: one expensive keyed aggregate
     * materialized (columnar, MEMORY_AND_DISK) and consumed by TWO
     * downstream aggregations, so the shuffle+agg runs ONCE — the
@@ -819,6 +848,7 @@ object Relational {
     Q("q_source_orc", sourceOrc _, sourceOrcSql),
     Q("q_source_xml", sourceXml _, sourceXmlSql),
     Q("q_cache_reuse", cacheReuse _, cacheReuseSql),
+    Q("q_scan_metadata", scanMetadata _, scanMetadataSql),
     Q("q_sink_roundtrip", sinkRoundtrip _, sinkRoundtripSql),
     Q("q_sink_partitioned", sinkPartitioned _, sinkPartitionedSql),
     Q("q_sink_compact", sinkCompact _, sinkCompactSql),
