@@ -516,7 +516,10 @@ object Stateful {
     * emitted. The scaled-long sum keeps the accumulation exact and
     * merge-order free (same dec4 discipline as the mapGroupsWithState
     * witnesses). */
-  private class TwsCount extends org.apache.spark.sql.streaming
+  private class TwsCount(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      extends org.apache.spark.sql.streaming
       .StatefulProcessor[Long, EvRow, TwsOut] {
     @transient private var st:
       org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
@@ -527,7 +530,7 @@ object Stateful {
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong,
           org.apache.spark.sql.Encoders.scalaLong),
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[EvRow],
         timers: org.apache.spark.sql.streaming.TimerValues)
@@ -759,6 +762,43 @@ object Stateful {
     FROM events GROUP BY user_id, event_type
     ORDER BY user_id, event_type"""
 
+  /** q_stream_tws_ttl — state TTL on `transformWithState`
+    * (`TTLConfig` + `TimeMode.ProcessingTime`): every ValueState write
+    * carries an expiry; RocksDB keeps a secondary TTL index and the
+    * operator drops expired values before reads — the Flink
+    * `StateTtlConfig` analog, and the knob that bounds state on keys
+    * that go quiet forever (abandoned sessions, churned users). The
+    * declared run uses a 1-hour TTL over a seconds-long finite input,
+    * so nothing expires and the result provably equals
+    * q_stream_stateful's oracle — the witness is that the full TTL
+    * machinery (timestamped values + expiry filtering) is on the
+    * read/write path, not that wall-clock expiry fired; ACTUAL expiry
+    * is pinned deterministically in TwsTtlSpec (50 ms TTL, forced
+    * inter-batch sleep, count restarts). */
+  private def streamTwsTtl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    streamline.batch.SkewJoin.withConfs(spark, Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+      val out = Streams.eventsStream(spark, dir)
+        .select($"user_id", $"value").as[EvRow]
+        .groupByKey(_.user_id)
+        .transformWithState(
+          new TwsCount(org.apache.spark.sql.streaming.TTLConfig(
+            java.time.Duration.ofHours(1))),
+          org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+          OutputMode.Update())
+        .toDF()
+      val collected = Streams.runToTableCaughtUp(spark, "tws_ttl", "update", out)
+      val w = Window.partitionBy($"user_id").orderBy($"n_events".desc)
+      collected
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"user_id", $"n_events", $"sum_val")
+        .orderBy($"user_id")
+    }
+  }
+
   case class TlRow(user_id: Long, ts_us: Long, event_id: Long,
                    value: Double)
   case class TlOut(user_id: Long, n_seen: Long, last3_ids: String,
@@ -868,6 +908,7 @@ object Stateful {
     Q("q_stream_tws_timer", streamTwsTimer _, streamTwsTimerSql),
     Q("q_stream_tws_map", streamTwsMap _, streamTwsMapSql),
     Q("q_stream_tws_list", streamTwsList _, streamTwsListSql),
+    Q("q_stream_tws_ttl", streamTwsTtl _, streamStatefulSql),
     Q("q_stream_dedup_last", streamDedupLast _, streamDedupLastSql),
     Q("q_stream_stateful", streamStateful _, streamStatefulSql),
     Q("q_stream_over", streamOver _, streamOverSql),

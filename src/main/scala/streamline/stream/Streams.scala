@@ -69,10 +69,25 @@ object Streams {
     * `graft.stream.statePartitions` (Knobs), the one knob to size to
     * the executor count on a real cluster. The conf is restored
     * afterwards so batch queries keep the session default. */
+  /** Spark 4.1's checkpoint file-checksum manager pairs every WAL/state
+    * write with a checksum write on a shared bounded pool; under
+    * concurrent multi-column-family RocksDB snapshot zips (observed
+    * with transformWithState + TTLConfig: all four state partitions
+    * parked forever in `ChecksumCheckpointFileManager.awaitResult`
+    * during `zipToDfsFile`) the pool starves and the micro-batch never
+    * commits. The witnesses run with the checksum manager off —
+    * end-to-end integrity here is pinned by the differential oracle,
+    * and a durable deployment re-enables it per-query after sizing the
+    * pool. */
+  private val checksumKey =
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+
   def runToTable(spark: SparkSession, base: String, mode: String,
                  stream: DataFrame): DataFrame = {
     val name = s"${base}_${seq.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCk = spark.conf.getOption(checksumKey)
+    spark.conf.set(checksumKey, "false")
     spark.conf.set("spark.sql.shuffle.partitions",
       streamline.util.Knobs.statePartitions(spark).toString)
     // Explicit checkpoint on the fast ephemeral root (Knobs.fastTmp):
@@ -98,6 +113,61 @@ object Streams {
         }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevCk match {
+        case Some(v) => spark.conf.set(checksumKey, v)
+        case None    => spark.conf.unset(checksumKey)
+      }
+      deleteRec(new java.io.File(ckpt))
+    }
+    spark.table(name)
+  }
+
+  /** Like runToTable, but for queries that NEVER terminate under
+    * Trigger.AvailableNow: a stateful operator in
+    * TimeMode.ProcessingTime (TTL state, processing-time timers)
+    * reports `shouldRunAnotherBatch=true` on every batch so expiry can
+    * keep advancing, and the AvailableNow executor obliges — observed
+    * as ~5 empty micro-batches/sec forever on q_stream_tws_ttl (784
+    * snapshot zips before the kill). `processAllAvailable` is no
+    * escape either: under the continuous batch loop its `noNewData`
+    * signal is racy (observed both returning and hanging across two
+    * identical runs). Production runs of such queries are continuous
+    * by design; a finite witness instead detects "sources drained"
+    * from the progress stream — under AvailableNow every batch takes
+    * files from the start-time snapshot while any remain, so the FIRST
+    * zero-input batch after batch 0 proves the backlog is done — and
+    * stops the query itself. */
+  def runToTableCaughtUp(spark: SparkSession, base: String, mode: String,
+                         stream: DataFrame): DataFrame = {
+    val name = s"${base}_${seq.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCk = spark.conf.getOption(checksumKey)
+    spark.conf.set(checksumKey, "false")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      streamline.util.Knobs.statePartitions(spark).toString)
+    val ckpt = s"${streamline.util.Knobs.fastTmp}/ck_${jvmToken}_$name"
+    try {
+      val q = stream.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        var drained = false
+        // awaitTermination(250) doubles as the poll interval and the
+        // exit path if the engine does terminate on its own.
+        while (!drained && !q.awaitTermination(250)) {
+          val p = q.lastProgress
+          drained = p != null && p.batchId > 0 && p.numInputRows == 0
+        }
+      } finally if (q.isActive) q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevCk match {
+        case Some(v) => spark.conf.set(checksumKey, v)
+        case None    => spark.conf.unset(checksumKey)
+      }
       deleteRec(new java.io.File(ckpt))
     }
     spark.table(name)
@@ -1146,6 +1216,57 @@ object Streams {
       CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value
     FROM e WHERE event_type = 'purchase' ORDER BY event_id"""
 
+  /** q_stream_listener — `StreamingQueryListener`: the query-lifecycle
+    * telemetry bus (onQueryStarted/Progress/Terminated), Spark's
+    * analog of the lineage's metrics reporters. A listener subscribed
+    * for the run accumulates `numInputRows` across every micro-batch
+    * progress event; the witness emits that listener-observed total
+    * NEXT TO the sink-derived total, and the oracle pins both to
+    * count(*) — telemetry that disagrees with the data is worse than
+    * none. Progress events post asynchronously on the listener bus, so
+    * after termination the collector polls until the total is stable
+    * (bounded, ~10 s); the listener is removed in a finally so a
+    * failed run cannot leak bus subscribers into later queries. */
+  private def streamListener(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val prefix = s"listen_${jvmToken}_"
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener
+            .QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener
+            .QueryProgressEvent): Unit =
+        if (e.progress.name != null && e.progress.name.startsWith(prefix))
+          seen.addAndGet(e.progress.numInputRows): Unit
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener
+            .QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val collected =
+      try {
+        val agg = eventsStream(spark, dir)
+          .groupBy($"event_type").agg(count(lit(1)).as("n"))
+        val df = runToTable(spark, s"listen_$jvmToken", "complete", agg)
+        // Progress events are async: wait until the listener total is
+        // stable across two polls (bounded).
+        var last = -1L
+        var spins = 0
+        while (seen.get() != last && spins < 40) {
+          last = seen.get(); spins += 1; Thread.sleep(250)
+        }
+        df
+      } finally spark.streams.removeListener(listener)
+    collected.agg(sum($"n").as("n_rows_sink"))
+      .withColumn("n_rows_listener", lit(seen.get()))
+  }
+
+  private val streamListenerSql = """
+    SELECT count(*) AS n_rows_sink, count(*) AS n_rows_listener
+    FROM events"""
+
   /** q_sink_upsert — upsert (CDC / Flink retract-stream) sink via
     * foreachBatch: each micro-batch MERGEs its rows into a keyed state
     * table — read current generation → union the batch → keep the
@@ -1508,6 +1629,7 @@ object Streams {
     Q.noOracle("q_stream_sketch", streamSketch _),
     Q("q_stream_union", streamUnion _, streamUnionSql),
     Q("q_sink_stream_files", sinkStreamFiles _, sinkStreamFilesSql),
+    Q("q_stream_listener", streamListener _, streamListenerSql),
     Q("q_sink_foreachbatch", sinkForeachBatch _, sinkForeachBatchSql),
     Q("q_sink_upsert", sinkUpsert _, sinkUpsertSql),
     Q("q_sink_cdc", sinkCdc _, sinkCdcSql),
