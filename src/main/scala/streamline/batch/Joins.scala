@@ -147,19 +147,29 @@ object Joins {
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
     ORDER BY c_custkey"""
 
-  /** q_join_anti — left anti join (SQL NOT EXISTS). */
+  /** q_join_anti — left anti join (SQL NOT EXISTS). The orders side is
+    * restricted to a six-month window so the anti set is NON-EMPTY at
+    * sf0.01 (~723 customers place no order in 1995H1); an unfiltered
+    * orders side makes every customer matched and the witness vacuous
+    * (0 = 0 rows proves nothing about the join).
+    */
   private def joinAnti(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val h1_1995 = Tables.orders(spark, dir)
+      .where($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1995-07-01").cast("timestamp"))
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey",
-        "left_anti")
+      .join(h1_1995, $"c_custkey" === $"o_custkey", "left_anti")
       .orderBy($"c_custkey")
   }
 
   private val joinAntiSql = """
     SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                        AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00')
     ORDER BY c_custkey"""
 
   /** q_join_cross — cartesian product (bounded: 5×25 rows). */
