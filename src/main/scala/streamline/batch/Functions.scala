@@ -412,7 +412,8 @@ object Functions {
       CASE WHEN k = 0 THEN NULL
            ELSE event_id % k END AS safe_mod,
       CASE WHEN event_id > 0 THEN NULL
-           ELSE 9223372036854775807 END AS overflowed,
+           ELSE CAST(9223372036854775807 + event_id AS BIGINT)
+           END AS overflowed,
       TRY_CAST(event_type AS DATE) AS bad_date
     FROM e ORDER BY event_id"""
 

@@ -272,10 +272,14 @@ object Relational {
     * column every audit and incremental pipeline wants ("which shard
     * did this row come from, at which position"). row_index pins
     * in-file row order (0..n−1 contiguous), the property that makes
-    * file-granular resume/dedup possible. Only name and size are
-    * emitted (the full path and mtime are machine-dependent); the
-    * oracle re-derives both from the table and the filesystem via a
-    * parameter-free projection. */
+    * file-granular resume/dedup possible. The witness is
+    * layout-independent: it asserts the per-file contract (row_index
+    * 0-based and gap-free in every file) and the global row count, so
+    * it holds whether the fixture is staged as one parquet file or
+    * many. (The global `nanosAsLong` set matches the Tables.events
+    * convention intentionally — the DataFrame is lazy, so a
+    * set-restore wrapper here would unset the flag before the scan
+    * executes.) */
   private def scanMetadata(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -286,13 +290,17 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"),
         min($"row_index").as("min_idx"),
         max($"row_index").as("max_idx"))
-      .orderBy($"file_name")
+      .agg(sum($"n_rows").as("n_rows"),
+        // contiguity: each file spans exactly its own row count …
+        sum($"max_idx" - $"min_idx" + 1).as("n_rows_spanned"),
+        // … starting at index 0
+        max($"min_idx").as("max_first_idx"))
   }
 
   private val scanMetadataSql = """
-    SELECT 'lineitem.parquet' AS file_name, count(*) AS n_rows,
-      CAST(0 AS BIGINT) AS min_idx,
-      CAST(count(*) - 1 AS BIGINT) AS max_idx
+    SELECT count(*) AS n_rows,
+      count(*) AS n_rows_spanned,
+      CAST(0 AS BIGINT) AS max_first_idx
     FROM lineitem"""
 
   /** q_cache_reuse — `persist`/cache: one expensive keyed aggregate

@@ -1251,10 +1251,13 @@ object Streams {
           .groupBy($"event_type").agg(count(lit(1)).as("n"))
         val df = runToTable(spark, s"listen_$jvmToken", "complete", agg)
         // Progress events are async: wait until the listener total is
-        // stable across two polls (bounded).
+        // BOTH non-zero and stable across two polls (bounded). The
+        // non-zero guard matters: the bus can deliver nothing inside
+        // the first 250 ms window, and "stable at 0" would end the
+        // wait with a flaky n_rows_listener = 0.
         var last = -1L
         var spins = 0
-        while (seen.get() != last && spins < 40) {
+        while ((seen.get() != last || seen.get() == 0L) && spins < 40) {
           last = seen.get(); spins += 1; Thread.sleep(250)
         }
         df

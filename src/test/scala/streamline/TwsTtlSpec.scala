@@ -25,12 +25,13 @@ class TwsTtlSpec extends SparkSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[String]
     val name = s"ttl_pin_${System.identityHashCode(input)}"
+    val checksumKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
     val before = spark.conf.getOption(providerKey)
+    val beforeChecksum = spark.conf.getOption(checksumKey)
     spark.conf.set(providerKey, rocks)
     // Same Spark 4.1 checksum-pool starvation workaround as
     // Streams.runToTable (this path starts its own query).
-    spark.conf
-      .set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    spark.conf.set(checksumKey, "false")
     try {
       val counted = input.toDS()
         .groupByKey(identity)
@@ -63,6 +64,10 @@ class TwsTtlSpec extends SparkSuite {
       before match {
         case Some(v) => spark.conf.set(providerKey, v)
         case None    => spark.conf.unset(providerKey)
+      }
+      beforeChecksum match {
+        case Some(v) => spark.conf.set(checksumKey, v)
+        case None    => spark.conf.unset(checksumKey)
       }
     }
   }
