@@ -69,13 +69,21 @@ object Tables {
     StructField("r_regionkey", IntegerType),
     StructField("r_name", StringType)))
 
-  /** `events.ts` is parquet timestamp[ns], which Spark 4 refuses to read
-    * as TimestampType; it is read as raw int64 nanos (legacy
-    * `nanosAsLong` flag) and floor-converted to a µs TimestampType in
-    * [[events]] — matching DuckDB's `date_trunc('microseconds', ts)`. */
+  /** `events.ts` has shipped in two fixture encodings: parquet
+    * timestamp[ns] (early rounds — Spark 4 refuses to read it as
+    * TimestampType, so it is read as raw int64 nanos under the legacy
+    * `nanosAsLong` flag) and timestamp[us] (round 9 onwards). BOTH are
+    * read through this forced-LongType schema — the parquet reader
+    * hands back the raw int64 either way — and [[events]] converts to
+    * a µs TimestampType with a divisor chosen by footer sniff
+    * ([[eventsTsIsNanos]]). Going through the raw long +
+    * `timestamp_micros` keeps the value session-timezone-independent
+    * (the fixture's timestamps are unadjusted/NTZ; a forced
+    * TimestampType read would re-interpret them through the session
+    * zone), matching DuckDB's `date_trunc('microseconds', ts)`. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // raw ns since epoch (see above)
+    StructField("ts", LongType), // raw ns OR µs since epoch (see above)
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -111,12 +119,28 @@ object Tables {
     read(spark, dir, "nation", nationSchema)
   def region(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "region", regionSchema)
+  private val tsIsNanosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Footer sniff, cached per directory: under `nanosAsLong`, schema
+    * inference reads a timestamp[ns] column as LongType and a
+    * timestamp[us] column as a timestamp type — that difference is the
+    * encoding detector. One footer read per (dir, JVM). */
+  def eventsTsIsNanos(spark: SparkSession, dir: String): Boolean =
+    tsIsNanosCache.computeIfAbsent(dir, _ => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .schema("ts").dataType == LongType
+    })
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val toUs =
+      if (eventsTsIsNanos(spark, dir)) "ts DIV 1000" else "ts"
     read(spark, dir, "events", eventsSchema)
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+          org.apache.spark.sql.functions.expr(toUs)))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(spark: SparkSession, dir: String): DataFrame =

@@ -602,11 +602,298 @@ object Cep {
       date_trunc('second', m.pts) AS purchase_ts
     FROM m ORDER BY user_id, click_id"""
 
+  // ---------------------------------------------------------------
+  // After-match skip strategies + run-extent quantifiers (upstream
+  // flink-libraries/flink-cep AfterMatchSkipStrategy, Quantifier's
+  // greedy / until): the quantifier matrix above fixes WHICH pattern
+  // matches; these fix WHICH OF THE OVERLAPPING MATCHES EMIT
+  // (NO_SKIP / SKIP_TO_NEXT / SKIP_PAST_LAST_EVENT) and HOW FAR a
+  // oneOrMore run extends (greedy = maximal, until = stop at a
+  // sentinel condition). One shared runner executes the whole family:
+  // the strategies are parameters of a single armed-buffer automaton,
+  // not five copies of it, so a strategy witness really witnesses the
+  // strategy. State stays window-bounded exactly as in followedBy —
+  // an armed start lives at most `withinUs` past its arrival.
+  // ---------------------------------------------------------------
+
+  /** Which completed matches an `a.oneOrMore followedBy b` emission
+    * keeps (flink-cep AfterMatchSkipStrategy):
+    *  - [[NoSkip]]: every completed match emits — for a non-greedy
+    *    oneOrMore that is every prefix of every armed run.
+    *  - [[SkipToNext]]: of the matches sharing a START event, only the
+    *    first (shortest) emits.
+    *  - [[SkipPastLastEvent]]: only the match anchored at the EARLIEST
+    *    armed start emits; everything overlapping it is skipped, so
+    *    consecutive emitted matches never overlap. */
+  sealed trait AfterMatchSkip
+  case object NoSkip extends AfterMatchSkip
+  case object SkipToNext extends AfterMatchSkip
+  case object SkipPastLastEvent extends AfterMatchSkip
+
+  case class CepRun(user_id: Long, first_click_id: Long, n_clicks: Long,
+                    purchase_id: Long, first_ts_us: Long,
+                    purchase_ts_us: Long)
+
+  /** `a.oneOrMore followedBy b within w` with an explicit greedy flag
+    * and after-match skip strategy, over one user's (ts, id)-sorted
+    * events. Armed entries carry (firstId, firstTs, clicks captured so
+    * far); every `a` extends all in-window runs and opens its own; a
+    * `b` completes-and-disarms all (first-match spine, as in
+    * followedBy), and the strategy then selects which completions
+    * emit. All strategies share this one transition function. */
+  private def runOneOrMore(it: Iterator[CepEv], aType: String,
+                           bType: String, withinUs: Long,
+                           greedy: Boolean,
+                           skip: AfterMatchSkip): Iterator[CepRun] = {
+    var curUser = Long.MinValue
+    val armed = scala.collection.mutable.ArrayDeque[(Long, Long, Long)]()
+    it.flatMap { e =>
+      if (e.user_id != curUser) { curUser = e.user_id; armed.clear() }
+      while (armed.nonEmpty && armed.head._2 < e.ts_us - withinUs)
+        armed.removeHead()
+      if (e.event_type == aType) {
+        // every armed run is in-window (head expiry above) and relaxed
+        // contiguity lets it absorb this occurrence; then the
+        // occurrence opens its own run
+        armed.mapInPlace { case (id, ts, n) => (id, ts, n + 1) }
+        armed.append((e.event_id, e.ts_us, 1L))
+        Iterator.empty
+      } else if (e.event_type == bType) {
+        val starts = skip match {
+          case SkipPastLastEvent => armed.headOption.toSeq
+          case _                 => armed.toSeq
+        }
+        val out = starts.flatMap { case (id, ts, n) =>
+          val lengths: Seq[Long] =
+            if (greedy) Seq(n) // maximal extent only
+            else skip match {
+              case SkipToNext => Seq(1L) // shortest same-start match
+              case _          => (1L to n) // every prefix
+            }
+          lengths.map(k =>
+            CepRun(e.user_id, id, k, e.event_id, ts, e.ts_us))
+        }
+        armed.clear()
+        out.iterator
+      } else Iterator.empty
+    }
+  }
+
+  /** `a.oneOrMore.until(u) followedBy b within w`: greedy run extent,
+    * but a run stops ABSORBING further `a`s once the until-sentinel
+    * `u` occurs after its start (flink-cep `until`; the sentinel event
+    * itself is never part of the match, and the `b` stage still
+    * completes the run). Armed entries widen by an open/closed bit. */
+  private def runUntil(it: Iterator[CepEv], aType: String, uType: String,
+                       bType: String,
+                       withinUs: Long): Iterator[CepRun] = {
+    var curUser = Long.MinValue
+    val armed =
+      scala.collection.mutable.ArrayDeque[(Long, Long, Long, Boolean)]()
+    it.flatMap { e =>
+      if (e.user_id != curUser) { curUser = e.user_id; armed.clear() }
+      while (armed.nonEmpty && armed.head._2 < e.ts_us - withinUs)
+        armed.removeHead()
+      if (e.event_type == aType) {
+        armed.mapInPlace {
+          case (id, ts, n, true) => (id, ts, n + 1, true)
+          case closed            => closed
+        }
+        armed.append((e.event_id, e.ts_us, 1L, true))
+        Iterator.empty
+      } else if (e.event_type == uType) {
+        armed.mapInPlace { case (id, ts, n, _) => (id, ts, n, false) }
+        Iterator.empty
+      } else if (e.event_type == bType) {
+        val out = armed.iterator.map { case (id, ts, n, _) =>
+          CepRun(e.user_id, id, n, e.event_id, ts, e.ts_us)
+        }.toVector
+        armed.clear()
+        out.iterator
+      } else Iterator.empty
+    }
+  }
+
+  /** Keyed pipeline twins of [[kleeneMatches]]; public for the
+    * property spec. */
+  def oneOrMoreMatches(evs: org.apache.spark.sql.Dataset[CepEv],
+                       aType: String, bType: String, withinUs: Long,
+                       greedy: Boolean, skip: AfterMatchSkip)
+      : org.apache.spark.sql.Dataset[CepRun] = {
+    import evs.sparkSession.implicits._
+    evs.repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"ts_us", $"event_id")
+      .mapPartitions(it => runOneOrMore(it, aType, bType, withinUs,
+        greedy, skip))
+  }
+
+  def untilMatches(evs: org.apache.spark.sql.Dataset[CepEv],
+                   aType: String, uType: String, bType: String,
+                   withinUs: Long)
+      : org.apache.spark.sql.Dataset[CepRun] = {
+    import evs.sparkSession.implicits._
+    evs.repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"ts_us", $"event_id")
+      .mapPartitions(it => runUntil(it, aType, uType, bType, withinUs))
+  }
+
+  private def runProject(ds: org.apache.spark.sql.Dataset[CepRun])
+      : DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.toDF()
+      .select($"user_id", $"first_click_id", $"n_clicks", $"purchase_id",
+        tsSec(timestamp_micros($"first_ts_us")).as("first_click_ts"),
+        tsSec(timestamp_micros($"purchase_ts_us")).as("purchase_ts"))
+      .orderBy($"user_id", $"first_click_id", $"n_clicks", $"purchase_id")
+  }
+
+  /** One day, not the family's usual 10 minutes: at 10 min (and even
+    * 4 h) every matched run on the harness corpus has exactly one
+    * click and every purchase exactly one armed start, so greedy =
+    * noskip = skip_to_next and skip_past = greedy — the witnesses
+    * would be vacuously equal. At 1 day the corpus distinguishes all
+    * of them (134 multi-click runs, 692 greedy vs 846 noskip vs 558
+    * skip_past rows, 11 until-truncated runs at sf0.01). */
+  private val oneDayUs = 24L * 3600 * 1000 * 1000
+
+  /** The shared oracle spine: per click, its first in-window purchase
+    * (rn-ordered), plus the per-user click numbering `cn` that lets
+    * run lengths be computed by subtraction. */
+  private val oneOrMoreCtes = """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 date_trunc('microseconds', ts) AS ts FROM events),
+    o AS (SELECT user_id, event_id, event_type, ts,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+          FROM e),
+    c AS (SELECT user_id, event_id AS click_id, ts AS cts, rn,
+            row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cn
+          FROM o WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS pts, rn FROM o
+          WHERE event_type = 'purchase'),
+    spine AS (SELECT c.user_id, c.click_id, c.cn, c.rn AS crn, c.cts,
+                arg_min(p.purchase_id, p.rn) AS purchase_id,
+                arg_min(p.pts, p.rn) AS pts, min(p.rn) AS prn
+              FROM c JOIN p
+                ON c.user_id = p.user_id AND p.rn > c.rn
+               AND p.pts <= c.cts + INTERVAL 1 DAY
+              GROUP BY c.user_id, c.click_id, c.cn, c.rn, c.cts),
+    g AS (SELECT s.*,
+            (SELECT count(*) FROM c c2
+             WHERE c2.user_id = s.user_id
+               AND c2.rn >= s.crn AND c2.rn < s.prn) AS n_clicks
+          FROM spine s)"""
+
+  /** q_cep_greedy — `click.oneOrMore.greedy followedBy purchase within
+    * 1 day`: one match per armed click start, capturing the MAXIMAL
+    * click run between the start and the resolving purchase (flink-cep
+    * `greedy`: the quantifier absorbs as many occurrences as the
+    * window allows; contrast q_cep_noskip's every-prefix expansion). */
+  private def cepGreedy(spark: SparkSession, dir: String): DataFrame =
+    runProject(oneOrMoreMatches(cepEvents(spark, dir), "click",
+      "purchase", oneDayUs, greedy = true, NoSkip))
+
+  private val cepGreedySql = oneOrMoreCtes + """
+    SELECT user_id, click_id AS first_click_id, n_clicks, purchase_id,
+      date_trunc('second', cts) AS first_click_ts,
+      date_trunc('second', pts) AS purchase_ts
+    FROM g ORDER BY user_id, first_click_id, n_clicks, purchase_id"""
+
+  /** q_cep_noskip — the same pattern, non-greedy, AFTER_MATCH_SKIP =
+    * NO_SKIP: EVERY completed match emits — each armed start yields
+    * one match per prefix of its captured run (a run of n clicks emits
+    * n matches). The all-matches expansion is what the skip strategies
+    * below prune; output is run-length-bounded, state identical to
+    * greedy. */
+  private def cepNoSkip(spark: SparkSession, dir: String): DataFrame =
+    runProject(oneOrMoreMatches(cepEvents(spark, dir), "click",
+      "purchase", oneDayUs, greedy = false, NoSkip))
+
+  /** Oracle: one row per (start, run click) pair — prefix length by
+    * click-number subtraction. */
+  private val cepNoSkipSql = oneOrMoreCtes + """
+    SELECT g.user_id AS user_id, g.click_id AS first_click_id,
+      c2.cn - g.cn + 1 AS n_clicks, g.purchase_id,
+      date_trunc('second', g.cts) AS first_click_ts,
+      date_trunc('second', g.pts) AS purchase_ts
+    FROM g JOIN c c2
+      ON c2.user_id = g.user_id AND c2.cn >= g.cn AND c2.rn < g.prn
+    ORDER BY user_id, first_click_id, n_clicks, purchase_id"""
+
+  /** q_cep_skip_to_next — non-greedy with AFTER_MATCH_SKIP =
+    * SKIP_TO_NEXT: of the matches sharing a start event, only the
+    * FIRST (shortest prefix) emits — q_cep_noskip's expansion pruned
+    * to one row per start. */
+  private def cepSkipToNext(spark: SparkSession, dir: String): DataFrame =
+    runProject(oneOrMoreMatches(cepEvents(spark, dir), "click",
+      "purchase", oneDayUs, greedy = false, SkipToNext))
+
+  private val cepSkipToNextSql = oneOrMoreCtes + """
+    SELECT user_id, click_id AS first_click_id,
+      CAST(1 AS BIGINT) AS n_clicks, purchase_id,
+      date_trunc('second', cts) AS first_click_ts,
+      date_trunc('second', pts) AS purchase_ts
+    FROM g ORDER BY user_id, first_click_id, n_clicks, purchase_id"""
+
+  /** q_cep_skip_past — greedy with AFTER_MATCH_SKIP =
+    * SKIP_PAST_LAST_EVENT: after a match emits, every partial match it
+    * overlaps is discarded, so each purchase emits at most ONE match —
+    * the one anchored at the EARLIEST armed click — and emitted
+    * matches never overlap. The non-overlapping report is the form a
+    * 100 TB alerting pipeline actually pages on (one alert per
+    * episode, not one per suffix). */
+  private def cepSkipPast(spark: SparkSession, dir: String): DataFrame =
+    runProject(oneOrMoreMatches(cepEvents(spark, dir), "click",
+      "purchase", oneDayUs, greedy = true, SkipPastLastEvent))
+
+  /** Oracle: the greedy match set reduced per purchase to its
+    * earliest-start row. (The spine's first-purchase rule already
+    * guarantees no purchase sits between an armed start and its match,
+    * which is exactly the armed-at-that-purchase condition.) */
+  private val cepSkipPastSql = oneOrMoreCtes + """
+    SELECT user_id, arg_min(click_id, cn) AS first_click_id,
+      arg_min(n_clicks, cn) AS n_clicks, purchase_id,
+      date_trunc('second', arg_min(cts, cn)) AS first_click_ts,
+      date_trunc('second', pts) AS purchase_ts
+    FROM g GROUP BY user_id, purchase_id, pts
+    ORDER BY user_id, first_click_id, n_clicks, purchase_id"""
+
+  /** q_cep_until — `click.oneOrMore.until(view) followedBy purchase
+    * within 1 day`: greedy extent, but a run stops absorbing clicks
+    * at the first view after its start (flink-cep `until` — the
+    * bounded-accumulation form that keeps a hot key's run from growing
+    * with the corpus); the purchase still completes the match, and the
+    * sentinel view is not part of it. */
+  private def cepUntil(spark: SparkSession, dir: String): DataFrame =
+    runProject(untilMatches(cepEvents(spark, dir), "click", "view",
+      "purchase", oneDayUs))
+
+  /** Oracle: the greedy count truncated at the first view after the
+    * start (when that view precedes the resolving purchase). */
+  private val cepUntilSql = oneOrMoreCtes + """
+    SELECT s.user_id AS user_id, s.click_id AS first_click_id,
+      (SELECT count(*) FROM c c2
+       WHERE c2.user_id = s.user_id AND c2.rn >= s.crn
+         AND c2.rn < least(coalesce(
+           (SELECT min(v.rn) FROM o v
+            WHERE v.user_id = s.user_id AND v.event_type = 'view'
+              AND v.rn > s.crn), s.prn), s.prn)) AS n_clicks,
+      s.purchase_id,
+      date_trunc('second', s.cts) AS first_click_ts,
+      date_trunc('second', s.pts) AS purchase_ts
+    FROM spine s
+    ORDER BY user_id, first_click_id, n_clicks, purchase_id"""
+
   val all: Seq[Q] = Seq(
     Q("q_cep_kleene", cepKleene _, cepKleeneSql),
     Q("q_cep_followedby", cepFollowedBy _, cepFollowedBySql),
     Q("q_cep_followedby_any", cepFollowedByAny _, cepFollowedByAnySql),
     Q("q_cep_times", cepTimes _, cepTimesSql),
     Q("q_cep_optional", cepOptional _, cepOptionalSql),
-    Q("q_cep_absence", cepAbsence _, cepAbsenceSql))
+    Q("q_cep_absence", cepAbsence _, cepAbsenceSql),
+    Q("q_cep_greedy", cepGreedy _, cepGreedySql),
+    Q("q_cep_noskip", cepNoSkip _, cepNoSkipSql),
+    Q("q_cep_skip_to_next", cepSkipToNext _, cepSkipToNextSql),
+    Q("q_cep_skip_past", cepSkipPast _, cepSkipPastSql),
+    Q("q_cep_until", cepUntil _, cepUntilSql))
 }

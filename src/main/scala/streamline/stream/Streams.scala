@@ -50,11 +50,15 @@ object Streams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file streaming source requires a directory; narrow the listing
     // to the events table with a glob filter.
+    // ns→µs divide only for the timestamp[ns] fixture encoding; the
+    // timestamp[us] fixture's raw int64 is already µs (Tables.scala).
+    val toUs =
+      if (Tables.eventsTsIsNanos(spark, dir)) "ts DIV 1000" else "ts"
     spark.readStream
       .schema(Tables.eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", timestamp_micros(expr(toUs)))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
