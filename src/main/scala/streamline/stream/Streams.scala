@@ -281,6 +281,84 @@ object Streams {
       .orderBy($"w_start", $"event_type")
   }
 
+  /** q_stream_rescale — restore-across-RECONFIGURATION witness, the
+    * operational sibling of q_stream_recovery (upstream lineage:
+    * savepoint rescaling, `flink-runtime` StateAssignmentOperation).
+    * Same staged two-run drain over a fixed checkpoint, but the
+    * restarted query runs under a DIFFERENT `shuffle.partitions`
+    * (2 → 5): Spark pins the state-store partition count at first
+    * start and every restart reads it back from the checkpoint's
+    * offset-log metadata, ignoring the new session conf — the property
+    * that makes an ops-driven conf change safe against checkpointed
+    * state. The witness pins BOTH halves: the aggregate still equals
+    * the uninterrupted-run oracle (state neither lost nor
+    * mis-partitioned), and the restarted operator's observed
+    * `numShufflePartitions` is the CHECKPOINTED 2, not the session's
+    * 5. (True repartitioning of existing state needs an offline state
+    * rewrite — Spark 4 has no savepoint-rescale; that gap is recorded
+    * in SURVEY §2.9.) */
+  private def streamRescale(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir("rescale", dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    val (stage, ckpt, out) = (s"$root/in", s"$root/ck", s"$root/out")
+    val events = Tables.events(spark, dir)
+    val b = events.agg(min($"ts"), max($"ts")).head()
+    val cut = new java.sql.Timestamp(
+      (b.getTimestamp(0).getTime + b.getTimestamp(1).getTime) / 2)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def drain(parts: Int): Long = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      val q = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 day"), $"event_type")
+        .agg(dsum("value").as("sum_val"), count(lit(1)).as("n"))
+        .select(tsOut($"window.start").as("w_start"), $"event_type",
+          $"sum_val", $"n")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          df.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(out): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .map(_.numShufflePartitions).maxOption.getOrElse(0L)
+    }
+    val partsRun2 = try {
+      events.where($"ts" < lit(cut)).repartition(2).write.parquet(stage)
+      drain(2) // run 1: state partitioned 2-way, checkpointed
+      events.where($"ts" >= lit(cut)).repartition(2)
+        .write.mode("append").parquet(stage)
+      drain(5) // run 2: session says 5 — checkpoint must win
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(out)
+      .select($"w_start", $"event_type", $"sum_val", $"n")
+      .withColumn("n_state_parts", lit(partsRun2))
+      .orderBy($"w_start", $"event_type")
+  }
+
+  // The recovery oracle plus the pinned state-partition count: the
+  // restarted run must report run 1's checkpointed 2, independent of
+  // its own session conf.
+  private val streamRescaleSql = """
+    WITH wm AS (SELECT date_trunc('millisecond', max(ts))
+                  - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+      count(*) AS n, CAST(2 AS BIGINT) AS n_state_parts
+    FROM events GROUP BY 1, 2
+    HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
+    ORDER BY w_start, event_type"""
+
   /** q_stream_late_metric — late-drop OBSERVABILITY (Flink's
     * `numLateRecordsDropped`; Spark's stateOperators
     * `numRowsDroppedByWatermark`): the composed late/side-output
@@ -1630,6 +1708,7 @@ object Streams {
     Q("q_stream_proctime", streamProcTime _, streamProcTimeSql),
     Q("q_stream_tumble", streamTumble _, streamTumbleSql),
     Q("q_stream_recovery", streamRecovery _, streamRecoverySql),
+    Q("q_stream_rescale", streamRescale _, streamRescaleSql),
     Q("q_stream_late_metric", streamLateMetric _, streamLateMetricSql),
     Q("q_stream_update", streamUpdate _, streamUpdateSql),
     Q("q_stream_complete", streamComplete _, streamCompleteSql),

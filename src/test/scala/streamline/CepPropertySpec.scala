@@ -183,6 +183,115 @@ class CepPropertySpec extends SparkSuite {
     assert(first.subsetOf(any))
   }
 
+  /** Brute force `a.oneOrMore followedBy b within w` under a skip
+    * strategy: the refFollowedBy spine (first purchase after the
+    * start, inside the window) with the captured run = clicks between
+    * start (inclusive) and that purchase. Emission per strategy:
+    * greedy → maximal run only; non-greedy NO_SKIP → every prefix;
+    * non-greedy SKIP_TO_NEXT → shortest prefix; greedy
+    * SKIP_PAST_LAST_EVENT → per purchase, only the earliest start. */
+  private def refOneOrMore(evs: Seq[CepEv], greedy: Boolean,
+                           skip: Cep.AfterMatchSkip): Set[Cep.CepRun] = {
+    val spine = evs.map(_.user_id).distinct.flatMap { u =>
+      val seq = ordered(evs, u)
+      seq.zipWithIndex.collect { case (c, ci) if c.event_type == "click" =>
+        val rest = seq.drop(ci + 1)
+        rest.zipWithIndex.find(_._1.event_type == "purchase")
+          .filter { case (p, _) => p.ts_us <= c.ts_us + withinUs }
+          .map { case (p, pi) =>
+            val n = 1L + rest.take(pi).count(_.event_type == "click")
+            (u, c, p, n)
+          }
+      }.flatten
+    }
+    val kept = skip match {
+      case Cep.SkipPastLastEvent =>
+        spine.groupBy { case (u, _, p, _) => (u, p.event_id) }
+          .values.map(_.minBy { case (_, c, _, _) => (c.ts_us, c.event_id) })
+          .toSeq
+      case _ => spine
+    }
+    kept.flatMap { case (u, c, p, n) =>
+      val ks: Seq[Long] =
+        if (greedy) Seq(n)
+        else skip match {
+          case Cep.SkipToNext => Seq(1L)
+          case _              => 1L to n
+        }
+      ks.map(k => Cep.CepRun(u, c.event_id, k, p.event_id, c.ts_us,
+        p.ts_us))
+    }.toSet
+  }
+
+  /** Brute force `a.oneOrMore.until(u) followedBy b within w`: the
+    * greedy spine with the run truncated at the first view after the
+    * start (when it precedes the purchase). */
+  private def refUntil(evs: Seq[CepEv]): Set[Cep.CepRun] =
+    evs.map(_.user_id).distinct.flatMap { u =>
+      val seq = ordered(evs, u)
+      seq.zipWithIndex.collect { case (c, ci) if c.event_type == "click" =>
+        val rest = seq.drop(ci + 1)
+        rest.zipWithIndex.find(_._1.event_type == "purchase")
+          .filter { case (p, _) => p.ts_us <= c.ts_us + withinUs }
+          .map { case (p, pi) =>
+            val stop = rest.take(pi).zipWithIndex
+              .find(_._1.event_type == "view").map(_._2)
+              .getOrElse(pi)
+            val n = 1L + rest.take(stop).count(_.event_type == "click")
+            Cep.CepRun(u, c.event_id, n, p.event_id, c.ts_us, p.ts_us)
+          }
+      }.flatten
+    }.toSet
+
+  private val strategies = Seq[(Boolean, Cep.AfterMatchSkip)](
+    (true, Cep.NoSkip), (false, Cep.NoSkip), (false, Cep.SkipToNext),
+    (true, Cep.SkipPastLastEvent))
+
+  test("oneOrMore agrees with brute force under every skip strategy") {
+    val sp = spark; import sp.implicits._
+    strategies.foreach { case (greedy, skip) =>
+      (1L to 6L).foreach { seed =>
+        val evs = evsGen(Gen.Parameters.default, Seed(seed)).get
+        val got = Cep.oneOrMoreMatches(evs.toDS(), "click", "purchase",
+          withinUs, greedy, skip).collect().toSet
+        assert(got == refOneOrMore(evs, greedy, skip),
+          s"seed $seed greedy=$greedy skip=$skip")
+      }
+    }
+  }
+
+  test("until agrees with brute force on random sequences") {
+    val sp = spark; import sp.implicits._
+    (1L to 8L).foreach { seed =>
+      val evs = evsGen(Gen.Parameters.default, Seed(seed)).get
+      val got = Cep.untilMatches(evs.toDS(), "click", "view", "purchase",
+        withinUs).collect().toSet
+      assert(got == refUntil(evs), s"seed $seed")
+    }
+  }
+
+  test("skip-strategy lattice: skip_past ⊆ greedy ⊆ noskip; skip_to_next = noskip shortest") {
+    val sp = spark; import sp.implicits._
+    val evs = evsGen(Gen.Parameters.default, Seed(5L)).get
+    def run(g: Boolean, s: Cep.AfterMatchSkip) =
+      Cep.oneOrMoreMatches(evs.toDS(), "click", "purchase", withinUs,
+        g, s).collect().toSet
+    val greedy = run(true, Cep.NoSkip)
+    val noskip = run(false, Cep.NoSkip)
+    val toNext = run(false, Cep.SkipToNext)
+    val past = run(true, Cep.SkipPastLastEvent)
+    assert(past.subsetOf(greedy))
+    assert(greedy.subsetOf(noskip))
+    assert(toNext == noskip.groupBy(r => (r.user_id, r.first_click_id))
+      .values.map(_.minBy(_.n_clicks)).toSet)
+    // until never lengthens a run beyond greedy's
+    val untilRuns = Cep.untilMatches(evs.toDS(), "click", "view",
+      "purchase", withinUs).collect()
+      .map(r => (r.first_click_id, r.n_clicks)).toMap
+    val greedyRuns = greedy.map(r => (r.first_click_id, r.n_clicks)).toMap
+    untilRuns.foreach { case (id, n) => assert(n <= greedyRuns(id)) }
+  }
+
   test("followedBy and absence partition the clicks with a purchase-window complement") {
     val sp = spark; import sp.implicits._
     // every click either matches some purchase (followedBy), survives
