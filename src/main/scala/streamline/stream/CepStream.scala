@@ -650,8 +650,253 @@ object CepStream {
       AND c.cts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
     ORDER BY user_id, click_id"""
 
+  // ---------------------------------------------------------------
+  // After-match skip strategies + greedy/until on the stream (batch
+  // twins q_cep_greedy/noskip/skip_to_next/skip_past/until): the same
+  // sealed-prefix machinery as every relaxed operator above, with the
+  // armed starts carrying their captured run length. ONE update
+  // function executes all four strategy twins — greedy and the skip
+  // strategy are closure parameters, exactly like the batch runner —
+  // and `until` adds the open/closed bit. State stays window-bounded
+  // (a start lives at most one 1-day window past its arrival); the
+  // strategies change which completions EMIT at a sealed purchase,
+  // never what is held, so the emission policy is a zero-state-cost
+  // parameter.
+  // ---------------------------------------------------------------
+
+  /** Unsealed suffix + armed (click_id, click_ts_us, n_captured). */
+  case class RunBuf(buf: List[CepEv], armed: List[(Long, Long, Long)])
+
+  /** Unsealed suffix + armed starts widened by the until open bit. */
+  case class UntilBuf(buf: List[CepEv],
+                      armed: List[(Long, Long, Long, Boolean)])
+
+  private[streamline] def updateOneOrMoreStream(uid: Long,
+      rows: Iterator[CepEv], state: GroupState[RunBuf], greedy: Boolean,
+      skip: Cep.AfterMatchSkip): Iterator[Cep.CepRun] = {
+    val prev = state.getOption.getOrElse(RunBuf(Nil, Nil))
+    val wmMs = try state.getCurrentWatermarkMs()
+    catch { case _: UnsupportedOperationException => 0L }
+    val wmUs = wmMs * 1000L
+    val all = (prev.buf ++ rows.toList).sortBy(e => (e.ts_us, e.event_id))
+    val (ready, future) = all.partition(_.ts_us <= wmUs)
+    var armed = prev.armed
+    val out = ready.flatMap { e =>
+      armed = armed.dropWhile(_._2 < e.ts_us - dayUs)
+      if (e.event_type == "click") {
+        armed = armed.map { case (id, ts, n) => (id, ts, n + 1) } :+
+          ((e.event_id, e.ts_us, 1L))
+        Nil
+      } else if (e.event_type == "purchase") {
+        val starts = skip match {
+          case Cep.SkipPastLastEvent => armed.headOption.toList
+          case _                     => armed
+        }
+        val matched = starts.flatMap { case (id, ts, n) =>
+          val ks: Seq[Long] =
+            if (greedy) Seq(n)
+            else skip match {
+              case Cep.SkipToNext => Seq(1L)
+              case _              => 1L to n
+            }
+          ks.map(k => Cep.CepRun(uid, id, k, e.event_id, ts, e.ts_us))
+        }
+        armed = Nil
+        matched
+      } else Nil
+    }
+    armed = armed.dropWhile(_._2 + dayUs < wmUs)
+    if (future.isEmpty && armed.isEmpty) state.remove()
+    else {
+      state.update(RunBuf(future, armed))
+      val nextUs = future.headOption.map(_.ts_us)
+        .getOrElse(armed.head._2 + dayUs)
+      state.setTimeoutTimestamp(math.max(nextUs / 1000L + 1L, wmMs + 1L))
+    }
+    out.iterator
+  }
+
+  private[streamline] def updateUntilStream(uid: Long,
+      rows: Iterator[CepEv],
+      state: GroupState[UntilBuf]): Iterator[Cep.CepRun] = {
+    val prev = state.getOption.getOrElse(UntilBuf(Nil, Nil))
+    val wmMs = try state.getCurrentWatermarkMs()
+    catch { case _: UnsupportedOperationException => 0L }
+    val wmUs = wmMs * 1000L
+    val all = (prev.buf ++ rows.toList).sortBy(e => (e.ts_us, e.event_id))
+    val (ready, future) = all.partition(_.ts_us <= wmUs)
+    var armed = prev.armed
+    val out = ready.flatMap { e =>
+      armed = armed.dropWhile(_._2 < e.ts_us - dayUs)
+      if (e.event_type == "click") {
+        armed = armed.map {
+          case (id, ts, n, true) => (id, ts, n + 1, true)
+          case closed            => closed
+        } :+ ((e.event_id, e.ts_us, 1L, true))
+        Nil
+      } else if (e.event_type == "view") {
+        armed = armed.map { case (id, ts, n, _) => (id, ts, n, false) }
+        Nil
+      } else if (e.event_type == "purchase") {
+        val matched = armed.map { case (id, ts, n, _) =>
+          Cep.CepRun(uid, id, n, e.event_id, ts, e.ts_us)
+        }
+        armed = Nil
+        matched
+      } else Nil
+    }
+    armed = armed.dropWhile(_._2 + dayUs < wmUs)
+    if (future.isEmpty && armed.isEmpty) state.remove()
+    else {
+      state.update(UntilBuf(future, armed))
+      val nextUs = future.headOption.map(_.ts_us)
+        .getOrElse(armed.head._2 + dayUs)
+      state.setTimeoutTimestamp(math.max(nextUs / 1000L + 1L, wmMs + 1L))
+    }
+    out.iterator
+  }
+
+  private def runStream(spark: SparkSession, dir: String, name: String,
+                        greedy: Boolean,
+                        skip: Cep.AfterMatchSkip): DataFrame = {
+    import spark.implicits._
+    val matches = Streams.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .as[CepRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[CepRow], state: GroupState[RunBuf]) =>
+          updateOneOrMoreStream(uid, rows.map(_.toEv), state, greedy, skip)
+      }
+      .toDF()
+    Streams.runToTable(spark, name, "append", matches)
+      .select($"user_id", $"first_click_id", $"n_clicks", $"purchase_id",
+        tsSec(timestamp_micros($"first_ts_us")).as("first_click_ts"),
+        tsSec(timestamp_micros($"purchase_ts_us")).as("purchase_ts"))
+      .orderBy($"user_id", $"first_click_id", $"n_clicks", $"purchase_id")
+  }
+
+  /** q_stream_cep_greedy / noskip / skip_to_next / skip_past — the
+    * after-match-skip family incrementally; on finite input = the
+    * batch twin restricted to purchases the final watermark sealed. */
+  private def streamCepGreedy(spark: SparkSession, dir: String): DataFrame =
+    runStream(spark, dir, "cep_greedy", greedy = true, Cep.NoSkip)
+  private def streamCepNoSkip(spark: SparkSession, dir: String): DataFrame =
+    runStream(spark, dir, "cep_noskip", greedy = false, Cep.NoSkip)
+  private def streamCepSkipToNext(spark: SparkSession,
+                                  dir: String): DataFrame =
+    runStream(spark, dir, "cep_stn", greedy = false, Cep.SkipToNext)
+  private def streamCepSkipPast(spark: SparkSession,
+                                dir: String): DataFrame =
+    runStream(spark, dir, "cep_sp", greedy = true, Cep.SkipPastLastEvent)
+
+  /** q_stream_cep_until — run-extent truncation incrementally. */
+  private def streamCepUntil(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val matches = Streams.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .as[CepRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[CepRow], state: GroupState[UntilBuf]) =>
+          updateUntilStream(uid, rows.map(_.toEv), state)
+      }
+      .toDF()
+    Streams.runToTable(spark, "cep_until", "append", matches)
+      .select($"user_id", $"first_click_id", $"n_clicks", $"purchase_id",
+        tsSec(timestamp_micros($"first_ts_us")).as("first_click_ts"),
+        tsSec(timestamp_micros($"purchase_ts_us")).as("purchase_ts"))
+      .orderBy($"user_id", $"first_click_id", $"n_clicks", $"purchase_id")
+  }
+
+  /** The batch family's shared spine CTEs with the sealed-purchase
+    * restriction (sealing is a pure ts cutoff, so filtering before
+    * arg_min ≡ after: an unsealed first purchase implies every later
+    * one is unsealed too). */
+  private val streamOneOrMoreCtes = """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 date_trunc('microseconds', ts) AS ts FROM events),
+    wm AS (SELECT date_trunc('millisecond', max(ts))
+             - INTERVAL 10 MINUTE AS w FROM events),
+    o AS (SELECT user_id, event_id, event_type, ts,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+          FROM e),
+    c AS (SELECT user_id, event_id AS click_id, ts AS cts, rn,
+            row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cn
+          FROM o WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS pts, rn FROM o
+          WHERE event_type = 'purchase'),
+    spine AS (SELECT c.user_id, c.click_id, c.cn, c.rn AS crn, c.cts,
+                arg_min(p.purchase_id, p.rn) AS purchase_id,
+                arg_min(p.pts, p.rn) AS pts, min(p.rn) AS prn
+              FROM c JOIN p
+                ON c.user_id = p.user_id AND p.rn > c.rn
+               AND p.pts <= c.cts + INTERVAL 1 DAY
+              WHERE p.pts <= (SELECT w FROM wm)
+              GROUP BY c.user_id, c.click_id, c.cn, c.rn, c.cts),
+    g AS (SELECT s.*,
+            (SELECT count(*) FROM c c2
+             WHERE c2.user_id = s.user_id
+               AND c2.rn >= s.crn AND c2.rn < s.prn) AS n_clicks
+          FROM spine s)"""
+
+  private val streamCepGreedySql = streamOneOrMoreCtes + """
+    SELECT user_id, click_id AS first_click_id, n_clicks, purchase_id,
+      date_trunc('second', cts) AS first_click_ts,
+      date_trunc('second', pts) AS purchase_ts
+    FROM g ORDER BY user_id, first_click_id, n_clicks, purchase_id"""
+
+  private val streamCepNoSkipSql = streamOneOrMoreCtes + """
+    SELECT g.user_id AS user_id, g.click_id AS first_click_id,
+      c2.cn - g.cn + 1 AS n_clicks, g.purchase_id,
+      date_trunc('second', g.cts) AS first_click_ts,
+      date_trunc('second', g.pts) AS purchase_ts
+    FROM g JOIN c c2
+      ON c2.user_id = g.user_id AND c2.cn >= g.cn AND c2.rn < g.prn
+    ORDER BY user_id, first_click_id, n_clicks, purchase_id"""
+
+  private val streamCepSkipToNextSql = streamOneOrMoreCtes + """
+    SELECT user_id, click_id AS first_click_id,
+      CAST(1 AS BIGINT) AS n_clicks, purchase_id,
+      date_trunc('second', cts) AS first_click_ts,
+      date_trunc('second', pts) AS purchase_ts
+    FROM g ORDER BY user_id, first_click_id, n_clicks, purchase_id"""
+
+  private val streamCepSkipPastSql = streamOneOrMoreCtes + """
+    SELECT user_id, arg_min(click_id, cn) AS first_click_id,
+      arg_min(n_clicks, cn) AS n_clicks, purchase_id,
+      date_trunc('second', arg_min(cts, cn)) AS first_click_ts,
+      date_trunc('second', pts) AS purchase_ts
+    FROM g GROUP BY user_id, purchase_id, pts
+    ORDER BY user_id, first_click_id, n_clicks, purchase_id"""
+
+  private val streamCepUntilSql = streamOneOrMoreCtes + """
+    SELECT s.user_id AS user_id, s.click_id AS first_click_id,
+      (SELECT count(*) FROM c c2
+       WHERE c2.user_id = s.user_id AND c2.rn >= s.crn
+         AND c2.rn < least(coalesce(
+           (SELECT min(v.rn) FROM o v
+            WHERE v.user_id = s.user_id AND v.event_type = 'view'
+              AND v.rn > s.crn), s.prn), s.prn)) AS n_clicks,
+      s.purchase_id,
+      date_trunc('second', s.cts) AS first_click_ts,
+      date_trunc('second', s.pts) AS purchase_ts
+    FROM spine s
+    ORDER BY user_id, first_click_id, n_clicks, purchase_id"""
+
   val all: Seq[Q] = Seq(
     Q("q_stream_cep", streamCep _, streamCepSql),
+    Q("q_stream_cep_greedy", streamCepGreedy _, streamCepGreedySql),
+    Q("q_stream_cep_noskip", streamCepNoSkip _, streamCepNoSkipSql),
+    Q("q_stream_cep_skip_to_next", streamCepSkipToNext _,
+      streamCepSkipToNextSql),
+    Q("q_stream_cep_skip_past", streamCepSkipPast _, streamCepSkipPastSql),
+    Q("q_stream_cep_until", streamCepUntil _, streamCepUntilSql),
     Q("q_stream_cep_followedby", streamCepFollowedBy _,
       streamCepFollowedBySql),
     Q("q_stream_cep_followedby_any", streamCepFollowedByAny _,
