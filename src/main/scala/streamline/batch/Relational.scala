@@ -390,6 +390,57 @@ object Relational {
     FROM documents WHERE lang = 'en'
     GROUP BY source ORDER BY source"""
 
+  /** q_sink_dynamic_overwrite — dynamic partition overwrite
+    * (`partitionOverwriteMode=dynamic`): an overwrite-mode partitioned
+    * write replaces ONLY the partitions present in the incoming
+    * DataFrame, leaving every other partition's files untouched — the
+    * idempotent daily-backfill primitive (Flink's
+    * `FileSystemTableSink` partition-commit overwrite; Hive INSERT
+    * OVERWRITE ... PARTITION). The witness writes events partitioned
+    * by epoch-day, then overwrites the FIRST day with corrected rows
+    * (values doubled); the read-back must show exactly that day
+    * changed and every other day byte-identical. Static mode here
+    * would silently truncate the whole table — the difference between
+    * a backfill and a data-loss incident at 100 TB. Partition column
+    * is an epoch-day BIGINT (µs DIV 86_400_000_000), not a
+    * session-timezone date. */
+  private def sinkDynamicOverwrite(spark: SparkSession,
+                                   dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir("dynover", dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    val ev = Tables.events(spark, dir)
+      .withColumn("day_num", expr("unix_micros(ts) DIV 86400000000"))
+    SkewJoin.withConfs(spark, Seq(
+      "spark.sql.sources.partitionOverwriteMode" -> "dynamic")) {
+      ev.write.partitionBy("day_num").parquet(root)
+      // One-scalar collect (metadata-scale): the backfill target day.
+      val firstDay = ev.agg(min($"day_num")).head().getLong(0)
+      ev.where($"day_num" === firstDay)
+        .withColumn("value", $"value" * 2) // the "correction"
+        .write.mode("overwrite").partitionBy("day_num").parquet(root)
+    }
+    spark.read.parquet(root)
+      .groupBy($"day_num".cast("bigint").as("day_num"))
+      .agg(count(lit(1)).as("n"), dsum("value").as("sum_val"))
+      .orderBy($"day_num")
+  }
+
+  // Per-day aggregate of the post-backfill table: first day doubled,
+  // the rest unchanged.
+  private val sinkDynamicOverwriteSql = """
+    WITH e AS (SELECT CAST(epoch_us(date_trunc('microseconds', ts))
+                   // 86400000000 AS BIGINT) AS day_num, value
+               FROM events),
+    d0 AS (SELECT min(day_num) AS d FROM e)
+    SELECT day_num, count(*) AS n,
+      CAST(sum(CAST(CASE WHEN day_num = (SELECT d FROM d0)
+                         THEN value * 2 ELSE value END
+                    AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+    FROM e GROUP BY day_num ORDER BY day_num"""
+
   /** q_source_evolve — schema evolution on read (`mergeSchema`): two
     * parquet generations of one table — an old footprint (nationkey,
     * name) and a widened one (+ regionkey) — read as ONE dataset whose
@@ -859,6 +910,8 @@ object Relational {
     Q("q_scan_metadata", scanMetadata _, scanMetadataSql),
     Q("q_sink_roundtrip", sinkRoundtrip _, sinkRoundtripSql),
     Q("q_sink_partitioned", sinkPartitioned _, sinkPartitionedSql),
+    Q("q_sink_dynamic_overwrite", sinkDynamicOverwrite _,
+      sinkDynamicOverwriteSql),
     Q("q_sink_compact", sinkCompact _, sinkCompactSql),
     Q("q_sink_zorder", sinkZorder _, sinkZorderSql),
     Q("q_source_evolve", sourceEvolve _, sourceEvolveSql),

@@ -281,6 +281,64 @@ object Streams {
       .orderBy($"w_start", $"event_type")
   }
 
+  /** q_stream_state_reader — OFFLINE STATE INSPECTION: read a
+    * streaming query's checkpointed state store back as a DataFrame
+    * (Spark's `statestore` batch source — the equivalent of the
+    * upstream lineage's State Processor API over savepoints,
+    * [UPSTREAM `flink-libraries/flink-state-processing-api/`]). The
+    * witness drains a watermarked daily aggregate (AvailableNow, noop
+    * sink — the state is the product, not the emissions), then reads
+    * `format("statestore")` from the checkpoint and projects the
+    * surviving keys: exactly the OPEN windows (end > final watermark)
+    * with their in-flight partial aggregates — the closed ones were
+    * emitted and evicted, so the read is also an eviction witness.
+    * Operationally this is state debugging/auditing/migration at
+    * 100 TB: inspect or bulk-export keyed state without replaying the
+    * stream. */
+  private def streamStateReader(spark: SparkSession,
+                                dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir("statereader", dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    val ckpt = s"$root/ck"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      streamline.util.Knobs.statePartitions(spark).toString)
+    try {
+      val q = eventsStream(spark, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 day"), $"event_type")
+        .agg(dsum("value").as("sum_val"), count(lit(1)).as("n"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("noop").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // Buffer layout (pinned by the probe in SURVEY §7 r9 notes):
+    // key = the groupBy key struct, value = the agg buffer (sum
+    // decimal, isEmpty, count).
+    spark.read.format("statestore").load(ckpt)
+      .select(tsOut($"key.window.start").as("w_start"),
+        $"key.event_type".as("event_type"),
+        asDouble($"value.sum").as("sum_val"),
+        $"value.count".as("n"))
+      .orderBy($"w_start", $"event_type")
+  }
+
+  // The complement of q_stream_tumble's closed-window oracle: state
+  // retains exactly the windows the final watermark has NOT closed.
+  private val streamStateReaderSql = """
+    WITH wm AS (SELECT date_trunc('millisecond', max(ts))
+                  - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+      count(*) AS n
+    FROM events GROUP BY 1, 2
+    HAVING w_start + INTERVAL 1 DAY > (SELECT w FROM wm)
+    ORDER BY w_start, event_type"""
+
   /** q_stream_rescale — restore-across-RECONFIGURATION witness, the
     * operational sibling of q_stream_recovery (upstream lineage:
     * savepoint rescaling, `flink-runtime` StateAssignmentOperation).
@@ -1709,6 +1767,7 @@ object Streams {
     Q("q_stream_tumble", streamTumble _, streamTumbleSql),
     Q("q_stream_recovery", streamRecovery _, streamRecoverySql),
     Q("q_stream_rescale", streamRescale _, streamRescaleSql),
+    Q("q_stream_state_reader", streamStateReader _, streamStateReaderSql),
     Q("q_stream_late_metric", streamLateMetric _, streamLateMetricSql),
     Q("q_stream_update", streamUpdate _, streamUpdateSql),
     Q("q_stream_complete", streamComplete _, streamCompleteSql),
