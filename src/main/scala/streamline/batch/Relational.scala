@@ -659,6 +659,68 @@ object Relational {
       FROM region
     ) ORDER BY r_regionkey, i"""
 
+  /** q_udtf_posexplode — ordinal table-function expansion
+    * (`posexplode`): the generator that carries each element's
+    * POSITION, the contract tokenization/chunking pipelines rely on
+    * (a token's offset is part of its identity; plain explode loses
+    * it). Oracle = DuckDB's zipped unnest over the list and its index
+    * range. */
+  private def udtfPosexplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .where($"doc_id" < 100)
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .select($"doc_id", $"pos", $"col".as("tok"))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  private val udtfPosexplodeSql = """
+    SELECT doc_id,
+      unnest(range(len(str_split(text, ' ')))) AS pos,
+      unnest(str_split(text, ' ')) AS tok
+    FROM documents WHERE doc_id < 100
+    ORDER BY doc_id, pos"""
+
+  /** The footer-stat aggregate plan, factored out so the plan spec can
+    * assert `PushedAggregation` on exactly the query's shape. */
+  private[streamline] def pushedAggPlan(spark: SparkSession,
+                                        dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"l_orderkey").as("min_ok"), max($"l_orderkey").as("max_ok"),
+        min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"))
+  }
+
+  /** q_scan_agg_pushdown — aggregate pushdown into the parquet scan
+    * (`spark.sql.parquet.aggregatePushdown`, DataSource V2): COUNT /
+    * MIN / MAX answered from ROW-GROUP FOOTER STATISTICS — zero data
+    * pages read. At 100 TB this is the difference between a metadata
+    * sweep (O(files), seconds) and a full-corpus scan for the
+    * row-count / value-range probes every pipeline health check runs.
+    * The V2-path confs are scoped `withConfs` and the tiny result is
+    * forced inside them (one aggregate row — the same metadata-scale
+    * materialization as the observation scalars); the footer-only plan
+    * (`PushedAggregation: [COUNT(*), MIN(...), ...]`) is pinned by
+    * ScanAggPushdownSpec. */
+  private def scanAggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val (rows, schema) = SkewJoin.withConfs(spark, Seq(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")) {
+      val df = pushedAggPlan(spark, dir)
+      (df.collect().toSeq, df.schema)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  private val scanAggPushdownSql = """
+    SELECT count(*) AS n_rows,
+      min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+      CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+      CAST(max(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem"""
+
   // ---- §2.6 sort / limit ------------------------------------------------
 
   /** q_sort_multi — multi-key asc/desc total sort with explicit NULL
@@ -919,6 +981,8 @@ object Relational {
     Q("q_filter", filter _, filterSql),
     Q("q_flatmap", flatmap _, flatmapSql),
     Q("q_udtf_explode", udtfExplode _, udtfExplodeSql),
+    Q("q_udtf_posexplode", udtfPosexplode _, udtfPosexplodeSql),
+    Q("q_scan_agg_pushdown", scanAggPushdown _, scanAggPushdownSql),
     Q("q_sort_multi", sortMulti _, sortMultiSql),
     Q("q_limit", limit _, limitSql),
     Q("q_union_all", unionAll _, unionAllSql),
