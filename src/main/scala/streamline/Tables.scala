@@ -122,12 +122,31 @@ object Tables {
   private val tsIsNanosCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  /** Footer sniff, cached per directory: under `nanosAsLong`, schema
-    * inference reads a timestamp[ns] column as LongType and a
+  /** Cache key for the footer sniff: the directory PLUS a recursive
+    * (path, length, mtime) fingerprint of `events.parquet`. Keying on
+    * the directory alone would pin the first sniff for the JVM
+    * lifetime — if the fixture is regenerated in place with the OTHER
+    * encoding while a session is running (exactly the round-9 landmine
+    * the sniff exists for), every later read would silently mis-scale
+    * timestamps by 1000×. The fingerprint makes regeneration a cache
+    * miss; the stat walk is one metadata call per file, paid once per
+    * distinct fixture generation. */
+  private def eventsFingerprint(dir: String): String = {
+    def walk(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .map(walk).mkString(";")
+      else s"${f.getName}:${f.length}:${f.lastModified}"
+    dir + "|" + walk(new java.io.File(s"$dir/events.parquet"))
+  }
+
+  /** Footer sniff, cached per fixture generation: under `nanosAsLong`,
+    * schema inference reads a timestamp[ns] column as LongType and a
     * timestamp[us] column as a timestamp type — that difference is the
-    * encoding detector. One footer read per (dir, JVM). */
+    * encoding detector. One footer read per distinct
+    * [[eventsFingerprint]]. */
   def eventsTsIsNanos(spark: SparkSession, dir: String): Boolean =
-    tsIsNanosCache.computeIfAbsent(dir, _ => {
+    tsIsNanosCache.computeIfAbsent(eventsFingerprint(dir), _ => {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/events.parquet")
         .schema("ts").dataType == LongType

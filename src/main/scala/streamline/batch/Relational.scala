@@ -276,25 +276,30 @@ object Relational {
     * layout-independent: it asserts the per-file contract (row_index
     * 0-based and gap-free in every file) and the global row count, so
     * it holds whether the fixture is staged as one parquet file or
-    * many. (The global `nanosAsLong` set matches the Tables.events
-    * convention intentionally — the DataFrame is lazy, so a
-    * set-restore wrapper here would unset the flag before the scan
-    * executes.) */
+    * many. The schema-inference `nanosAsLong` flag is scoped
+    * `withConfs` with the one-row result FORCED inside it — the same
+    * metadata-scale materialization as scanAggPushdown — so no global
+    * conf leaks out of the query. */
   private def scanMetadata(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("_metadata.file_name").as("file_name"),
-        col("_metadata.row_index").as("row_index"))
-      .groupBy($"file_name")
-      .agg(count(lit(1)).as("n_rows"),
-        min($"row_index").as("min_idx"),
-        max($"row_index").as("max_idx"))
-      .agg(sum($"n_rows").as("n_rows"),
-        // contiguity: each file spans exactly its own row count …
-        sum($"max_idx" - $"min_idx" + 1).as("n_rows_spanned"),
-        // … starting at index 0
-        max($"min_idx").as("max_first_idx"))
+    val (rows, schema) = SkewJoin.withConfs(spark, Seq(
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true")) {
+      val df = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("_metadata.file_name").as("file_name"),
+          col("_metadata.row_index").as("row_index"))
+        .groupBy($"file_name")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"row_index").as("min_idx"),
+          max($"row_index").as("max_idx"))
+        .agg(sum($"n_rows").as("n_rows"),
+          // contiguity: each file spans exactly its own row count …
+          sum($"max_idx" - $"min_idx" + 1).as("n_rows_spanned"),
+          // … starting at index 0
+          max($"min_idx").as("max_first_idx"))
+      (df.collect().toSeq, df.schema)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   private val scanMetadataSql = """
@@ -412,7 +417,13 @@ object Relational {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(rootPath, true)
     val ev = Tables.events(spark, dir)
-      .withColumn("day_num", expr("unix_micros(ts) DIV 86400000000"))
+      // FLOOR division (subtract pmod first — DIV alone truncates
+      // toward zero): keeps day bucketing aligned with the oracle's
+      // `//` even for pre-1970 timestamps, where truncation and floor
+      // diverge by one day.
+      .withColumn("day_num", expr(
+        "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
+          " DIV 86400000000"))
     SkewJoin.withConfs(spark, Seq(
       "spark.sql.sources.partitionOverwriteMode" -> "dynamic")) {
       ev.write.partitionBy("day_num").parquet(root)

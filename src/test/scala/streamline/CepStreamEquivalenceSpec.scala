@@ -25,6 +25,7 @@ class CepStreamEquivalenceSpec extends SparkSuite {
   private val fbWin = 10 * MIN_US          // followedBy/any + kleene window
   private val optWin = 4L * 3600 * 1000 * 1000   // optional (4 h)
   private val timesWin = 24L * 3600 * 1000 * 1000 // times (1 day)
+  private val skipWin = 24L * 3600 * 1000 * 1000  // skip family (1 day)
 
   // Single-key sequences: the operators are per-key, so per-key
   // equivalence is the whole property. ts ≥ 1 min keeps every event
@@ -116,6 +117,34 @@ class CepStreamEquivalenceSpec extends SparkSuite {
     val bExp = Cep.absenceMatches(evs.toDS(), "click", "purchase", fbWin)
       .collect().filter(_.click_ts_us + fbWin < finalWmUs).toSet
     assert(bGot == bExp, s"absence seed=$seed wmMax=$wmMaxMin")
+
+    // r9 after-match-skip family: the four strategy twins share ONE
+    // updater with (greedy, skip) closure parameters — drive each
+    // through the same random schedule against its batch runner. The
+    // stream updater's window is pinned at 1 day (matching the
+    // registered witnesses), so the batch side gets the same window.
+    Seq((true, Cep.NoSkip, "greedy"),
+        (false, Cep.NoSkip, "noskip"),
+        (false, Cep.SkipToNext, "skip_to_next"),
+        (true, Cep.SkipPastLastEvent, "skip_past")).foreach {
+      case (greedy, skip, label) =>
+        val got = runIncremental[CepStream.RunBuf, Cep.CepRun](
+          (uid, rows, st) =>
+            CepStream.updateOneOrMoreStream(uid, rows, st, greedy, skip),
+          sched).toSet
+        val exp = Cep.oneOrMoreMatches(evs.toDS(), "click", "purchase",
+            skipWin, greedy, skip)
+          .collect().filter(_.purchase_ts_us <= finalWmUs).toSet
+        assert(got == exp, s"$label seed=$seed wmMax=$wmMaxMin")
+    }
+
+    // until: run-extent truncation by the 'view' sentinel
+    val uGot = runIncremental[CepStream.UntilBuf, Cep.CepRun](
+      CepStream.updateUntilStream, sched).toSet
+    val uExp = Cep.untilMatches(evs.toDS(), "click", "view", "purchase",
+        skipWin)
+      .collect().filter(_.purchase_ts_us <= finalWmUs).toSet
+    assert(uGot == uExp, s"until seed=$seed wmMax=$wmMaxMin")
   }
 
   test("streamed CEP equals sealed-restricted batch when everything seals") {

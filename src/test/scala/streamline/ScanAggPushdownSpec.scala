@@ -16,16 +16,28 @@ class ScanAggPushdownSpec extends SparkSuite {
     "spark.sql.parquet.aggregatePushdown" -> "true",
     "spark.sql.sources.useV1SourceList" -> "")
 
+  // Loose, case-insensitive patterns rather than exact plan-string
+  // fragments: the toString rendering of V2 scan nodes is not a stable
+  // API, and a Spark minor-version formatting change must not fail the
+  // suite without a behavior change. What is pinned: a pushed-
+  // aggregation marker exists, and each aggregate appears (any
+  // spacing/case) somewhere after it.
+  private def assertPushed(plan: String): Unit = {
+    val marker = "(?i)pushedaggregation".r
+    assert(marker.findFirstIn(plan).isDefined, plan.take(2000))
+    Seq("count\\s*\\(\\s*\\*\\s*\\)", "min\\s*\\(\\s*l_orderkey\\s*\\)",
+      "max\\s*\\(\\s*l_orderkey\\s*\\)", "min\\s*\\(\\s*l_quantity\\s*\\)",
+      "max\\s*\\(\\s*l_quantity\\s*\\)").foreach(a =>
+      assert(("(?is)pushedaggregation.*" + a).r.findFirstIn(plan).isDefined,
+        s"missing /$a/ after pushedaggregation in:\n${plan.take(2000)}"))
+  }
+
   test("footer-stat aggregate pushes COUNT/MIN/MAX into the scan") {
     val sp = spark
     SkewJoin.withConfs(sp, confs) {
       val df = Relational.pushedAggPlan(sp, sfDir)
       df.collect() // force planning + execution under the confs
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("PushedAggregation"), plan.take(2000))
-      Seq("COUNT(*)", "MIN(l_orderkey)", "MAX(l_orderkey)",
-        "MIN(l_quantity)", "MAX(l_quantity)").foreach(a =>
-        assert(plan.contains(a), s"missing $a in:\n${plan.take(2000)}"))
+      assertPushed(df.queryExecution.executedPlan.toString)
     }
   }
 
@@ -34,7 +46,8 @@ class ScanAggPushdownSpec extends SparkSuite {
     val df = Relational.pushedAggPlan(sp, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("PushedAggregation"), plan.take(2000))
+    assert("(?i)pushedaggregation".r.findFirstIn(plan).isEmpty,
+      plan.take(2000))
   }
 
   test("pushed and unpushed answers agree") {
