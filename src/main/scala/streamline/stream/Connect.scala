@@ -4,7 +4,7 @@ import scala.math.BigDecimal.RoundingMode
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import streamline.Q
 
 /** §2.16 connected streams / broadcast-state pattern.
@@ -133,5 +133,135 @@ object Connect {
       AND CAST(value AS DECIMAL(18,4)) > CAST(threshold AS DECIMAL(18,4))
     ORDER BY user_id, event_id"""
 
-  val all: Seq[Q] = Seq(Q("q_stream_connect", streamConnect _, streamConnectSql))
+  /** Per-batch rule application for the UNKEYED broadcast witness,
+    * factored out so ConnectBroadcastSpec can pin the plan: the rule
+    * dim is `broadcast()` — every task holds the FULL rule set, so a
+    * rule reaches every data row with no shared key and no shuffle of
+    * the rule side (the distribution guarantee of Flink's broadcast
+    * state). Each data row takes the latest rule at or before its
+    * event time (ties: max rule_id), then the threshold filter. The
+    * max_by reduction keys on the data row id, so partial aggregation
+    * collapses the per-rule fan-out map-side before the one data-side
+    * exchange. At 100 TB the fan-out bound is the broadcast rule
+    * count; a time-banded rule join (band key + carry-forward) is the
+    * documented path past broadcast-size rules. */
+  private[streamline] def applyRules(batch: DataFrame,
+                                     rules: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch.as("d")
+      .join(broadcast(rules.as("r")),
+        $"r.r_ts_us" <= unix_micros($"d.ts"))
+      .groupBy($"d.event_id".as("event_id"))
+      .agg(
+        first($"d.user_id").as("user_id"),
+        first($"d.ts").as("ts"),
+        first($"d.value").as("value"),
+        max_by(struct($"r.rule_id", $"r.threshold"),
+          struct($"r.r_ts_us", $"r.rule_id")).as("rule"))
+      .select($"user_id", $"event_id",
+        date_trunc("second", $"ts").cast("timestamp_ntz").as("ts"),
+        $"value", $"rule.rule_id".as("rule_id"),
+        $"rule.threshold".as("threshold"))
+      .where($"value".cast("decimal(18,4)") >
+        $"threshold".cast("decimal(18,4)"))
+  }
+
+  /** q_stream_connect_broadcast — UNKEYED broadcast state: a GLOBAL
+    * rule stream (no key shared with the data) reconfiguring every
+    * key's processing (upstream `KeyedBroadcastProcessFunction` with
+    * an unkeyed broadcast side). q_stream_connect covers the keyed
+    * form by re-keying the rules per user; here the rules apply to ALL
+    * users, so re-keying is impossible by construction — the
+    * Spark-native composition is a foreachBatch data stream whose
+    * every micro-batch RELOADS and BROADCASTS the current rule dim
+    * ([[applyRules]]). Rule refresh is witnessed end-to-end: the rule
+    * dir gains rules BETWEEN the two drains, and the second drain's
+    * batches see them. The pipeline holds ZERO keyed state — rule
+    * distribution is the broadcast, not state — which is exactly the
+    * broadcast-state contract (rules are operator-wide, not per-key).
+    * Event-time correctness does not depend on the batch split: a rule
+    * is staged before every data row it can match (r_ts ≤ d_ts), so
+    * the as-of join inside any batch sees a sufficient rule set. */
+  private def streamConnectBroadcast(spark: SparkSession,
+                                     dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir("connbc", dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    val (ruleDir, stage, ckpt, out) =
+      (s"$root/rules", s"$root/in", s"$root/ck", s"$root/out")
+    val events = streamline.Tables.events(spark, dir)
+    // Global rules: every error event publishes a threshold for ALL
+    // users at its event time. r_ts carried as raw µs (tz-independent).
+    val rules = events.where($"event_type" === "error")
+      .select($"event_id".as("rule_id"), unix_micros($"ts").as("r_ts_us"),
+        $"value".as("threshold"))
+    val views = events.where($"event_type" === "view")
+      .select($"event_id", $"ts", $"user_id", $"value")
+    val b = events.agg(min($"ts"), max($"ts")).head()
+    val cut = new java.sql.Timestamp(
+      (b.getTimestamp(0).getTime + b.getTimestamp(1).getTime) / 2)
+    def drain(): Unit = {
+      val q = spark.readStream.schema(views.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // the broadcast-state refresh point: reload the CURRENT rules
+          val r = spark.read
+            .schema("rule_id LONG, r_ts_us LONG, threshold DOUBLE")
+            .parquet(ruleDir)
+          applyRules(df, r).write.mode("append").parquet(out): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // Interleaved staging: rules first (a rule precedes every data row
+    // it can match), then the matching half of the data.
+    rules.where($"r_ts_us" < lit(cut.getTime * 1000L))
+      .coalesce(1).write.parquet(ruleDir)
+    views.where($"ts" < lit(cut)).coalesce(1).write.parquet(stage)
+    drain()
+    rules.where($"r_ts_us" >= lit(cut.getTime * 1000L))
+      .coalesce(1).write.mode("append").parquet(ruleDir)
+    views.where($"ts" >= lit(cut)).coalesce(1).write.mode("append")
+      .parquet(stage)
+    drain() // sees the refreshed rule set
+    spark.read.parquet(out)
+      .select($"user_id", $"event_id", $"ts", $"value", $"rule_id",
+        $"threshold")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  // The global as-of rule application: latest rule at or before each
+  // view's event time (ties: max rule_id), across ALL users.
+  private val streamConnectBroadcastSql = """
+    WITH c AS (SELECT event_id AS rule_id,
+                 date_trunc('microseconds', ts) AS r_ts,
+                 value AS threshold
+               FROM events WHERE event_type = 'error'),
+    d AS (SELECT user_id, event_id,
+            date_trunc('microseconds', ts) AS d_ts, value
+          FROM events WHERE event_type = 'view'),
+    j AS (SELECT d.user_id AS user_id, d.event_id AS event_id, d.d_ts,
+            d.value AS value, c.rule_id, c.threshold,
+            row_number() OVER (PARTITION BY d.event_id
+              ORDER BY c.r_ts DESC, c.rule_id DESC) AS rn
+          FROM d JOIN c ON c.r_ts <= d.d_ts)
+    SELECT user_id, event_id, date_trunc('second', d_ts) AS ts,
+      value, rule_id, threshold
+    FROM j
+    WHERE rn = 1
+      AND CAST(value AS DECIMAL(18,4)) > CAST(threshold AS DECIMAL(18,4))
+    ORDER BY user_id, event_id"""
+
+  val all: Seq[Q] = Seq(
+    Q("q_stream_connect", streamConnect _, streamConnectSql),
+    Q("q_stream_connect_broadcast", streamConnectBroadcast _,
+      streamConnectBroadcastSql))
 }

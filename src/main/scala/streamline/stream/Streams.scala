@@ -417,6 +417,129 @@ object Streams {
     HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
     ORDER BY w_start, event_type"""
 
+  /** q_stream_state_rewrite — OFFLINE STATE REWRITE, the write half of
+    * the state-processing story that q_stream_state_reader reads and
+    * q_stream_rescale proves Spark will NOT do on restart (the
+    * checkpointed partition count always wins; upstream lineage:
+    * savepoint rescaling via `flink-runtime`'s
+    * StateAssignmentOperation + the state-processor API writer). Spark
+    * exposes no public state-store WRITER, so the rewrite is
+    * REPLAY-BASED, which is the honest Spark-native migration path:
+    *
+    *  1. drain the early half at 2 state partitions (checkpoint A);
+    *  2. read A's surviving keyed state OFFLINE via the `statestore`
+    *     batch source — exactly the open windows with their in-flight
+    *     (sum, count) partials;
+    *  3. convert each state row into ONE synthetic carrier row
+    *     (value = the partial sum, cnt = the partial count, ts = the
+    *     window start so it lands in-window and on-time) — O(state)
+    *     rows, NOT O(replayed data), the property that makes the
+    *     rewrite viable when the original input is 100 TB but live
+    *     state is gigabytes;
+    *  4. feed the carriers through a FRESH query whose aggregate
+    *     (dec-sum(value), sum(cnt)) reconstructs the identical
+    *     partials into checkpoint B at 5 partitions;
+    *  5. continue draining the remaining input (cnt = 1 carriers) on
+    *     checkpoint B.
+    *
+    * Pinned: the final output equals the uninterrupted-run oracle
+    * (state fully migrated — nothing lost, duplicated, or
+    * mis-bucketed; the carrier sum round-trips exactly because the
+    * decimal partial is < 2^49 so the double cast is lossless at 4
+    * decimals), AND the restarted operator's observed
+    * `numShufflePartitions` is the NEW 5 — the rescale q_stream_rescale
+    * records as impossible without a rewrite. No closed window can
+    * double-emit: run 1 evicted-and-emitted windows are absent from
+    * the state read, and the replay watermark (max open start − 10 min)
+    * sits below every open window's end, so the carrier batch itself
+    * seals nothing. */
+  private def streamStateRewrite(spark: SparkSession,
+                                 dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir("staterewrite", dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    val (stage1, ck1) = (s"$root/in1", s"$root/ck1")
+    val (stage2, ck2, out) = (s"$root/in2", s"$root/ck2", s"$root/out")
+    val events = Tables.events(spark, dir)
+    val b = events.agg(min($"ts"), max($"ts")).head()
+    val cut = new java.sql.Timestamp(
+      (b.getTimestamp(0).getTime + b.getTimestamp(1).getTime) / 2)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // (ts, event_type, value, cnt): the carrier schema both the real
+    // rows (cnt = 1) and the state-rewrite rows (cnt = partial count)
+    // flow through, so ONE query shape serves replay and continuation.
+    val carrierSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType)))
+    def drain(stage: String, ckpt: String, parts: Int,
+              schema: org.apache.spark.sql.types.StructType,
+              nExpr: org.apache.spark.sql.Column): Long = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 day"), $"event_type")
+        .agg(dsum("value").as("sum_val"), nExpr.as("n"))
+        .select(tsOut($"window.start").as("w_start"), $"event_type",
+          $"sum_val", $"n")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          df.write.mode("append").parquet(out): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .map(_.numShufflePartitions).maxOption.getOrElse(0L)
+    }
+    val partsRun2 = try {
+      events.where($"ts" < lit(cut)).repartition(2).write.parquet(stage1)
+      drain(stage1, ck1, 2, events.schema, count(lit(1))) // checkpoint A
+      // -- the offline rewrite: state of A -> carrier rows -> B -------
+      val carriers = spark.read.format("statestore").load(ck1)
+        .select($"key.window.start".as("ts"),
+          $"key.event_type".as("event_type"),
+          asDouble($"value.sum").as("value"),
+          $"value.count".as("cnt"))
+      carriers.coalesce(1).write.parquet(stage2)
+      drain(stage2, ck2, 5, carrierSchema, sum($"cnt")) // rebuild at 5
+      // -- continuation: remaining input as cnt = 1 carriers ----------
+      events.where($"ts" >= lit(cut))
+        .select($"ts", $"event_type", $"value", lit(1L).as("cnt"))
+        .repartition(2).write.mode("append").parquet(stage2)
+      drain(stage2, ck2, 5, carrierSchema, sum($"cnt"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(out)
+      .select($"w_start", $"event_type", $"sum_val", $"n")
+      .withColumn("n_state_parts", lit(partsRun2))
+      .orderBy($"w_start", $"event_type")
+  }
+
+  // The recovery oracle with the REWRITTEN state-partition count: after
+  // the offline rewrite the restarted operator must observe 5 — the
+  // count q_stream_rescale pins as unreachable by conf change alone.
+  private val streamStateRewriteSql = """
+    WITH wm AS (SELECT date_trunc('millisecond', max(ts))
+                  - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+      count(*) AS n, CAST(5 AS BIGINT) AS n_state_parts
+    FROM events GROUP BY 1, 2
+    HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
+    ORDER BY w_start, event_type"""
+
   /** q_stream_late_metric — late-drop OBSERVABILITY (Flink's
     * `numLateRecordsDropped`; Spark's stateOperators
     * `numRowsDroppedByWatermark`): the composed late/side-output
@@ -1767,6 +1890,7 @@ object Streams {
     Q("q_stream_tumble", streamTumble _, streamTumbleSql),
     Q("q_stream_recovery", streamRecovery _, streamRecoverySql),
     Q("q_stream_rescale", streamRescale _, streamRescaleSql),
+    Q("q_stream_state_rewrite", streamStateRewrite _, streamStateRewriteSql),
     Q("q_stream_state_reader", streamStateReader _, streamStateReaderSql),
     Q("q_stream_late_metric", streamLateMetric _, streamLateMetricSql),
     Q("q_stream_update", streamUpdate _, streamUpdateSql),
