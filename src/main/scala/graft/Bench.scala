@@ -37,6 +37,20 @@ object Bench {
     } finally { java.nio.file.Files.deleteIfExists(f): Unit }
   }
 
+  /** Committed quiet per-query baseline (repo-root
+    * `bench_baseline.json`, flat name→seconds map). Missing or
+    * malformed file degrades to "no history gate" rather than
+    * failing the bench. */
+  private def loadBaseline(): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_baseline.json")), "UTF-8")
+      "\"([^\"]+)\"\\s*:\\s*([0-9][0-9.eE+-]*)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] no baseline table ($e)"); Map.empty
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val ioMbS = ioProbeMbS()
@@ -91,31 +105,56 @@ object Bench {
     // throttled window (end < 0.5× start, or either under 40 MB/s),
     // per-QUERY attribution is noise — BENCH_r07 recorded q_iter_delta
     // at 76.6 s where a quiet box runs it in 2.6. Re-run the slowest
-    // queries once and keep the per-query MIN: bounded extra cost
-    // (≤ 10 queries), and an innocent operator stops being defamed by
-    // whichever throttle window it happened to land in.
+    // queries once and keep the per-query MIN: bounded extra cost,
+    // and an innocent operator stops being defamed by whichever
+    // throttle window it happened to land in.
     val throttled = ioMbS > 0 && ioMbSEnd > 0 &&
       (ioMbSEnd < 0.5 * ioMbS || ioMbS < 40.0 || ioMbSEnd < 40.0)
-    val results =
-      if (!throttled) firstPass
-      else {
-        val worst = firstPass.filter(_._2 > 3.0).sortBy(-_._2).take(10)
-        System.err.println(s"[bench] throttle detected (probes " +
-          f"$ioMbS%.1f -> $ioMbSEnd%.1f MB/s); re-timing ${worst.size} slowest")
-        val better = worst.map { case (name, dt) =>
-          name -> math.min(dt, time(name, selected(name)))
-        }.toMap
-        firstPass.map { case (name, dt) =>
-          name -> better.getOrElse(name, dt)
-        }
-      }
+    val throttleSuspects =
+      if (!throttled) Seq.empty
+      else firstPass.filter(_._2 > 3.0).sortBy(-_._2).take(10).map(_._1)
+    // HISTORY-based re-time (round 10): the probe gate alone is
+    // insufficient — BENCH_r09's probes read 128→81 MB/s (no trip)
+    // while q_iter_triangles recorded 13.4 s against a 1.8 s quiet
+    // baseline. Diff each query against the committed quiet table
+    // (bench_baseline.json, regenerated when plans change; SURVEY §7
+    // keeps the same numbers) and re-time anything >3× its history —
+    // a per-query gate that catches throttle windows the coarse
+    // probes straddle.
+    val baseline = loadBaseline()
+    val historySuspects = firstPass.collect {
+      case (name, dt) if dt > 1.0 &&
+        baseline.get(name).exists(b => dt > 3.0 * b) => name -> dt
+    }.sortBy { case (n, dt) => -(dt - baseline(n)) }.take(10).map(_._1)
+    val suspects = (throttleSuspects ++ historySuspects).distinct.take(12)
+    if (suspects.nonEmpty)
+      System.err.println(s"[bench] re-timing ${suspects.size} suspects " +
+        f"(probes $ioMbS%.1f -> $ioMbSEnd%.1f MB/s, throttle=$throttled, " +
+        s"history=${historySuspects.size}): ${suspects.mkString(", ")}")
+    // Keep the per-query MIN, but record BOTH timings: the re-run is
+    // warm (page cache, codegen, footers), so retimed totals carry a
+    // warm-run bias relative to non-retimed rounds — cross-round
+    // comparisons need the first-pass number too.
+    val retimed = suspects.map { name =>
+      name -> time(name, selected(name))
+    }.toMap
+    val results = firstPass.map { case (name, dt) =>
+      name -> retimed.get(name).fold(dt)(math.min(dt, _))
+    }
     def render(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val suspectJson = suspects
+      .map(n => "\"" + n + "\":" +
+        f"[${firstPass.toMap.apply(n)}%.3f,${retimed(n)}%.3f]")
+      .mkString("{", ",", "}")
     def line(qs: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"io_probe_mb_s":$ioMbS%.1f,"io_probe_mb_s_end":$ioMbSEnd%.1f,"throttle_retimed":$throttled,"queries":$qs,"sf":"$sfDir"}"""
-    val full = line(render(results))
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"io_probe_mb_s":$ioMbS%.1f,"io_probe_mb_s_end":$ioMbSEnd%.1f,"throttle_retimed":$throttled,"n_history_retimed":${historySuspects.size},"queries":$qs,"sf":"$sfDir"}"""
+    // bench.json keeps the full detail including first/retimed pairs
+    // for every suspect; the stdout line stays compact.
+    val full = line(render(results)).dropRight(1) +
+      s""","retimed_first_min":$suspectJson}"""
     // Persist the full per-query detail to a file channel.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full)
     catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }

@@ -1,0 +1,50 @@
+package streamline
+
+import graft.{SparkEntry, SparkSuite}
+
+/** RUNTIME conf-hygiene invariant (r9 verdict item 6): every query
+  * that touches session confs — scoped `withConfs` or the hand-rolled
+  * set/restore-prev pattern — must leave each sensitive conf exactly
+  * as it found it. A leaked conf is a cross-query correctness hazard
+  * (e.g. a leaked `shuffle.partitions=2` silently de-parallelizes
+  * every later query; a leaked `aggregatePushdown` flips plan shapes).
+  * The one sanctioned global is `parquet.nanosAsLong` (Tables.events:
+  * the DataFrame is lazy, a scoped restore would unset the flag before
+  * the scan executes) — it is pinned EXCLUDED here, and scanMetadata's
+  * former leak of it is covered by running q_scan_metadata below. */
+class ConfHygieneSpec extends SparkSuite {
+
+  private val sensitive = Seq(
+    "spark.sql.shuffle.partitions",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.parquet.aggregatePushdown",
+    "spark.sql.sources.useV1SourceList",
+    "spark.sql.sources.partitionOverwriteMode",
+    "spark.sql.parquet.outputTimestampType",
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.coalescePartitions.enabled")
+
+  private def snapshot: Map[String, Option[String]] =
+    sensitive.map(k => k ->
+      (try Option(spark.conf.get(k)) catch { case _: Exception => None })
+    ).toMap
+
+  // The conf-touching witnesses across every pattern in the codebase:
+  // withConfs-scoped V2/overwrite confs, hand-rolled shuffle.partitions
+  // drains (batch + streaming + iterative), and the checksum-key pair.
+  private val confTouchers = Seq(
+    "q_scan_metadata", "q_scan_agg_pushdown", "q_sink_dynamic_overwrite",
+    "q_sink_compact", "q_iter_cc", "q_join_skew", "q_part_aqe_coalesce",
+    "q_stream_tumble", "q_stream_state_reader", "q_join_bucketed")
+
+  test("conf-touching queries restore every sensitive conf") {
+    val before = snapshot
+    confTouchers.foreach { q =>
+      SparkEntry.queries(q)(spark, sfDir).collect()
+      val after = snapshot
+      assert(after == before,
+        s"$q leaked confs: ${after.toSet.diff(before.toSet)}")
+    }
+  }
+}

@@ -28,13 +28,18 @@ class ConnectBroadcastSpec extends SparkSuite {
     (views, rules)
   }
 
-  test("the rule side is broadcast, not shuffled") {
+  test("rule application is shuffle-free (broadcast lookup, no join)") {
     val (views, rules) = fixtures
     val df = Connect.applyRules(views, rules)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert("(?i)broadcast(hash|nestedloop)join".r.findFirstIn(plan)
-      .isDefined, plan.take(2000))
+    // The rules reach every row via a broadcast variable + per-row
+    // binary search: the data-side plan must carry NO exchange and NO
+    // join node at all — the distribution cost of broadcast state is
+    // zero on the data path.
+    assert("(?i)exchange".r.findFirstIn(plan).isEmpty, plan.take(2000))
+    assert("(?i)(sortmerge|broadcasthash|nestedloop)join".r
+      .findFirstIn(plan).isEmpty, plan.take(2000))
   }
 
   test("rule application equals an independent as-of join") {
