@@ -51,6 +51,33 @@ object Bench {
       System.err.println(s"[bench] no baseline table ($e)"); Map.empty
     }
 
+  /** Re-time suspect selection (pure; pinned in BenchGateSpec).
+    * Two gates compose:
+    *  - THROTTLE (coarse): when the io probes say the run crossed a
+    *    throttled window, the 10 slowest >3 s queries re-run.
+    *  - HISTORY (per-query, round 10): anything reading >3× its
+    *    committed quiet baseline AND >1 s re-runs — BENCH_r09's probes
+    *    read 128→81 MB/s (no throttle trip) while q_iter_triangles
+    *    recorded 13.4 s against a 1.8 s quiet baseline; this gate
+    *    catches throttle windows the coarse probes straddle. The >1 s
+    *    floor keeps sub-second jitter from burning re-time slots.
+    * History picks the 10 largest ABSOLUTE excesses (dt − baseline) —
+    * ratio alone would spend slots on 0.4 s blips. Union capped at 12.
+    * Returns (suspects, historyCount). */
+  private[graft] def pickSuspects(firstPass: Seq[(String, Double)],
+      baseline: Map[String, Double],
+      throttled: Boolean): (Seq[String], Int) = {
+    val throttleSuspects =
+      if (!throttled) Seq.empty
+      else firstPass.filter(_._2 > 3.0).sortBy(-_._2).take(10).map(_._1)
+    val historySuspects = firstPass.collect {
+      case (name, dt) if dt > 1.0 &&
+        baseline.get(name).exists(b => dt > 3.0 * b) => name -> dt
+    }.sortBy { case (n, dt) => -(dt - baseline(n)) }.take(10).map(_._1)
+    ((throttleSuspects ++ historySuspects).distinct.take(12),
+      historySuspects.size)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val ioMbS = ioProbeMbS()
@@ -110,27 +137,12 @@ object Bench {
     // throttle window it happened to land in.
     val throttled = ioMbS > 0 && ioMbSEnd > 0 &&
       (ioMbSEnd < 0.5 * ioMbS || ioMbS < 40.0 || ioMbSEnd < 40.0)
-    val throttleSuspects =
-      if (!throttled) Seq.empty
-      else firstPass.filter(_._2 > 3.0).sortBy(-_._2).take(10).map(_._1)
-    // HISTORY-based re-time (round 10): the probe gate alone is
-    // insufficient — BENCH_r09's probes read 128→81 MB/s (no trip)
-    // while q_iter_triangles recorded 13.4 s against a 1.8 s quiet
-    // baseline. Diff each query against the committed quiet table
-    // (bench_baseline.json, regenerated when plans change; SURVEY §7
-    // keeps the same numbers) and re-time anything >3× its history —
-    // a per-query gate that catches throttle windows the coarse
-    // probes straddle.
-    val baseline = loadBaseline()
-    val historySuspects = firstPass.collect {
-      case (name, dt) if dt > 1.0 &&
-        baseline.get(name).exists(b => dt > 3.0 * b) => name -> dt
-    }.sortBy { case (n, dt) => -(dt - baseline(n)) }.take(10).map(_._1)
-    val suspects = (throttleSuspects ++ historySuspects).distinct.take(12)
+    val (suspects, nHistory) =
+      pickSuspects(firstPass, loadBaseline(), throttled)
     if (suspects.nonEmpty)
       System.err.println(s"[bench] re-timing ${suspects.size} suspects " +
         f"(probes $ioMbS%.1f -> $ioMbSEnd%.1f MB/s, throttle=$throttled, " +
-        s"history=${historySuspects.size}): ${suspects.mkString(", ")}")
+        s"history=$nHistory): ${suspects.mkString(", ")}")
     // Keep the per-query MIN, but record BOTH timings: the re-run is
     // warm (page cache, codegen, footers), so retimed totals carry a
     // warm-run bias relative to non-retimed rounds — cross-round
@@ -150,7 +162,7 @@ object Bench {
         f"[${firstPass.toMap.apply(n)}%.3f,${retimed(n)}%.3f]")
       .mkString("{", ",", "}")
     def line(qs: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"io_probe_mb_s":$ioMbS%.1f,"io_probe_mb_s_end":$ioMbSEnd%.1f,"throttle_retimed":$throttled,"n_history_retimed":${historySuspects.size},"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"io_probe_mb_s":$ioMbS%.1f,"io_probe_mb_s_end":$ioMbSEnd%.1f,"throttle_retimed":$throttled,"n_history_retimed":$nHistory,"queries":$qs,"sf":"$sfDir"}"""
     // bench.json keeps the full detail including first/retimed pairs
     // for every suspect; the stdout line stays compact.
     val full = line(render(results)).dropRight(1) +

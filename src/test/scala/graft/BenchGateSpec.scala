@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench re-time suspect selection (Bench.pickSuspects) — the
+  * round-10 history gate plus the pre-existing throttle gate. These
+  * rules are what keep driver-side BENCH_r{N} per-query attribution
+  * honest on a noisy host, so they get a direct unit pin. */
+class BenchGateSpec extends AnyFunSuite {
+
+  private val base = Map("q_a" -> 1.0, "q_b" -> 0.2, "q_c" -> 2.0)
+
+  test("no baseline and no throttle selects nothing") {
+    assert(Bench.pickSuspects(
+      Seq("q_a" -> 9.0, "q_x" -> 50.0), Map.empty, throttled = false) ==
+      (Seq.empty, 0))
+  }
+
+  test("history gate: >3x baseline AND >1s") {
+    val fp = Seq(
+      "q_a" -> 3.5,  // 3.5x of 1.0 -> suspect
+      "q_b" -> 0.9,  // 4.5x of 0.2 but under the 1s floor -> no
+      "q_c" -> 5.9,  // 2.95x of 2.0 -> no
+      "q_x" -> 50.0) // no baseline -> no
+    assert(Bench.pickSuspects(fp, base, throttled = false) ==
+      (Seq("q_a"), 1))
+  }
+
+  test("history picks the largest ABSOLUTE excess first, capped at 10") {
+    val baseline = (1 to 15).map(i => s"q_$i" -> 1.0).toMap
+    // q_15 has the largest excess, descending from there
+    val fp = (1 to 15).map(i => s"q_$i" -> (3.1 + i))
+    val (sus, n) = Bench.pickSuspects(fp, baseline, throttled = false)
+    assert(n == 10 && sus.size == 10)
+    assert(sus.head == "q_15" && sus.last == "q_6")
+  }
+
+  test("throttle gate: 10 slowest over 3s, even without baselines") {
+    val fp = (1 to 12).map(i => s"q_$i" -> (2.0 + i)) // q_2..q_12 > 3s
+    val (sus, n) = Bench.pickSuspects(fp, Map.empty, throttled = true)
+    assert(n == 0)
+    assert(sus.size == 10 && sus.head == "q_12" && !sus.contains("q_1"))
+  }
+
+  test("identical gate picks dedup to one set") {
+    val baseline = (1 to 20).map(i => s"q_$i" -> 1.0).toMap
+    val fp = (1 to 20).map(i => s"q_$i" -> (3.1 + i))
+    val (sus, n) = Bench.pickSuspects(fp, baseline, throttled = true)
+    // throttle's 10 slowest and history's 10 largest-excess coincide
+    assert(n == 10 && sus.size == 10 && sus.head == "q_20")
+  }
+
+  test("disjoint gate picks union up to the cap of 12") {
+    // throttle takes the 10 slowest (q_12..q_3); only q_1/q_2 carry
+    // baselines, so history contributes exactly those two
+    val baseline = Map("q_1" -> 1.0, "q_2" -> 1.0)
+    val fp = (1 to 12).map(i => s"q_$i" -> (3.1 + i))
+    val (sus, n) = Bench.pickSuspects(fp, baseline, throttled = true)
+    assert(n == 2)
+    assert(sus.size == 12 && sus.distinct.size == 12)
+    assert(sus.contains("q_1") && sus.contains("q_2"))
+  }
+
+  test("baseline parsing tolerates a missing file") {
+    // loadBaseline is exercised implicitly by Bench runs; here we only
+    // pin that pickSuspects treats an empty map as no history gate.
+    assert(Bench.pickSuspects(Seq("q_a" -> 100.0), Map.empty,
+      throttled = false) == (Seq.empty, 0))
+  }
+}
