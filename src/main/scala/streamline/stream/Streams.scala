@@ -540,6 +540,171 @@ object Streams {
     HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
     ORDER BY w_start, event_type"""
 
+  /** q_stream_state_evolve — STATE SCHEMA EVOLUTION of a live job
+    * (upstream lineage: evolving state with the state-processor API;
+    * Flink's serializer-compatibility checks likewise refuse an
+    * incompatible in-place restore). The scenario every long-lived
+    * aggregation eventually hits: the daily (sum, count) aggregate
+    * needs a NEW column (max). Pinned, in order:
+    *
+    *  1. a NAIVE restart of the widened aggregate on the original
+    *     checkpoint is REJECTED by Spark's state-store schema
+    *     validation (the `restart_rejected` output column is `true`
+    *     only if that attempt threw a schema-incompatibility error —
+    *     silent acceptance or a different error fails the witness);
+    *  2. the honest migration is the [[streamStateRewrite]] path with
+    *     the widened aggregate: old state → carrier rows → fresh
+    *     checkpoint; the carriers set the NEW column's input to NULL,
+    *     so `max_val` has "metric starts at migration" semantics —
+    *     max over post-migration rows only, NULL if a window saw none
+    *     (the pre-migration maximum is genuinely unknowable from a
+    *     (sum, count) state without replaying history, and the witness
+    *     says so rather than fabricating it);
+    *  3. migrated partials stay exact: sum_val/n over ALL rows.
+    *
+    * Output = the evolved run's emissions (windows open at migration,
+    * closed by the final watermark). */
+  private def streamStateEvolve(spark: SparkSession,
+                                dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir("stateevolve", dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    val (stage1, ck1) = (s"$root/in1", s"$root/ck1")
+    val (stage2, ck2, out) = (s"$root/in2", s"$root/ck2", s"$root/out")
+    val events = Tables.events(spark, dir)
+    val b = events.agg(min($"ts"), max($"ts")).head()
+    val cut = new java.sql.Timestamp(
+      (b.getTimestamp(0).getTime + b.getTimestamp(1).getTime) / 2)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val carrierSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("mv",
+        org.apache.spark.sql.types.DoubleType)))
+    val rejected = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      // run 1: the ORIGINAL (sum, count) job over the early half.
+      // Single-batch drains throughout this witness: multi-batch
+      // incrementality is recovery/rescale/rewrite's job; evolve pins
+      // schema validation + migration, and each extra micro-batch is
+      // a fixed startup cost x4 queries.
+      events.where($"ts" < lit(cut)).coalesce(1).write.parquet(stage1)
+      val run1 = spark.readStream.schema(events.schema)
+        .parquet(stage1)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 day"), $"event_type")
+        .agg(dsum("value").as("sum_val"), count(lit(1)).as("n"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck1)
+        .format("noop").trigger(Trigger.AvailableNow()).start()
+      run1.awaitTermination()
+      // carriers BEFORE the poisoned restart attempt (paranoia — the
+      // failed attempt must not be able to touch what we migrate)
+      spark.read.format("statestore").load(ck1)
+        .select($"key.window.start".as("ts"),
+          $"key.event_type".as("event_type"),
+          asDouble($"value.sum").as("value"),
+          $"value.count".as("cnt"),
+          lit(null).cast("double").as("mv"))
+        .coalesce(1).write.parquet(stage2)
+      // the NAIVE widened restart on ck1 — must throw schema-incompat.
+      // One unseen row staged first: with no uncommitted files,
+      // AvailableNow plans ZERO batches, the stateful operator never
+      // opens its store, and validation never runs (observed: the
+      // restart "succeeds" vacuously). The row is only ever committed
+      // if the restart is wrongly accepted — which the oracle fails
+      // loudly anyway.
+      events.where($"ts" >= lit(cut)).orderBy($"ts", $"event_id").limit(1)
+        .coalesce(1).write.mode("append").parquet(stage1)
+      try {
+        val qBad = spark.readStream.schema(events.schema)
+          .parquet(stage1)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window($"ts", "1 day"), $"event_type")
+          .agg(dsum("value").as("sum_val"), count(lit(1)).as("n"),
+            max($"value").as("max_val"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ck1)
+          .format("noop").trigger(Trigger.AvailableNow()).start()
+        qBad.awaitTermination()
+        false // accepted — the witness reports it (oracle pins true)
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse("") +
+            Option(e.getCause).flatMap(c => Option(c.getMessage))
+              .getOrElse("")
+          // only a schema-compatibility refusal counts
+          if (!msg.toLowerCase.contains("schema")) throw e
+          true
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // the migration: rewrite into ck2 with the WIDENED aggregate
+    def drainEvolved(): Unit = {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val q = spark.readStream.schema(carrierSchema)
+          .parquet(stage2)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window($"ts", "1 day"), $"event_type")
+          .agg(dsum("value").as("sum_val"), sum($"cnt").as("n"),
+            max($"mv").as("max_val"))
+          .select(tsOut($"window.start").as("w_start"), $"event_type",
+            $"sum_val", $"n", $"max_val")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ck2)
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            df.write.mode("append").parquet(out): Unit
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    drainEvolved() // carriers only: rebuilds state, emits nothing
+    events.where($"ts" >= lit(cut))
+      .select($"ts", $"event_type", $"value", lit(1L).as("cnt"),
+        $"value".as("mv"))
+      .coalesce(1).write.mode("append").parquet(stage2)
+    drainEvolved() // continuation under the evolved schema
+    spark.read.parquet(out)
+      .select($"w_start", $"event_type", $"sum_val", $"n", $"max_val")
+      .withColumn("restart_rejected", lit(rejected))
+      .orderBy($"w_start", $"event_type")
+  }
+
+  // The evolved run's emissions: windows still open at the migration
+  // watermark (wm1 over the early half) and closed by the final one;
+  // sum/count over ALL rows (migrated partials exact), max only over
+  // post-migration rows (epoch-µs >= the ms-floored midpoint cut, the
+  // same arithmetic the Spark side uses), NULL when a window saw none.
+  private val streamStateEvolveSql = """
+    WITH e AS (SELECT date_trunc('microseconds', ts) AS ts, event_type,
+                 value FROM events),
+    cutv AS (SELECT (epoch_ms(min(ts)) + epoch_ms(max(ts))) // 2 AS cut_ms
+             FROM e),
+    wm1 AS (SELECT date_trunc('millisecond', max(ts))
+              - INTERVAL 10 MINUTE AS w FROM e
+            WHERE epoch_us(ts) < (SELECT cut_ms * 1000 FROM cutv)),
+    wmf AS (SELECT date_trunc('millisecond', max(ts))
+              - INTERVAL 10 MINUTE AS w FROM e)
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+      count(*) AS n,
+      max(CASE WHEN epoch_us(ts) >= (SELECT cut_ms * 1000 FROM cutv)
+               THEN value END) AS max_val,
+      true AS restart_rejected
+    FROM e GROUP BY 1, 2
+    HAVING w_start + INTERVAL 1 DAY > (SELECT w FROM wm1)
+       AND w_start + INTERVAL 1 DAY <= (SELECT w FROM wmf)
+    ORDER BY w_start, event_type"""
+
   /** q_stream_late_metric — late-drop OBSERVABILITY (Flink's
     * `numLateRecordsDropped`; Spark's stateOperators
     * `numRowsDroppedByWatermark`): the composed late/side-output
@@ -1891,6 +2056,7 @@ object Streams {
     Q("q_stream_recovery", streamRecovery _, streamRecoverySql),
     Q("q_stream_rescale", streamRescale _, streamRescaleSql),
     Q("q_stream_state_rewrite", streamStateRewrite _, streamStateRewriteSql),
+    Q("q_stream_state_evolve", streamStateEvolve _, streamStateEvolveSql),
     Q("q_stream_state_reader", streamStateReader _, streamStateReaderSql),
     Q("q_stream_late_metric", streamLateMetric _, streamLateMetricSql),
     Q("q_stream_update", streamUpdate _, streamUpdateSql),
