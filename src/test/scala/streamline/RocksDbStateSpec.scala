@@ -15,21 +15,38 @@ class RocksDbStateSpec extends SparkSuite {
   private val rocks =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  private def withRocks[T](body: => T): T = {
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, rocks)
+    try body
+    finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("q_stream_stateful is identical under the RocksDB state store") {
     val default = SparkEntry.queries("q_stream_stateful")(spark, sfDir)
       .collect().toSeq
-    val before = spark.conf.getOption(key)
-    spark.conf.set(key, rocks)
-    try {
+    withRocks {
       val viaRocks = SparkEntry.queries("q_stream_stateful")(spark, sfDir)
         .collect().toSeq
       assert(viaRocks == default)
       assert(default.nonEmpty)
-    } finally {
-      before match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
+    }
+  }
+
+  test("the offline state REWRITE is backend-agnostic: statestore " +
+      "read + rebuilt checkpoint work under RocksDB") {
+    val default = SparkEntry.queries("q_stream_state_rewrite")(spark, sfDir)
+      .collect().toSeq
+    withRocks {
+      val viaRocks = SparkEntry
+        .queries("q_stream_state_rewrite")(spark, sfDir).collect().toSeq
+      assert(viaRocks == default)
+      assert(default.nonEmpty)
+      // the migration still lands at the NEW partition count
+      assert(viaRocks.forall(_.getAs[Long]("n_state_parts") == 5L))
     }
   }
 }
