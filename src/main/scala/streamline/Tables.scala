@@ -83,7 +83,7 @@ object Tables {
     * zone), matching DuckDB's `date_trunc('microseconds', ts)`. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // raw ns OR µs since epoch (see above)
+    StructField("ts", LongType), // raw ns/µs/ms since epoch (see above)
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -119,18 +119,18 @@ object Tables {
     read(spark, dir, "nation", nationSchema)
   def region(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "region", regionSchema)
-  private val tsIsNanosCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val tsUnitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Cache key for the footer sniff: the directory PLUS a recursive
     * (path, length, mtime) fingerprint of `events.parquet`. Keying on
     * the directory alone would pin the first sniff for the JVM
-    * lifetime — if the fixture is regenerated in place with the OTHER
-    * encoding while a session is running (exactly the round-9 landmine
-    * the sniff exists for), every later read would silently mis-scale
-    * timestamps by 1000×. The fingerprint makes regeneration a cache
-    * miss; the stat walk is one metadata call per file, paid once per
-    * distinct fixture generation. */
+    * lifetime — if the fixture is regenerated in place with a
+    * DIFFERENT encoding while a session is running (exactly the
+    * round-9 landmine the sniff exists for), every later read would
+    * silently mis-scale timestamps by 1000×. The fingerprint makes
+    * regeneration a cache miss; the stat walk is one metadata call per
+    * file, paid once per distinct fixture generation. */
   private def eventsFingerprint(dir: String): String = {
     def walk(f: java.io.File): String =
       if (f.isDirectory)
@@ -140,22 +140,61 @@ object Tables {
     dir + "|" + walk(new java.io.File(s"$dir/events.parquet"))
   }
 
-  /** Footer sniff, cached per fixture generation: under `nanosAsLong`,
-    * schema inference reads a timestamp[ns] column as LongType and a
-    * timestamp[us] column as a timestamp type — that difference is the
-    * encoding detector. One footer read per distinct
-    * [[eventsFingerprint]]. */
-  def eventsTsIsNanos(spark: SparkSession, dir: String): Boolean =
-    tsIsNanosCache.computeIfAbsent(eventsFingerprint(dir), _ => {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .schema("ts").dataType == LongType
+  /** The parquet TIMESTAMP unit of `events.ts`, read STRAIGHT FROM THE
+    * FILE FOOTER (parquet-java), cached per fixture generation —
+    * "NANOS" / "MICROS" / "MILLIS". The round-9/-10 sniff inferred the
+    * unit from a Spark-inference quirk (`nanosAsLong` maps NANOS to
+    * LongType) and could therefore only distinguish ns-vs-not: a
+    * future regen to timestamp[ms] would silently read 1000× off. The
+    * footer's logical-type annotation is the ground truth and names
+    * all three units. */
+  def eventsTsUnit(spark: SparkSession, dir: String): String =
+    tsUnitCache.computeIfAbsent(eventsFingerprint(dir), _ => {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val fs = root.getFileSystem(conf)
+      // fixture ships as one file; tolerate a directory of part files
+      val dataFile =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).map(_.getPath)
+            .filter(p => !p.getName.startsWith("_") &&
+              !p.getName.startsWith("."))
+            .minBy(_.getName.toString)
+        else root
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(dataFile, conf))
+      try {
+        reader.getFooter.getFileMetaData.getSchema
+          .getType(Array("ts"): _*) // Java varargs path selector
+          .asPrimitiveType().getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit.name()
+          case other => sys.error(
+            s"events.ts is not an annotated timestamp ($other) — " +
+              "refusing to guess its unit")
+        }
+      } finally reader.close()
     })
+
+  /** ns-sniff view of [[eventsTsUnit]] (kept for the encoding spec). */
+  def eventsTsIsNanos(spark: SparkSession, dir: String): Boolean =
+    eventsTsUnit(spark, dir) == "NANOS"
+
+  /** Raw-int64 → µs conversion expression for the fixture's unit. */
+  private[streamline] def eventsTsToUsExpr(spark: SparkSession,
+                                           dir: String): String =
+    eventsTsUnit(spark, dir) match {
+      case "NANOS"  => "ts DIV 1000"
+      case "MICROS" => "ts"
+      case "MILLIS" => "ts * 1000"
+      case u        => sys.error(s"unsupported events.ts unit $u")
+    }
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val toUs =
-      if (eventsTsIsNanos(spark, dir)) "ts DIV 1000" else "ts"
+    val toUs = eventsTsToUsExpr(spark, dir)
     read(spark, dir, "events", eventsSchema)
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(

@@ -50,10 +50,9 @@ object Streams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file streaming source requires a directory; narrow the listing
     // to the events table with a glob filter.
-    // ns→µs divide only for the timestamp[ns] fixture encoding; the
-    // timestamp[us] fixture's raw int64 is already µs (Tables.scala).
-    val toUs =
-      if (Tables.eventsTsIsNanos(spark, dir)) "ts DIV 1000" else "ts"
+    // unit-correct raw-int64 → µs conversion, from the footer-read
+    // timestamp unit (Tables.eventsTsUnit)
+    val toUs = Tables.eventsTsToUsExpr(spark, dir)
     spark.readStream
       .schema(Tables.eventsSchema)
       .option("pathGlobFilter", "events.parquet")

@@ -100,17 +100,40 @@ class TablesEncodingSpec extends SparkSuite {
     def deleteRec(f: File): Unit = streamline.stream.Streams.deleteRec(f)
   }
 
-  test("ns and us encodings sniff correctly and read identically") {
+  private def writeMs(dir: String): Unit = {
+    val sp = spark
+    import sp.implicits._
+    streamline.batch.SkewJoin.withConfs(sp, Seq(
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MILLIS")) {
+      // LTZ, not NTZ: outputTimestampType only governs TimestampType;
+      // NTZ always writes MICROS. Session TZ is UTC, so the raw epoch
+      // values are identical either way.
+      rows.toDF("event_id", "ts_us", "user_id", "event_type", "value",
+          "props")
+        .select($"event_id", timestamp_micros($"ts_us").as("ts"),
+          $"user_id", $"event_type", $"value", $"props")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+  }
+
+  test("ns, us, and ms encodings sniff correctly and read identically") {
     val dirNs = freshDir("ns"); val dirUs = freshDir("us")
+    val dirMs = freshDir("ms")
     writeNs(s"$dirNs/events.parquet")
     writeUs(dirUs)
-    assert(Tables.eventsTsIsNanos(spark, dirNs),
-      "ns-encoded fixture must sniff as nanos")
-    assert(!Tables.eventsTsIsNanos(spark, dirUs),
-      "us-encoded fixture must sniff as micros")
+    writeMs(dirMs)
+    assert(Tables.eventsTsUnit(spark, dirNs) == "NANOS")
+    assert(Tables.eventsTsIsNanos(spark, dirNs))
+    assert(Tables.eventsTsUnit(spark, dirUs) == "MICROS")
+    assert(Tables.eventsTsUnit(spark, dirMs) == "MILLIS")
     val expected = rows.map(r => (r._1, r._2, r._4, r._5))
     assert(collectEvents(dirNs) == expected)
     assert(collectEvents(dirUs) == expected)
+    // the ms encoding cannot carry the sample's sub-ms component; the
+    // reader must surface exactly the ms-truncated instants
+    val expectedMs = rows.map(r => (r._1, r._2 / 1000 * 1000, r._4, r._5))
+    assert(collectEvents(dirMs) == expectedMs)
   }
 
   test("in-place regeneration with the other encoding is a cache miss") {
