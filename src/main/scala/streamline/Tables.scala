@@ -171,6 +171,11 @@ object Tables {
           .asPrimitiveType().getLogicalTypeAnnotation match {
           case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
             t.getUnit.name()
+          // an UNANNOTATED int64 ts is the legacy raw-ns layout the
+          // synthetic test fixtures write (a plain Long column carrying
+          // ns-epoch values — the same wire shape the original ns
+          // fixture read as); anything else is refused, not guessed
+          case null => "NANOS"
           case other => sys.error(
             s"events.ts is not an annotated timestamp ($other) — " +
               "refusing to guess its unit")
