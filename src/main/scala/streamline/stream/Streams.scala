@@ -443,9 +443,11 @@ object Streams {
     *
     * Pinned: the final output equals the uninterrupted-run oracle
     * (state fully migrated — nothing lost, duplicated, or
-    * mis-bucketed; the carrier sum round-trips exactly because the
-    * decimal partial is < 2^49 so the double cast is lossless at 4
-    * decimals), AND the restarted operator's observed
+    * mis-bucketed; the carrier sum round-trips exactly for partials
+    * of ≤15 significant digits, |sum| < 10^11 at scale 4 — Java's
+    * shortest-repr double→decimal path; bound pinned, with a
+    * counterexample past it, in CarrierRoundtripSpec), AND the
+    * restarted operator's observed
     * `numShufflePartitions` is the NEW 5 — the rescale q_stream_rescale
     * records as impossible without a rewrite. No closed window can
     * double-emit: run 1 evicted-and-emitted windows are absent from
