@@ -443,11 +443,11 @@ object Streams {
     *
     * Pinned: the final output equals the uninterrupted-run oracle
     * (state fully migrated — nothing lost, duplicated, or
-    * mis-bucketed; the carrier sum round-trips exactly for partials
-    * of ≤15 significant digits, |sum| < 10^11 at scale 4 — Java's
-    * shortest-repr double→decimal path; bound pinned, with a
-    * counterexample past it, in CarrierRoundtripSpec), AND the
-    * restarted operator's observed
+    * mis-bucketed; the partial sum travels as a DECIMAL carrier, so
+    * the roundtrip is exact at any magnitude the aggregate can
+    * represent — a double carrier would silently round partials past
+    * 15 significant digits, the bound CarrierRoundtripSpec pins with
+    * a counterexample), AND the restarted operator's observed
     * `numShufflePartitions` is the NEW 5 — the rescale q_stream_rescale
     * records as impossible without a rewrite. No closed window can
     * double-emit: run 1 evicted-and-emitted windows are absent from
@@ -471,13 +471,19 @@ object Streams {
     // (ts, event_type, value, cnt): the carrier schema both the real
     // rows (cnt = 1) and the state-rewrite rows (cnt = partial count)
     // flow through, so ONE query shape serves replay and continuation.
+    // `value` is DECIMAL, not double: the checkpointed partial is a
+    // decimal, and carrying it through a double would silently round
+    // partials past 15 significant digits (the bound — with a real
+    // counterexample past it — is pinned in CarrierRoundtripSpec);
+    // the decimal parquet roundtrip is exact at any magnitude the
+    // aggregate itself can represent.
     val carrierSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ts",
         org.apache.spark.sql.types.TimestampType),
       org.apache.spark.sql.types.StructField("event_type",
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.DecimalType(28, 4)),
       org.apache.spark.sql.types.StructField("cnt",
         org.apache.spark.sql.types.LongType)))
     def drain(stage: String, ckpt: String, parts: Int,
@@ -512,13 +518,14 @@ object Streams {
       val carriers = spark.read.format("statestore").load(ck1)
         .select($"key.window.start".as("ts"),
           $"key.event_type".as("event_type"),
-          asDouble($"value.sum").as("value"),
+          $"value.sum".cast("decimal(28,4)").as("value"),
           $"value.count".as("cnt"))
       carriers.coalesce(1).write.parquet(stage2)
       drain(stage2, ck2, 5, carrierSchema, sum($"cnt")) // rebuild at 5
       // -- continuation: remaining input as cnt = 1 carriers ----------
       events.where($"ts" >= lit(cut))
-        .select($"ts", $"event_type", $"value", lit(1L).as("cnt"))
+        .select($"ts", $"event_type",
+          $"value".cast("decimal(28,4)").as("value"), lit(1L).as("cnt"))
         .repartition(2).write.mode("append").parquet(stage2)
       drain(stage2, ck2, 5, carrierSchema, sum($"cnt"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -579,13 +586,16 @@ object Streams {
     val cut = new java.sql.Timestamp(
       (b.getTimestamp(0).getTime + b.getTimestamp(1).getTime) / 2)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // decimal sum carrier (exact at any magnitude — see the rewrite's
+    // carrierSchema note + CarrierRoundtripSpec); mv stays double (it
+    // is the raw per-row input of the NEW max column, not a partial)
     val carrierSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ts",
         org.apache.spark.sql.types.TimestampType),
       org.apache.spark.sql.types.StructField("event_type",
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.DecimalType(28, 4)),
       org.apache.spark.sql.types.StructField("cnt",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("mv",
@@ -612,7 +622,7 @@ object Streams {
       spark.read.format("statestore").load(ck1)
         .select($"key.window.start".as("ts"),
           $"key.event_type".as("event_type"),
-          asDouble($"value.sum").as("value"),
+          $"value.sum".cast("decimal(28,4)").as("value"),
           $"value.count".as("cnt"),
           lit(null).cast("double").as("mv"))
         .coalesce(1).write.parquet(stage2)
@@ -670,7 +680,8 @@ object Streams {
     }
     drainEvolved() // carriers only: rebuilds state, emits nothing
     events.where($"ts" >= lit(cut))
-      .select($"ts", $"event_type", $"value", lit(1L).as("cnt"),
+      .select($"ts", $"event_type",
+        $"value".cast("decimal(28,4)").as("value"), lit(1L).as("cnt"),
         $"value".as("mv"))
       .coalesce(1).write.mode("append").parquet(stage2)
     drainEvolved() // continuation under the evolved schema
