@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import streamline.Q
 import streamline.batch._
-import streamline.llm.{Dedup, Pipeline, Similarity, Text}
+import streamline.llm.{Dedup, Pipeline, Similarity, Spans, Text}
 import streamline.stream.{CepStream, Connect, Stateful, Streams}
 
 /** Driver contract — see /root/repo/SURVEY.md §0.1 and §7.
@@ -21,7 +21,8 @@ object SparkEntry {
       Functions.all ++ UdfSurface.all ++ SqlApi.all ++ SqlTpch.all ++
       Iterate.all ++
       Cep.all ++ Partitioning.all ++ Enrich.all ++ Text.all ++
-      Dedup.all ++ Pipeline.all ++ Similarity.all ++ Streams.all ++
+      Dedup.all ++ Pipeline.all ++ Similarity.all ++ Spans.all ++
+      Streams.all ++
       Stateful.all ++ Connect.all ++ CepStream.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
