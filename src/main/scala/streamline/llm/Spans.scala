@@ -52,11 +52,11 @@ object Spans {
     * and hash-matches — same collision argument as the Jaccard
     * pipeline); the duplicated-gram table is a groupBy on the gram hash
     * and joins back to the position table on that same hash, so both
-    * sides shuffle identically and ReuseExchange collapses the gram
-    * scan. Interval coverage is an explode to (doc, position) + one
-    * distinct — keyed by doc_id throughout. At 100 TB every stage is a
-    * keyed exchange on gram-hash or doc_id; nothing is all-pairs and
-    * nothing lands on the driver. */
+    * sides shuffle on gh. Interval coverage and span counts come from
+    * ONE pass over the duplicated positions (explode to covered
+    * positions + multi-count-distinct), keyed by doc_id. At 100 TB
+    * every stage is a keyed exchange on gram-hash or doc_id; nothing
+    * is all-pairs and nothing lands on the driver. */
   private def dedupSpan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -74,16 +74,19 @@ object Spans {
     val dupPos = g.hint("shuffle_hash")
       .join(dup, "gh")
       .select($"doc_id", $"pos")
-    val spans = dupPos.groupBy($"doc_id")
-      .agg(count(lit(1)).as("dup_spans"))
-    val covered = dupPos
-      .select($"doc_id", explode(sequence($"pos", $"pos" + (K - 1))).as("p"))
-      .distinct()
+    // BOTH per-doc statistics in ONE pass over dupPos (explode each
+    // span to its K covered positions, then a multi-count-distinct —
+    // one Expand, vs re-running the whole gram pipeline per branch):
+    // dup_spans = distinct span starts, dup_tokens = distinct covered
+    // positions (the interval union).
+    val per = dupPos
+      .select($"doc_id", $"pos",
+        explode(sequence($"pos", $"pos" + (K - 1))).as("p"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("dup_tokens"))
+      .agg(count_distinct($"pos").as("dup_spans"),
+        count_distinct($"p").as("dup_tokens"))
     docs.select($"doc_id", size(split($"text", " ")).cast("bigint").as("n_tok"))
-      .join(spans, Seq("doc_id"), "left")
-      .join(covered, Seq("doc_id"), "left")
+      .join(per, Seq("doc_id"), "left")
       .select($"doc_id", $"n_tok",
         coalesce($"dup_spans", lit(0L)).as("dup_spans"),
         coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
