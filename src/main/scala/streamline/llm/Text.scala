@@ -544,6 +544,100 @@ object Text {
     * round) so the aggregate collapses map-side and the top-20 is a
     * TakeOrdered, never a full sort. Deterministic: tie-break on the
     * pair string. */
+  private val BPE_MERGES = 10
+
+  /** q_llm_bpe_train — the FULL BPE tokenizer-training loop (Sennrich
+    * et al. 2016), extending q_llm_bpe_pairs (one round of pair
+    * counting) to the real iterative algorithm: start from per-word
+    * character sequences, and for 10 rounds count adjacent symbol
+    * pairs corpus-wide (weighted by word frequency), merge the most
+    * frequent pair (ties: lexicographic), and apply the merge
+    * greedily left-to-right to every sequence. Output = the learned
+    * merge table (step, l, r, cnt).
+    *
+    * Scale posture: this is how production BPE trainers structure the
+    * work — the corpus contributes exactly ONE keyed count shuffle
+    * (word frequencies); all training state afterwards is
+    * vocabulary-sized by construction, so each merge round is a tiny
+    * keyed aggregate plus a single-row driver fetch (the merge
+    * decision is metadata). Symbol sequences ride as
+    * `[sym][sym]...` strings: the bracket framing makes the
+    * merge a boundary-safe literal `replace` whose left-to-right
+    * non-overlapping scan IS BPE's greedy application order — and
+    * Spark's UTF8String.replace, DuckDB's replace, and
+    * java.lang.String.replace all share that scan, which is what
+    * makes the oracle exact. */
+  private def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Corpus-scale stage: one shuffle. split(w, "") keeps a trailing
+    // "" element (limit -1); array_remove drops it.
+    var seqs = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .select($"freq", concat(lit("["),
+        concat_ws("][", array_remove(split($"word", ""), "")),
+        lit("]")).as("seq"))
+      .localCheckpoint(true) // vocab-sized
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= BPE_MERGES && !exhausted) {
+      val pairs = seqs
+        .select($"freq",
+          split(regexp_replace($"seq", "^\\[|\\]$", ""), "\\]\\[")
+            .as("syms"))
+        .select($"freq", explode(zip_with(
+          slice($"syms", lit(1), greatest(size($"syms") - 1, lit(0))),
+          slice($"syms", lit(2), greatest(size($"syms") - 1, lit(0))),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"freq").as("cnt"))
+      // Single-row fetch: the merge DECISION is metadata-scale.
+      val top = pairs.orderBy($"cnt".desc, $"l".asc, $"r".asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, l, r, c))
+        seqs = seqs.select($"freq",
+          replace($"seq", lit(s"[$l][$r]"), lit(s"[$l$r]")).as("seq"))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    merges.result().toDF("step", "l", "r", "cnt").orderBy($"step")
+  }
+
+  /** Chained MATERIALIZED CTEs (plain CTE inlining re-expands the
+    * whole prefix per round — exponential); one top-reference per
+    * round via the cross join. */
+  private val bpeTrainSql: String = {
+    val rounds = (1 to BPE_MERGES).map { i =>
+      s"""pairs$i AS MATERIALIZED (SELECT syms[i] AS l, syms[i+1] AS r,
+        CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, syms,
+              unnest(generate_series(1, len(syms) - 1)) AS i
+            FROM (SELECT freq, string_split(trim(seq, '[]'), '][') AS syms
+                  FROM seq${i - 1}))
+      GROUP BY 1, 2),
+    top$i AS MATERIALIZED (SELECT l, r, cnt FROM pairs$i
+      ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+    seq$i AS MATERIALIZED (SELECT freq, replace(seq,
+        '[' || l || '][' || r || ']', '[' || l || r || ']') AS seq
+      FROM seq${i - 1}, top$i)"""
+    }
+    val tops = (1 to BPE_MERGES)
+      .map(i => s"SELECT $i AS step, l, r, cnt FROM top$i")
+    s"""WITH seq0 AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS freq,
+        '[' || array_to_string(string_split(word, ''), '][') || ']' AS seq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word),
+    ${rounds.mkString(",\n    ")}
+    SELECT * FROM (${tops.mkString(" UNION ALL ")}) ORDER BY step"""
+  }
+
   private def bpePairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -661,6 +755,7 @@ object Text {
     Q("q_llm_entropy", entropy _, entropySql),
     Q("q_llm_inverted_index", invertedIndex _, invertedIndexSql),
     Q("q_llm_bpe_pairs", bpePairs _, bpePairsSql),
+    Q("q_llm_bpe_train", bpeTrain _, bpeTrainSql),
     Q("q_llm_bigram_lm", bigramLm _, bigramLmSql),
     Q("q_llm_gopher", gopher _, gopherSql),
     Q("q_llm_chunk", chunk _, chunkSql),

@@ -1,0 +1,57 @@
+package streamline
+
+import graft.SparkSuite
+
+/** Independent in-JVM oracle for q_llm_bpe_train: a direct Scala
+  * implementation of the Sennrich et al. merge loop (greedy
+  * left-to-right pair merging over symbol LISTS — no string-replace
+  * trick, so a framing bug in the bracketed representation cannot
+  * cancel out) compared step-by-step against the operator.
+  */
+class BpeTrainSpec extends SparkSuite {
+
+  private def mergeGreedy(syms: List[String], l: String, r: String)
+      : List[String] = syms match {
+    case a :: b :: rest if a == l && b == r =>
+      (a + b) :: mergeGreedy(rest, l, r)
+    case a :: rest => a :: mergeGreedy(rest, l, r)
+    case Nil => Nil
+  }
+
+  test("q_llm_bpe_train matches an in-JVM merge loop") {
+    import graft.SparkTestBase.spark.implicits._
+    val freqs = Tables.documents(spark, sfDir)
+      .select($"text").as[String].collect()
+      .flatMap(_.split(' '))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var seqs: Map[List[String], Long] =
+      freqs.map { case (w, f) => w.toList.map(_.toString) -> f }
+    val want = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to 10) {
+      val pairCnt = collection.mutable.Map.empty[(String, String), Long]
+      seqs.foreach { case (s, f) =>
+        s.zip(s.drop(1)).foreach { p =>
+          pairCnt(p) = pairCnt.getOrElse(p, 0L) + f
+        }
+      }
+      val ((l, r), c) = pairCnt.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.head
+      want += ((step, l, r, c))
+      seqs = seqs.groupBy { case (s, _) => mergeGreedy(s, l, r) }
+        .map { case (s, m) => s -> m.values.sum }
+    }
+    val got = graft.SparkEntry.queries("q_llm_bpe_train")(spark, sfDir)
+      .collect()
+    val expect = want.result()
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (row, (step, l, r, c)) =>
+      assert((row.getInt(0), row.getString(1), row.getString(2),
+        row.getLong(3)) == ((step, l, r, c)), s"step $step")
+    }
+    // Non-degenerate: later rounds must merge MULTI-character symbols
+    // (the iterative part single-round q_llm_bpe_pairs cannot see).
+    assert(expect.exists { case (_, l, r, _) =>
+      l.length > 1 || r.length > 1
+    })
+  }
+}
