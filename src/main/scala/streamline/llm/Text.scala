@@ -567,14 +567,18 @@ object Text {
     * Spark's UTF8String.replace, DuckDB's replace, and
     * java.lang.String.replace all share that scan, which is what
     * makes the oracle exact. */
-  private def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared BPE training loop: returns the learned merge table and the
+    * final per-WORD symbol-sequence table (word, freq, seq) — the
+    * word-level encode cache q_llm_bpe_encode joins against. */
+  private def trainBpe(spark: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     import spark.implicits._
     // Corpus-scale stage: one shuffle. split(w, "") keeps a trailing
     // "" element (limit -1); array_remove drops it.
     var seqs = Tables.documents(spark, dir)
       .select(explode(split($"text", " ")).as("word"))
       .groupBy($"word").agg(count(lit(1)).as("freq"))
-      .select($"freq", concat(lit("["),
+      .select($"word", $"freq", concat(lit("["),
         concat_ws("][", array_remove(split($"word", ""), "")),
         lit("]")).as("seq"))
       .localCheckpoint(true) // vocab-sized
@@ -600,19 +604,52 @@ object Text {
         val (l, r, c) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step, l, r, c))
-        seqs = seqs.select($"freq",
+        seqs = seqs.select($"word", $"freq",
           replace($"seq", lit(s"[$l][$r]"), lit(s"[$l$r]")).as("seq"))
           .localCheckpoint(true)
         step += 1
       }
     }
-    merges.result().toDF("step", "l", "r", "cnt").orderBy($"step")
+    (merges.result(), seqs)
+  }
+
+  private def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trainBpe(spark, dir)._1.toDF("step", "l", "r", "cnt").orderBy($"step")
+  }
+
+  /** q_llm_bpe_encode — the ENCODE half of the tokenizer: apply the
+    * learned merge table back to the corpus and report per-doc BPE
+    * token counts and chars-per-token compression. Every corpus word
+    * is in the training vocabulary by construction, so encoding is a
+    * broadcast join against the final word→symbol-sequence table —
+    * precisely the word-level encode cache production tokenizers keep
+    * (per-word greedy merge application memoized once, corpus pass is
+    * a vocabulary-sized broadcast lookup, zero shuffle on the doc
+    * side beyond the per-doc aggregate). */
+  private def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = trainBpe(spark, dir)._2
+      .select($"word", length($"word").cast("long").as("wlen"),
+        size(split(regexp_replace($"seq", "^\\[|\\]$", ""), "\\]\\["))
+          .cast("long").as("n_sym"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .join(broadcast(vocab), "word")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_sym").as("n_bpe"),
+        round(sum($"wlen").cast("double") / sum($"n_sym"), 6)
+          .as("chars_per_tok"))
+      .orderBy($"doc_id")
   }
 
   /** Chained MATERIALIZED CTEs (plain CTE inlining re-expands the
     * whole prefix per round — exponential); one top-reference per
-    * round via the cross join. */
-  private val bpeTrainSql: String = {
+    * round via the cross join. Shared by the train and encode
+    * oracles — `word` rides along so seq10 doubles as the encode
+    * cache. */
+  private val bpeChainSql: String = {
     val rounds = (1 to BPE_MERGES).map { i =>
       s"""pairs$i AS MATERIALIZED (SELECT syms[i] AS l, syms[i+1] AS r,
         CAST(sum(freq) AS BIGINT) AS cnt
@@ -623,20 +660,37 @@ object Text {
       GROUP BY 1, 2),
     top$i AS MATERIALIZED (SELECT l, r, cnt FROM pairs$i
       ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-    seq$i AS MATERIALIZED (SELECT freq, replace(seq,
+    seq$i AS MATERIALIZED (SELECT word, freq, replace(seq,
         '[' || l || '][' || r || ']', '[' || l || r || ']') AS seq
       FROM seq${i - 1}, top$i)"""
     }
-    val tops = (1 to BPE_MERGES)
-      .map(i => s"SELECT $i AS step, l, r, cnt FROM top$i")
     s"""WITH seq0 AS MATERIALIZED (
-      SELECT CAST(count(*) AS BIGINT) AS freq,
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
         '[' || array_to_string(string_split(word, ''), '][') || ']' AS seq
       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       GROUP BY word),
-    ${rounds.mkString(",\n    ")}
+    ${rounds.mkString(",\n    ")}"""
+  }
+
+  private val bpeTrainSql: String = {
+    val tops = (1 to BPE_MERGES)
+      .map(i => s"SELECT $i AS step, l, r, cnt FROM top$i")
+    s"""$bpeChainSql
     SELECT * FROM (${tops.mkString(" UNION ALL ")}) ORDER BY step"""
   }
+
+  private val bpeEncodeSql: String = s"""$bpeChainSql,
+    v AS (SELECT word, CAST(length(word) AS BIGINT) AS wlen,
+            CAST(len(string_split(trim(seq, '[]'), '][')) AS BIGINT)
+              AS n_sym
+          FROM seq$BPE_MERGES),
+    t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents)
+    SELECT doc_id, count(*) AS n_words,
+      CAST(sum(n_sym) AS BIGINT) AS n_bpe,
+      round(CAST(sum(wlen) AS DOUBLE) / sum(n_sym), 6) AS chars_per_tok
+    FROM t JOIN v USING (word)
+    GROUP BY doc_id ORDER BY doc_id"""
 
   private def bpePairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -756,6 +810,7 @@ object Text {
     Q("q_llm_inverted_index", invertedIndex _, invertedIndexSql),
     Q("q_llm_bpe_pairs", bpePairs _, bpePairsSql),
     Q("q_llm_bpe_train", bpeTrain _, bpeTrainSql),
+    Q("q_llm_bpe_encode", bpeEncode _, bpeEncodeSql),
     Q("q_llm_bigram_lm", bigramLm _, bigramLmSql),
     Q("q_llm_gopher", gopher _, gopherSql),
     Q("q_llm_chunk", chunk _, chunkSql),

@@ -54,4 +54,46 @@ class BpeTrainSpec extends SparkSuite {
       l.length > 1 || r.length > 1
     })
   }
+
+  test("q_llm_bpe_encode token counts equal the in-JVM encode") {
+    import graft.SparkTestBase.spark.implicits._
+    val texts = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // Re-derive the final word -> n_symbols cache with the same
+    // symbol-list loop as the train test.
+    val freqs = texts.flatMap(_._2.split(' '))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var seqs: Map[String, List[String]] =
+      freqs.keys.map(w => w -> w.toList.map(_.toString)).toMap
+    for (_ <- 1 to 10) {
+      val pairCnt = collection.mutable.Map.empty[(String, String), Long]
+      seqs.foreach { case (w, s) =>
+        s.zip(s.drop(1)).foreach { p =>
+          pairCnt(p) = pairCnt.getOrElse(p, 0L) + freqs(w)
+        }
+      }
+      if (pairCnt.nonEmpty) {
+        val ((l, r), _) = pairCnt.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head
+        seqs = seqs.view.mapValues(mergeGreedy(_, l, r)).toMap
+      }
+    }
+    val nSym = seqs.view.mapValues(_.size.toLong).toMap
+    val got = graft.SparkEntry.queries("q_llm_bpe_encode")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.size == texts.length)
+    texts.foreach { case (id, t) =>
+      val ws = t.split(' ')
+      val bpe = ws.map(nSym).sum
+      val chars = ws.map(_.length.toLong).sum
+      val (nw, nb, cpt) = got(id)
+      assert(nw == ws.length && nb == bpe, s"doc $id")
+      assert(math.abs(cpt - chars.toDouble / bpe) < 1e-6, s"cpt doc $id")
+    }
+    // Compression must be real: merges shorten at least some docs.
+    assert(texts.exists { case (id, t) =>
+      got(id)._2 < t.split(' ').map(_.length.toLong).sum
+    })
+  }
 }
