@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import streamline.Q
 import streamline.batch._
-import streamline.llm.{Dedup, Pipeline, Similarity, Spans, Text}
+import streamline.llm.{Dedup, Pipeline, Similarity, Spans, Text, Vocab}
 import streamline.stream.{CepStream, Connect, Stateful, Streams}
 
 /** Driver contract — see /root/repo/SURVEY.md §0.1 and §7.
@@ -22,6 +22,7 @@ object SparkEntry {
       Iterate.all ++
       Cep.all ++ Partitioning.all ++ Enrich.all ++ Text.all ++
       Dedup.all ++ Pipeline.all ++ Similarity.all ++ Spans.all ++
+      Vocab.all ++
       Streams.all ++
       Stateful.all ++ Connect.all ++ CepStream.all
 

@@ -751,7 +751,50 @@ object Aggregates {
       dn * m4 / (m2 * m2) - 3 AS kurt_qty
     FROM mm ORDER BY l_returnflag"""
 
+  private val HIST_BUCKETS = 16
+
+  /** q_agg_hist — equi-width histogram with exact per-bucket stats (the
+    * data-profiling / NDV-planning primitive; the exact twin of the
+    * sketched `histogram_numeric`): prices in integer CENTS, corpus
+    * min/max from one global aggregate, bucket index by INTEGER
+    * arithmetic `((p−lo)·B) div (hi−lo+1)` — engine-exact, no float
+    * edges, no width_bucket dialect drift. Per bucket: count, min, max,
+    * sum, all integers.
+    *
+    * Plan: pass 1 is a single-row global min/max (at 100 TB this is the
+    * footer-stat aggregate q_scan_agg_pushdown pins — parquet answers
+    * it without reading data pages); the single-row frame BROADCASTS
+    * into pass 2, one map-side-combined groupBy on the computed bucket
+    * (≤ B groups ⇒ the shuffle carries B rows per partition). */
+  private def aggHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // l_extendedprice is a parquet DOUBLE: the cents conversion must
+    // round EXPLICITLY — Spark's double→bigint cast truncates while
+    // DuckDB's rounds, so a bare cast diverges on any .99999 artifact.
+    val v = Tables.lineitem(spark, dir)
+      .select(round($"l_extendedprice" * 100).cast("bigint").as("p"))
+    val mm = v.agg(min($"p").as("lo"), max($"p").as("hi"))
+    v.crossJoin(broadcast(mm))
+      .select(expr(s"((p - lo) * $HIST_BUCKETS) DIV (hi - lo + 1)")
+        .as("bucket"), $"p")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("cnt"), min($"p").as("p_min"),
+        max($"p").as("p_max"), sum($"p").as("p_sum"))
+      .orderBy($"bucket")
+  }
+
+  private val aggHistSql = s"""
+    WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+               FROM lineitem),
+    mm AS (SELECT min(p) AS lo, max(p) AS hi FROM v)
+    SELECT ((p - lo) * $HIST_BUCKETS) // (hi - lo + 1) AS bucket,
+      CAST(count(*) AS BIGINT) AS cnt, min(p) AS p_min, max(p) AS p_max,
+      CAST(sum(p) AS BIGINT) AS p_sum
+    FROM v CROSS JOIN mm
+    GROUP BY 1 ORDER BY bucket"""
+
   val all: Seq[streamline.Q] = Seq(
+    streamline.Q("q_agg_hist", aggHist _, aggHistSql),
     streamline.Q("q_agg_listagg", aggListagg _, aggListaggSql),
     streamline.Q("q_agg_bool", aggBool _, aggBoolSql),
     streamline.Q("q_agg_skew_kurt", aggSkewKurt _, aggSkewKurtSql),

@@ -680,7 +680,69 @@ object Functions {
       TRUE AS rt_ok
     FROM supplier ORDER BY s_suppkey"""
 
+  /** q_fn_editdist — edit-distance scalar family (fuzzy matching /
+    * record-linkage primitive): plain Levenshtein between two string
+    * columns, the THRESHOLD-bounded form (Spark 3.5+ bails out of the
+    * DP early and returns −1 past the bound — the form to use in a
+    * 100 TB similarity filter, O(threshold·len) instead of
+    * O(len²)), and the empty-string edge (distance = other length).
+    * Pure per-row codegen, no shuffle; the oracle spells the bounded
+    * form as CASE over DuckDB's unbounded levenshtein. */
+  private def fnEditdist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select($"p_partkey",
+        levenshtein($"p_name", $"p_type").cast("bigint").as("lev_nt"),
+        levenshtein($"p_name", $"p_type", 12).cast("bigint")
+          .as("lev_nt_cap"),
+        levenshtein($"p_brand", $"p_type").cast("bigint")
+          .as("lev_bt"),
+        levenshtein(lit(""), $"p_brand").cast("bigint").as("lev_empty"))
+      .orderBy($"p_partkey")
+  }
+
+  private val fnEditdistSql = """
+    SELECT p_partkey,
+      CAST(levenshtein(p_name, p_type) AS BIGINT) AS lev_nt,
+      CAST(CASE WHEN levenshtein(p_name, p_type) > 12 THEN -1
+        ELSE levenshtein(p_name, p_type) END AS BIGINT) AS lev_nt_cap,
+      CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev_bt,
+      CAST(levenshtein('', p_brand) AS BIGINT) AS lev_empty
+    FROM part ORDER BY p_partkey"""
+
+  /** q_fn_format — printf-style formatting family (report/export
+    * surface): `format_string` with %s / zero-padded %05d / hex %x
+    * conversions, ascii↔chr round-trip, and `repeat`. Integer-only
+    * conversions on purpose: Java's Formatter rounds %f ties HALF_UP
+    * while C printf (DuckDB) rounds half-even, so float conversions are
+    * the one cross-engine trap in this family — documented here,
+    * excluded from the witness. Pure per-row codegen. */
+  private def fnFormat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.supplier(spark, dir)
+      .select($"s_suppkey",
+        format_string("%s-%05d", $"s_name", $"s_suppkey").as("tag"),
+        format_string("%x", $"s_suppkey").as("hexkey"),
+        ascii($"s_name").cast("bigint").as("first_code"),
+        concat(expr("char(ascii(s_name))"), lit(":"), $"s_name")
+          .as("chr_roundtrip"),
+        repeat(lit("#"), (pmod($"s_suppkey", lit(5)) + 1).cast("int"))
+          .as("bar"))
+      .orderBy($"s_suppkey")
+  }
+
+  private val fnFormatSql = """
+    SELECT s_suppkey,
+      printf('%s-%05d', s_name, s_suppkey) AS tag,
+      printf('%x', s_suppkey) AS hexkey,
+      CAST(ascii(s_name) AS BIGINT) AS first_code,
+      chr(ascii(s_name)) || ':' || s_name AS chr_roundtrip,
+      repeat('#', CAST(s_suppkey % 5 + 1 AS INT)) AS bar
+    FROM supplier ORDER BY s_suppkey"""
+
   val all: Seq[Q] = Seq(
+    Q("q_fn_format", fnFormat _, fnFormatSql),
+    Q("q_fn_editdist", fnEditdist _, fnEditdistSql),
     Q("q_fn_collation", fnCollation _, fnCollationSql),
     Q("q_fn_aes", fnAes _, fnAesSql),
     Q("q_fn_xpath", fnXpath _, fnXpathSql),

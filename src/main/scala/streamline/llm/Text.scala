@@ -499,6 +499,14 @@ object Text {
     * in exact DECIMAL before one final double division. */
   private def bigramLm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    lmScores(spark, dir).orderBy($"doc_id")
+  }
+
+  /** The per-doc scoring pipeline of [[bigramLm]], shared with
+    * q_llm_ppl_bucket (llm/Vocab.scala) so the CCNet bucketing is
+    * guaranteed to rank the EXACT doubles the scoring query emits. */
+  private[llm] def lmScores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val toks = expr("filter(split(text, ' '), x -> x <> '')")
     val big = Tables.documents(spark, dir)
       .select($"doc_id", toks.as("t"))
@@ -516,7 +524,6 @@ object Text {
       .agg(count(lit(1)).as("n_bigrams"),
         (streamline.util.Det.asDouble(sum(p.cast(DecimalType(12, 9)))) /
           count(lit(1)).cast("double")).as("lm_score"))
-      .orderBy($"doc_id")
   }
 
   private val bigramLmSql = """

@@ -36,6 +36,19 @@ class PlanAuditSpec extends SparkSuite {
     assert(bad.isEmpty, s"unsanctioned cartesian plans in: $bad")
   }
 
+  test("r10 vocab/hist queries broadcast their model-sized sides") {
+    // df table / trigram-prefix table / min-max frame are vocabulary- or
+    // single-row-sized: the corpus side must never shuffle for them.
+    Seq("q_llm_df_prune" -> "BroadcastHashJoin",
+        "q_llm_ngram_lm" -> "BroadcastHashJoin",
+        "q_agg_hist" -> "BroadcastNestedLoopJoin").foreach {
+      case (name, shape) =>
+        val plan = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains(shape), s"$name lost its $shape")
+    }
+  }
+
   test("oracle omissions are exactly the sanctioned approx/semantics ops") {
     val omitted = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val sanctioned = Set(
