@@ -740,7 +740,40 @@ object Functions {
       repeat('#', CAST(s_suppkey % 5 + 1 AS INT)) AS bar
     FROM supplier ORDER BY s_suppkey"""
 
+  /** q_fn_mask — character-class masking (`mask()`, Spark 3.5+): the
+    * schema-level PII-masking surface next to q_llm_redact's denylist
+    * scrubbing — upper→X, lower→x, digit→n by default, plus a
+    * fully-overridden variant (incl. the other-char class). Per-row
+    * codegen, no shuffle; the oracle spells each class as a chained
+    * global regexp_replace, other-class LAST so the replacement
+    * characters themselves are never re-masked. */
+  private def fnMask(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .select($"c_custkey",
+        mask($"c_name").as("m_name"),
+        mask($"c_mktsegment").as("m_seg"),
+        mask($"c_name", lit("U"), lit("l"), lit("9"), lit("?"))
+          .as("m_custom"))
+      .orderBy($"c_custkey")
+  }
+
+  private val fnMaskSql = """
+    SELECT c_custkey,
+      regexp_replace(regexp_replace(regexp_replace(c_name,
+        '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        AS m_name,
+      regexp_replace(regexp_replace(regexp_replace(c_mktsegment,
+        '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        AS m_seg,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        c_name,
+        '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '9', 'g'),
+        '[^Ul9]', '?', 'g') AS m_custom
+    FROM customer ORDER BY c_custkey"""
+
   val all: Seq[Q] = Seq(
+    Q("q_fn_mask", fnMask _, fnMaskSql),
     Q("q_fn_format", fnFormat _, fnFormatSql),
     Q("q_fn_editdist", fnEditdist _, fnEditdistSql),
     Q("q_fn_collation", fnCollation _, fnCollationSql),
