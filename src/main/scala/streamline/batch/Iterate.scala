@@ -612,6 +612,198 @@ object Iterate {
            WHERE src IN (SELECT v FROM k3) AND dst IN (SELECT v FROM k3))
     SELECT src AS v, count(*) AS deg FROM e3 GROUP BY src ORDER BY v"""
 
+  /** Directed min-label propagation to a fixed point, with pointer
+    * jumping: label(v) converges to the smallest vertex with a directed
+    * path TO v over `e` (src → dst). Pointer jumping stays valid in the
+    * directed case — if u reaches v and t reaches u then t reaches v —
+    * so convergence is O(log diameter) supersteps like the undirected
+    * CC loop. `init` must contain every vertex keyed by `v` with a
+    * starting `comp` that is itself a vertex id. */
+  private def minLabelFixpoint(init: DataFrame, e: DataFrame): DataFrame = {
+    val spark = init.sparkSession
+    import spark.implicits._
+    fixpoint(init, 100) { comp =>
+      val fromIn = e.join(stateSide(comp), e("src") === comp("v"))
+        .select(e("dst").as("v"), comp("comp"))
+      val prop = comp.union(fromIn)
+        .groupBy($"v").agg(min($"comp").as("comp"))
+        .localCheckpoint(true)
+      val lut = prop.select($"v".as("lv"), $"comp".as("lcomp"))
+      prop.join(stateSide(lut), $"comp" === $"lv")
+        .select($"v", least($"comp", $"lcomp").as("comp"))
+    } { df =>
+      df.agg(coalesce(sum($"comp"), lit(0L))).as[Long].head().toDouble
+    }._1
+  }
+
+  /** Strongly connected components of a directed edge list `(src, dst)`
+    * by parallel trim + forward/backward min-label coloring (Orzan's
+    * coloring algorithm / the FW-BW-Trim family of Slota et al.; the
+    * Gelly lineage ships SCC among its library examples). Per outer
+    * round on the remaining graph:
+    *
+    *  1. TRIM — iteratively drop vertices missing an in- or an
+    *     out-edge: they cannot lie on a cycle, so each is its own
+    *     singleton SCC (`scc_id = v`).
+    *  2. FORWARD COLORING — [[minLabelFixpoint]] along edge direction:
+    *     F(v) = the smallest remaining vertex that reaches v. The color
+    *     classes partition the graph, each class's minimum IS its color
+    *     c (anything smaller reaching a member would also reach c), and
+    *     every path between two same-SCC members stays inside their
+    *     class.
+    *  3. BACKWARD SWEEP — the same fixpoint along the REVERSED
+    *     class-internal edges: B(v) = the smallest same-color vertex v
+    *     reaches. B(v) = F(v) = c exactly when v and its color root c
+    *     reach each other, i.e. v ∈ SCC(c) — so one sweep extracts the
+    *     root SCC of EVERY color in parallel, emitted with scc_id = c =
+    *     the minimum member id.
+    *
+    * Extracted SCCs leave the graph and the round repeats; the round
+    * count is bounded by the depth of the condensation DAG, not the
+    * vertex count. Every step is a keyed join/aggregate on the vertex
+    * key (min is order-independent ⇒ oracle-exact), state tables follow
+    * the `graft.iter.broadcast` knob, and each superstep is
+    * lineage-truncated like every loop in this module. Returns
+    * `((v, scc_id), rounds)` with scc_id = min vertex id of v's SCC. */
+  def stronglyConnectedComponents(edges0: DataFrame,
+                                  maxRounds: Int = 50): (DataFrame, Int) = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    withIterConfs(spark) {
+      var edges = edges0.select($"src", $"dst").distinct()
+        .localCheckpoint(true)
+      var verts = edges.select($"src".as("v"))
+        .union(edges.select($"dst".as("v"))).distinct()
+        .localCheckpoint(true)
+      val found = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var rounds = 0
+      var remaining = verts.count()
+      while (remaining > 0 && rounds < maxRounds) {
+        rounds += 1
+        // (1) trim to the cyclic core.
+        val (core, _) = fixpoint(verts, 200) { vs =>
+          val live = edges
+            .join(stateSide(vs.select($"v".as("sv"))), $"src" === $"sv",
+              "left_semi")
+            .join(stateSide(vs.select($"v".as("dv"))), $"dst" === $"dv",
+              "left_semi")
+          live.select($"src".as("v")).intersect(live.select($"dst".as("v")))
+        } { df =>
+          df.agg(coalesce(sum($"v"), lit(0L))).as[Long].head().toDouble
+        }
+        found += verts.except(core).select($"v", $"v".as("scc_id"))
+          .localCheckpoint(true)
+        val e = edges
+          .join(stateSide(core.select($"v".as("sv"))), $"src" === $"sv",
+            "left_semi")
+          .join(stateSide(core.select($"v".as("dv"))), $"dst" === $"dv",
+            "left_semi")
+          .select($"src", $"dst").localCheckpoint(true)
+        // (2) forward coloring (seeded, like CC, with the closed
+        // in-neighborhood min so the first superstep is pre-paid).
+        val fInit = e.select($"dst".as("v"), $"src".as("comp"))
+          .union(core.select($"v", $"v".as("comp")))
+          .groupBy($"v").agg(min($"comp").as("comp"))
+        val colored = minLabelFixpoint(fInit, e)
+        // (3) backward sweep over reversed same-color edges.
+        val cSrc = colored.select($"v".as("sv"), $"comp".as("scomp"))
+        val cDst = colored.select($"v".as("dv"), $"comp".as("dcomp"))
+        val eBack = e.join(stateSide(cSrc), $"src" === $"sv")
+          .join(stateSide(cDst), $"dst" === $"dv")
+          .where($"scomp" === $"dcomp")
+          .select($"dst".as("src"), $"src".as("dst"))
+          .localCheckpoint(true)
+        val bInit = eBack.select($"dst".as("v"), $"src".as("comp"))
+          .union(core.select($"v", $"v".as("comp")))
+          .groupBy($"v").agg(min($"comp").as("comp"))
+        val back = minLabelFixpoint(bInit, eBack)
+        val scc = colored
+          .join(back.select($"v".as("bv"), $"comp".as("bcomp")),
+            $"v" === $"bv")
+          .where($"comp" === $"bcomp")
+          .select($"v", $"comp".as("scc_id"))
+          .localCheckpoint(true)
+        found += scc
+        verts = core.except(scc.select($"v")).localCheckpoint(true)
+        edges = e
+        remaining = verts.count()
+      }
+      val out =
+        if (found.isEmpty) verts.select($"v", $"v".as("scc_id"))
+        else found.reduce(_ unionByName _)
+      (out, rounds)
+    }
+  }
+
+  /** q_iter_scc — strongly connected components of the DIRECTED
+    * customer–supplier trade graph of 1997-01: a high-quantity line
+    * (l_quantity > 25) points customer → supplier, a low-quantity line
+    * points supplier → customer, so cycles arise whenever trade flows
+    * both ways around a chain of customers and suppliers (supplier ids
+    * offset by 1,000,000 as in q_iter_cc). Directedness is what
+    * separates this from q_iter_cc: the weakly-connected answer here is
+    * one giant blob, while the strong answer has a large cyclic core
+    * plus an acyclic fringe the trim phase peels. Output: every vertex
+    * with scc_id = min member of its SCC plus the SCC size, totally
+    * ordered. */
+  private def iterScc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val month = Tables.orders(spark, dir)
+      .where($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-02-01").cast("timestamp"))
+    val raw = month
+      .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), ($"l_suppkey" + lit(1000000L)).as("s"),
+        $"l_quantity".as("q"))
+    val edges = raw.where($"q" > 25).select($"c".as("src"), $"s".as("dst"))
+      .union(raw.where($"q" <= 25).select($"s".as("src"), $"c".as("dst")))
+      .distinct()
+    val (scc, _) = stronglyConnectedComponents(edges)
+    val sizes = scc.groupBy($"scc_id").agg(count(lit(1)).as("scc_size"))
+    scc.join(sizes, "scc_id")
+      .select($"v", $"scc_id", $"scc_size")
+      .orderBy($"v")
+  }
+
+  /** Oracle: textbook quadratic spelling — transitive closure via
+    * recursive CTE, scc_id(v) = min over the mutually-reachable set
+    * (v itself included); the iterative coloring plan above is the one
+    * that scales. CTE hygiene: inside a `WITH RECURSIVE` clause DuckDB
+    * gives EVERY top-level `a UNION b` CTE body recursive-union
+    * treatment, which skips the cross-arm dedup a plain UNION performs
+    * — so the non-recursive set unions here are spelled
+    * DISTINCT-over-UNION-ALL, keeping only `reach` genuinely
+    * recursive. */
+  private val iterSccSql = """
+    WITH RECURSIVE
+    raw AS (
+      SELECT o_custkey AS c, l_suppkey + 1000000 AS s, l_quantity AS q
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-02-01 00:00:00'),
+    e AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT c AS src, s AS dst FROM raw WHERE q > 25
+        UNION ALL
+        SELECT s AS src, c AS dst FROM raw WHERE q <= 25)),
+    verts AS (SELECT DISTINCT v FROM (
+        SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)),
+    reach(a, b) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT reach.a, e.dst FROM reach JOIN e ON reach.b = e.src),
+    mutual AS (
+      SELECT r1.a AS v, min(r1.b) AS mn
+      FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+      GROUP BY r1.a),
+    lab AS (
+      SELECT verts.v, least(verts.v, coalesce(mutual.mn, verts.v)) AS scc_id
+      FROM verts LEFT JOIN mutual ON verts.v = mutual.v),
+    sizes AS (SELECT scc_id, count(*) AS scc_size FROM lab GROUP BY scc_id)
+    SELECT v, lab.scc_id AS scc_id, scc_size
+    FROM lab JOIN sizes USING (scc_id)
+    ORDER BY v"""
+
   /** Synchronous label propagation (the Gelly LabelPropagation shape
     * [UPSTREAM `flink-libraries/flink-gelly/.../LabelPropagation.java`]):
     * each superstep every vertex adopts the most frequent label among
@@ -706,6 +898,7 @@ object Iterate {
     Q("q_iter_lpa", iterLpa _, iterLpaSql),
     Q("q_iter_kcore", iterKcore _, iterKcoreSql),
     Q("q_iter_cc", iterCc _, iterCcSql),
+    Q("q_iter_scc", iterScc _, iterSccSql),
     Q("q_iter_triangles", iterTriangles _, iterTrianglesSql),
     Q("q_iter_delta", iterDelta _, iterDeltaSql),
     Q("q_iter_pagerank", iterPagerank _, iterPagerankSql),

@@ -402,6 +402,33 @@ object Joins {
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** q_scan_bucket_prune — bucket pruning on the bucketed orders table
+    * (§2.1 scan family, staged by [[bucketedTables]]): an IN predicate
+    * on the bucket key lets the scan enumerate only the matching
+    * buckets' files (`SelectedBucketsCount: k out of N` on the scan
+    * node) — the file-level sibling of q_scan_prune's row-group
+    * pruning and q_join_dpp's partition pruning. At 100 TB this turns
+    * a point lookup over a bucketed fact table from a full scan into
+    * reading ≤ k/N of the files, with zero shuffle and the predicate
+    * still pushed to parquet inside the surviving buckets. Plan pinned
+    * in BucketedJoinPlanSpec. */
+  private def scanBucketPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bucketedTables(spark, dir)
+    spark.table("graft_b_orders")
+      .where($"o_custkey".isin(1L, 2L, 4L, 5L, 7L, 8L))
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec("o_totalprice"))).as("sum_price"))
+      .orderBy($"o_custkey")
+  }
+
+  private val scanBucketPruneSql = """
+    SELECT o_custkey, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_custkey IN (1, 2, 4, 5, 7, 8)
+    GROUP BY o_custkey ORDER BY o_custkey"""
+
   /** q_cogroup — Flink `DataSet.coGroup`: for each key, BOTH sides' row
     * groups are presented to one function together (a full-outer
     * grouping, more general than a join — the function sees empty
@@ -579,6 +606,7 @@ object Joins {
     Q("q_join_hash", joinHash _, joinHashSql),
     Q("q_cogroup", cogroup _, cogroupSql),
     Q("q_join_bucketed", joinBucketed _, joinBucketedSql),
+    Q("q_scan_bucket_prune", scanBucketPrune _, scanBucketPruneSql),
     Q("q_join_merge", joinMerge _, joinMergeSql),
     Q("q_join_broadcast", joinBroadcast _, joinBroadcastSql),
     Q("q_join_left", joinLeft _, joinLeftSql),

@@ -344,6 +344,104 @@ object Text {
     FROM t JOIN r USING (word)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  /** q_llm_zipf — per-language rank–frequency (Zipf) profile in
+    * OCTAVES: word frequencies ranked inside each language
+    * (row_number over (n DESC, word) — a total tie order), ranks
+    * binned into octaves o = ⌊log₂ rank⌋ computed EXACTLY as
+    * `length(bin(rank)) − 1` (integer bit-length in both engines, no
+    * float log on the grouping path), then per octave the type count
+    * and total token mass. For a Zipf exponent s the octave mass
+    * scales as 2^{o(1−s)}, so the per-octave exponent estimate is
+    * s = 1 − log₂(massₒ/massₒ₋₁) — the ONE transcendental, applied to
+    * an exact integer ratio on the OUTPUT only and rounded to 4 dp
+    * (the tf-idf ln discipline). Scale: corpus contributes one keyed
+    * (lang, word) count; everything after runs on the vocabulary
+    * table, whose per-language window sort is vocab-sized, not
+    * corpus-sized. */
+  private def zipf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val freqs = Tables.documents(spark, dir)
+      .select($"lang", explode(split($"text", " ")).as("word"))
+      .where($"word" =!= "")
+      .groupBy($"lang", $"word").agg(count(lit(1)).as("n"))
+    val ranked = freqs.select($"lang", $"n",
+      row_number().over(Window.partitionBy($"lang")
+        .orderBy($"n".desc, $"word".asc)).as("rnk"))
+    val prof = ranked
+      .select($"lang", $"n", (length(bin($"rnk")) - 1).as("octave"))
+      .groupBy($"lang", $"octave")
+      .agg(count(lit(1)).as("n_types"), sum($"n").as("sum_freq"))
+    val w = Window.partitionBy($"lang").orderBy($"octave")
+    prof
+      .select($"lang", $"octave", $"n_types", $"sum_freq",
+        lag($"sum_freq", 1).over(w).as("prev_freq"))
+      .select($"lang", $"octave", $"n_types", $"sum_freq",
+        round(lit(1.0) - log2($"sum_freq".cast("double") /
+          $"prev_freq".cast("double")), 4).as("zipf_exp"))
+      .orderBy($"lang", $"octave")
+  }
+
+  private val zipfSql = """
+    WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+                  FROM documents),
+    f AS (SELECT lang, word, count(*) AS n FROM toks WHERE word <> ''
+          GROUP BY lang, word),
+    r AS (SELECT lang, n, row_number() OVER (PARTITION BY lang
+            ORDER BY n DESC, word ASC) AS rnk FROM f),
+    p AS (SELECT lang, length(bin(rnk)) - 1 AS octave,
+            count(*) AS n_types, CAST(sum(n) AS BIGINT) AS sum_freq
+          FROM r GROUP BY lang, octave),
+    l AS (SELECT lang, octave, n_types, sum_freq,
+            lag(sum_freq) OVER (PARTITION BY lang ORDER BY octave)
+              AS prev_freq FROM p)
+    SELECT lang, octave, n_types, sum_freq,
+      round(1 - log2(CAST(sum_freq AS DOUBLE) / CAST(prev_freq AS DOUBLE)),
+        4) AS zipf_exp
+    FROM l ORDER BY lang, octave"""
+
+  /** q_llm_novelty — first-occurrence n-gram novelty: the fraction of
+    * each document's 3-gram shingles whose FIRST corpus occurrence
+    * (smallest doc_id) is this document — the incremental-content
+    * curve data curation uses to decide when more of a source stops
+    * adding information (the complement of memorized/boilerplate
+    * mass). Distinct from q_llm_selfrepeat (intra-doc repetition) and
+    * q_llm_dedup_span (cross-doc span coverage): novelty is keyed on
+    * the gram's global first sighting. Scale: one corpus-sized explode
+    * → keyed min per gram → join back on gram — the same shuffle
+    * class as every shingle operator here; ratios are exact integer
+    * pairs divided once. */
+  private def novelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, dir)
+      .select($"doc_id",
+        explode(streamline.llm.Dedup.shingles3($"text")).as("gram"))
+    val firstSeen = grams.groupBy($"gram").agg(min($"doc_id").as("first_doc"))
+    grams.join(firstSeen, "gram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
+          .as("n_novel"))
+      .select($"doc_id", $"n_grams", $"n_novel",
+        ($"n_novel".cast("double") / $"n_grams").as("novelty"))
+      .orderBy($"doc_id")
+  }
+
+  private val noveltySql = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(w) - 2),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+          FROM w),
+    fs AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT doc_id, count(*) AS n_grams,
+      CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_novel,
+      CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*) AS novelty
+    FROM g JOIN fs USING (gram)
+    GROUP BY doc_id ORDER BY doc_id"""
+
   /** q_llm_selfrepeat — intra-document repetition (the duplicate-n-gram
     * fraction of Gopher-style quality rules): 1 − distinct/total over a
     * doc's 3-gram shingles; near-1 flags looping/boilerplate text that
@@ -823,6 +921,8 @@ object Text {
     Q("q_llm_chunk", chunk _, chunkSql),
     Q("q_llm_selfrepeat", selfRepeat _, selfRepeatSql),
     Q("q_llm_rarity", rarity _, raritySql),
+    Q("q_llm_zipf", zipf _, zipfSql),
+    Q("q_llm_novelty", novelty _, noveltySql),
     Q("q_llm_tfidf", tfidf _, tfidfSql),
     Q("q_llm_text_stats", textStats _, textStatsSql),
     Q("q_llm_tokenize", tokenize _, tokenizeSql),

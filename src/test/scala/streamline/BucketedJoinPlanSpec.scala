@@ -41,6 +41,24 @@ class BucketedJoinPlanSpec extends SparkSuite {
     assert(got.toSeq == plain.toSeq)
   }
 
+  test("q_scan_bucket_prune reads a strict subset of buckets and no shuffle below the agg") {
+    // the declared query keeps the scan bucketed (the group-by on the
+    // bucket key is what makes bucketed reading worthwhile — a bare
+    // filter gets "Bucketed: false (disabled by query planner)"), so
+    // its plan must BOTH bucket-prune and stay shuffle-free below the
+    // aggregate. Loose, case-insensitive pin (r9 ADVICE: exact plan
+    // strings are not a stable API).
+    val full = graft.SparkEntry.queries("q_scan_bucket_prune")(spark, sfDir)
+    val fullPlan = full.queryExecution.executedPlan.toString
+    val m = """(?i)SelectedBucketsCount:\s*(\d+)\s*\(?out of\s*(\d+)""".r
+      .findFirstMatchIn(fullPlan)
+    assert(m.isDefined, fullPlan.take(2000))
+    val (k, n) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    assert(k < n && k >= 1, s"buckets $k of $n\n" + fullPlan.take(1000))
+    assert(!fullPlan.contains("Exchange hashpartitioning"),
+      fullPlan.take(2000))
+  }
+
   test("q_join_bucketed equals the plain shuffled join result") {
     import org.apache.spark.sql.functions._
     import graft.SparkTestBase.spark.implicits._

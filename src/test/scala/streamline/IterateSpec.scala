@@ -163,4 +163,109 @@ class IterateSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(out.values.forall(_ >= 1))
   }
+
+  // ---- strongly connected components (q_iter_scc) ----
+
+  /** Independent in-JVM oracle: Tarjan's algorithm (iterative stack
+    * form), scc_id = min member id — the exact contract of
+    * Iterate.stronglyConnectedComponents. */
+  private def tarjan(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      .withDefaultValue(Seq.empty)
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    def strongconnect(v0: Long): Unit = {
+      // explicit work stack: (vertex, next-child cursor)
+      val work = scala.collection.mutable.ArrayBuffer[(Long, Int)]((v0, 0))
+      while (work.nonEmpty) {
+        val (v, ci) = work.remove(work.length - 1)
+        if (ci == 0) {
+          index(v) = counter; low(v) = counter; counter += 1
+          stack += v; onStack += v
+        }
+        val children = adj(v)
+        var i = ci
+        var recursed = false
+        while (i < children.length && !recursed) {
+          val w = children(i)
+          if (!index.contains(w)) {
+            work += ((v, i + 1)); work += ((w, 0)); recursed = true
+          } else {
+            if (onStack(w)) low(v) = math.min(low(v), index(w))
+            i += 1
+          }
+        }
+        if (!recursed) {
+          if (low(v) == index(v)) {
+            var members = List.empty[Long]
+            var w = -1L
+            do {
+              w = stack.remove(stack.length - 1); onStack -= w
+              members ::= w
+            } while (w != v)
+            val id = members.min
+            members.foreach(m => out(m) = id)
+          }
+          // propagate lowlink to parent, if any
+          if (work.nonEmpty) {
+            val (p, pi) = work.remove(work.length - 1)
+            low(p) = math.min(low(p), low(v))
+            work += ((p, pi))
+          }
+        }
+      }
+    }
+    verts.foreach(v => if (!index.contains(v)) strongconnect(v))
+    out.toMap
+  }
+
+  private def sccSpark(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    val df = edges.toDF("src", "dst")
+    val (scc, rounds) = Iterate.stronglyConnectedComponents(df)
+    (scc.as[(Long, Long)].collect().toMap, rounds)
+  }
+
+  test("scc: two 2-cycles joined by a one-way bridge stay separate") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
+    val (m, _) = sccSpark(edges)
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    assert(m == tarjan(edges))
+  }
+
+  test("scc: a pure DAG is all singletons, peeled in one trim round") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+    val (m, rounds) = sccSpark(edges)
+    assert(m == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+    assert(m == tarjan(edges))
+    assert(rounds == 1, s"trim should dissolve a DAG in one round: $rounds")
+  }
+
+  test("scc: self-loop is its own component; nested cycle levels peel") {
+    // 9 -> 9 self loop; cycle {5,6} feeding cycle {7,8}: two
+    // condensation levels, so two coloring rounds at most.
+    val edges = Seq((9L, 9L), (5L, 6L), (6L, 5L), (6L, 7L),
+      (7L, 8L), (8L, 7L))
+    val (m, rounds) = sccSpark(edges)
+    assert(m == tarjan(edges))
+    assert(m(9L) == 9L && m(5L) == 5L && m(6L) == 5L && m(7L) == 7L)
+    assert(rounds <= 3)
+  }
+
+  test("scc: randomized graphs match in-JVM Tarjan") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      val n = 20 + trial * 5
+      val edges = Seq.fill(n * 2)(
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .distinct
+      val (m, rounds) = sccSpark(edges)
+      assert(m == tarjan(edges), s"trial $trial mismatch")
+      assert(rounds <= 20, s"trial $trial rounds $rounds")
+    }
+  }
 }
