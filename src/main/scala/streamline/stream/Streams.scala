@@ -1612,6 +1612,61 @@ object Streams {
   private val sinkForeachBatchSql = """
     SELECT event_id, event_type, value FROM events ORDER BY event_id"""
 
+  /** q_sink_foreach — the ROW-level programmable sink (`ForeachWriter`:
+    * open(partitionId, epochId) → process(row)* → close — the per-row
+    * SinkFunction surface under q_sink_foreachbatch's per-batch one).
+    * The exactly-once contract lives in `open`'s identifiers: each
+    * (partition, epoch) writes to a file NAMED by that pair via
+    * temp-file + atomic rename, so a retried task republishes the same
+    * file instead of appending duplicates — the same idempotent-write
+    * discipline a production row sink keys its upserts on. Locally the
+    * files land in scratch; on a cluster the identical writer would
+    * target a shared store keyed the same way. The witness reads the
+    * published files back (dotted temp files are invisible to the
+    * reader) — a lossless round-trip against the source projection;
+    * doubles survive the text hop because Java's shortest-round-trip
+    * Double.toString parses back to the identical bits. */
+  private def sinkForeach(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = streamline.util.Scratch.dir("feach", dir)
+    deleteRec(new java.io.File(tmp))
+    new java.io.File(tmp).mkdirs()
+    val st = eventsStream(spark, dir)
+      .select($"event_id", $"event_type", $"value")
+    val writer = new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+      @transient private var out: java.io.Writer = _
+      @transient private var tmpF: java.io.File = _
+      @transient private var dest: java.io.File = _
+      def open(partitionId: Long, epochId: Long): Boolean = {
+        dest = new java.io.File(tmp, s"part-$partitionId-$epochId.csv")
+        tmpF = new java.io.File(tmp, s".part-$partitionId-$epochId.tmp")
+        out = new java.io.BufferedWriter(new java.io.FileWriter(tmpF))
+        true
+      }
+      def process(r: org.apache.spark.sql.Row): Unit =
+        out.write(s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}\n")
+      def close(errorOrNull: Throwable): Unit = {
+        out.close()
+        if (errorOrNull == null) {
+          if (dest.exists()) dest.delete()
+          if (!tmpF.renameTo(dest))
+            throw new java.io.IOException(s"publish failed: $dest")
+        } else tmpF.delete(): Unit
+      }
+    }
+    val q = st.writeStream.foreach(writer)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read
+      .schema("event_id BIGINT, event_type STRING, value DOUBLE")
+      .csv(tmp)
+      .select($"event_id", $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
+  private val sinkForeachSql = """
+    SELECT event_id, event_type, value FROM events ORDER BY event_id"""
+
   /** q_sink_stream_files — the streaming FILE sink (`writeStream
     * .format("parquet")`): exactly-once file output via the
     * `_spark_metadata` commit log, the production durable sink (vs the
@@ -2078,6 +2133,7 @@ object Streams {
     Q("q_sink_stream_files", sinkStreamFiles _, sinkStreamFilesSql),
     Q("q_stream_listener", streamListener _, streamListenerSql),
     Q("q_sink_foreachbatch", sinkForeachBatch _, sinkForeachBatchSql),
+    Q("q_sink_foreach", sinkForeach _, sinkForeachSql),
     Q("q_sink_upsert", sinkUpsert _, sinkUpsertSql),
     Q("q_sink_cdc", sinkCdc _, sinkCdcSql),
     Q("q_stream_distinct", streamDistinct _, streamDistinctSql),
