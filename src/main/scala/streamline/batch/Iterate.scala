@@ -612,6 +612,119 @@ object Iterate {
            WHERE src IN (SELECT v FROM k3) AND dst IN (SELECT v FROM k3))
     SELECT src AS v, count(*) AS deg FROM e3 GROUP BY src ORDER BY v"""
 
+  /** q_iter_mis — maximal-independent-set selection (Luby's algorithm
+    * with the deterministic id priority, i.e. parallel lexicographic
+    * greedy), 3 rounds on the 1997-02 customer–supplier graph: each
+    * round every undecided vertex smaller than ALL its undecided
+    * neighbors (or with none left) joins the set, its neighbors leave
+    * as excluded, and the round repeats on the shrunken graph — the
+    * SELECTION iteration family (vs label propagation, value mixing,
+    * and vertex removal already witnessed). Rounds fixed at 3 to match
+    * the oracle's chained-CTE spelling, like q_iter_kcore; the
+    * unbounded form is the same step under `fixpoint`. Per round: one
+    * keyed min-neighbor aggregate + semi/anti joins, all on the vertex
+    * key; the undecided set only SHRINKS (on random graphs it decays
+    * geometrically — Luby's bound), so supersteps get cheaper. Output:
+    * every vertex with status in/out/undecided after round 3. */
+  private def iterMis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val month = Tables.orders(spark, dir)
+      .where($"o_orderdate" >= lit("1997-02-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-03-01").cast("timestamp"))
+    val pairs = month
+      .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"), ($"l_suppkey" + lit(1000000L)).as("b"))
+      .distinct()
+    val undirected = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    misRounds(undirected, 3).orderBy($"v")
+  }
+
+  /** The bounded greedy-MIS rounds on a symmetric edge list (both
+    * directions present), exposed for IterateSpec's property tests.
+    * Converged output (no `undecided` left) equals the sequential
+    * lexicographic greedy MIS: smallest vertex in, its neighbors out,
+    * repeat on the rest. */
+  def misRounds(edges0: DataFrame, rounds: Int): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val edges = edges0.localCheckpoint(true)
+    var und = edges.select($"src".as("v")).distinct().localCheckpoint(true)
+    val taken = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to rounds) {
+      val e = edges
+        .join(und.select($"v".as("sv")), $"src" === $"sv", "left_semi")
+        .join(und.select($"v".as("dv")), $"dst" === $"dv", "left_semi")
+        .select($"src", $"dst").localCheckpoint(true)
+      val minNbr = e.groupBy($"src").agg(min($"dst").as("mn"))
+      val sel = und.join(minNbr, $"v" === $"src", "left_outer")
+        .where($"mn".isNull || $"v" < $"mn")
+        .select($"v").localCheckpoint(true)
+      val out = e.join(sel.select($"v".as("sv")), $"src" === $"sv",
+          "left_semi")
+        .select($"dst".as("v")).distinct().localCheckpoint(true)
+      taken += sel
+      dropped += out
+      und = und
+        .join(sel, Seq("v"), "left_anti")
+        .join(out, Seq("v"), "left_anti")
+        .localCheckpoint(true)
+    }
+    val inSet = taken.reduce(_ unionByName _).select($"v",
+      lit("in").as("status"))
+    val outSet = dropped.reduce(_ unionByName _).select($"v",
+      lit("out").as("status"))
+    inSet.unionByName(outSet).unionByName(
+        und.select($"v", lit("undecided").as("status")))
+      .orderBy($"v")
+  }
+
+  /** Oracle: the 3 greedy rounds unrolled as chained CTEs — per round
+    * the undecided-restricted edge set, the min undecided neighbor,
+    * the selected minima, and their excluded neighborhoods. */
+  private val iterMisSql = """
+    WITH d AS (SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+               WHERE o_orderdate >= TIMESTAMP '1997-02-01 00:00:00'
+                 AND o_orderdate < TIMESTAMP '1997-03-01 00:00:00'),
+    e0 AS (SELECT a AS src, b AS dst FROM d UNION ALL SELECT b, a FROM d),
+    u0 AS (SELECT DISTINCT src AS v FROM e0),
+    m1 AS (SELECT src, min(dst) AS mn FROM e0 GROUP BY src),
+    s1 AS (SELECT v FROM u0 LEFT JOIN m1 ON v = src
+           WHERE mn IS NULL OR v < mn),
+    x1 AS (SELECT DISTINCT dst AS v FROM e0
+           WHERE src IN (SELECT v FROM s1)),
+    u1 AS (SELECT v FROM u0 WHERE v NOT IN (SELECT v FROM s1)
+             AND v NOT IN (SELECT v FROM x1)),
+    e1 AS (SELECT src, dst FROM e0
+           WHERE src IN (SELECT v FROM u1) AND dst IN (SELECT v FROM u1)),
+    m2 AS (SELECT src, min(dst) AS mn FROM e1 GROUP BY src),
+    s2 AS (SELECT v FROM u1 LEFT JOIN m2 ON v = src
+           WHERE mn IS NULL OR v < mn),
+    x2 AS (SELECT DISTINCT dst AS v FROM e1
+           WHERE src IN (SELECT v FROM s2)),
+    u2 AS (SELECT v FROM u1 WHERE v NOT IN (SELECT v FROM s2)
+             AND v NOT IN (SELECT v FROM x2)),
+    e2 AS (SELECT src, dst FROM e1
+           WHERE src IN (SELECT v FROM u2) AND dst IN (SELECT v FROM u2)),
+    m3 AS (SELECT src, min(dst) AS mn FROM e2 GROUP BY src),
+    s3 AS (SELECT v FROM u2 LEFT JOIN m3 ON v = src
+           WHERE mn IS NULL OR v < mn),
+    x3 AS (SELECT DISTINCT dst AS v FROM e2
+           WHERE src IN (SELECT v FROM s3)),
+    u3 AS (SELECT v FROM u2 WHERE v NOT IN (SELECT v FROM s3)
+             AND v NOT IN (SELECT v FROM x3))
+    SELECT v, status FROM (
+      SELECT v, 'in' AS status FROM s1
+      UNION ALL SELECT v, 'in' FROM s2
+      UNION ALL SELECT v, 'in' FROM s3
+      UNION ALL SELECT v, 'out' FROM x1
+      UNION ALL SELECT v, 'out' FROM x2
+      UNION ALL SELECT v, 'out' FROM x3
+      UNION ALL SELECT v, 'undecided' FROM u3)
+    ORDER BY v"""
+
   /** Directed min-label propagation to a fixed point, with pointer
     * jumping: label(v) converges to the smallest vertex with a directed
     * path TO v over `e` (src → dst). Pointer jumping stays valid in the
@@ -899,6 +1012,7 @@ object Iterate {
     Q("q_iter_kcore", iterKcore _, iterKcoreSql),
     Q("q_iter_cc", iterCc _, iterCcSql),
     Q("q_iter_scc", iterScc _, iterSccSql),
+    Q("q_iter_mis", iterMis _, iterMisSql),
     Q("q_iter_triangles", iterTriangles _, iterTrianglesSql),
     Q("q_iter_delta", iterDelta _, iterDeltaSql),
     Q("q_iter_pagerank", iterPagerank _, iterPagerankSql),

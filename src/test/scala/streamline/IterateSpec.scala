@@ -268,4 +268,57 @@ class IterateSpec extends SparkSuite {
       assert(rounds <= 20, s"trial $trial rounds $rounds")
     }
   }
+
+  // ---- greedy maximal independent set (q_iter_mis) ----
+
+  /** Sequential lexicographic greedy MIS: ascending by id, take v iff
+    * no smaller neighbor already taken — the fixed point the parallel
+    * rounds converge to. */
+  private def greedyMis(edges: Seq[(Long, Long)]): Set[Long] = {
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+      .withDefaultValue(Set.empty)
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val mis = scala.collection.mutable.Set.empty[Long]
+    verts.foreach(v => if (!nbrs(v).exists(mis)) mis += v)
+    mis.toSet
+  }
+
+  private def misSpark(edges: Seq[(Long, Long)],
+                       rounds: Int): Map[Long, String] = {
+    val sym = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    Iterate.misRounds(sym, rounds).as[(Long, String)].collect().toMap
+  }
+
+  test("mis: converged parallel rounds equal sequential greedy") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 3) {
+      val n = 15 + trial * 5
+      val edges = Seq.fill(n * 2)(
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter(e => e._1 != e._2).distinct
+      val st = misSpark(edges, 12)
+      assert(!st.values.exists(_ == "undecided"), s"trial $trial not converged")
+      val in = st.filter(_._2 == "in").keySet
+      assert(in == greedyMis(edges), s"trial $trial mismatch")
+    }
+  }
+
+  test("mis: independence and maximality invariants hold even mid-run") {
+    val rnd = new scala.util.Random(99)
+    val n = 24
+    val edges = Seq.fill(n * 2)(
+      (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+      .filter(e => e._1 != e._2).distinct
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    val st = misSpark(edges, 2) // possibly unconverged
+    val in = st.filter(_._2 == "in").keySet
+    // independence: no two selected vertices adjacent
+    assert(in.forall(v => nbrs(v).intersect(in).isEmpty))
+    // every excluded vertex has a selected neighbor (exclusion is justified)
+    val out = st.filter(_._2 == "out").keySet
+    assert(out.forall(v => nbrs(v).exists(in)))
+  }
 }
