@@ -316,8 +316,79 @@ object Pipeline {
           < rate * 65536
     ORDER BY d.doc_id"""
 
+  /** q_llm_dataset_card — the per-(lang, source) dataset-card profile
+    * every corpus release ships: volume (docs, words, chars), exact
+    * duplicate mass (docs minus distinct sha256 texts — the number a
+    * curation report quotes before any fuzzy dedup), a quality proxy
+    * (mean stopword ratio), and the most frequent token with a total
+    * (count DESC, word ASC) tie order. One pass over the corpus: the
+    * volume/dup/quality columns are a single keyed aggregate (the
+    * per-doc ratio is quantized to DECIMAL(18,4) BEFORE summing — the
+    * Det discipline, so the mean is merge-order exact); the top token
+    * is a (lang, source, word) count + max_by argmax, the q_agg_mode
+    * shape, vocabulary-sized after its own map-side combine. */
+  private def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import streamline.util.Det.{asDouble, dec}
+    val w = split($"text", " ")
+    val stopRatio = size(filter(w,
+      x => x.isin("the", "a", "of", "and", "to", "in"))).cast("double") /
+      size(w).cast("double")
+    val base = Tables.documents(spark, dir)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(sha2($"text", 256)))
+          .as("n_dup_docs"),
+        sum(size(w)).as("sum_words"),
+        sum(length($"text")).as("sum_chars"),
+        (asDouble(sum(dec(stopRatio))) / count(lit(1)).cast("double"))
+          .as("avg_stop_ratio"))
+    val top = Tables.documents(spark, dir)
+      .select($"lang", $"source", explode(w).as("word"))
+      .where($"word" =!= "")
+      .groupBy($"lang", $"source", $"word")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"lang", $"source")
+      // (count DESC, word ASC) tie order without negating a string:
+      // min_by over the (−n, word) struct — the q_agg_mode discipline.
+      .agg(min_by($"word", struct((-$"n").as("nn"), $"word"))
+          .as("top_word"),
+        max($"n").as("top_word_n"))
+    base.join(top, Seq("lang", "source"))
+      .orderBy($"lang", $"source")
+  }
+
+  private val datasetCardSql = """
+    WITH base AS (
+      SELECT lang, source, count(*) AS n_docs,
+        count(*) - count(DISTINCT sha256(text)) AS n_dup_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+        CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        CAST(sum(CAST(
+          CAST(len(list_filter(string_split(text, ' '),
+            x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE)
+          AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          AS avg_stop_ratio
+      FROM documents GROUP BY lang, source),
+    counts AS (
+      SELECT lang, source, word, count(*) AS n FROM (
+        SELECT lang, source, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+      WHERE word <> '' GROUP BY lang, source, word),
+    top AS (
+      SELECT lang, source, word AS top_word, n AS top_word_n FROM (
+        SELECT lang, source, word, n, row_number() OVER (
+          PARTITION BY lang, source ORDER BY n DESC, word ASC) AS rn
+        FROM counts) WHERE rn = 1)
+    SELECT lang, source, n_docs, n_dup_docs, sum_words, sum_chars,
+      avg_stop_ratio, top_word, top_word_n
+    FROM base JOIN top USING (lang, source)
+    ORDER BY lang, source"""
+
   val all: Seq[Q] = Seq(
     Q("q_llm_pipeline", pipelineE2e _, pipelineE2eSql),
+    Q("q_llm_dataset_card", datasetCard _, datasetCardSql),
     Q("q_llm_mix", mix _, mixSql),
     Q("q_llm_sample_hash", sampleHash _, sampleHashSql),
     Q("q_llm_sample_stratified", sampleStratified _, sampleStratifiedSql),
