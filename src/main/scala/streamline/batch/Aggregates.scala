@@ -375,6 +375,33 @@ object Aggregates {
     * alongside the row count. Approximate family ⇒ oracle omitted per
     * contract; exactness-below-k, 2σ accuracy and merge-order
     * independence are pinned by ThetaSketchSpec. */
+  /** q_agg_freq_items — heavy hitters per language over the corpus
+    * vocabulary via the native Misra-Gries/SpaceSaving frequencies
+    * aggregate (streamline.agg.FreqItemsAgg, the top-k-by-count twin
+    * of the theta sketch): a bounded 256-counter map per group answers
+    * "which words exceed the n/256 frequency floor" with the
+    * NO_FALSE_NEGATIVES guarantee, shuffling one sketch per
+    * (group x partition) regardless of corpus size -- the 100 TB path
+    * where q_topk's exact window would need the full (lang, word)
+    * count table. Output: top 8 reported items per language by
+    * (estimate DESC, item ASC). Approximate (estimates depend on
+    * partial-merge order) => no SQL oracle; exactness below capacity,
+    * the planted-heavy-hitter guarantee, bound validity across
+    * partitionings, and the error ceiling are pinned in
+    * FreqItemsSpec. */
+  private def aggFreqItems(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"lang", explode(split($"text", " ")).as("word"))
+      .where($"word" =!= "")
+      .groupBy($"lang")
+      .agg(streamline.agg.FreqItemsAgg.freq_items($"word", 256).as("hh"))
+      .select($"lang", posexplode($"hh").as(Seq("pos", "h")))
+      .where($"pos" < 8)
+      .select($"lang", $"pos", $"h.item".as("item"), $"h.est".as("est"))
+      .orderBy($"lang", $"pos")
+  }
+
   private def aggSketchTheta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
@@ -810,6 +837,7 @@ object Aggregates {
     streamline.Q("q_agg_group", aggGroup _, aggGroupSql),
     streamline.Q("q_agg_bitops", aggBitops _, aggBitopsSql),
     streamline.Q.noOracle("q_agg_sketch_theta", aggSketchTheta _),
+    streamline.Q.noOracle("q_agg_freq_items", aggFreqItems _),
     streamline.Q.noOracle("q_agg_sketch_algebra", aggSketchAlgebra _),
     streamline.Q.noOracle("q_agg_approx_quantile", aggApproxQuantile _),
     streamline.Q("q_agg_salted", aggSalted _, aggSaltedSql),
