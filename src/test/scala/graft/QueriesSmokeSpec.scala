@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends SparkSuite {
     val allowed = Set("q_agg_approx_distinct", "q_agg_approx_quantile", "q_llm_dedup_near",
       "q_llm_simhash", "q_llm_simhash_pairs", "q_llm_knn_lsh",
       "q_llm_knn_ivf", "q_stream_late", "q_stream_late_side",
-      "q_agg_sketch_theta", "q_agg_sketch_algebra", "q_stream_sketch")
+      "q_agg_sketch_theta", "q_agg_freq_items", "q_agg_sketch_algebra", "q_stream_sketch")
     assert(omitted == allowed)
   }
 

@@ -53,7 +53,7 @@ class PlanAuditSpec extends SparkSuite {
     val omitted = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val sanctioned = Set(
       "q_agg_approx_distinct", "q_agg_approx_quantile",
-      "q_agg_sketch_theta", "q_agg_sketch_algebra",
+      "q_agg_sketch_theta", "q_agg_sketch_algebra", "q_agg_freq_items",
       "q_llm_dedup_near", "q_llm_knn_ivf", "q_llm_knn_lsh",
       "q_llm_simhash", "q_llm_simhash_pairs",
       "q_stream_late", "q_stream_late_side", "q_stream_sketch")
