@@ -471,7 +471,57 @@ object Windows {
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     ORDER BY c_nationkey, c_custkey"""
 
+  /** q_win_distinct_sliding — DISTINCT counts over a sliding range
+    * frame (trailing-7-day distinct users per event type, plus the
+    * per-day count): the rolling-reach metric. Spark has no DISTINCT
+    * window aggregates, so the spelling is compositional: per-day
+    * distinct user SETS first (one keyed aggregate — the corpus-sized
+    * pass), then a days-keyed range frame whose collect_list of
+    * day-sets is flattened and deduplicated per frame — the window
+    * runs over the DAY table (tiny), never over raw events. At true
+    * 100 TB reach cardinalities the per-day sets become sketches
+    * (q_agg_sketch_theta / q_agg_freq_items) with the same two-level
+    * shape; this operator is the exact form. Day numbering uses
+    * explicit floor() on an IEEE-identical division in both engines
+    * (the r9-ADVICE floor-vs-truncate discipline). */
+  private def winDistinctSliding(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select($"event_type",
+        floor(unix_micros($"ts").cast("double") / lit(86400000000.0))
+          .cast("long").as("day"),
+        $"user_id")
+      .groupBy($"event_type", $"day")
+      .agg(collect_set($"user_id").as("us"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rangeBetween(-6, 0)
+    daily.select($"event_type", $"day",
+        size($"us").cast("long").as("users_1d"),
+        size(array_distinct(flatten(collect_list($"us").over(w))))
+          .cast("long").as("users_7d"))
+      .orderBy($"event_type", $"day")
+  }
+
+  private val winDistinctSlidingSql = """
+    WITH d AS (SELECT DISTINCT event_type,
+        CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+          AS BIGINT) AS day,
+        user_id
+      FROM events),
+    days AS (SELECT DISTINCT event_type, day FROM d)
+    SELECT a.event_type, a.day,
+      count(DISTINCT CASE WHEN b.day = a.day THEN b.user_id END)
+        AS users_1d,
+      count(DISTINCT b.user_id) AS users_7d
+    FROM days a JOIN d b ON b.event_type = a.event_type
+      AND b.day BETWEEN a.day - 6 AND a.day
+    GROUP BY a.event_type, a.day
+    ORDER BY a.event_type, a.day"""
+
   val all: Seq[Q] = Seq(
+    Q("q_win_distinct_sliding", winDistinctSliding _,
+      winDistinctSlidingSql),
     Q("q_win_nth", winNth _, winNthSql),
     Q("q_win_sliding", winSliding _, winSlidingSql),
     Q("q_win_fill", winFill _, winFillSql),
