@@ -195,6 +195,65 @@ object Similarity {
     WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.35
     ORDER BY id_a, id_b"""
 
+  /** q_llm_dedup_embed_lsh — the BUCKETED scale path for embedding
+    * near-dup detection, with an EXACT oracle (unlike the
+    * seeded-random-projection q_llm_knn_lsh, whose projections are
+    * engine-internal): sign-bit band LSH over the embedding's own
+    * coordinates. Each vector hashes into 8 bands of 4 sign bits
+    * (dims 4b..4b+3 > 0), candidate pairs share band+bucket
+    * (OR-amplification across bands — the MinHash banding scheme with
+    * coordinate hyperplanes), and candidates are confirmed by the same
+    * rounded exact cosine as q_llm_dedup_embed. Scale: the join is
+    * keyed on (band, bucket) — candidate count is Σ bucket², never
+    * n²/B-replicated like the exactness baseline — at the documented
+    * price of recall < 1 for thresholds this close to random (the
+    * found set is a strict subset of q_llm_dedup_embed's; the measured
+    * fixture recall is pinned in DedupEmbedLshSpec). Everything is
+    * deterministic (coordinate hyperplanes, no RNG), so the full
+    * pipeline carries a DuckDB oracle. */
+  private def dedupEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def bucket(b: Int) =
+      (0 until 4).map(i =>
+        when(element_at($"embedding", b * 4 + i + 1) > 0f,
+          lit(1 << i)).otherwise(lit(0)): org.apache.spark.sql.Column)
+        .reduce(_ + _)
+    val banded = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding",
+        posexplode(array((0 until 8).map(bucket): _*))
+          .as(Seq("band", "bkt")))
+    val a = banded.select($"vec_id".as("id_a"), $"embedding".as("emb_a"),
+      $"band", $"bkt")
+    val b = banded.select($"vec_id".as("id_b"), $"embedding".as("emb_b"),
+      $"band".as("band_b"), $"bkt".as("bkt_b"))
+    a.join(b, $"band" === $"band_b" && $"bkt" === $"bkt_b" &&
+        $"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"emb_a", $"emb_b").distinct()
+      .select($"id_a", $"id_b",
+        round(Exprs.cosine($"emb_a", $"emb_b"), 6).as("cos"))
+      .where($"cos" >= 0.35)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val dedupEmbedLshSql = """
+    WITH e AS (SELECT vec_id, embedding,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    bk AS (SELECT vec_id, b,
+             (CASE WHEN embedding[4*b+1] > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[4*b+2] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[4*b+3] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4*b+4] > 0 THEN 8 ELSE 0 END) AS bkt
+           FROM e, unnest(range(0, 8)) AS t(b)),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+             FROM bk a JOIN bk b2
+               ON a.b = b2.b AND a.bkt = b2.bkt AND a.vec_id < b2.vec_id)
+    SELECT id_a, id_b,
+      round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cos
+    FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+    WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= 0.35
+    ORDER BY id_a, id_b"""
+
   /** q_llm_multimodal — text ⋈ embedding modality join (doc_id = vec_id;
     * inner — not every document has an embedding at bench scale, see
     * FIXTURES.md). Carries both modalities plus array math. */
@@ -395,6 +454,7 @@ object Similarity {
     Q.noOracle("q_llm_knn_lsh", knnLsh _),
     Q.noOracle("q_llm_knn_ivf", knnIvf _),
     Q("q_llm_dedup_embed", dedupEmbed _, dedupEmbedSql),
+    Q("q_llm_dedup_embed_lsh", dedupEmbedLsh _, dedupEmbedLshSql),
     Q("q_llm_multimodal", multimodal _, multimodalSql),
     Q("q_llm_mm_features", mmFeatures _, mmFeaturesSql),
     Q("q_llm_mm_resize", mmResize _, mmResizeSql),
