@@ -186,6 +186,66 @@ object Aggregates {
     * merges whose last bits depend on partitioning, so outputs are
     * rounded to 4dp (relative error of the merge ~1e-12 — far inside
     * the rounding). */
+  /** q_agg_outliers — per-group z-score outlier detection (the
+    * data-quality screen every ingest pipeline runs before training or
+    * aggregating): events whose value sits more than 3σ from its event
+    * type's mean, with the group profile alongside. Two moments (Σx,
+    * Σx² in exact DECIMAL — the q_agg_corr discipline, so mean/σ are
+    * identical doubles in both engines) come from one map-side-combined
+    * keyed pass; the group-count-sized stats table then BROADCASTS back
+    * onto the corpus for the flagging pass — no second shuffle of the
+    * data at any scale. events.value is heavy-tailed (188 true 3σ
+    * outliers at sf0.01) where the TPC-H uniforms have none — a
+    * uniform's max |z| is √3, which is why the witness lives on events.
+    * Left join keeps outlier-free groups with n_outliers = 0. */
+  private def aggOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val stats = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        count(lit(1)).cast("double").as("dn"),
+        asDouble(sum(dec("value"))).as("sx"),
+        asDouble(sum(dec("value") * dec("value"))).as("sx2"))
+      .select($"event_type".as("et"), $"n", $"dn", $"sx", $"sx2",
+        ($"sx" / $"dn").as("mean"),
+        sqrt($"sx2" / $"dn" - ($"sx" / $"dn") * ($"sx" / $"dn")).as("sd"))
+    val outs = ev.join(broadcast(stats), $"event_type" === $"et")
+      .where(abs($"value" - $"mean") > lit(3.0) * $"sd")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_outliers"),
+        min($"value").as("min_out"),
+        max($"value").as("max_out"))
+    stats.join(outs, $"et" === outs("event_type"), "left_outer")
+      .select($"et".as("event_type"), $"n",
+        coalesce($"n_outliers", lit(0L)).as("n_outliers"),
+        round($"mean", 4).as("mean_value"),
+        round($"sd", 4).as("sd_value"),
+        $"min_out", $"max_out")
+      .orderBy($"event_type")
+  }
+
+  private val aggOutliersSql = """
+    WITH s AS (
+      SELECT event_type, count(*) AS n, CAST(count(*) AS DOUBLE) AS dn,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(value AS DECIMAL(18,4))
+                 * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx2
+      FROM events GROUP BY event_type),
+    st AS (SELECT event_type, n, dn, sx / dn AS mean,
+             sqrt(sx2 / dn - (sx / dn) * (sx / dn)) AS sd
+           FROM s),
+    o AS (SELECT e.event_type, count(*) AS n_outliers,
+            min(value) AS min_out, max(value) AS max_out
+          FROM events e JOIN st ON e.event_type = st.event_type
+          WHERE abs(value - mean) > 3.0 * sd
+          GROUP BY e.event_type)
+    SELECT st.event_type, n,
+      coalesce(n_outliers, 0) AS n_outliers,
+      round(mean, 4) AS mean_value, round(sd, 4) AS sd_value,
+      min_out, max_out
+    FROM st LEFT JOIN o ON st.event_type = o.event_type
+    ORDER BY st.event_type"""
+
   private def aggStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
@@ -848,6 +908,7 @@ object Aggregates {
     streamline.Q("q_agg_argmax", aggArgmax _, aggArgmaxSql),
     streamline.Q("q_agg_having", aggHaving _, aggHavingSql),
     streamline.Q("q_agg_stats", aggStats _, aggStatsSql),
+    streamline.Q("q_agg_outliers", aggOutliers _, aggOutliersSql),
     streamline.Q("q_agg_rollup", aggRollup _, aggRollupSql),
     streamline.Q("q_agg_cube", aggCube _, aggCubeSql),
     streamline.Q("q_agg_gsets", aggGsets _, aggGsetsSql),
