@@ -519,9 +519,69 @@ object Windows {
     GROUP BY a.event_type, a.day
     ORDER BY a.event_type, a.day"""
 
+  /** q_win_resample — calendar resampling: densify each user's event
+    * history onto a daily spine (their own min..max day) and carry the
+    * last observed reading forward across the GENERATED gap days —
+    * the missing-row half of time-series gap-fill that q_win_fill
+    * (which only fills nulls on EXISTING rows) cannot express. Per
+    * day the last reading is max_by over (ts, event_id) — a total tie
+    * order. Scale: daily downsample + per-user bounds are keyed
+    * map-side-combined aggregates; the spine is sequence+explode on
+    * the user key (rows = Σ user day-spans, generated distributed,
+    * never on the driver); the ffill window orders the tiny day table
+    * per user. Day numbering floor()s an IEEE-identical division (r9
+    * floor discipline). */
+  private def winResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val day = floor(unix_micros($"ts").cast("double") / lit(86400000000.0))
+      .cast("long")
+    val e = Tables.events(spark, dir)
+      .select($"user_id", day.as("day"), $"ts", $"event_id", $"value")
+    val daily = e.groupBy($"user_id", $"day")
+      .agg(max_by($"value", struct($"ts", $"event_id")).as("day_last"),
+        count(lit(1)).as("n_events"))
+    val spine = e.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left_outer")
+      .select($"user_id", $"day",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        last($"day_last", ignoreNulls = true).over(w).as("filled"))
+      .orderBy($"user_id", $"day")
+  }
+
+  private val winResampleSql = """
+    WITH e AS (SELECT user_id,
+        CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+          AS BIGINT) AS day,
+        ts, event_id, value
+      FROM events),
+    dl AS (SELECT user_id, day, value,
+        row_number() OVER (PARTITION BY user_id, day
+          ORDER BY ts DESC, event_id DESC) AS rn,
+        count(*) OVER (PARTITION BY user_id, day) AS n_events
+      FROM e),
+    daily AS (SELECT user_id, day, value AS day_last, n_events
+              FROM dl WHERE rn = 1),
+    bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+               FROM e GROUP BY user_id),
+    spine AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day
+              FROM bounds),
+    j AS (SELECT s.user_id, s.day,
+            coalesce(d.n_events, 0) AS n_events, d.day_last
+          FROM spine s LEFT JOIN daily d
+            ON s.user_id = d.user_id AND s.day = d.day)
+    SELECT user_id, day, n_events,
+      last_value(day_last IGNORE NULLS) OVER (PARTITION BY user_id
+        ORDER BY day ROWS UNBOUNDED PRECEDING) AS filled
+    FROM j ORDER BY user_id, day"""
+
   val all: Seq[Q] = Seq(
     Q("q_win_distinct_sliding", winDistinctSliding _,
       winDistinctSlidingSql),
+    Q("q_win_resample", winResample _, winResampleSql),
     Q("q_win_nth", winNth _, winNthSql),
     Q("q_win_sliding", winSliding _, winSlidingSql),
     Q("q_win_fill", winFill _, winFillSql),
