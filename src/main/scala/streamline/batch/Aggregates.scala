@@ -186,6 +186,73 @@ object Aggregates {
     * merges whose last bits depend on partitioning, so outputs are
     * rounded to 4dp (relative error of the merge ~1e-12 — far inside
     * the rounding). */
+  /** q_agg_abtest — two-sample experiment readout (the A/B analytics
+    * shape): users deterministically assigned to arms by user_id % 2
+    * (hash-bucketing without engine-specific hashes), then per event
+    * type the per-arm counts, means, sample variances and Welch's
+    * t-statistic — ALL assembled from conditional exact-DECIMAL
+    * moments in ONE map-side-combined pass (the q_agg_corr
+    * discipline: the moment sums are order-independent integers, the
+    * statistic is a fixed IEEE expression tree over their double
+    * images, so both engines emit identical bits before the output
+    * rounding). No shuffle beyond the one keyed aggregate at any
+    * scale. */
+  private def aggAbtest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", pmod($"user_id", lit(2L)).as("arm"), $"value")
+    def cnt(a: Int) = sum(when($"arm" === a, 1L).otherwise(0L))
+    def sx(a: Int) =
+      asDouble(sum(when($"arm" === a, dec("value")).otherwise(decLit(0))))
+    def sx2(a: Int) = asDouble(sum(
+      when($"arm" === a, dec("value") * dec("value"))
+        .otherwise(lit(0).cast("decimal(38,8)"))))
+    val s = ev.groupBy($"event_type")
+      .agg(cnt(0).as("n_a"), cnt(1).as("n_b"),
+        sx(0).as("sxa"), sx(1).as("sxb"),
+        sx2(0).as("sx2a"), sx2(1).as("sx2b"))
+    val dna = $"n_a".cast("double")
+    val dnb = $"n_b".cast("double")
+    val ma = $"sxa" / dna
+    val mb = $"sxb" / dnb
+    val va = ($"sx2a" - dna * ma * ma) / (dna - lit(1.0))
+    val vb = ($"sx2b" - dnb * mb * mb) / (dnb - lit(1.0))
+    s.select($"event_type", $"n_a", $"n_b",
+        round(ma, 4).as("mean_a"), round(mb, 4).as("mean_b"),
+        round((ma - mb) / sqrt(va / dna + vb / dnb), 4).as("t_stat"))
+      .orderBy($"event_type")
+  }
+
+  private val aggAbtestSql = """
+    WITH s AS (
+      SELECT event_type,
+        sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+        sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+        CAST(sum(CASE WHEN user_id % 2 = 0
+          THEN CAST(value AS DECIMAL(18,4))
+          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sxa,
+        CAST(sum(CASE WHEN user_id % 2 = 1
+          THEN CAST(value AS DECIMAL(18,4))
+          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sxb,
+        CAST(sum(CASE WHEN user_id % 2 = 0
+          THEN CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))
+          ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE) AS sx2a,
+        CAST(sum(CASE WHEN user_id % 2 = 1
+          THEN CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))
+          ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE) AS sx2b
+      FROM events GROUP BY event_type),
+    t AS (SELECT event_type, n_a, n_b,
+        CAST(n_a AS DOUBLE) AS dna, CAST(n_b AS DOUBLE) AS dnb,
+        sxa, sxb, sx2a, sx2b FROM s)
+    SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+      CAST(n_b AS BIGINT) AS n_b,
+      round(sxa / dna, 4) AS mean_a, round(sxb / dnb, 4) AS mean_b,
+      round((sxa / dna - sxb / dnb) / sqrt(
+        ((sx2a - dna * (sxa / dna) * (sxa / dna)) / (dna - 1.0)) / dna
+        + ((sx2b - dnb * (sxb / dnb) * (sxb / dnb)) / (dnb - 1.0)) / dnb),
+        4) AS t_stat
+    FROM t ORDER BY event_type"""
+
   /** q_agg_outliers — per-group z-score outlier detection (the
     * data-quality screen every ingest pipeline runs before training or
     * aggregating): events whose value sits more than 3σ from its event
@@ -909,6 +976,7 @@ object Aggregates {
     streamline.Q("q_agg_having", aggHaving _, aggHavingSql),
     streamline.Q("q_agg_stats", aggStats _, aggStatsSql),
     streamline.Q("q_agg_outliers", aggOutliers _, aggOutliersSql),
+    streamline.Q("q_agg_abtest", aggAbtest _, aggAbtestSql),
     streamline.Q("q_agg_rollup", aggRollup _, aggRollupSql),
     streamline.Q("q_agg_cube", aggCube _, aggCubeSql),
     streamline.Q("q_agg_gsets", aggGsets _, aggGsetsSql),

@@ -578,10 +578,50 @@ object Windows {
         ORDER BY day ROWS UNBOUNDED PRECEDING) AS filled
     FROM j ORDER BY user_id, day"""
 
+  /** q_win_ema — exponential moving average per user (α = 0.2, seeded
+    * with the first observation): the RECURSIVE per-key fold no OVER
+    * frame can express (each output depends nonlinearly on the
+    * previous one, not on a frame aggregate — the reason feature
+    * pipelines drop to per-key folds for EMA/decay features). Spelling:
+    * per user, events sorted by the (ts, event_id) total order into an
+    * array, then one `aggregate` HOF whose lambda is the EMA
+    * recurrence — a LEFT fold in array order, which is exactly
+    * DuckDB's `list_reduce`, so both engines execute the identical
+    * IEEE operation sequence and the result hash-matches WITHOUT
+    * rounding. State bound: one user's history per group (the chunked/
+    * streaming form is the q_stream_tws family); the sort is
+    * per-group, never global. */
+  private def winEma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seq0 = sort_array(collect_list(
+      struct($"ts", $"event_id", $"value")))
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(seq0.as("seq"))
+      .select($"user_id", size($"seq").cast("long").as("n_events"),
+        aggregate($"seq",
+          struct(lit(false).as("init"), lit(0.0d).as("ema")),
+          (acc, x) => struct(lit(true).as("init"),
+            when(acc("init"),
+              lit(0.2d) * x("value") + lit(0.8d) * acc("ema"))
+              .otherwise(x("value")).as("ema")),
+          acc => acc("ema")).as("ema"))
+      .orderBy($"user_id")
+  }
+
+  private val winEmaSql = """
+    WITH s AS (SELECT user_id,
+        list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+      list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc) AS ema
+    FROM s ORDER BY user_id"""
+
   val all: Seq[Q] = Seq(
     Q("q_win_distinct_sliding", winDistinctSliding _,
       winDistinctSlidingSql),
     Q("q_win_resample", winResample _, winResampleSql),
+    Q("q_win_ema", winEma _, winEmaSql),
     Q("q_win_nth", winNth _, winNthSql),
     Q("q_win_sliding", winSliding _, winSlidingSql),
     Q("q_win_fill", winFill _, winFillSql),
