@@ -186,6 +186,101 @@ object Aggregates {
     * merges whose last bits depend on partitioning, so outputs are
     * rounded to 4dp (relative error of the merge ~1e-12 — far inside
     * the rounding). */
+  /** q_agg_funnel — ordered-step conversion funnel (signup → view →
+    * click → purchase, each step within 24 h of the previous one):
+    * the product-analytics aggregate twin of the CEP sequence
+    * operators — per user the EARLIEST completion time of each step
+    * given the previous step's time, then corpus-wide per-step user
+    * counts. The bound is what makes the funnel real on this fixture
+    * (150 → 39 → 16 → 5 at sf0.01; unbounded, every dense user
+    * completes everything). Each step is one keyed join + keyed min —
+    * step tables shrink monotonically, so later steps cost less; no
+    * per-user event sort anywhere. */
+  private def aggFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"ts")
+    def stepAfter(prev: DataFrame, prevCol: String, typ: String,
+                  out: String): DataFrame =
+      e.where($"event_type" === typ)
+        .join(prev, Seq("user_id"))
+        .where($"ts" > col(prevCol) &&
+          $"ts" <= col(prevCol) + expr("INTERVAL 24 HOURS"))
+        .groupBy($"user_id").agg(min($"ts").as(out))
+    val s1 = e.where($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val s2 = stepAfter(s1, "t1", "view", "t2")
+    val s3 = stepAfter(s2, "t2", "click", "t3")
+    val s4 = stepAfter(s3, "t3", "purchase", "t4")
+    Seq((1L, "signup", s1), (2L, "view", s2), (3L, "click", s3),
+        (4L, "purchase", s4))
+      .map { case (i, nm, df) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i).as("step"), lit(nm).as("step_type"), $"n_users")
+      }
+      .reduce(_ unionByName _)
+      .orderBy($"step")
+  }
+
+  private val aggFunnelSql = """
+    WITH e AS (SELECT user_id, event_type, ts FROM events),
+    s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'view' AND ts > t1
+             AND ts <= t1 + INTERVAL 24 HOURS GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'click' AND ts > t2
+             AND ts <= t2 + INTERVAL 24 HOURS GROUP BY e.user_id),
+    s4 AS (SELECT e.user_id, min(ts) AS t4 FROM e JOIN s3 USING (user_id)
+           WHERE event_type = 'purchase' AND ts > t3
+             AND ts <= t3 + INTERVAL 24 HOURS GROUP BY e.user_id)
+    SELECT * FROM (
+      SELECT 1 AS step, 'signup' AS step_type,
+        (SELECT count(*) FROM s1) AS n_users
+      UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+      UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+      UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4))
+    ORDER BY step"""
+
+  /** q_agg_cohort — cohort retention matrix: users grouped by the week
+    * of their FIRST purchase, distinct purchasing users per (cohort
+    * week, week offset) — the product-analytics retention triangle.
+    * First-activity is one keyed min; the matrix is a keyed join of
+    * the purchase stream against the |users|-sized cohort table (a
+    * keyed shuffle at scale, broadcast under AQE here) plus one
+    * distinct + count — no windows, no per-user sort. The same
+    * floor()ed week numbering as the other day/week operators. */
+  private def aggCohort(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wk = floor(unix_micros($"ts").cast("double") / lit(86400000000.0)
+      / lit(7.0)).cast("long")
+    val p = Tables.events(spark, dir)
+      .where($"event_type" === "purchase")
+      .select($"user_id", wk.as("wk"))
+    val first = p.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
+    p.join(first, "user_id")
+      .select($"user_id", $"cohort_week",
+        ($"wk" - $"cohort_week").as("week_offset"))
+      .distinct()
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  private val aggCohortSql = """
+    WITH p AS (SELECT user_id,
+        CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0 / 7.0)
+          AS BIGINT) AS wk
+      FROM events WHERE event_type = 'purchase'),
+    f AS (SELECT user_id, min(wk) AS cohort_week FROM p GROUP BY user_id),
+    a AS (SELECT DISTINCT p.user_id, cohort_week,
+            wk - cohort_week AS week_offset
+          FROM p JOIN f USING (user_id))
+    SELECT cohort_week, week_offset, count(*) AS n_users
+    FROM a GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset"""
+
   /** q_agg_abtest — two-sample experiment readout (the A/B analytics
     * shape): users deterministically assigned to arms by user_id % 2
     * (hash-bucketing without engine-specific hashes), then per event
@@ -977,6 +1072,8 @@ object Aggregates {
     streamline.Q("q_agg_stats", aggStats _, aggStatsSql),
     streamline.Q("q_agg_outliers", aggOutliers _, aggOutliersSql),
     streamline.Q("q_agg_abtest", aggAbtest _, aggAbtestSql),
+    streamline.Q("q_agg_funnel", aggFunnel _, aggFunnelSql),
+    streamline.Q("q_agg_cohort", aggCohort _, aggCohortSql),
     streamline.Q("q_agg_rollup", aggRollup _, aggRollupSql),
     streamline.Q("q_agg_cube", aggCube _, aggCubeSql),
     streamline.Q("q_agg_gsets", aggGsets _, aggGsetsSql),
