@@ -319,6 +319,117 @@ object Stateful {
     outs.iterator
   }
 
+  case class FnRow(user_id: Long, ts: Long, event_type: String)
+  case class FnState(minSignup: Long, views: List[Long],
+                     clicks: List[Long], purchases: List[Long], emit: Long)
+  case class FnOut(user_id: Long, max_step: Long, emit: Long)
+
+  private val fnDayUs = 86400000000L
+
+  /** Per-user incremental funnel: state keeps the minimal signup time
+    * plus ALL later-step candidate times — the full candidate sets are
+    * required for exactness because a late-arriving EARLIER signup
+    * shifts every downstream 24 h window, which can move or even
+    * revoke later steps (the funnel is NOT monotone in arrival order).
+    * Each batch re-derives the (t1..t4) chain from state — a few
+    * comparisons over the user's funnel-relevant events — and emits
+    * the user's current max step with a per-user emission sequence so
+    * the sink recovers the LAST (= final) firing. */
+  /** Pure state transition + chain derivation, exposed for
+    * StatefulFunnelSpec's arrival-order/batch-split property: fold a
+    * batch of rows into the candidate-set state, then re-derive the
+    * funnel step. The accumulation is a set union + running min, so
+    * the FINAL state (hence the final step) is invariant under any
+    * partition of the events into batches in any order. */
+  def funnelAdvance(prev: FnState, rows: Seq[FnRow]): (FnState, Long) = {
+    var minS = prev.minSignup
+    var vs = prev.views
+    var cs = prev.clicks
+    var ps = prev.purchases
+    rows.foreach { r =>
+      r.event_type match {
+        case "signup"   => if (r.ts < minS) minS = r.ts
+        case "view"     => vs ::= r.ts
+        case "click"    => cs ::= r.ts
+        case "purchase" => ps ::= r.ts
+        case _          => ()
+      }
+    }
+    def nextStep(prevT: Long, cands: List[Long]): Long = {
+      val elig = cands.filter(t => t > prevT && t <= prevT + fnDayUs)
+      if (elig.isEmpty) Long.MinValue else elig.min
+    }
+    val t1 = if (minS == Long.MaxValue) Long.MinValue else minS
+    val t2 = if (t1 == Long.MinValue) Long.MinValue else nextStep(t1, vs)
+    val t3 = if (t2 == Long.MinValue) Long.MinValue else nextStep(t2, cs)
+    val t4 = if (t3 == Long.MinValue) Long.MinValue else nextStep(t3, ps)
+    val step = Seq(t1, t2, t3, t4).takeWhile(_ != Long.MinValue).size.toLong
+    (FnState(minS, vs, cs, ps, prev.emit + 1), step)
+  }
+
+  def funnelEmptyState: FnState = FnState(Long.MaxValue, Nil, Nil, Nil, 0L)
+
+  private def updateFunnel(uid: Long, rows: Iterator[FnRow],
+                           state: GroupState[FnState]): Iterator[FnOut] = {
+    val prev = state.getOption.getOrElse(funnelEmptyState)
+    val (next, step) = funnelAdvance(prev, rows.toSeq)
+    state.update(next)
+    Iterator(FnOut(uid, step, next.emit))
+  }
+
+  /** q_stream_funnel — the STREAMING twin of q_agg_funnel: the
+    * 24 h-bounded signup→view→click→purchase funnel maintained
+    * incrementally in keyed state ([[updateFunnel]]), with per-step
+    * user counts assembled from each user's LAST firing after the
+    * drain. Exactness does not depend on arrival order (state holds
+    * the candidate sets, the chain is re-derived per batch), so the
+    * result hash-matches the batch oracle under any batch split.
+    * State bound: one user's funnel-relevant events — in production
+    * trimmed by a funnel-horizon watermark (the 4×24 h chain bounds
+    * how far back a candidate can matter once signup time is sealed).
+    * Oracle: the batch funnel SQL verbatim. */
+  private def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val updates = Streams.eventsStream(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("ts"), $"event_type")
+      .as[FnRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(updateFunnel)
+      .toDF()
+    val tbl = Streams.runToTable(spark, "funnel", "update", updates)
+    val fin = tbl.groupBy($"user_id")
+      .agg(max_by($"max_step", $"emit").as("ms"))
+    Seq((1L, "signup"), (2L, "view"), (3L, "click"), (4L, "purchase"))
+      .map { case (i, nm) =>
+        fin.where($"ms" >= i).agg(count(lit(1)).as("n_users"))
+          .select(lit(i).as("step"), lit(nm).as("step_type"), $"n_users")
+      }
+      .reduce(_ unionByName _)
+      .orderBy($"step")
+  }
+
+  private val streamFunnelSql = """
+    WITH e AS (SELECT user_id, event_type, ts FROM events),
+    s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'view' AND ts > t1
+             AND ts <= t1 + INTERVAL 24 HOURS GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'click' AND ts > t2
+             AND ts <= t2 + INTERVAL 24 HOURS GROUP BY e.user_id),
+    s4 AS (SELECT e.user_id, min(ts) AS t4 FROM e JOIN s3 USING (user_id)
+           WHERE event_type = 'purchase' AND ts > t3
+             AND ts <= t3 + INTERVAL 24 HOURS GROUP BY e.user_id)
+    SELECT * FROM (
+      SELECT 1 AS step, 'signup' AS step_type,
+        (SELECT count(*) FROM s1) AS n_users
+      UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+      UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+      UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4))
+    ORDER BY step"""
+
   /** q_stream_count_window — Flink `DataStream.countWindow(5)`: a window
     * type Spark has no built-in for, composed from keyed state
     * (`flatMapGroupsWithState`). State holds only the open (partial)
@@ -913,6 +1024,7 @@ object Stateful {
     Q("q_stream_stateful", streamStateful _, streamStatefulSql),
     Q("q_stream_over", streamOver _, streamOverSql),
     Q("q_stream_count_window", streamCountWindow _, streamCountWindowSql),
+    Q("q_stream_funnel", streamFunnel _, streamFunnelSql),
     Q("q_stream_timeout", streamTimeout _, streamTimeoutSql),
     Q("q_join_temporal", joinTemporal _, joinTemporalSql),
     Q.noOracle("q_stream_late", streamLate _),
