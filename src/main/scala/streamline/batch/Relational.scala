@@ -238,6 +238,98 @@ object Relational {
   private val sourceOrcSql = """
     SELECT * FROM supplier ORDER BY s_suppkey"""
 
+  /** q_source_avro — the Avro WIRE FORMAT end to end, closing the §2.1
+    * Avro row (previously recorded environment-blocked because
+    * spark-avro, the DataSource connector, is absent): the Avro CORE
+    * library (avro-1.12, on every Spark classpath) is driven directly
+    * — a distributed mapPartitions writes one object-container file
+    * per partition (declared record schema, deflate codec, temp +
+    * atomic-rename publish), and the read path decodes the containers
+    * from a `binaryFile` scan (schema read from the container header,
+    * as Avro consumers do). What remains excluded is only the
+    * connector's SQL-type mapping sugar; the format handling —
+    * container framing, codec, schema declaration/resolution — is the
+    * part a wire format IS, and it is witnessed here against the
+    * parquet oracle. Scale: write and decode are both per-partition
+    * streaming passes; scratch stands in for shared storage exactly
+    * like the other sink witnesses. */
+  private def sourceAvro(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schemaJson = """{"type":"record","name":"GraftOrder","fields":[
+      {"name":"o_orderkey","type":"long"},
+      {"name":"o_custkey","type":"long"},
+      {"name":"o_totalprice","type":"double"},
+      {"name":"o_orderstatus","type":"string"}]}"""
+    val root = streamline.util.Scratch.dir("avro", dir)
+    val marker = new java.io.File(root, "_DONE")
+    if (!marker.exists()) {
+      streamline.stream.Streams.deleteRec(new java.io.File(root))
+      new java.io.File(root).mkdirs()
+      Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          $"o_orderstatus")
+        .as[(Long, Long, Double, String)]
+        .repartition(4)
+        .mapPartitions { it =>
+          val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val tmpF = new java.io.File(root, s".part-$pid.avro.tmp")
+          val w = new org.apache.avro.file.DataFileWriter(
+            new org.apache.avro.generic.GenericDatumWriter[
+              org.apache.avro.generic.GenericRecord](schema))
+          w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(3))
+          w.create(schema, tmpF)
+          var n = 0L
+          it.foreach { case (k, c, p, s) =>
+            val rec = new org.apache.avro.generic.GenericData.Record(schema)
+            rec.put("o_orderkey", k)
+            rec.put("o_custkey", c)
+            rec.put("o_totalprice", p)
+            rec.put("o_orderstatus", s)
+            w.append(rec)
+            n += 1
+          }
+          w.close()
+          if (!tmpF.renameTo(new java.io.File(root, s"part-$pid.avro")))
+            throw new java.io.IOException(s"avro publish failed: $pid")
+          Iterator(n)
+        }.reduce(_ + _): Unit
+      marker.createNewFile(): Unit
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.avro").load(root)
+      .select($"content").as[Array[Byte]]
+      .mapPartitions { files =>
+        files.flatMap { bytes =>
+          val rdr = new org.apache.avro.file.DataFileReader(
+            new org.apache.avro.file.SeekableByteArrayInput(bytes),
+            new org.apache.avro.generic.GenericDatumReader[
+              org.apache.avro.generic.GenericRecord]())
+          val buf = scala.collection.mutable
+            .ArrayBuffer.empty[(Long, Long, Double, String)]
+          while (rdr.hasNext) {
+            val r = rdr.next()
+            buf += ((r.get("o_orderkey").asInstanceOf[Long],
+              r.get("o_custkey").asInstanceOf[Long],
+              r.get("o_totalprice").asInstanceOf[Double],
+              r.get("o_orderstatus").toString))
+          }
+          rdr.close()
+          buf
+        }
+      }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec("o_totalprice"))).as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private val sourceAvroSql = """
+    SELECT o_orderstatus, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   /** q_source_xml — XML format source/sink, NATIVE in Spark 4
     * (SPARK-44265 folded the spark-xml connector into sql/core): write
     * `nation` as row-tagged XML documents, read back under the
@@ -978,6 +1070,7 @@ object Relational {
     Q("q_source_jsonl_gz", sourceJsonlGz _, sourceJsonlGzSql),
     Q("q_source_text", sourceText _, sourceTextSql),
     Q("q_source_orc", sourceOrc _, sourceOrcSql),
+    Q("q_source_avro", sourceAvro _, sourceAvroSql),
     Q("q_source_xml", sourceXml _, sourceXmlSql),
     Q("q_cache_reuse", cacheReuse _, cacheReuseSql),
     Q("q_scan_metadata", scanMetadata _, scanMetadataSql),
