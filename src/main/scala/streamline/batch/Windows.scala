@@ -617,11 +617,99 @@ object Windows {
       list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc) AS ema
     FROM s ORDER BY user_id"""
 
+  /** q_win_ts_match — time-series similarity search (the UCR-suite /
+    * matrix-profile primitive, after "Time Series Similarity Search
+    * for Streaming Data in Distributed Systems", EDBT 2019): find the
+    * 10 length-8 windows, across every user's (ts, event_id)-ordered
+    * value series, most similar to a fixed query pattern under
+    * Z-NORMALIZED euclidean distance (shape match, offset/scale
+    * invariant — the similarity that matters for sensor/behavior
+    * series). Query pattern = the first window of the smallest
+    * qualifying user (data-derived, deterministic; the self-match at
+    * distance 0 anchors the result). Plan: one keyed collect per user
+    * (bounded per-user history, as q_win_ema), sliding windows via
+    * sequence+slice per row, per-window stats and the distance as
+    * LEFT-FOLD HOFs — the identical IEEE op sequence as the oracle's
+    * list_reduce, so distances hash-match at full precision — then a
+    * global TakeOrdered top-k (no full sort). Zero-variance windows
+    * are excluded (z-norm undefined). At 100 TB the UCR lower bounds
+    * (LB_Kim/LB_Keogh) prune candidates before the exact distance;
+    * this is the exact form. */
+  private def winTsMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = 8
+    val dm = lit(m.toDouble)
+    def fsum(a: org.apache.spark.sql.Column) =
+      aggregate(a, lit(0.0d), (acc, x) => acc + x)
+    val ser = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(transform(
+        sort_array(collect_list(struct($"ts", $"event_id", $"value"))),
+        x => x.getField("value")).as("vals"))
+      .where(size($"vals") >= m)
+    val probe = ser.orderBy($"user_id").limit(1)
+      .select(slice($"vals", 1, m).as("q"))
+    val wins = ser
+      .select($"user_id", posexplode(
+        transform(sequence(lit(1), size($"vals") - (m - 1)),
+          i => slice($"vals", i, lit(m)))).as(Seq("pos0", "w")))
+      .select($"user_id", ($"pos0" + 1).as("pos"), $"w")
+    val scored = wins.crossJoin(broadcast(probe))
+      .withColumn("mw", fsum($"w") / dm)
+      .withColumn("vw",
+        fsum(transform($"w", x => x * x)) / dm - $"mw" * $"mw")
+      .withColumn("mq", fsum($"q") / dm)
+      .withColumn("vq",
+        fsum(transform($"q", x => x * x)) / dm - $"mq" * $"mq")
+      .where($"vw" > 0 && $"vq" > 0)
+      .withColumn("dist", sqrt(fsum(zip_with(
+        $"w", $"q",
+        (a, b) => ((a - $"mw") / sqrt($"vw") - (b - $"mq") / sqrt($"vq")) *
+          ((a - $"mw") / sqrt($"vw") - (b - $"mq") / sqrt($"vq"))))))
+    scored.select($"user_id", $"pos", $"dist")
+      .orderBy($"dist".asc, $"user_id".asc, $"pos".asc)
+      .limit(10)
+  }
+
+  private val winTsMatchSql = """
+    WITH ser AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id),
+    big AS (SELECT user_id, vals FROM ser WHERE len(vals) >= 8),
+    probe AS (SELECT vals[1:8] AS q FROM big ORDER BY user_id LIMIT 1),
+    wins AS (
+      SELECT user_id, i AS pos, vals[i : i + 7] AS w
+      FROM big, unnest(generate_series(1, len(vals) - 7)) AS t(i)),
+    st AS (
+      SELECT user_id, pos, w, q,
+        list_reduce(w, (acc, x) -> acc + x) / 8.0 AS mw,
+        list_reduce(list_transform(w, x -> x * x),
+          (acc, x) -> acc + x) / 8.0
+          - (list_reduce(w, (acc, x) -> acc + x) / 8.0)
+          * (list_reduce(w, (acc, x) -> acc + x) / 8.0) AS vw,
+        list_reduce(q, (acc, x) -> acc + x) / 8.0 AS mq,
+        list_reduce(list_transform(q, x -> x * x),
+          (acc, x) -> acc + x) / 8.0
+          - (list_reduce(q, (acc, x) -> acc + x) / 8.0)
+          * (list_reduce(q, (acc, x) -> acc + x) / 8.0) AS vq
+      FROM wins, probe),
+    d AS (
+      SELECT user_id, pos,
+        sqrt(list_reduce(
+          list_transform(generate_series(1, 8),
+            j -> ((w[j] - mw) / sqrt(vw) - (q[j] - mq) / sqrt(vq))
+               * ((w[j] - mw) / sqrt(vw) - (q[j] - mq) / sqrt(vq))),
+          (acc, x) -> acc + x)) AS dist
+      FROM st WHERE vw > 0 AND vq > 0)
+    SELECT user_id, pos, dist FROM d
+    ORDER BY dist ASC, user_id ASC, pos ASC LIMIT 10"""
+
   val all: Seq[Q] = Seq(
     Q("q_win_distinct_sliding", winDistinctSliding _,
       winDistinctSlidingSql),
     Q("q_win_resample", winResample _, winResampleSql),
     Q("q_win_ema", winEma _, winEmaSql),
+    Q("q_win_ts_match", winTsMatch _, winTsMatchSql),
     Q("q_win_nth", winNth _, winNthSql),
     Q("q_win_sliding", winSliding _, winSlidingSql),
     Q("q_win_fill", winFill _, winFillSql),
