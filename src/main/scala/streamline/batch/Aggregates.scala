@@ -186,6 +186,51 @@ object Aggregates {
     * merges whose last bits depend on partitioning, so outputs are
     * rounded to 4dp (relative error of the merge ~1e-12 — far inside
     * the rounding). */
+  /** q_agg_gini — Gini concentration coefficient per group (order-value
+    * inequality per order priority): the distribution-profiling
+    * metric data-quality reports quote next to mean/σ. Rank form
+    * G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending xᵢ — the rank
+    * window is keyed per group, the two weighted sums are exact
+    * DECIMAL (rank ties carry equal values, so the tie order cannot
+    * change Σi·xᵢ), and the coefficient is one fixed IEEE tree over
+    * their double images, rounded at 6 dp on output. One keyed
+    * window sort + one keyed aggregate at any scale. */
+  private def aggGini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority", $"o_totalprice",
+        row_number().over(w).cast("long").as("rn"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec("o_totalprice"))).as("s"),
+        asDouble(sum($"rn".cast("decimal(18,0)") * dec("o_totalprice")))
+          .as("s1"))
+      .select($"o_orderpriority", $"n",
+        round(lit(2.0) * $"s1" / ($"n".cast("double") * $"s")
+          - ($"n" + 1).cast("double") / $"n".cast("double"), 6).as("gini"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val aggGiniSql = """
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+        row_number() OVER (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+      FROM orders),
+    s AS (
+      SELECT o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s,
+        CAST(sum(CAST(rn AS DECIMAL(18,0))
+                 * CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s1
+      FROM r GROUP BY o_orderpriority)
+    SELECT o_orderpriority, n,
+      round(2.0 * s1 / (CAST(n AS DOUBLE) * s)
+        - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+    FROM s ORDER BY o_orderpriority"""
+
   /** q_agg_funnel — ordered-step conversion funnel (signup → view →
     * click → purchase, each step within 24 h of the previous one):
     * the product-analytics aggregate twin of the CEP sequence
@@ -1072,6 +1117,7 @@ object Aggregates {
     streamline.Q("q_agg_stats", aggStats _, aggStatsSql),
     streamline.Q("q_agg_outliers", aggOutliers _, aggOutliersSql),
     streamline.Q("q_agg_abtest", aggAbtest _, aggAbtestSql),
+    streamline.Q("q_agg_gini", aggGini _, aggGiniSql),
     streamline.Q("q_agg_funnel", aggFunnel _, aggFunnelSql),
     streamline.Q("q_agg_cohort", aggCohort _, aggCohortSql),
     streamline.Q("q_agg_rollup", aggRollup _, aggRollupSql),

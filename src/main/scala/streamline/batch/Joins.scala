@@ -325,6 +325,64 @@ object Joins {
     FROM j WHERE rn = 1
     ORDER BY user_id, p_id"""
 
+  /** q_join_asof_tolerance — as-of join with a MAX-STALENESS bound
+    * (the pandas merge_asof `tolerance` semantic, and what a temporal
+    * enrichment means operationally: a reference value older than the
+    * staleness SLA must NOT be used): same union-and-last-value
+    * composition as q_join_asof, but a matched click farther than
+    * 1 hour behind the purchase is REJECTED — the match columns null
+    * out rather than falling back to an older click (tolerance
+    * bounds the match, it does not re-search). Same single keyed
+    * shuffle + running frame as the unbounded form; the tolerance is
+    * a post-frame comparison, free at any scale. */
+  private def joinAsofTolerance(spark: SparkSession,
+                                dir: String): DataFrame = {
+    import spark.implicits._
+    val tolUs = 3600000000L // 1 hour
+    val e = Tables.events(spark, dir)
+      .where($"event_type".isin("click", "purchase"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"kind".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.select($"user_id", $"ts", $"event_id",
+        when($"event_type" === "purchase", lit(1)).otherwise(lit(0))
+          .as("kind"),
+        when($"event_type" === "click", $"event_id").as("c_id0"),
+        when($"event_type" === "click", $"ts").as("c_ts0"))
+      .withColumn("c_id", last($"c_id0", ignoreNulls = true).over(w))
+      .withColumn("c_ts", last($"c_ts0", ignoreNulls = true).over(w))
+      .where($"kind" === 1)
+      .withColumn("fresh",
+        $"c_ts".isNotNull &&
+          unix_micros($"ts") - unix_micros($"c_ts") <= tolUs)
+      .select($"user_id", $"event_id".as("p_id"), tsSec($"ts").as("p_ts"),
+        when($"fresh", $"c_id").as("c_id"),
+        tsSec(when($"fresh", $"c_ts")).as("c_ts"))
+      .orderBy($"user_id", $"p_id")
+  }
+
+  private val joinAsofToleranceSql = """
+    WITH p AS (SELECT event_id AS p_id, user_id,
+                      date_trunc('microseconds', ts) AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS c_id, user_id AS c_uid,
+                      date_trunc('microseconds', ts) AS c_ts
+               FROM events WHERE event_type = 'click'),
+         j AS (SELECT p.user_id, p.p_id, p.p_ts, c.c_id, c.c_ts,
+                      row_number() OVER (PARTITION BY p.p_id
+                        ORDER BY c.c_ts DESC NULLS LAST,
+                                 c.c_id DESC NULLS LAST) AS rn
+               FROM p LEFT JOIN c
+                 ON p.user_id = c.c_uid AND c.c_ts <= p.p_ts)
+    SELECT user_id, p_id, date_trunc('second', p_ts) AS p_ts,
+      CASE WHEN c_ts IS NOT NULL
+             AND p_ts - c_ts <= INTERVAL 1 HOUR THEN c_id END AS c_id,
+      date_trunc('second',
+        CASE WHEN c_ts IS NOT NULL
+               AND p_ts - c_ts <= INTERVAL 1 HOUR THEN c_ts END) AS c_ts
+    FROM j WHERE rn = 1
+    ORDER BY user_id, p_id"""
+
   /** q_join_bucketed — co-located (shuffle-free) join via bucketing, the
     * pre-partitioning story at 100 TB: both sides are written bucketed
     * 8-ways on the join key (one file per bucket, sorted), so the
@@ -618,5 +676,6 @@ object Joins {
     Q("q_join_theta", joinTheta _, joinThetaSql),
     Q("q_join_interval", joinInterval _, joinIntervalSql),
     Q("q_join_range", joinRange _, joinRangeSql),
-    Q("q_join_asof", joinAsof _, joinAsofSql))
+    Q("q_join_asof", joinAsof _, joinAsofSql),
+    Q("q_join_asof_tolerance", joinAsofTolerance _, joinAsofToleranceSql))
 }
