@@ -1541,6 +1541,69 @@ object Streams {
     SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM u)
     ORDER BY user_id, id1, id2"""
 
+  /** q_join_stream_stream_full — stream ⋈ stream FULL OUTER join, the
+    * last stream-join type (Spark 3.1+): the same strict key+band
+    * condition as the left witness, null-extending BOTH sides once
+    * state-value watermarks seal them. Seal rules mirror the engine's
+    * per-side state eviction for the band ts1 < ts2 ≤ ts1 + 10 m: a
+    * LEFT row is unmatched-final when wm ≥ ts1 + 10 m (no matching
+    * ts2 can still arrive), a RIGHT row when wm ≥ ts2 (every matching
+    * ts1 < ts2 would be late). Same single keyed shuffle per side +
+    * bounded dual state as the other stream-stream joins. */
+  private def joinStreamStreamFull(spark: SparkSession,
+                                   dir: String): DataFrame = {
+    import spark.implicits._
+    val e1 = eventsStream(spark, dir)
+      .select($"event_id".as("id1"), $"user_id", $"ts".as("ts1"))
+      .withWatermark("ts1", "10 minutes")
+    val e2 = eventsStream(spark, dir)
+      .select($"event_id".as("id2"), $"user_id".as("u2"), $"ts".as("ts2"))
+      .withWatermark("ts2", "10 minutes")
+    val joined = e1.join(e2,
+        $"user_id" === $"u2" &&
+          $"ts2" > $"ts1" && $"ts2" <= $"ts1" + expr("INTERVAL 10 MINUTES"),
+        "fullOuter")
+      .select(coalesce($"user_id", $"u2").as("user_id"), $"id1", $"id2",
+        tsSec($"ts1").as("t1"), tsSec($"ts2").as("t2"))
+    runToTable(spark, "ss_full", "append", joined)
+      .orderBy($"user_id", $"id1".asc_nulls_first, $"id2".asc_nulls_first)
+  }
+
+  private val joinStreamStreamFullSql = """
+    WITH e AS (SELECT event_id, user_id,
+                      date_trunc('microseconds', ts) AS ts FROM events),
+    wm AS (SELECT date_trunc('millisecond', max(ts))
+             - INTERVAL 10 MINUTE AS w FROM events),
+    m AS (SELECT e1.user_id, e1.event_id AS id1, e2.event_id AS id2,
+            date_trunc('second', e1.ts) AS t1,
+            date_trunc('second', e2.ts) AS t2
+          FROM e e1 JOIN e e2
+            ON e1.user_id = e2.user_id
+           AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE),
+    ul AS (SELECT e1.user_id, e1.event_id AS id1,
+            CAST(NULL AS BIGINT) AS id2,
+            date_trunc('second', e1.ts) AS t1,
+            CAST(NULL AS TIMESTAMP) AS t2
+          FROM e e1
+          WHERE e1.ts + INTERVAL 10 MINUTE <= (SELECT w FROM wm)
+            AND NOT EXISTS (SELECT 1 FROM e e2
+              WHERE e2.user_id = e1.user_id
+                AND e2.ts > e1.ts
+                AND e2.ts <= e1.ts + INTERVAL 10 MINUTE)),
+    ur AS (SELECT e2.user_id, CAST(NULL AS BIGINT) AS id1,
+            e2.event_id AS id2,
+            CAST(NULL AS TIMESTAMP) AS t1,
+            date_trunc('second', e2.ts) AS t2
+          FROM e e2
+          WHERE e2.ts <= (SELECT w FROM wm)
+            AND NOT EXISTS (SELECT 1 FROM e e1
+              WHERE e1.user_id = e2.user_id
+                AND e2.ts > e1.ts
+                AND e2.ts <= e1.ts + INTERVAL 10 MINUTE))
+    SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM ul
+                   UNION ALL SELECT * FROM ur)
+    ORDER BY user_id, id1 ASC NULLS FIRST, id2 ASC NULLS FIRST"""
+
   /** q_join_stream_window — stream ⋈ stream WINDOW join (Flink
     * `join(...).where(...).equalTo(...).window(TumblingEventTimeWindows)`):
     * pairs co-located in the same tumbling day window — absolute window
@@ -2145,6 +2208,8 @@ object Streams {
     Q("q_join_stream_window", joinStreamWindow _, joinStreamWindowSql),
     Q("q_join_stream_stream_left", joinStreamStreamLeft _,
       joinStreamStreamLeftSql),
+    Q("q_join_stream_stream_full", joinStreamStreamFull _,
+      joinStreamStreamFullSql),
     Q("q_stream_slide", streamSlide _, streamSlideSql),
     Q("q_stream_cumulate", streamCumulate _, streamCumulateSql),
     Q("q_stream_wintopn", streamWinTopN _, streamWinTopNSql),
