@@ -5,6 +5,7 @@ import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
 import org.apache.datasketches.memory.Memory
 import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -40,6 +41,16 @@ case class FreqItemsAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[ItemsSketch[String]] {
+
+  // Declared so misuse (non-string child) is rejected at ANALYSIS time
+  // instead of a mid-job ClassCastException in update()'s UTF8String
+  // cast. (AbstractDataType is private[sql] in Spark 4, so the
+  // equivalent check is spelled via checkInputDataTypes.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING column, " +
+        s"got ${child.dataType.catalogString}")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

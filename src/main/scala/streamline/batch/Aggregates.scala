@@ -357,9 +357,15 @@ object Aggregates {
     val mb = $"sxb" / dnb
     val va = ($"sx2a" - dna * ma * ma) / (dna - lit(1.0))
     val vb = ($"sx2b" - dnb * mb * mb) / (dnb - lit(1.0))
+    // Sparse-arm guards, mirrored as CASE in the oracle: a mean needs
+    // n ≥ 1 and a sample variance needs n ≥ 2 — below that the raw
+    // expressions produce NaN/Infinity whose division semantics differ
+    // between engines, so both sides emit NULL instead.
     s.select($"event_type", $"n_a", $"n_b",
-        round(ma, 4).as("mean_a"), round(mb, 4).as("mean_b"),
-        round((ma - mb) / sqrt(va / dna + vb / dnb), 4).as("t_stat"))
+        when($"n_a" > 0, round(ma, 4)).as("mean_a"),
+        when($"n_b" > 0, round(mb, 4)).as("mean_b"),
+        when($"n_a" > 1 && $"n_b" > 1,
+          round((ma - mb) / sqrt(va / dna + vb / dnb), 4)).as("t_stat"))
       .orderBy($"event_type")
   }
 
@@ -386,11 +392,13 @@ object Aggregates {
         sxa, sxb, sx2a, sx2b FROM s)
     SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
       CAST(n_b AS BIGINT) AS n_b,
-      round(sxa / dna, 4) AS mean_a, round(sxb / dnb, 4) AS mean_b,
-      round((sxa / dna - sxb / dnb) / sqrt(
-        ((sx2a - dna * (sxa / dna) * (sxa / dna)) / (dna - 1.0)) / dna
-        + ((sx2b - dnb * (sxb / dnb) * (sxb / dnb)) / (dnb - 1.0)) / dnb),
-        4) AS t_stat
+      CASE WHEN n_a > 0 THEN round(sxa / dna, 4) END AS mean_a,
+      CASE WHEN n_b > 0 THEN round(sxb / dnb, 4) END AS mean_b,
+      CASE WHEN n_a > 1 AND n_b > 1 THEN
+        round((sxa / dna - sxb / dnb) / sqrt(
+          ((sx2a - dna * (sxa / dna) * (sxa / dna)) / (dna - 1.0)) / dna
+          + ((sx2b - dnb * (sxb / dnb) * (sxb / dnb)) / (dnb - 1.0)) / dnb),
+          4) END AS t_stat
     FROM t ORDER BY event_type"""
 
   /** q_agg_outliers — per-group z-score outlier detection (the

@@ -36,9 +36,23 @@ object Iterate {
     * repeatedly applies `step` until `metric` (any aggregate that
     * strictly changes while work remains — Flink's convergence
     * criterion) stops changing, or `maxIter` supersteps elapse.
-    * Returns the fixed point, still persisted. */
-  def fixpoint(init: DataFrame, maxIter: Int)(step: DataFrame => DataFrame)(
-      metric: DataFrame => Double): (DataFrame, Int) = {
+    * Returns the fixed point, still persisted.
+    *
+    * The metric type is generic and compared with `==`: graph metrics
+    * here sum 64-bit vertex ids, and a Double image aliases distinct
+    * sums above ~2^53 — premature "convergence" with wrong labels.
+    * Keep id-sum metrics as Long end to end.
+    *
+    * `requireConverged = true` makes hitting `maxIter` with the metric
+    * still moving an error instead of a silently-unconverged result —
+    * set it on loops whose output is WRONG when unconverged (min-label
+    * propagation); leave it off where the bound is part of the
+    * semantics (bounded relaxation) or the partial result is still
+    * sound (SCC trim: an incomplete trim just leaves acyclic vertices
+    * for the coloring phase to classify). */
+  def fixpoint[M](init: DataFrame, maxIter: Int,
+      requireConverged: Boolean = false)(step: DataFrame => DataFrame)(
+      metric: DataFrame => M): (DataFrame, Int) = {
     // Eager localCheckpoint: materializes the superstep AND cuts the
     // logical plan back to a leaf — constant-size plans, constant
     // driver memory, no matter how many supersteps run. Old superstep
@@ -72,6 +86,10 @@ object Iterate {
       cur = next
       m = m2
     }
+    if (requireConverged)
+      throw new IllegalStateException(
+        s"fixpoint did not converge within $maxIter supersteps " +
+          s"(metric still moving: $m); raise maxIter or audit the step")
     (cur, iters)
   }
 
@@ -124,7 +142,7 @@ object Iterate {
     val init = undirected.select($"src".as("v"), $"dst".as("comp"))
       .union(undirected.select($"src".as("v"), $"src".as("comp")))
       .groupBy($"v").agg(min($"comp").as("comp"))
-    val (fixed, iters) = fixpoint(init, maxIter) { comp =>
+    val (fixed, iters) = fixpoint(init, maxIter, requireConverged = true) { comp =>
       // superstep: each vertex takes min(own label, neighbors' labels)…
       // (label table broadcast per stateSide: the propagate is then a
       // map-side hash join over the partition-local edge cache — the
@@ -150,12 +168,13 @@ object Iterate {
       propagated.join(stateSide(lut), $"comp" === $"lv")
         .select($"v", least($"comp", $"lcomp").as("comp"))
     } { df =>
-      // Σ labels strictly decreases until the fixed point; ids are
-      // ≤ ~1e6 so the sum is far inside double-exact integer range.
+      // Σ labels strictly decreases until the fixed point; kept as
+      // Long end to end — a Double image aliases distinct sums above
+      // ~2^53, faking convergence on billion-vertex id spaces.
       // coalesce: sum() over zero rows is NULL — an empty edge set
       // (e.g. a month filter matching no orders) must converge to an
       // empty result, not NPE on the non-nullable Long decode.
-      df.agg(coalesce(sum($"comp"), lit(0L))).as[Long].head().toDouble
+      df.agg(coalesce(sum($"comp"), lit(0L))).as[Long].head()
     }
     undirected.unpersist()
     (fixed, iters)
@@ -735,7 +754,7 @@ object Iterate {
   private def minLabelFixpoint(init: DataFrame, e: DataFrame): DataFrame = {
     val spark = init.sparkSession
     import spark.implicits._
-    fixpoint(init, 100) { comp =>
+    fixpoint(init, 100, requireConverged = true) { comp =>
       val fromIn = e.join(stateSide(comp), e("src") === comp("v"))
         .select(e("dst").as("v"), comp("comp"))
       // No mid-step localCheckpoint (unlike the undirected CC loop):
@@ -748,7 +767,7 @@ object Iterate {
       prop.join(stateSide(lut), $"comp" === $"lv")
         .select($"v", least($"comp", $"lcomp").as("comp"))
     } { df =>
-      df.agg(coalesce(sum($"comp"), lit(0L))).as[Long].head().toDouble
+      df.agg(coalesce(sum($"comp"), lit(0L))).as[Long].head()
     }._1
   }
 
@@ -812,7 +831,7 @@ object Iterate {
             .groupBy($"v").agg(countDistinct($"side").as("ns"))
             .where($"ns" === 2).select($"v")
         } { df =>
-          df.agg(coalesce(sum($"v"), lit(0L))).as[Long].head().toDouble
+          df.agg(coalesce(sum($"v"), lit(0L))).as[Long].head()
         }
         found += verts.except(core).select($"v", $"v".as("scc_id"))
           .localCheckpoint(true)
@@ -851,6 +870,14 @@ object Iterate {
         edges = e
         remaining = verts.count()
       }
+      // Round count is bounded by condensation-DAG depth — O(V) on a
+      // chain-of-cycles graph, so the cap IS reachable on adversarial
+      // inputs. Undecided vertices sit in no `found` frame; emitting
+      // without them would silently DROP rows, so fail loudly instead.
+      if (remaining > 0)
+        throw new IllegalStateException(
+          s"SCC did not decide $remaining vertices within $maxRounds " +
+            "rounds (condensation depth exceeds the cap); raise maxRounds")
       val out =
         if (found.isEmpty) verts.select($"v", $"v".as("scc_id"))
         else found.reduce(_ unionByName _)

@@ -1709,12 +1709,15 @@ object Streams {
       def process(r: org.apache.spark.sql.Row): Unit =
         out.write(s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}\n")
       def close(errorOrNull: Throwable): Unit = {
-        out.close()
+        // Null guards: if open() threw before `out`/`tmpF` were
+        // assigned (scratch dir unwritable), close(error) must let the
+        // ORIGINAL failure propagate, not mask it with an NPE here.
+        if (out != null) out.close()
         if (errorOrNull == null) {
           if (dest.exists()) dest.delete()
           if (!tmpF.renameTo(dest))
             throw new java.io.IOException(s"publish failed: $dest")
-        } else tmpF.delete(): Unit
+        } else if (tmpF != null) tmpF.delete(): Unit
       }
     }
     val q = st.writeStream.foreach(writer)

@@ -60,4 +60,12 @@ class FreqItemsSpec extends SparkSuite {
       }, lang)
     }
   }
+
+  test("non-string input is rejected at analysis time, not mid-job") {
+    val df = Seq(1L, 2L, 2L).toDF("n")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(freq_items($"n", 16)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"), e.getMessage)
+  }
 }

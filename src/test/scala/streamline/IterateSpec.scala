@@ -105,6 +105,17 @@ class IterateSpec extends SparkSuite {
     assert(iters == 5 && steps == 5)
   }
 
+  test("requireConverged surfaces a still-moving metric at the cap") {
+    val init = Seq((1L, 100L)).toDF("v", "comp")
+    val e = intercept[IllegalStateException] {
+      Iterate.fixpoint(init, 3, requireConverged = true) { df =>
+        df.select($"v", ($"comp" - 1L).as("comp"))
+      }(df => df.agg(org.apache.spark.sql.functions.sum($"comp"))
+        .as[Long].head())
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+  }
+
   test("vertexCentric SSSP relaxes a long-cheap path past a short-expensive one") {
     import org.apache.spark.sql.functions._
     // 1->2 costs 10 directly, but 1 via the 3-hop detour 1->3->4->2
