@@ -53,30 +53,43 @@ object Bench {
 
   /** Re-time suspect selection (pure; pinned in BenchGateSpec).
     * Two gates compose:
-    *  - THROTTLE (coarse): when the io probes say the run crossed a
-    *    throttled window, the 10 slowest >3 s queries re-run.
-    *  - HISTORY (per-query, round 10): anything reading >3× its
-    *    committed quiet baseline AND >1 s re-runs — BENCH_r09's probes
-    *    read 128→81 MB/s (no throttle trip) while q_iter_triangles
-    *    recorded 13.4 s against a 1.8 s quiet baseline; this gate
-    *    catches throttle windows the coarse probes straddle. The >1 s
-    *    floor keeps sub-second jitter from burning re-time slots.
+    *  - THROTTLE (per-window, round 11): `inThrottledWindow` says
+    *    whether the io probes bracketing a query's position read
+    *    throttled — probes now run every ~50 queries, so a throttle
+    *    burst is attributed to the queries timed INSIDE it instead of
+    *    defaming the whole run. The 10 slowest >3 s queries among
+    *    those re-run.
+    *  - HISTORY (per-query, round 10; tightened round 11): anything
+    *    reading over its committed quiet baseline by the tier ratio
+    *    AND >1 s re-runs — 3× for sub-2 s baselines (jitter room),
+    *    2× for >2 s baselines, where BENCH_r10 showed 1.6× throttle
+    *    inflation (q_stream_retract_hist 6.83 vs 4.15 s) sitting
+    *    invisibly under the old single 3× trigger. The >1 s floor
+    *    keeps sub-second jitter from burning re-time slots.
     * History picks the 10 largest ABSOLUTE excesses (dt − baseline) —
     * ratio alone would spend slots on 0.4 s blips. Union capped at 12.
     * Returns (suspects, historyCount). */
   private[graft] def pickSuspects(firstPass: Seq[(String, Double)],
       baseline: Map[String, Double],
-      throttled: Boolean): (Seq[String], Int) = {
-    val throttleSuspects =
-      if (!throttled) Seq.empty
-      else firstPass.filter(_._2 > 3.0).sortBy(-_._2).take(10).map(_._1)
+      inThrottledWindow: String => Boolean): (Seq[String], Int) = {
+    val throttleSuspects = firstPass
+      .filter { case (n, dt) => dt > 3.0 && inThrottledWindow(n) }
+      .sortBy(-_._2).take(10).map(_._1)
+    def tier(b: Double): Double = if (b > 2.0) 2.0 else 3.0
     val historySuspects = firstPass.collect {
       case (name, dt) if dt > 1.0 &&
-        baseline.get(name).exists(b => dt > 3.0 * b) => name -> dt
+        baseline.get(name).exists(b => dt > tier(b) * b) => name -> dt
     }.sortBy { case (n, dt) => -(dt - baseline(n)) }.take(10).map(_._1)
     ((throttleSuspects ++ historySuspects).distinct.take(12),
       historySuspects.size)
   }
+
+  /** A probe window is throttled when either bracketing reading is
+    * under 40 MB/s (the harness's observed throttle ceiling) or the
+    * rate halved across it (pure; pinned in BenchGateSpec). */
+  private[graft] def windowThrottled(before: Double, after: Double): Boolean =
+    before > 0 && after > 0 &&
+      (after < 0.5 * before || before < 40.0 || after < 40.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -119,26 +132,41 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $dt%8.2f s${if (ok) "" else "  (FAILED)"}")
       dt
     }
-    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Interleaved IO probes (round 11): one reading every `probeEvery`
+    // queries, not just start/end — a throttle burst is then
+    // attributable to the ~50 queries timed inside its window instead
+    // of smearing over (or hiding inside) the whole run. ~1 s per
+    // probe, ~7 probes per full run: negligible next to the queries.
+    val probeEvery = 50
+    val ordered = selected.toSeq.sortBy(_._1)
+    val probes = scala.collection.mutable.ArrayBuffer(ioMbS)
+    val firstPass = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % probeEvery == 0) {
+        val p = ioProbeMbS()
+        System.err.println(f"[bench] io probe (mid @$i): $p%.1f MB/s")
+        probes += p
+      }
       name -> time(name, fn)
     }
-    // Second probe AFTER the run: the block-device throttle can begin
-    // (or end) mid-bench, and a single pre-run reading would then
-    // misattribute the inflation. Min(start, end) is the conservative
-    // bound to compare totals against.
+    // Final probe AFTER the run: the block-device throttle can begin
+    // (or end) mid-bench; the closing reading bounds the last window.
     val ioMbSEnd = ioProbeMbS()
+    probes += ioMbSEnd
     System.err.println(f"[bench] io probe (end): $ioMbSEnd%.1f MB/s")
-    // Throttle-aware re-time: when the probes say the run crossed a
-    // throttled window (end < 0.5× start, or either under 40 MB/s),
-    // per-QUERY attribution is noise — BENCH_r07 recorded q_iter_delta
-    // at 76.6 s where a quiet box runs it in 2.6. Re-run the slowest
-    // queries once and keep the per-query MIN: bounded extra cost,
-    // and an innocent operator stops being defamed by whichever
-    // throttle window it happened to land in.
-    val throttled = ioMbS > 0 && ioMbSEnd > 0 &&
-      (ioMbSEnd < 0.5 * ioMbS || ioMbS < 40.0 || ioMbSEnd < 40.0)
-    val (suspects, nHistory) =
-      pickSuspects(firstPass, loadBaseline(), throttled)
+    // Throttle-aware re-time, per WINDOW: a query is suspect when its
+    // own bracketing probes read throttled — BENCH_r07 recorded
+    // q_iter_delta at 76.6 s where a quiet box runs it in 2.6.
+    // Re-run the slowest such queries once and keep the per-query MIN:
+    // bounded extra cost, and an innocent operator stops being defamed
+    // by whichever throttle window it happened to land in.
+    val qWindow: Map[String, Int] = ordered.zipWithIndex.map {
+      case ((n, _), i) => n -> (i / probeEvery)
+    }.toMap
+    val throttledWindows = (0 until probes.size - 1)
+      .filter(w => windowThrottled(probes(w), probes(w + 1))).toSet
+    val throttled = throttledWindows.nonEmpty
+    val (suspects, nHistory) = pickSuspects(firstPass, loadBaseline(),
+      n => throttledWindows(qWindow(n)))
     if (suspects.nonEmpty)
       System.err.println(s"[bench] re-timing ${suspects.size} suspects " +
         f"(probes $ioMbS%.1f -> $ioMbSEnd%.1f MB/s, throttle=$throttled, " +
@@ -150,6 +178,12 @@ object Bench {
     val retimed = suspects.map { name =>
       name -> time(name, selected(name))
     }.toMap
+    // A probe after the re-time pass: if THIS window was throttled too,
+    // the re-timed numbers carry the same inflation and the bench.json
+    // reader can see it instead of trusting a dirty re-run.
+    val ioMbSRetime = if (suspects.nonEmpty) ioProbeMbS() else ioMbSEnd
+    if (suspects.nonEmpty)
+      System.err.println(f"[bench] io probe (post-retime): $ioMbSRetime%.1f MB/s")
     val results = firstPass.map { case (name, dt) =>
       name -> retimed.get(name).fold(dt)(math.min(dt, _))
     }
@@ -164,9 +198,20 @@ object Bench {
     def line(qs: String): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"io_probe_mb_s":$ioMbS%.1f,"io_probe_mb_s_end":$ioMbSEnd%.1f,"throttle_retimed":$throttled,"n_history_retimed":$nHistory,"queries":$qs,"sf":"$sfDir"}"""
     // bench.json keeps the full detail including first/retimed pairs
-    // for every suspect; the stdout line stays compact.
+    // for every suspect and each query's enclosing probe window (the
+    // run is name-sorted, so [from,to] names identify the queries a
+    // window's readings bracket); the stdout line stays compact.
+    val windowsJson = (0 until probes.size - 1).map { w =>
+      val lo = w * probeEvery
+      val hi = math.min((w + 1) * probeEvery, ordered.size) - 1
+      s"""{"from":"${ordered(lo)._1}","to":"${ordered(hi)._1}",""" +
+        f""""mb_s_before":${probes(w)}%.1f,"mb_s_after":${probes(w + 1)}%.1f,""" +
+        s""""throttled":${throttledWindows(w)}}"""
+    }.mkString("[", ",", "]")
     val full = line(render(results)).dropRight(1) +
-      s""","retimed_first_min":$suspectJson}"""
+      s""","retimed_first_min":$suspectJson""" +
+      f""","io_probe_mb_s_post_retime":$ioMbSRetime%.1f""" +
+      s""","io_windows":$windowsJson}"""
     // Persist the full per-query detail to a file channel.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full)
     catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }

@@ -3,49 +3,67 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the bench re-time suspect selection (Bench.pickSuspects) — the
-  * round-10 history gate plus the pre-existing throttle gate. These
-  * rules are what keep driver-side BENCH_r{N} per-query attribution
-  * honest on a noisy host, so they get a direct unit pin. */
+  * round-10 history gate (tightened to a 2× tier for >2 s baselines in
+  * round 11) plus the throttle gate, now attributed per probe WINDOW.
+  * These rules are what keep driver-side BENCH_r{N} per-query
+  * attribution honest on a noisy host, so they get a direct unit pin. */
 class BenchGateSpec extends AnyFunSuite {
 
   private val base = Map("q_a" -> 1.0, "q_b" -> 0.2, "q_c" -> 2.0)
+  private val quiet: String => Boolean = _ => false
+  private val noisy: String => Boolean = _ => true
 
-  test("no baseline and no throttle selects nothing") {
+  test("no baseline and no throttled window selects nothing") {
     assert(Bench.pickSuspects(
-      Seq("q_a" -> 9.0, "q_x" -> 50.0), Map.empty, throttled = false) ==
+      Seq("q_a" -> 9.0, "q_x" -> 50.0), Map.empty, quiet) ==
       (Seq.empty, 0))
   }
 
-  test("history gate: >3x baseline AND >1s") {
+  test("history gate: >3x baseline AND >1s for sub-2s baselines") {
     val fp = Seq(
       "q_a" -> 3.5,  // 3.5x of 1.0 -> suspect
       "q_b" -> 0.9,  // 4.5x of 0.2 but under the 1s floor -> no
-      "q_c" -> 5.9,  // 2.95x of 2.0 -> no
+      "q_c" -> 3.9,  // 1.95x of 2.0 (2x tier applies, not met) -> no
       "q_x" -> 50.0) // no baseline -> no
-    assert(Bench.pickSuspects(fp, base, throttled = false) ==
-      (Seq("q_a"), 1))
+    assert(Bench.pickSuspects(fp, base, quiet) == (Seq("q_a"), 1))
+  }
+
+  test("history gate tightens to 2x for baselines over 2s") {
+    // BENCH_r10's blind spot: q_stream_retract_hist read 6.83 s vs a
+    // 4.15 s baseline (1.64x) and sat under the old single 3x trigger.
+    val b = Map("q_slow" -> 4.15, "q_edge" -> 2.0)
+    val fp = Seq(
+      "q_slow" -> 8.7,  // 2.1x of 4.15 -> suspect under the 2x tier
+      "q_edge" -> 5.9)  // baseline exactly 2.0 keeps the 3x tier -> no
+    assert(Bench.pickSuspects(fp, b, quiet) == (Seq("q_slow"), 1))
   }
 
   test("history picks the largest ABSOLUTE excess first, capped at 10") {
     val baseline = (1 to 15).map(i => s"q_$i" -> 1.0).toMap
     // q_15 has the largest excess, descending from there
     val fp = (1 to 15).map(i => s"q_$i" -> (3.1 + i))
-    val (sus, n) = Bench.pickSuspects(fp, baseline, throttled = false)
+    val (sus, n) = Bench.pickSuspects(fp, baseline, quiet)
     assert(n == 10 && sus.size == 10)
     assert(sus.head == "q_15" && sus.last == "q_6")
   }
 
   test("throttle gate: 10 slowest over 3s, even without baselines") {
     val fp = (1 to 12).map(i => s"q_$i" -> (2.0 + i)) // q_2..q_12 > 3s
-    val (sus, n) = Bench.pickSuspects(fp, Map.empty, throttled = true)
+    val (sus, n) = Bench.pickSuspects(fp, Map.empty, noisy)
     assert(n == 0)
     assert(sus.size == 10 && sus.head == "q_12" && !sus.contains("q_1"))
+  }
+
+  test("throttle gate is per window: only queries inside it are suspect") {
+    val fp = Seq("q_in" -> 9.0, "q_out" -> 50.0)
+    val (sus, n) = Bench.pickSuspects(fp, Map.empty, Set("q_in"))
+    assert(n == 0 && sus == Seq("q_in"))
   }
 
   test("identical gate picks dedup to one set") {
     val baseline = (1 to 20).map(i => s"q_$i" -> 1.0).toMap
     val fp = (1 to 20).map(i => s"q_$i" -> (3.1 + i))
-    val (sus, n) = Bench.pickSuspects(fp, baseline, throttled = true)
+    val (sus, n) = Bench.pickSuspects(fp, baseline, noisy)
     // throttle's 10 slowest and history's 10 largest-excess coincide
     assert(n == 10 && sus.size == 10 && sus.head == "q_20")
   }
@@ -55,7 +73,7 @@ class BenchGateSpec extends AnyFunSuite {
     // baselines, so history contributes exactly those two
     val baseline = Map("q_1" -> 1.0, "q_2" -> 1.0)
     val fp = (1 to 12).map(i => s"q_$i" -> (3.1 + i))
-    val (sus, n) = Bench.pickSuspects(fp, baseline, throttled = true)
+    val (sus, n) = Bench.pickSuspects(fp, baseline, noisy)
     assert(n == 2)
     assert(sus.size == 12 && sus.distinct.size == 12)
     assert(sus.contains("q_1") && sus.contains("q_2"))
@@ -64,7 +82,16 @@ class BenchGateSpec extends AnyFunSuite {
   test("baseline parsing tolerates a missing file") {
     // loadBaseline is exercised implicitly by Bench runs; here we only
     // pin that pickSuspects treats an empty map as no history gate.
-    assert(Bench.pickSuspects(Seq("q_a" -> 100.0), Map.empty,
-      throttled = false) == (Seq.empty, 0))
+    assert(Bench.pickSuspects(Seq("q_a" -> 100.0), Map.empty, quiet) ==
+      (Seq.empty, 0))
+  }
+
+  test("window throttle rule: under 40 MB/s or halved across the window") {
+    assert(Bench.windowThrottled(120.0, 35.0))  // ceiling
+    assert(Bench.windowThrottled(35.0, 120.0))  // ceiling, entering quiet
+    assert(Bench.windowThrottled(120.0, 55.0))  // halved
+    assert(!Bench.windowThrottled(120.0, 90.0)) // ordinary drift
+    assert(!Bench.windowThrottled(-1.0, 30.0))  // failed probe: no verdict
+    assert(!Bench.windowThrottled(30.0, -1.0))
   }
 }
