@@ -16,7 +16,8 @@ import streamline.stream.{CepStream, Connect, Stateful, Streams}
 object SparkEntry {
 
   private def modules: Seq[Q] =
-    Aggregates.all ++ Relational.all ++ Joins.all ++ SkewJoin.all ++
+    Aggregates.all ++ Relational.all ++ ProtoWire.all ++ Joins.all ++
+      SkewJoin.all ++
       Windows.all ++
       Functions.all ++ UdfSurface.all ++ SqlApi.all ++ SqlTpch.all ++
       Iterate.all ++
