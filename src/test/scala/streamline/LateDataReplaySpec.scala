@@ -1,0 +1,62 @@
+package streamline
+
+import graft.SparkSuite
+
+/** Batch-replay twins for the two watermark-semantics no-oracle rows
+  * (q_stream_late, q_stream_late_side): the kept/dropped partition of
+  * the scenario's events is derived INDEPENDENTLY here from the
+  * published watermark rule — the watermark advances at batch
+  * boundaries to max(event time seen) − delay, and a row is dropped
+  * when its window END is at or below the watermark in force when its
+  * batch starts — and the streaming outputs must equal the replay's
+  * aggregates exactly. This pins the semantics (which rows, not just
+  * how many) without claiming SQL expressibility (round-10 verdict,
+  * next-round item 4). */
+class LateDataReplaySpec extends SparkSuite {
+
+  import graft.SparkTestBase.spark.implicits._
+
+  // the scenario embedded in Stateful.streamLate / streamLateSide:
+  // batch 1 = three on-time events, batch 2 = one event 2h20m late
+  private val batches: Seq[Seq[String]] = Seq(
+    Seq("2024-03-01 10:15:00", "2024-03-01 11:10:00", "2024-03-01 12:00:00"),
+    Seq("2024-03-01 09:30:00"))
+  private val delayMs = 10L * 60 * 1000
+  private val windowMs = 3600L * 1000
+
+  private def ms(s: String): Long = java.sql.Timestamp.valueOf(s).getTime
+
+  /** (kept, dropped): per-window-start counts under the watermark rule. */
+  private def replay(): (Map[Long, Long], Map[Long, Long]) = {
+    var wm = Long.MinValue
+    val kept = scala.collection.mutable.Map.empty[Long, Long]
+    val dropped = scala.collection.mutable.Map.empty[Long, Long]
+    batches.foreach { b =>
+      b.foreach { s =>
+        val t = ms(s)
+        val wStart = Math.floorDiv(t, windowMs) * windowMs
+        val sink = if (wStart + windowMs > wm) kept else dropped
+        sink(wStart) = sink.getOrElse(wStart, 0L) + 1L
+      }
+      wm = math.max(wm, b.map(ms).max - delayMs)
+    }
+    (kept.toMap, dropped.toMap)
+  }
+
+  private def collectCounts(name: String, countCol: String): Map[Long, Long] =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .selectExpr("CAST(w_start AS STRING)", countCol)
+      .as[(String, Long)].collect()
+      .map { case (s, n) => ms(s) -> n }.toMap
+
+  test("q_stream_late emits exactly the replay's KEPT partition") {
+    val (kept, dropped) = replay()
+    assert(dropped.nonEmpty, "scenario must actually plant a late row")
+    assert(collectCounts("q_stream_late", "n") == kept)
+  }
+
+  test("q_stream_late_side emits exactly the replay's DROPPED partition") {
+    val (_, dropped) = replay()
+    assert(collectCounts("q_stream_late_side", "n_late") == dropped)
+  }
+}
