@@ -213,9 +213,14 @@ object Similarity {
     * pipeline carries a DuckDB oracle. */
   private def dedupEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Band width from Knobs.lshBandBits: default 4 matches the oracle
+    // SQL below; at larger corpora the occupancy-constant contract
+    // raises it by log2 of the blowup (see the knob's scaladoc — the
+    // fixed-width plan measures quadratic in ScalingCurveSpec).
+    val bits = streamline.util.Knobs.lshBandBits(spark)
     def bucket(b: Int) =
-      (0 until 4).map(i =>
-        when(element_at($"embedding", b * 4 + i + 1) > 0f,
+      (0 until bits).map(i =>
+        when(element_at($"embedding", b * bits + i + 1) > 0f,
           lit(1 << i)).otherwise(lit(0)): org.apache.spark.sql.Column)
         .reduce(_ + _)
     val banded = Tables.embeddings(spark, dir)

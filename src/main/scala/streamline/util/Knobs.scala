@@ -56,6 +56,24 @@ object Knobs {
   def iterBroadcast(spark: SparkSession): Boolean =
     spark.conf.get("graft.iter.broadcast", "true").toBoolean
 
+  /** Sign-bits per LSH band in q_llm_dedup_embed_lsh (default 4 — the
+    * fixture-scale setting the DuckDB oracle and the recall pin in
+    * DedupEmbedLshSpec are written against). Candidate volume is
+    * Σ bucket² per band: with FIXED width, bucket occupancy — and so
+    * candidate count — grows quadratically with corpus size (measured:
+    * c16 = 4.3 in ScalingCurveSpec before this knob). The scale
+    * contract is OCCUPANCY-CONSTANT width: raise by log2 of the data
+    * blowup (4 bits at 1×, 6 at 4×, 8 at 16×; 8 bands × bits must
+    * stay ≤ the embedding dim, 64) — each added bit halves occupancy,
+    * keeping the candidate join linear. The recall cost of narrower
+    * buckets is the standard LSH trade and is bought back with more
+    * bands at cluster scale. */
+  def lshBandBits(spark: SparkSession): Int = {
+    val b = spark.conf.get("graft.lsh.bandBits", "4").toInt
+    require(b >= 1 && 8 * b <= 64, s"graft.lsh.bandBits=$b out of range")
+    b
+  }
+
   /** Upper bound on distinct 3-shingles per benchmark document, used to
     * size the q_llm_bloom filter WITHOUT an exact counting pass over
     * the shingle stream (capacity = bench docs × this). Size to the
