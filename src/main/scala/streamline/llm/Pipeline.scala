@@ -386,8 +386,86 @@ object Pipeline {
     FROM base JOIN top USING (lang, source)
     ORDER BY lang, source"""
 
+  /** q_llm_dsir — Data Selection with Importance Resampling (DSIR,
+    * Xie et al. 2023, arXiv:2302.03169), the published recipe for
+    * "pick raw-corpus documents that look like the target domain":
+    * fit unigram LMs over the TARGET slice (here lang = 'en' — the
+    * domain exemplar) and the RAW corpus, score every document by its
+    * summed log importance ratio Σ_w log(p_target(w)/p_raw(w)) with
+    * add-1 smoothing, and keep the top quarter. Determinism
+    * discipline: each word's log-ratio is computed once
+    * (vocabulary-sized table), ROUNDED to 8 decimals and cast to
+    * DECIMAL — so the per-document sum is exact and order-independent
+    * (a raw double sum would be partition-order-dependent), and the
+    * selection threshold is rank-based with doc_id tie-break. Scale:
+    * the ratio table is vocabulary-sized (broadcast back — DSIR hashes
+    * features into buckets for exactly this boundedness; with a
+    * word-count-bounded fixture the words themselves are the buckets),
+    * the corpus is touched twice (count pass + score pass), and the
+    * top-k cut is a TakeOrdered (per-partition heaps, no global sort)
+    * plus a single-row driver fetch of the k-th score — metadata-scale
+    * like the BPE merge loop. */
+  private def dsir(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+    val counts = words.groupBy($"w").agg(
+      count(lit(1)).as("c_all"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_en"))
+      .persist()
+    val tot = counts.agg(sum($"c_all"), sum($"c_en"), count(lit(1))).head()
+    val (nAll, nEn, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val lr = counts.select($"w",
+      round(log((($"c_en" + 1.0) * lit((nAll + v).toDouble)) /
+          (($"c_all" + 1.0) * lit((nEn + v).toDouble))), 8)
+        .cast("decimal(18,8)").as("lr"))
+    val scores = words.join(broadcast(lr), "w")
+      .groupBy($"doc_id").agg(sum($"lr").as("s"))
+      .persist()
+    val n = scores.count()
+    val k = (n / 4).toInt
+    // the k-th (score desc, doc_id asc) row defines the cut; fetching
+    // it is ONE driver row, and limit(k) plans as TakeOrdered
+    val selected =
+      if (k == 0) lit(false)
+      else {
+        val cut = scores.orderBy($"s".desc, $"doc_id".asc).limit(k)
+          .orderBy($"s".asc, $"doc_id".desc).limit(1).head()
+        val (cutS, cutId) = (cut.getDecimal(1), cut.getLong(0))
+        $"s" > cutS || ($"s" === cutS && $"doc_id" <= cutId)
+      }
+    val out = scores.select($"doc_id", $"s".cast("double").as("score"),
+        selected.as("selected"))
+      .orderBy($"doc_id")
+    counts.unpersist()
+    scores.unpersist()
+    out
+  }
+
+  private val dsirSql = """
+    WITH words AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+    counts AS (SELECT w, count(*) AS c_all,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en
+               FROM words GROUP BY w),
+    tot AS (SELECT sum(c_all) AS n_all, sum(c_en) AS n_en,
+                   count(*) AS v FROM counts),
+    lr AS (SELECT w, CAST(round(ln(((c_en + 1.0) * (n_all + v))
+                                 / ((c_all + 1.0) * (n_en + v))), 8)
+                          AS DECIMAL(18,8)) AS lr
+           FROM counts, tot),
+    scores AS (SELECT doc_id, sum(lr) AS s
+               FROM words JOIN lr USING (w) GROUP BY doc_id),
+    ranked AS (SELECT doc_id, s,
+                 row_number() OVER (ORDER BY s DESC, doc_id) AS rn,
+                 count(*) OVER () AS n
+               FROM scores)
+    SELECT doc_id, CAST(s AS DOUBLE) AS score, rn * 4 <= n AS selected
+    FROM ranked ORDER BY doc_id"""
+
   val all: Seq[Q] = Seq(
     Q("q_llm_pipeline", pipelineE2e _, pipelineE2eSql),
+    Q("q_llm_dsir", dsir _, dsirSql),
     Q("q_llm_dataset_card", datasetCard _, datasetCardSql),
     Q("q_llm_mix", mix _, mixSql),
     Q("q_llm_sample_hash", sampleHash _, sampleHashSql),

@@ -259,6 +259,50 @@ object Similarity {
     WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= 0.35
     ORDER BY id_a, id_b"""
 
+  /** q_llm_semdedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    * SEMANTIC deduplication by clustering embeddings first and pruning
+    * near-duplicates only WITHIN each cluster — the published answer to
+    * "embedding dedup without an n² join": the cluster key bounds the
+    * pair join to Σ cluster², and cluster count grows with the corpus
+    * while cluster size stays bounded, so the plan is linear-ish at
+    * 100 TB where the exactness baseline (q_llm_dedup_embed) is
+    * quadratic. The fixture's `label` column IS the upstream cluster
+    * assignment (k-means runs upstream in the published pipeline;
+    * q_llm_centroid witnesses that step separately). Within a cluster
+    * a vector is PRUNED when a LOWER-id vector sits at cosine ≥ τ —
+    * the deterministic keep-lowest-id variant of the paper's
+    * keep-one-per-duplicate-set rule, which makes the whole operator
+    * oracle-exact. τ = 0.3 (the fixture's embeddings are spread; real
+    * corpora run 0.95+). */
+  private def semdedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding")
+    val a = e.select($"vec_id".as("id_a"), $"label".as("lab_a"),
+      $"embedding".as("emb_a"))
+    val b = e.select($"vec_id".as("id_b"), $"label".as("lab_b"),
+      $"embedding".as("emb_b"))
+    val pruned = a.join(b, $"lab_a" === $"lab_b" && $"id_a" < $"id_b")
+      .where(round(Exprs.cosine($"emb_a", $"emb_b"), 6) >= 0.3)
+      .select($"id_b".as("vec_id")).distinct()
+      .withColumn("hit", lit(true))
+    e.join(pruned, Seq("vec_id"), "left")
+      .select($"vec_id", $"label",
+        coalesce(!$"hit", lit(true)).as("keep"))
+      .orderBy($"vec_id")
+  }
+
+  private val semdedupSql = """
+    WITH e AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    p AS (SELECT DISTINCT b.vec_id
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.3)
+    SELECT e.vec_id, e.label, (p.vec_id IS NULL) AS keep
+    FROM e LEFT JOIN p ON e.vec_id = p.vec_id
+    ORDER BY e.vec_id"""
+
   /** q_llm_multimodal — text ⋈ embedding modality join (doc_id = vec_id;
     * inner — not every document has an embedding at bench scale, see
     * FIXTURES.md). Carries both modalities plus array math. */
@@ -460,6 +504,7 @@ object Similarity {
     Q.noOracle("q_llm_knn_ivf", knnIvf _),
     Q("q_llm_dedup_embed", dedupEmbed _, dedupEmbedSql),
     Q("q_llm_dedup_embed_lsh", dedupEmbedLsh _, dedupEmbedLshSql),
+    Q("q_llm_semdedup", semdedup _, semdedupSql),
     Q("q_llm_multimodal", multimodal _, multimodalSql),
     Q("q_llm_mm_features", mmFeatures _, mmFeaturesSql),
     Q("q_llm_mm_resize", mmResize _, mmResizeSql),

@@ -1,0 +1,62 @@
+package streamline
+
+import graft.SparkSuite
+
+/** Semantics pins for the round-11 selection operators: q_llm_semdedup
+  * (SemDeDup — within-cluster semantic prune) and q_llm_dsir (DSIR —
+  * importance-ratio data selection). Both carry full DuckDB oracles;
+  * these tests pin the RULES (keep-lowest-id, target-slice enrichment,
+  * exact quarter cut) independently of the oracle hash. */
+class LlmSelectionSpec extends SparkSuite {
+
+  import graft.SparkTestBase.spark.implicits._
+
+  test("semdedup prunes exactly the vectors with a lower-id close neighbor") {
+    val embs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byLabel = embs.groupBy(_._2)
+    val expectKeep = embs.map { case (id, lab, emb) =>
+      id -> !byLabel(lab).exists { case (id2, _, emb2) =>
+        id2 < id && BigDecimal(cos(emb2, emb))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP) >= BigDecimal("0.3")
+      }
+    }.toMap
+    val got = graft.SparkEntry.queries("q_llm_semdedup")(spark, sfDir)
+      .as[(Long, Int, Boolean)].collect()
+    assert(got.length == embs.length)
+    got.foreach { case (id, _, keep) =>
+      assert(keep == expectKeep(id), s"vec $id")
+    }
+    // the rule actually fires on the fixture
+    assert(got.count(!_._3) > 0)
+  }
+
+  test("dsir selects exactly a quarter, enriched in the target slice") {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val got = graft.SparkEntry.queries("q_llm_dsir")(spark, sfDir)
+      .as[(Long, Double, Boolean)].collect()
+    assert(got.length == docs.size)
+    assert(got.count(_._3) == docs.size / 4)
+    assert(got.forall(r => !r._2.isNaN && !r._2.isInfinite))
+    // importance sampling toward lang='en' must over-represent it:
+    // the selected quarter's en-fraction exceeds the corpus's
+    val enAll = docs.valuesIterator.count(_ == "en").toDouble / docs.size
+    val sel = got.filter(_._3)
+    val enSel = sel.count(r => docs(r._1) == "en").toDouble / sel.length
+    assert(enSel > enAll, f"selected en-frac $enSel%.2f vs corpus $enAll%.2f")
+    // rank cut is honest: every selected score >= every unselected one
+    val minSel = sel.map(_._2).min
+    val maxUnsel = got.filter(!_._3).map(_._2).max
+    assert(minSel >= maxUnsel, s"$minSel < $maxUnsel")
+  }
+}
