@@ -166,6 +166,70 @@ object ProtoWire {
       }
     }
 
+  // ---- nested / repeated message codec (q_source_proto_nested) ----
+
+  /** GraftEventN: `1 event_id int64` · `2 props` EMBEDDED message
+    * (`1 k string · 2 v int64`) · `3 vals` repeated int64 PACKED
+    * (wiretype 2, concatenated varints — proto3's default repeated
+    * scalar encoding). Exercises the two composite shapes the flat
+    * message can't: length-delimited sub-messages and packed
+    * repetition. */
+  private[streamline] final case class GraftEventN(eventId: Long,
+      propK: String, propV: Long, vals: Seq[Long])
+
+  private[streamline] def encodeNestedDelimited(
+      out: java.io.ByteArrayOutputStream, e: GraftEventN): Unit = {
+    val body = new java.io.ByteArrayOutputStream(64)
+    writeVarint(body, (1L << 3) | 0); writeVarint(body, e.eventId)
+    val props = new java.io.ByteArrayOutputStream(16)
+    val kb = e.propK.getBytes("UTF-8")
+    writeVarint(props, (1L << 3) | 2); writeVarint(props, kb.length.toLong)
+    props.write(kb, 0, kb.length)
+    writeVarint(props, (2L << 3) | 0); writeVarint(props, e.propV)
+    writeVarint(body, (2L << 3) | 2); writeVarint(body, props.size().toLong)
+    props.writeTo(body)
+    val packed = new java.io.ByteArrayOutputStream(16)
+    e.vals.foreach(writeVarint(packed, _))
+    writeVarint(body, (3L << 3) | 2); writeVarint(body, packed.size().toLong)
+    packed.writeTo(body)
+    writeVarint(out, body.size().toLong)
+    body.writeTo(out)
+  }
+
+  private[streamline] def decodeNestedAll(
+      payload: Array[Byte]): Iterator[GraftEventN] =
+    new Iterator[GraftEventN] {
+      private val r = new Reader(payload)
+      def hasNext: Boolean = r.hasMore
+      def next(): GraftEventN = {
+        val m = new Reader(r.readBytes(r.readVarint().toInt))
+        var eventId = 0L; var propK = ""; var propV = 0L
+        var vals = List.empty[Long]
+        while (m.hasMore) {
+          val tag = m.readVarint()
+          ((tag >>> 3).toInt, (tag & 7).toInt) match {
+            case (1, 0) => eventId = m.readVarint()
+            case (2, 2) =>
+              val p = new Reader(m.readBytes(m.readVarint().toInt))
+              while (p.hasMore) {
+                val pt = p.readVarint()
+                ((pt >>> 3).toInt, (pt & 7).toInt) match {
+                  case (1, 2) =>
+                    propK = new String(p.readBytes(p.readVarint().toInt), "UTF-8")
+                  case (2, 0) => propV = p.readVarint()
+                  case (_, w) => p.skip(w)
+                }
+              }
+            case (3, 2) =>
+              val p = new Reader(m.readBytes(m.readVarint().toInt))
+              while (p.hasMore) vals ::= p.readVarint()
+            case (_, w) => m.skip(w)
+          }
+        }
+        GraftEventN(eventId, propK, propV, vals.reverse)
+      }
+    }
+
   // ---- the declared query ----
 
   /** Write `events` as length-delimited GraftEvent payloads (one binary
@@ -219,6 +283,63 @@ object ProtoWire {
       date_trunc('second', ts) AS ts_sec
     FROM events ORDER BY event_id"""
 
+  /** q_source_proto_nested — the COMPOSITE protobuf shapes the flat
+    * witness can't reach: an embedded message (the event's JSON props
+    * re-serialized as a `Props{k,v}` sub-message) and a packed
+    * repeated int64 field, round-tripped through the same
+    * per-partition write / binaryFile-scan read as q_source_proto.
+    * The oracle derives every field independently from the events
+    * table (the JSON extraction happens on BOTH sides, so an encoder
+    * bug can't cancel out). */
+  private def sourceProtoNested(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir("proton", dir)
+    val marker = new java.io.File(root, "_DONE")
+    if (!marker.exists()) {
+      streamline.stream.Streams.deleteRec(new java.io.File(root))
+      new java.io.File(root).mkdirs()
+      Tables.events(spark, dir)
+        .select($"event_id", $"event_type",
+          get_json_object($"props", "$.k").cast("long").as("pv"),
+          $"user_id")
+        .as[(Long, String, Long, Long)]
+        .repartition(4)
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val buf = new java.io.ByteArrayOutputStream(1 << 20)
+          var n = 0L
+          it.foreach { case (id, et, pv, uid) =>
+            encodeNestedDelimited(buf,
+              GraftEventN(id, et, pv, Seq(uid, id % 100, 42L)))
+            n += 1
+          }
+          val tmpF = new java.io.File(root, s".part-$pid.pb.tmp")
+          val os = new java.io.FileOutputStream(tmpF)
+          try buf.writeTo(os) finally os.close()
+          if (!tmpF.renameTo(new java.io.File(root, s"part-$pid.pb")))
+            throw new java.io.IOException(s"proto publish failed: $pid")
+          Iterator(n)
+        }.reduce(_ + _): Unit
+      marker.createNewFile(): Unit
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pb").load(root)
+      .select($"content").as[Array[Byte]]
+      .mapPartitions(_.flatMap(decodeNestedAll))
+      .map(e => (e.eventId, e.propK, e.propV, e.vals.length.toLong,
+        e.vals.sum))
+      .toDF("event_id", "prop_k", "prop_v", "n_vals", "sum_vals")
+      .orderBy($"event_id")
+  }
+
+  private val sourceProtoNestedSql = """
+    SELECT event_id, event_type AS prop_k,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_v,
+      CAST(3 AS BIGINT) AS n_vals,
+      user_id + (event_id % 100) + 42 AS sum_vals
+    FROM events ORDER BY event_id"""
+
   val all: Seq[Q] = Seq(
-    Q("q_source_proto", sourceProto _, sourceProtoSql))
+    Q("q_source_proto", sourceProto _, sourceProtoSql),
+    Q("q_source_proto_nested", sourceProtoNested _, sourceProtoNestedSql))
 }

@@ -83,6 +83,18 @@ class ProtoWireSpec extends SparkSuite {
     }
   }
 
+  test("nested message + packed repeated field round-trip") {
+    import streamline.batch.ProtoWire.GraftEventN
+    val es = Seq(
+      GraftEventN(1L, "purchase", 87L, Seq(13L, 1L, 42L)),
+      GraftEventN(2L, "", -5L, Seq.empty), // empty packed field
+      GraftEventN(3L, "é", 0L, (1L to 200L)), // multi-byte varint length
+      GraftEventN(Long.MaxValue, "x", Long.MaxValue, Seq(Long.MaxValue)))
+    val out = new java.io.ByteArrayOutputStream()
+    es.foreach(ProtoWire.encodeNestedDelimited(out, _))
+    assert(ProtoWire.decodeNestedAll(out.toByteArray).toSeq == es)
+  }
+
   test("the declared query round-trips events row-for-row") {
     import graft.SparkTestBase.spark.implicits._
     val df = graft.SparkEntry.queries("q_source_proto")(spark, sfDir)
