@@ -339,7 +339,79 @@ object ProtoWire {
       user_id + (event_id % 100) + 42 AS sum_vals
     FROM events ORDER BY event_id"""
 
+  /** q_stream_proto — STREAMING protobuf ingest, the use-case the wire
+    * format exists for (log-structured event feeds): the same
+    * length-delimited GraftEvent payloads arrive as a FILE STREAM
+    * (`readStream.format("binaryFile")`, one file per micro-batch),
+    * are decoded per-partition by the same generic decoder as the
+    * batch witness, and flow into a windowed aggregate drained to
+    * completion — so the decode path is witnessed under micro-batch
+    * execution, not just a one-shot scan. Complete output mode: the
+    * final totals must equal the batch oracle regardless of how the
+    * files were batched. */
+  private def streamProto(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir("protostream", dir)
+    val marker = new java.io.File(root, "_DONE")
+    if (!marker.exists()) {
+      streamline.stream.Streams.deleteRec(new java.io.File(root))
+      new java.io.File(root).mkdirs()
+      Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"event_type", $"value",
+          unix_timestamp(date_trunc("second", $"ts")).as("ts_s"))
+        .as[(Long, Long, String, Double, Long)]
+        .repartition(4)
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val buf = new java.io.ByteArrayOutputStream(1 << 20)
+          var n = 0L
+          it.foreach { case (id, u, et, v, ts) =>
+            encodeDelimited(buf, GraftEvent(id, u, et, v, ts))
+            n += 1
+          }
+          val tmpF = new java.io.File(root, s".part-$pid.pb.tmp")
+          val os = new java.io.FileOutputStream(tmpF)
+          try buf.writeTo(os) finally os.close()
+          if (!tmpF.renameTo(new java.io.File(root, s"part-$pid.pb")))
+            throw new java.io.IOException(s"proto publish failed: $pid")
+          Iterator(n)
+        }.reduce(_ + _): Unit
+      marker.createNewFile(): Unit
+    }
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val agg = spark.readStream.format("binaryFile").schema(binSchema)
+      .option("pathGlobFilter", "*.pb")
+      .option("maxFilesPerTrigger", "1")
+      .load(root)
+      .select($"content").as[Array[Byte]]
+      .mapPartitions(_.flatMap(decodeAll))
+      .select($"eventType".as("event_type"),
+        timestamp_seconds($"tsS").as("ts"), $"value")
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum("value").as("sum_val"))
+      .select(tsOut($"window.start").as("w_start"), $"event_type",
+        $"n", $"sum_val")
+    streamline.stream.Streams
+      .runToTable(spark, "proto_stream", "complete", agg)
+      .orderBy($"w_start", $"event_type")
+  }
+
+  private val streamProtoSql = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+      event_type, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val all: Seq[Q] = Seq(
     Q("q_source_proto", sourceProto _, sourceProtoSql),
-    Q("q_source_proto_nested", sourceProtoNested _, sourceProtoNestedSql))
+    Q("q_source_proto_nested", sourceProtoNested _, sourceProtoNestedSql),
+    Q("q_stream_proto", streamProto _, streamProtoSql))
 }
