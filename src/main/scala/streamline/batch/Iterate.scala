@@ -1044,7 +1044,74 @@ object Iterate {
     FROM l3 JOIN sizes USING (label)
     ORDER BY v"""
 
+  /** q_stream_iterate — STREAMING ITERATION via the foreachBatch
+    * feedback composition, converting the recorded
+    * `DataStream.iterate` scope cut (§2.14b) from an absence into a
+    * witnessed equivalent: Structured Streaming has no cyclic
+    * dataflow, so the honest spelling is driver-held feedback state
+    * threaded through `foreachBatch` — each micro-batch of NEW edges
+    * is unioned with the previous labels RE-ENCODED AS EDGES
+    * (v — comp is an edge to the component's minimum, so prior
+    * components are single stars, not the full history) and the CC
+    * combinator re-converges incrementally. Per batch the work is
+    * proportional to (new edges + one star edge per known vertex),
+    * never to the edges already consumed — the incremental property
+    * streaming iteration exists for. Final labels must equal batch CC
+    * over ALL edges (same recursive-CTE oracle as q_iter_cc),
+    * regardless of how the file stream batched them. */
+  private def streamIterate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir("iterstream", dir)
+    val stage = s"$root/in"
+    val marker = new java.io.File(root, "_DONE")
+    if (!marker.exists()) {
+      streamline.stream.Streams.deleteRec(new java.io.File(root))
+      new java.io.File(root).mkdirs()
+      val month = Tables.orders(spark, dir)
+        .where($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-02-01").cast("timestamp"))
+      month.join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("src"),
+          ($"l_suppkey" + lit(1000000L)).as("dst"))
+        .distinct()
+        .repartition(3) // three files -> three micro-batches
+        .write.parquet(stage)
+      marker.createNewFile(): Unit
+    }
+    // JVM-unique checkpoint (the runToTable discipline): a reused
+    // checkpoint would replay committed offsets and feed no batches.
+    val ckpt = streamline.util.Knobs.fastTmp +
+      s"/ck_iterstream_${java.util.UUID.randomUUID().toString.take(8)}"
+    var labels: DataFrame = null
+    val q = spark.readStream.schema("src LONG, dst LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val fed =
+          if (labels == null) df.toDF()
+          else df.toDF().unionByName(
+            labels.select($"v".as("src"), $"comp".as("dst")))
+        labels = connectedComponents(fed)._1.localCheckpoint(true)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    streamline.stream.Streams.deleteRec(new java.io.File(ckpt))
+    require(labels != null, "stream fed no batches (stale checkpoint?)")
+    val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, "comp")
+      .select($"v", $"comp", $"comp_size")
+      .orderBy($"v")
+  }
+
+  // same fixed point as q_iter_cc: the stream's batching must not change
+  // the answer, so the oracle IS the batch oracle.
+  private val streamIterateSql = iterCcSql
+
   val all: Seq[Q] = Seq(
+    Q("q_stream_iterate", streamIterate _, streamIterateSql),
     Q("q_iter_lpa", iterLpa _, iterLpaSql),
     Q("q_iter_kcore", iterKcore _, iterKcoreSql),
     Q("q_iter_cc", iterCc _, iterCcSql),
