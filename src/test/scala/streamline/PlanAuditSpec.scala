@@ -21,7 +21,10 @@ class PlanAuditSpec extends SparkSuite {
 
   private val streamingKeys =
     (Streams.all ++ Stateful.all ++ Connect.all ++ CepStream.all)
-      .map(_.name).toSet
+      .map(_.name).toSet ++
+      // streaming compositions registered from batch modules (r11):
+      // calling their fn runs a full streaming drain, not a lazy plan
+      Set("q_stream_proto", "q_stream_iterate")
 
   private val cartesianOk = Set("q_join_cross")
 
@@ -41,6 +44,9 @@ class PlanAuditSpec extends SparkSuite {
     // single-row-sized: the corpus side must never shuffle for them.
     Seq("q_llm_df_prune" -> "BroadcastHashJoin",
         "q_llm_ngram_lm" -> "BroadcastHashJoin",
+        // r11: DSIR's per-word log-ratio table is vocabulary-sized and
+        // must broadcast back over the corpus scan
+        "q_llm_dsir" -> "BroadcastHashJoin",
         "q_agg_hist" -> "BroadcastNestedLoopJoin").foreach {
       case (name, shape) =>
         val plan = SparkEntry.queries(name)(spark, sfDir)
