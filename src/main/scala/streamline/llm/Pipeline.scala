@@ -463,9 +463,78 @@ object Pipeline {
     SELECT doc_id, CAST(s AS DOUBLE) AS score, rn * 4 <= n AS selected
     FROM ranked ORDER BY doc_id"""
 
+  /** q_llm_mix_temperature — temperature-based corpus mixing (the
+    * multilingual-sampling rule of XLM/mBERT and the data-mixing knob
+    * of the Gopher/Chinchilla lineage): sampling share ∝ n^α with
+    * α = 0.5, which UP-samples small languages relative to their raw
+    * mass. Where q_llm_mix applies per-source RATES (expected counts),
+    * this allocates an exact document BUDGET (N = 200) by the
+    * largest-remainder method and fills each quota deterministically
+    * by content-hash order — quota-exact output sizes, reproducible
+    * under any partitioning. Cross-engine determinism: √n is rounded
+    * and scaled to an INTEGER weight, so the whole allocation
+    * (floor division, remainders, ranking) is integer arithmetic —
+    * no float comparison anywhere. Assumes budget ≪ corpus (every
+    * quota ≤ its group size — the mixing regime; a capped variant
+    * would re-distribute overflow). Scale: two group-sized aggregates,
+    * a groups-count-sized allocation table broadcast back, and one
+    * keyed window for the quota fill. */
+  private def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 200L
+    val docs = Tables.documents(spark, dir)
+    val w = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .withColumn("u",
+        (round(sqrt($"n".cast("double")), 6).cast("decimal(18,6)") *
+          lit(1000000)).cast("long"))
+    val withTot = w.crossJoin(broadcast(w.agg(sum($"u").as("ut"))))
+      .withColumn("base", expr(s"($budget * u) div ut"))
+      .withColumn("rem", expr(s"($budget * u) % ut"))
+    val leftover = withTot.crossJoin(
+        broadcast(withTot.agg((lit(budget) - sum($"base")).as("lo"))))
+    // the allocation table is groups-count-sized: the single-partition
+    // window below runs over a handful of rows, never the corpus
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy($"rem".desc, $"lang".asc)
+    val quotas = leftover
+      .withColumn("rk", row_number().over(rankW))
+      .withColumn("quota",
+        $"base" + when($"rk" <= $"lo", 1L).otherwise(0L))
+      .select($"lang", $"quota")
+    val fillW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy(md5($"text").asc, $"doc_id".asc)
+    docs.join(broadcast(quotas), "lang")
+      .withColumn("rn", row_number().over(fillW))
+      .where($"rn" <= $"quota")
+      .select($"doc_id", $"lang", $"quota")
+      .orderBy($"doc_id")
+  }
+
+  private val mixTemperatureSql = """
+    WITH w AS (SELECT lang, count(*) AS n,
+                 CAST(CAST(round(sqrt(n), 6) AS DECIMAL(18,6)) * 1000000
+                      AS BIGINT) AS u
+               FROM documents GROUP BY lang),
+    t AS (SELECT lang, u, (200 * u) // (SELECT sum(u) FROM w) AS base,
+                 (200 * u) % (SELECT sum(u) FROM w) AS rem
+          FROM w),
+    q AS (SELECT lang, base
+            + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+                     <= 200 - (SELECT sum(base) FROM t)
+                   THEN 1 ELSE 0 END AS quota
+          FROM t),
+    f AS (SELECT d.doc_id, d.lang, q.quota,
+                 row_number() OVER (PARTITION BY d.lang
+                   ORDER BY md5(d.text), d.doc_id) AS rn
+          FROM documents d JOIN q ON d.lang = q.lang)
+    SELECT doc_id, lang, CAST(quota AS BIGINT) AS quota
+    FROM f WHERE rn <= quota
+    ORDER BY doc_id"""
+
   val all: Seq[Q] = Seq(
     Q("q_llm_pipeline", pipelineE2e _, pipelineE2eSql),
     Q("q_llm_dsir", dsir _, dsirSql),
+    Q("q_llm_mix_temperature", mixTemperature _, mixTemperatureSql),
     Q("q_llm_dataset_card", datasetCard _, datasetCardSql),
     Q("q_llm_mix", mix _, mixSql),
     Q("q_llm_sample_hash", sampleHash _, sampleHashSql),

@@ -40,6 +40,25 @@ class LlmSelectionSpec extends SparkSuite {
     assert(got.count(!_._3) > 0)
   }
 
+  test("temperature mixing hits the budget exactly and up-samples small langs") {
+    val got = graft.SparkEntry.queries("q_llm_mix_temperature")(spark, sfDir)
+      .as[(Long, String, Long)].collect()
+    assert(got.length == 200, s"budget missed: ${got.length}")
+    val quota = got.groupBy(_._2).map { case (l, rs) => l -> rs.length }
+    assert(quota.values.sum == 200)
+    // α = 0.5 flattens the distribution: every minority language's
+    // quota share must EXCEED its raw corpus share, the majority's
+    // must shrink — the point of temperature sampling
+    val raw = Tables.documents(spark, sfDir).groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    val nTot = raw.values.sum.toDouble
+    quota.foreach { case (l, q) =>
+      val (qs, rs) = (q / 200.0, raw(l) / nTot)
+      if (l == "en") assert(qs < rs, s"majority $l not down-sampled")
+      else assert(qs > rs, s"minority $l not up-sampled ($qs <= $rs)")
+    }
+  }
+
   test("dsir selects exactly a quarter, enriched in the target slice") {
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
