@@ -55,6 +55,46 @@ object Relational {
     WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_returnflag = 'A'
     ORDER BY l_orderkey, l_linenumber"""
 
+  /** q_scan_nested_prune — NESTED schema pruning: at 100 TB a wide
+    * struct column (event envelope, protobuf-derived record) is the
+    * norm, and a scan that materializes the whole struct to project
+    * one sub-field reads multiples of the bytes it needs. Stage events
+    * with a 3-field `meta` struct, project exactly one sub-field
+    * through an aggregate, and rely on Catalyst's nested-schema
+    * pruning to narrow the parquet ReadSchema to
+    * `meta:struct<etype>` — ScanNestedPruneSpec pins the plan (the
+    * sibling sub-fields must NOT appear in the scan), this query pins
+    * the values. */
+  private def scanNestedPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir("nested", dir)
+    val marker = new java.io.File(root, "_DONE")
+    val stage = s"$root/data"
+    if (!marker.exists()) {
+      streamline.stream.Streams.deleteRec(new java.io.File(root))
+      new java.io.File(root).mkdirs()
+      Tables.events(spark, dir)
+        .select($"event_id",
+          struct($"user_id".as("user"), $"event_type".as("etype"),
+            $"value".as("v")).as("meta"))
+        .write.parquet(stage)
+      marker.createNewFile(): Unit
+    }
+    spark.read.parquet(stage)
+      .groupBy($"meta.etype".as("etype"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"etype")
+  }
+
+  /** exposed for ScanNestedPruneSpec's ReadSchema pin */
+  private[streamline] def scanNestedPruneDf(spark: SparkSession,
+                                            dir: String): DataFrame =
+    scanNestedPrune(spark, dir)
+
+  private val scanNestedPruneSql = """
+    SELECT event_type AS etype, count(*) AS n
+    FROM events GROUP BY 1 ORDER BY 1"""
+
   /** q_source_json — JSON payload deserialization (Flink flink-json
     * DeserializationSchema equivalent → from_json).
     *
@@ -1062,6 +1102,7 @@ object Relational {
     Q("q_source_corrupt", sourceCorrupt _, sourceCorruptSql),
     Q("q_scan_parquet", scanParquet _, scanParquetSql),
     Q("q_scan_prune", scanPrune _, scanPruneSql),
+    Q("q_scan_nested_prune", scanNestedPrune _, scanNestedPruneSql),
     Q("q_source_json", sourceJson _, sourceJsonSql),
     Q("q_source_csv", sourceCsv _, sourceCsvSql),
     Q("q_source_csv_multiline", sourceCsvMultiline _, sourceCsvMultilineSql),
