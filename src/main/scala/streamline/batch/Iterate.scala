@@ -1078,6 +1078,21 @@ object Iterate {
         .write.parquet(stage)
       marker.createNewFile(): Unit
     }
+    val labels = feedbackCc(spark, stage)
+    val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, "comp")
+      .select($"v", $"comp", $"comp_size")
+      .orderBy($"v")
+  }
+
+  /** The foreachBatch feedback loop itself, factored out so
+    * StreamIterateSpec can drive it over RANDOM batchings of the same
+    * edge set: reads `(src, dst)` parquet files from `stage` one file
+    * per micro-batch, re-converges CC per batch against the previous
+    * labels' star edges, and returns the final `(v, comp)` table. */
+  private[streamline] def feedbackCc(spark: SparkSession,
+                                     stage: String): DataFrame = {
+    import spark.implicits._
     // JVM-unique checkpoint (the runToTable discipline): a reused
     // checkpoint would replay committed offsets and feed no batches.
     val ckpt = streamline.util.Knobs.fastTmp +
@@ -1100,10 +1115,7 @@ object Iterate {
     q.awaitTermination()
     streamline.stream.Streams.deleteRec(new java.io.File(ckpt))
     require(labels != null, "stream fed no batches (stale checkpoint?)")
-    val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("comp_size"))
-    labels.join(sizes, "comp")
-      .select($"v", $"comp", $"comp_size")
-      .orderBy($"v")
+    labels
   }
 
   // same fixed point as q_iter_cc: the stream's batching must not change
