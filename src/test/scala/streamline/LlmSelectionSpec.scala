@@ -59,6 +59,20 @@ class LlmSelectionSpec extends SparkSuite {
     }
   }
 
+  test("dsir scores are bit-identical across partition counts") {
+    // the rounded-decimal ratio sum is the order-independence claim:
+    // a raw double sum would drift with partitioning, this must not
+    def run(): Seq[(Long, Double, Boolean)] =
+      graft.SparkEntry.queries("q_llm_dsir")(spark, sfDir)
+        .as[(Long, Double, Boolean)].collect().toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val at4 = run()
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(run() == at4, "scores moved with the partition count")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("dsir selects exactly a quarter, enriched in the target slice") {
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
