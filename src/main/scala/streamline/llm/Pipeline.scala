@@ -407,8 +407,13 @@ object Pipeline {
     * like the BPE merge loop. */
   private def dsir(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // persisted across the two passes (count model, then score): the
+    // operator's four actions otherwise re-scan and re-explode the
+    // corpus each time. MEMORY_AND_DISK default — spills, never OOMs;
+    // at full corpus scale drop the persist and pay the second scan.
     val words = Tables.documents(spark, dir)
       .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+      .persist()
     val counts = words.groupBy($"w").agg(
       count(lit(1)).as("c_all"),
       sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_en"))
@@ -438,7 +443,10 @@ object Pipeline {
         selected.as("selected"))
       .orderBy($"doc_id")
     counts.unpersist()
-    scores.unpersist()
+    words.unpersist()
+    // `scores` stays cached: the caller's final execution of `out`
+    // reuses the cut-stage aggregate instead of re-running both corpus
+    // passes; the cache is doc-count-sized and dies with the session.
     out
   }
 
