@@ -59,6 +59,18 @@ class LlmSelectionSpec extends SparkSuite {
     }
   }
 
+  test("temperature-mix selection is identical across partition counts") {
+    def run(): Set[(Long, String, Long)] =
+      graft.SparkEntry.queries("q_llm_mix_temperature")(spark, sfDir)
+        .as[(Long, String, Long)].collect().toSet
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val at4 = run()
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(run() == at4, "selection moved with the partition count")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("dsir scores are bit-identical across partition counts") {
     // the rounded-decimal ratio sum is the order-independence claim:
     // a raw double sum would drift with partitioning, this must not
