@@ -86,10 +86,14 @@ object Bench {
 
   /** A probe window is throttled when either bracketing reading is
     * under 40 MB/s (the harness's observed throttle ceiling) or the
-    * rate halved across it (pure; pinned in BenchGateSpec). */
+    * rate HALVED across it in either direction — a throttle that ends
+    * mid-window shows as a low `before` and a recovered `after`, the
+    * mirror image of one that begins mid-window (ADVICE r11). Pure;
+    * pinned in BenchGateSpec. */
   private[graft] def windowThrottled(before: Double, after: Double): Boolean =
     before > 0 && after > 0 &&
-      (after < 0.5 * before || before < 40.0 || after < 40.0)
+      (math.min(before, after) < 0.5 * math.max(before, after) ||
+        before < 40.0 || after < 40.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1112,8 +1112,10 @@ object Iterate {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    streamline.stream.Streams.deleteRec(new java.io.File(ckpt))
+    // finally: a failed drain must not leak the JVM-unique checkpoint
+    // under Knobs.fastTmp (same discipline as the Streams drains)
+    try q.awaitTermination()
+    finally streamline.stream.Streams.deleteRec(new java.io.File(ckpt))
     require(labels != null, "stream fed no batches (stale checkpoint?)")
     labels
   }

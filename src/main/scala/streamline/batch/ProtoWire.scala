@@ -35,7 +35,7 @@ object ProtoWire {
   private[streamline] def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
   private[streamline] def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
 
-  private[streamline] def writeVarint(out: java.io.ByteArrayOutputStream,
+  private[streamline] def writeVarint(out: java.io.OutputStream,
                                  v0: Long): Unit = {
     var v = v0
     while ((v & ~0x7FL) != 0) {
@@ -106,7 +106,7 @@ object ProtoWire {
     * 1 event_id int64 varint · 2 user_id sint64 zigzag · 3 event_type
     * string · 4 value double fixed64 · 5 ts_s int64 varint · 6/7
     * planted unknown fields (string + fixed32) the decoder skips. */
-  private[streamline] def encodeDelimited(out: java.io.ByteArrayOutputStream,
+  private[streamline] def encodeDelimited(out: java.io.OutputStream,
                                      e: GraftEvent): Unit = {
     val body = new java.io.ByteArrayOutputStream(64)
     writeVarint(body, (1L << 3) | 0); writeVarint(body, e.eventId)
@@ -178,7 +178,7 @@ object ProtoWire {
       propK: String, propV: Long, vals: Seq[Long])
 
   private[streamline] def encodeNestedDelimited(
-      out: java.io.ByteArrayOutputStream, e: GraftEventN): Unit = {
+      out: java.io.OutputStream, e: GraftEventN): Unit = {
     val body = new java.io.ByteArrayOutputStream(64)
     writeVarint(body, (1L << 3) | 0); writeVarint(body, e.eventId)
     val props = new java.io.ByteArrayOutputStream(16)
@@ -230,6 +230,36 @@ object ProtoWire {
       }
     }
 
+  // ---- shared stage writer ----
+
+  /** Idempotent per-partition stage write shared by the three proto
+    * queries: each partition STREAMS its rows' framed messages through
+    * a buffered file stream — constant memory per task, where the
+    * earlier whole-partition ByteArrayOutputStream would hit the ~2 GB
+    * JVM array limit long before the scale the operator claims — then
+    * publishes via atomic rename; a _DONE marker makes re-entry free. */
+  private def stageWrite[T](root: String,
+      ds: org.apache.spark.sql.Dataset[T])(
+      enc: (java.io.OutputStream, T) => Unit): Unit = {
+    val marker = new java.io.File(root, "_DONE")
+    if (marker.exists()) return
+    streamline.stream.Streams.deleteRec(new java.io.File(root))
+    new java.io.File(root).mkdirs()
+    import ds.sparkSession.implicits._
+    ds.repartition(4).mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val tmpF = new java.io.File(root, s".part-$pid.pb.tmp")
+      val os = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(tmpF), 1 << 16)
+      var n = 0L
+      try it.foreach { e => enc(os, e); n += 1 } finally os.close()
+      if (!tmpF.renameTo(new java.io.File(root, s"part-$pid.pb")))
+        throw new java.io.IOException(s"proto publish failed: $pid")
+      Iterator(n)
+    }.reduce(_ + _): Unit
+    marker.createNewFile(): Unit
+  }
+
   // ---- the declared query ----
 
   /** Write `events` as length-delimited GraftEvent payloads (one binary
@@ -241,31 +271,13 @@ object ProtoWire {
   private def sourceProto(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = streamline.util.Scratch.dir("proto", dir)
-    val marker = new java.io.File(root, "_DONE")
-    if (!marker.exists()) {
-      streamline.stream.Streams.deleteRec(new java.io.File(root))
-      new java.io.File(root).mkdirs()
+    stageWrite(root,
       Tables.events(spark, dir)
         .select($"event_id", $"user_id", $"event_type", $"value",
           unix_timestamp(date_trunc("second", $"ts")).as("ts_s"))
-        .as[(Long, Long, String, Double, Long)]
-        .repartition(4)
-        .mapPartitions { it =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val buf = new java.io.ByteArrayOutputStream(1 << 20)
-          var n = 0L
-          it.foreach { case (id, u, et, v, ts) =>
-            encodeDelimited(buf, GraftEvent(id, u, et, v, ts))
-            n += 1
-          }
-          val tmpF = new java.io.File(root, s".part-$pid.pb.tmp")
-          val os = new java.io.FileOutputStream(tmpF)
-          try buf.writeTo(os) finally os.close()
-          if (!tmpF.renameTo(new java.io.File(root, s"part-$pid.pb")))
-            throw new java.io.IOException(s"proto publish failed: $pid")
-          Iterator(n)
-        }.reduce(_ + _): Unit
-      marker.createNewFile(): Unit
+        .as[(Long, Long, String, Double, Long)]) {
+      case (os, (id, u, et, v, ts)) =>
+        encodeDelimited(os, GraftEvent(id, u, et, v, ts))
     }
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.pb").load(root)
@@ -294,33 +306,15 @@ object ProtoWire {
   private def sourceProtoNested(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = streamline.util.Scratch.dir("proton", dir)
-    val marker = new java.io.File(root, "_DONE")
-    if (!marker.exists()) {
-      streamline.stream.Streams.deleteRec(new java.io.File(root))
-      new java.io.File(root).mkdirs()
+    stageWrite(root,
       Tables.events(spark, dir)
         .select($"event_id", $"event_type",
           get_json_object($"props", "$.k").cast("long").as("pv"),
           $"user_id")
-        .as[(Long, String, Long, Long)]
-        .repartition(4)
-        .mapPartitions { it =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val buf = new java.io.ByteArrayOutputStream(1 << 20)
-          var n = 0L
-          it.foreach { case (id, et, pv, uid) =>
-            encodeNestedDelimited(buf,
-              GraftEventN(id, et, pv, Seq(uid, id % 100, 42L)))
-            n += 1
-          }
-          val tmpF = new java.io.File(root, s".part-$pid.pb.tmp")
-          val os = new java.io.FileOutputStream(tmpF)
-          try buf.writeTo(os) finally os.close()
-          if (!tmpF.renameTo(new java.io.File(root, s"part-$pid.pb")))
-            throw new java.io.IOException(s"proto publish failed: $pid")
-          Iterator(n)
-        }.reduce(_ + _): Unit
-      marker.createNewFile(): Unit
+        .as[(Long, String, Long, Long)]) {
+      case (os, (id, et, pv, uid)) =>
+        encodeNestedDelimited(os,
+          GraftEventN(id, et, pv, Seq(uid, id % 100, 42L)))
     }
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.pb").load(root)
@@ -352,31 +346,13 @@ object ProtoWire {
   private def streamProto(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = streamline.util.Scratch.dir("protostream", dir)
-    val marker = new java.io.File(root, "_DONE")
-    if (!marker.exists()) {
-      streamline.stream.Streams.deleteRec(new java.io.File(root))
-      new java.io.File(root).mkdirs()
+    stageWrite(root,
       Tables.events(spark, dir)
         .select($"event_id", $"user_id", $"event_type", $"value",
           unix_timestamp(date_trunc("second", $"ts")).as("ts_s"))
-        .as[(Long, Long, String, Double, Long)]
-        .repartition(4)
-        .mapPartitions { it =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val buf = new java.io.ByteArrayOutputStream(1 << 20)
-          var n = 0L
-          it.foreach { case (id, u, et, v, ts) =>
-            encodeDelimited(buf, GraftEvent(id, u, et, v, ts))
-            n += 1
-          }
-          val tmpF = new java.io.File(root, s".part-$pid.pb.tmp")
-          val os = new java.io.FileOutputStream(tmpF)
-          try buf.writeTo(os) finally os.close()
-          if (!tmpF.renameTo(new java.io.File(root, s"part-$pid.pb")))
-            throw new java.io.IOException(s"proto publish failed: $pid")
-          Iterator(n)
-        }.reduce(_ + _): Unit
-      marker.createNewFile(): Unit
+        .as[(Long, Long, String, Double, Long)]) {
+      case (os, (id, u, et, v, ts)) =>
+        encodeDelimited(os, GraftEvent(id, u, et, v, ts))
     }
     val binSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("path",

@@ -442,11 +442,17 @@ object Pipeline {
     val out = scores.select($"doc_id", $"s".cast("double").as("score"),
         selected.as("selected"))
       .orderBy($"doc_id")
+    // ALL operator-internal caches released before returning (the
+    // cacheReuse discipline, Relational.scala cacheReuse): a returned
+    // query must not pin doc-count-sized storage for the session's
+    // lifetime. The caller's final execution re-derives `scores` from
+    // the lazy plan — one extra corpus pass, deterministic by the
+    // decimal-rounded log-ratio discipline (order-independent sums and
+    // a driver-literal cut, so the recompute cannot diverge from the
+    // cut fetched above). Pinned leak-free in LlmSelectionSpec.
     counts.unpersist()
     words.unpersist()
-    // `scores` stays cached: the caller's final execution of `out`
-    // reuses the cut-stage aggregate instead of re-running both corpus
-    // passes; the cache is doc-count-sized and dies with the session.
+    scores.unpersist()
     out
   }
 

@@ -218,6 +218,15 @@ object Similarity {
     // raises it by log2 of the blowup (see the knob's scaladoc — the
     // fixed-width plan measures quadratic in ScalingCurveSpec).
     val bits = streamline.util.Knobs.lshBandBits(spark)
+    // A non-default width is the documented scale posture, but the
+    // static DuckDB oracle below is generated at the DEFAULT — warn
+    // loudly so a driver-side hash mismatch reads as config divergence,
+    // not a correctness bug (ADVICE r11).
+    if (bits != streamline.util.Knobs.lshBandBitsDefault)
+      System.err.println(
+        s"[graft] q_llm_dedup_embed_lsh: graft.lsh.bandBits=$bits != " +
+          s"default ${streamline.util.Knobs.lshBandBitsDefault} — the " +
+          "static DuckDB oracle no longer matches this run's bucketing")
     def bucket(b: Int) =
       (0 until bits).map(i =>
         when(element_at($"embedding", b * bits + i + 1) > 0f,
@@ -240,15 +249,22 @@ object Similarity {
       .orderBy($"id_a", $"id_b")
   }
 
-  private val dedupEmbedLshSql = """
+  // Bucket arithmetic interpolated from Knobs.lshBandBitsDefault — the
+  // same constant the Scala plan defaults to, so the two sides cannot
+  // drift (ADVICE r11: a hard-coded `4` here silently diverged when the
+  // knob moved).
+  private val dedupEmbedLshSql = {
+    val bits = streamline.util.Knobs.lshBandBitsDefault
+    val bucketSql = (0 until bits)
+      .map(i => s"CASE WHEN embedding[$bits*b+${i + 1}] > 0 " +
+        s"THEN ${1 << i} ELSE 0 END")
+      .mkString("(", "\n            + ", ") AS bkt")
+    s"""
     WITH e AS (SELECT vec_id, embedding,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                FROM embeddings),
     bk AS (SELECT vec_id, b,
-             (CASE WHEN embedding[4*b+1] > 0 THEN 1 ELSE 0 END
-            + CASE WHEN embedding[4*b+2] > 0 THEN 2 ELSE 0 END
-            + CASE WHEN embedding[4*b+3] > 0 THEN 4 ELSE 0 END
-            + CASE WHEN embedding[4*b+4] > 0 THEN 8 ELSE 0 END) AS bkt
+             $bucketSql
            FROM e, unnest(range(0, 8)) AS t(b)),
     cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
              FROM bk a JOIN bk b2
@@ -258,6 +274,7 @@ object Similarity {
     FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
     WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= 0.35
     ORDER BY id_a, id_b"""
+  }
 
   /** q_llm_semdedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
     * SEMANTIC deduplication by clustering embeddings first and pruning

@@ -177,7 +177,11 @@ object Streams {
   }
 
   def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory)
+    // isDirectory FOLLOWS symlinks — recursing through one would walk
+    // (and try to delete inside) the link's TARGET. Scratch dirs may
+    // contain symlinks into read-only fixture data (ScalingCurveSpec):
+    // delete the link itself, never its target's contents.
+    if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
       Option(f.listFiles()).foreach(_.foreach(deleteRec))
     f.delete(): Unit
   }

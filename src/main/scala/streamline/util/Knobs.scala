@@ -68,8 +68,17 @@ object Knobs {
     * keeping the candidate join linear. The recall cost of narrower
     * buckets is the standard LSH trade and is bought back with more
     * bands at cluster scale. */
+  /** The harness-default band width — the SINGLE source of truth the
+    * DuckDB oracle SQL is generated from (Similarity.dedupEmbedLshSql
+    * interpolates this constant), so the Scala plan and the oracle
+    * can't silently disagree on the default. A non-default runtime
+    * value is legitimate for scale runs (ScalingCurveSpec) but
+    * invalidates the static oracle — dedupEmbedLsh flags it loudly. */
+  val lshBandBitsDefault: Int = 4
+
   def lshBandBits(spark: SparkSession): Int = {
-    val b = spark.conf.get("graft.lsh.bandBits", "4").toInt
+    val b = spark.conf.get("graft.lsh.bandBits",
+      lshBandBitsDefault.toString).toInt
     require(b >= 1 && 8 * b <= 64, s"graft.lsh.bandBits=$b out of range")
     b
   }

@@ -89,8 +89,12 @@ class BenchGateSpec extends AnyFunSuite {
   test("window throttle rule: under 40 MB/s or halved across the window") {
     assert(Bench.windowThrottled(120.0, 35.0))  // ceiling
     assert(Bench.windowThrottled(35.0, 120.0))  // ceiling, entering quiet
-    assert(Bench.windowThrottled(120.0, 55.0))  // halved
+    assert(Bench.windowThrottled(120.0, 55.0))  // halved, entering throttle
+    assert(Bench.windowThrottled(55.0, 120.0))  // halved, LEAVING throttle
+                                                // above the 40 floor (r11
+                                                // advice: symmetric rule)
     assert(!Bench.windowThrottled(120.0, 90.0)) // ordinary drift
+    assert(!Bench.windowThrottled(90.0, 120.0)) // ordinary drift, rising
     assert(!Bench.windowThrottled(-1.0, 30.0))  // failed probe: no verdict
     assert(!Bench.windowThrottled(30.0, -1.0))
   }

@@ -85,6 +85,17 @@ class LlmSelectionSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("dsir releases every internal cache before returning (no session leak)") {
+    // r11 verdict item 4: `scores` used to stay cached for the session.
+    // The operator may persist internally, but nothing it registered
+    // may remain in the context's persistent-RDD map once the returned
+    // result has been materialized.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    graft.SparkEntry.queries("q_llm_dsir")(spark, sfDir).collect(): Unit
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"dsir left persisted RDDs pinned: $leaked")
+  }
+
   test("dsir selects exactly a quarter, enriched in the target slice") {
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang").as[(Long, String)].collect().toMap

@@ -20,11 +20,23 @@ import org.apache.spark.sql.functions._
   * q_llm_dedup_embed is excluded by design — its documented scale
   * path q_llm_dedup_embed_lsh is what's measured. Measured c values
   * recorded in SURVEY §7.38. */
-class ScalingCurveSpec extends SparkSuite {
+class ScalingCurveSpec extends SparkSuite
+    with org.scalatest.BeforeAndAfterAll {
 
   import graft.SparkTestBase.spark.implicits._
 
   private val scales = Seq(1, 4, 16)
+
+  // every build() dir (symlinks + rewritten parquet) is removed after
+  // the suite — hundreds of MB of blowup litter otherwise outlives the
+  // run (ADVICE r11)
+  private val createdDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  override def afterAll(): Unit = {
+    createdDirs.foreach(d =>
+      streamline.stream.Streams.deleteRec(new java.io.File(d)))
+    super.afterAll()
+  }
 
   // heaviest BATCH queries (bench_baseline.json order) whose inputs
   // are the blown-up tables; all pure compute (no scratch caching)
@@ -36,6 +48,7 @@ class ScalingCurveSpec extends SparkSuite {
 
   private def build(k: Int): String = {
     val dir = Files.createTempDirectory(s"graft_scale_${k}x_").toString
+    createdDirs += dir
     for (f <- new java.io.File(sfDir).listFiles()
          if f.getName.endsWith(".parquet"))
       Files.createSymbolicLink(Paths.get(dir, f.getName), f.toPath)
