@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import streamline.Q
 import streamline.batch._
 import streamline.llm.{Dedup, Pipeline, Similarity, Spans, Text, Vocab}
-import streamline.stream.{CepStream, Connect, Stateful, Streams}
+import streamline.stream.{CepStream, Connect, OffsetReplay, Stateful, Streams}
 
 /** Driver contract — see /root/repo/SURVEY.md §0.1 and §7.
   *
@@ -25,7 +25,7 @@ object SparkEntry {
       Dedup.all ++ Pipeline.all ++ Similarity.all ++ Spans.all ++
       Vocab.all ++
       Streams.all ++
-      Stateful.all ++ Connect.all ++ CepStream.all
+      Stateful.all ++ Connect.all ++ CepStream.all ++ OffsetReplay.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
