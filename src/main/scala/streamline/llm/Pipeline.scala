@@ -1,6 +1,6 @@
 package streamline.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import streamline.{Q, Tables}
 
@@ -405,14 +405,40 @@ object Pipeline {
     * top-k cut is a TakeOrdered (per-partition heaps, no global sort)
     * plus a single-row driver fetch of the k-th score — metadata-scale
     * like the BPE merge loop. */
-  private def dsir(spark: SparkSession, dir: String): DataFrame = {
+  /** The md5-prefix feature hash of q_llm_dsir_hashed: 3 hex chars =
+    * exactly 4096 buckets, deterministic and ENGINE-PORTABLE (Spark's
+    * md5 and DuckDB's agree byte-for-byte, so the hashed variant keeps
+    * a full oracle where an engine-internal murmur would not).
+    * Boundedness pinned on an open 20k-word vocabulary in
+    * LlmSelectionSpec. */
+  private[streamline] def dsirHashBucket(w: Column): Column =
+    conv(substring(md5(w), 1, 3), 16, 10).cast("long")
+
+  private def dsir(spark: SparkSession, dir: String): DataFrame =
+    dsirImpl(spark, dir, identity)
+
+  /** q_llm_dsir_hashed — DSIR over HASHED features (the paper's §2
+    * boundedness mechanism): words map into a FIXED 4096-bucket space
+    * before the unigram models are fit, so the importance-ratio table —
+    * the thing broadcast back over the corpus — is ≤ 4096 rows on ANY
+    * vocabulary, open or not. q_llm_dsir's word-keyed table is only
+    * safe because the fixture's vocabulary is bounded; this twin is the
+    * shape a 100 TB open-vocabulary run must use. Hash collisions
+    * coarsen the model (the paper's accepted trade), but everything
+    * stays deterministic, so the oracle is exact. */
+  private def dsirHashed(spark: SparkSession, dir: String): DataFrame =
+    dsirImpl(spark, dir, dsirHashBucket)
+
+  private def dsirImpl(spark: SparkSession, dir: String,
+      feature: Column => Column): DataFrame = {
     import spark.implicits._
     // persisted across the two passes (count model, then score): the
     // operator's four actions otherwise re-scan and re-explode the
     // corpus each time. MEMORY_AND_DISK default — spills, never OOMs;
     // at full corpus scale drop the persist and pay the second scan.
     val words = Tables.documents(spark, dir)
-      .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("w0"))
+      .select($"doc_id", $"lang", feature($"w0").as("w"))
       .persist()
     val counts = words.groupBy($"w").agg(
       count(lit(1)).as("c_all"),
@@ -456,9 +482,14 @@ object Pipeline {
     out
   }
 
-  private val dsirSql = """
-    WITH words AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
-                   FROM documents),
+  // The two oracles share everything but the feature expression: the
+  // hashed twin maps each word through the same md5-prefix bucket as
+  // the Spark side (both engines' md5 hex agrees byte-for-byte).
+  private def dsirSqlFor(wordExpr: String) = s"""
+    WITH words AS (SELECT doc_id, lang, $wordExpr AS w
+                   FROM (SELECT doc_id, lang,
+                           unnest(string_split(text, ' ')) AS w0
+                         FROM documents)),
     counts AS (SELECT w, count(*) AS c_all,
                  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en
                FROM words GROUP BY w),
@@ -476,6 +507,10 @@ object Pipeline {
                FROM scores)
     SELECT doc_id, CAST(s AS DOUBLE) AS score, rn * 4 <= n AS selected
     FROM ranked ORDER BY doc_id"""
+
+  private val dsirSql = dsirSqlFor("w0")
+  private val dsirHashedSql =
+    dsirSqlFor("CAST(('0x' || substr(md5(w0), 1, 3)) AS BIGINT)")
 
   /** q_llm_mix_temperature — temperature-based corpus mixing (the
     * multilingual-sampling rule of XLM/mBERT and the data-mixing knob
@@ -548,6 +583,7 @@ object Pipeline {
   val all: Seq[Q] = Seq(
     Q("q_llm_pipeline", pipelineE2e _, pipelineE2eSql),
     Q("q_llm_dsir", dsir _, dsirSql),
+    Q("q_llm_dsir_hashed", dsirHashed _, dsirHashedSql),
     Q("q_llm_mix_temperature", mixTemperature _, mixTemperatureSql),
     Q("q_llm_dataset_card", datasetCard _, datasetCardSql),
     Q("q_llm_mix", mix _, mixSql),

@@ -1,6 +1,7 @@
 package streamline
 
 import graft.SparkSuite
+import org.apache.spark.sql.functions._
 
 /** Semantics pins for the round-11 selection operators: q_llm_semdedup
   * (SemDeDup — within-cluster semantic prune) and q_llm_dsir (DSIR —
@@ -94,6 +95,34 @@ class LlmSelectionSpec extends SparkSuite {
     graft.SparkEntry.queries("q_llm_dsir")(spark, sfDir).collect(): Unit
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"dsir left persisted RDDs pinned: $leaked")
+  }
+
+  test("dsir hashed-feature space is bounded at 4096 on an open vocabulary") {
+    // the paper's boundedness mechanism (r11 verdict item 7): the
+    // ratio table is keyed by the feature, so the feature image IS the
+    // broadcast size. 20k distinct synthetic words — far beyond any
+    // fixture vocabulary — must land in <= 4096 buckets, and spread
+    // across most of them (a degenerate hash would collapse the model).
+    val buckets = spark.range(20000)
+      .select(streamline.llm.Pipeline
+        .dsirHashBucket(concat(lit("w"), $"id".cast("string"))).as("b"))
+    val distinct = buckets.distinct().count()
+    assert(distinct <= 4096, s"feature space leaked: $distinct buckets")
+    assert(distinct > 3900, s"hash not spreading: $distinct buckets")
+    assert(buckets.agg(min($"b"), max($"b")).as[(Long, Long)].head()._1 >= 0)
+  }
+
+  test("dsir_hashed is quota-exact and partition-count invariant") {
+    def run(): Seq[(Long, Double, Boolean)] =
+      graft.SparkEntry.queries("q_llm_dsir_hashed")(spark, sfDir)
+        .as[(Long, Double, Boolean)].collect().toSeq
+    val at4 = run()
+    assert(at4.count(_._3) == at4.size / 4)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(run() == at4, "hashed scores moved with the partition count")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   test("dsir selects exactly a quarter, enriched in the target slice") {

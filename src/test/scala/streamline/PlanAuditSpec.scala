@@ -47,6 +47,9 @@ class PlanAuditSpec extends SparkSuite {
         // r11: DSIR's per-word log-ratio table is vocabulary-sized and
         // must broadcast back over the corpus scan
         "q_llm_dsir" -> "BroadcastHashJoin",
+        // r12: the hashed twin's table is <=4096 rows BY CONSTRUCTION —
+        // losing the broadcast here would be strictly worse than dsir
+        "q_llm_dsir_hashed" -> "BroadcastHashJoin",
         "q_agg_hist" -> "BroadcastNestedLoopJoin").foreach {
       case (name, shape) =>
         val plan = SparkEntry.queries(name)(spark, sfDir)
