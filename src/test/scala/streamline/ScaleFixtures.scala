@@ -1,0 +1,111 @@
+package streamline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared 1×/4×/16× blowup fixtures for the scaling-curve specs
+  * (ScalingCurveSpec — batch; StreamScalingSpec — streaming state).
+  * Built at most once per test JVM and removed — together with the
+  * scratch dirs the streaming witnesses derive from the blowup paths —
+  * by a shutdown hook, so repeated `sbt test` runs leave no parquet
+  * litter (ADVICE r11).
+  *
+  * Blowup construction (see ScalingCurveSpec's scaladoc for the why):
+  * id-shifted copies; document words suffixed per copy and embeddings
+  * cyclically rotated so copies are near-dup-DISJOINT — otherwise
+  * cross-copy duplicate pairs grow quadratically in the copy count by
+  * construction and the curve answers the wrong question. */
+object ScaleFixtures {
+
+  private def spark = graft.SparkTestBase.spark
+  private def sfDir = graft.SparkTestBase.sfDir
+
+  val scales = Seq(1, 4, 16)
+
+  lazy val dirs: Map[Int, String] = {
+    val m = scales.map(k => k -> build(k)).toMap
+    Runtime.getRuntime.addShutdownHook(new Thread(() => cleanup(m)))
+    m
+  }
+
+  private def cleanup(m: Map[Int, String]): Unit = {
+    m.values.foreach(d =>
+      stream.Streams.deleteRec(new java.io.File(d)))
+    // streaming witnesses key their scratch under java.io.tmpdir by the
+    // MANGLED source-dir path (util.Scratch.dir) — sweep those too
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val mangled = m.values
+      .map(_.replaceAll("[^A-Za-z0-9._-]", "_")).toSeq
+    Option(tmp.listFiles()).foreach(_.foreach { f =>
+      if (mangled.exists(s => f.getName.contains(s)))
+        stream.Streams.deleteRec(f)
+    })
+  }
+
+  private def build(k: Int): String = {
+    import graft.SparkTestBase.spark.implicits._
+    val dir = Files.createTempDirectory(s"graft_scale_${k}x_").toString
+    for (f <- new java.io.File(sfDir).listFiles()
+         if f.getName.endsWith(".parquet"))
+      Files.createSymbolicLink(Paths.get(dir, f.getName), f.toPath)
+    def replace(name: String)(df: DataFrame): Unit = {
+      val p = Paths.get(dir, name)
+      Files.delete(p)
+      df.write.parquet(p.toString)
+    }
+    val copies = spark.range(k).toDF("k")
+    // events: ids shifted per copy (16× the users, per-user sequences
+    // identical), timestamps untouched (windows get denser, not wider).
+    // Write µs-annotated timestamps: the session default INT96 is
+    // unreadable through Tables' forced-int64 encoding sniff.
+    // …and publish as a single FILE named events.parquet, exactly like
+    // the fixture layout: the streaming reader (Streams.eventsStream)
+    // lists by filename glob, which a directory-of-part-files would
+    // silently fail to match (zero input files, a flat fake curve).
+    val prevTsType = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      val tmpOut = Files.createTempDirectory("graft_scale_ev_").toString
+      Tables.events(spark, sfDir).crossJoin(copies)
+        .select(($"event_id" + $"k" * 100000000L).as("event_id"), $"ts",
+          ($"user_id" + $"k" * 100000000L).as("user_id"),
+          $"event_type", $"value", $"props")
+        .coalesce(1).write.mode("overwrite").parquet(tmpOut)
+      val part = new java.io.File(tmpOut).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmpOut"))
+      Files.delete(Paths.get(dir, "events.parquet"))
+      Files.move(part.toPath, Paths.get(dir, "events.parquet"))
+      stream.Streams.deleteRec(new java.io.File(tmpOut))
+    } finally
+      spark.conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
+    // documents: every word gets a copy-specific suffix (applied to
+    // copy 0 too, so 1× and 16× run the same transform) — shingle /
+    // simhash / tf-idf vocabularies are disjoint across copies
+    replace("documents.parquet") {
+      spark.read.schema(Tables.documentsSchema)
+        .parquet(s"$sfDir/documents.parquet").crossJoin(copies)
+        .select(($"doc_id" + $"k" * 10000000L).as("doc_id"),
+          array_join(transform(split($"text", " "),
+            w => concat(w, lit("x"), $"k".cast("string"))), " ").as("text"),
+          $"lang", $"source")
+        .withColumn("n_chars", length($"text").cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }
+    // embeddings: cyclic coordinate rotation per copy — cosine between
+    // different copies of the same vector ≈ random, so LSH buckets
+    // grow linearly in copies, not quadratically
+    replace("embeddings.parquet") {
+      spark.read.schema(Tables.embeddingsSchema)
+        .parquet(s"$sfDir/embeddings.parquet").crossJoin(copies)
+        .select(($"vec_id" + $"k" * 10000000L).as("vec_id"),
+          concat(slice($"embedding", ($"k" % 64) + lit(1), lit(64) - ($"k" % 64)),
+            slice($"embedding", lit(1), $"k" % 64)).as("embedding"),
+          $"label")
+    }
+    dir
+  }
+}

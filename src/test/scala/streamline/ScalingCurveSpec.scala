@@ -1,42 +1,20 @@
 package streamline
 
-import java.nio.file.{Files, Paths}
-
 import graft.SparkSuite
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
 
 /** Scaling-curve measurement (round-10 verdict, next-round item 3):
   * the bench proves per-round latency, not EXPONENTS — a quadratic
-  * plan can hide inside any single-scale gate. This spec synthesizes
-  * 4× and 16× blowups of events/documents/embeddings (id-shifted
-  * copies; text word-mangled and embeddings cyclically rotated per
-  * copy so copies are near-dup-DISJOINT — otherwise cross-copy
-  * duplicate pairs grow quadratically in the copy count by
-  * construction and the measurement answers the wrong question) and
-  * times the heaviest batch queries over those tables at 1×/4×/16×,
-  * asserting t(16×) ≤ c·16·t(1×) with c = 2 (+1 s absolute jitter
-  * floor). The deliberately-quadratic exactness BASELINE
+  * plan can hide inside any single-scale gate. Times the heaviest
+  * batch queries over the shared [[ScaleFixtures]] blowups at
+  * 1×/4×/16×, asserting t(16×) ≤ c·16·t(1×) with c = 2 (+1 s absolute
+  * jitter floor). The deliberately-quadratic exactness BASELINE
   * q_llm_dedup_embed is excluded by design — its documented scale
   * path q_llm_dedup_embed_lsh is what's measured. Measured c values
-  * recorded in SURVEY §7.38. */
-class ScalingCurveSpec extends SparkSuite
-    with org.scalatest.BeforeAndAfterAll {
+  * recorded in SURVEY §7.38; the streaming-state counterpart is
+  * StreamScalingSpec. */
+class ScalingCurveSpec extends SparkSuite {
 
-  import graft.SparkTestBase.spark.implicits._
-
-  private val scales = Seq(1, 4, 16)
-
-  // every build() dir (symlinks + rewritten parquet) is removed after
-  // the suite — hundreds of MB of blowup litter otherwise outlives the
-  // run (ADVICE r11)
-  private val createdDirs = scala.collection.mutable.ArrayBuffer.empty[String]
-
-  override def afterAll(): Unit = {
-    createdDirs.foreach(d =>
-      streamline.stream.Streams.deleteRec(new java.io.File(d)))
-    super.afterAll()
-  }
+  private val scales = ScaleFixtures.scales
 
   // heaviest BATCH queries (bench_baseline.json order) whose inputs
   // are the blown-up tables; all pure compute (no scratch caching)
@@ -46,60 +24,7 @@ class ScalingCurveSpec extends SparkSuite
     "q_llm_dedup_embed_lsh", "q_cep_greedy", "q_cep_noskip",
     "q_win_session")
 
-  private def build(k: Int): String = {
-    val dir = Files.createTempDirectory(s"graft_scale_${k}x_").toString
-    createdDirs += dir
-    for (f <- new java.io.File(sfDir).listFiles()
-         if f.getName.endsWith(".parquet"))
-      Files.createSymbolicLink(Paths.get(dir, f.getName), f.toPath)
-    def replace(name: String)(df: DataFrame): Unit = {
-      val p = Paths.get(dir, name)
-      Files.delete(p)
-      df.write.parquet(p.toString)
-    }
-    val copies = spark.range(k).toDF("k")
-    // events: ids shifted per copy (16× the users, per-user sequences
-    // identical), timestamps untouched (windows get denser, not wider).
-    // Write µs-annotated timestamps: the session default INT96 is
-    // unreadable through Tables' forced-int64 encoding sniff.
-    val prevTsType = spark.conf.get("spark.sql.parquet.outputTimestampType")
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    try replace("events.parquet") {
-      Tables.events(spark, sfDir).crossJoin(copies)
-        .select(($"event_id" + $"k" * 100000000L).as("event_id"), $"ts",
-          ($"user_id" + $"k" * 100000000L).as("user_id"),
-          $"event_type", $"value", $"props")
-    } finally
-      spark.conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
-    // documents: every word gets a copy-specific suffix (applied to
-    // copy 0 too, so 1× and 16× run the same transform) — shingle /
-    // simhash / tf-idf vocabularies are disjoint across copies
-    replace("documents.parquet") {
-      spark.read.schema(Tables.documentsSchema)
-        .parquet(s"$sfDir/documents.parquet").crossJoin(copies)
-        .select(($"doc_id" + $"k" * 10000000L).as("doc_id"),
-          array_join(transform(split($"text", " "),
-            w => concat(w, lit("x"), $"k".cast("string"))), " ").as("text"),
-          $"lang", $"source")
-        .withColumn("n_chars", length($"text").cast("long"))
-        .select("doc_id", "text", "lang", "source", "n_chars")
-    }
-    // embeddings: cyclic coordinate rotation per copy — cosine between
-    // different copies of the same vector ≈ random, so LSH buckets
-    // grow linearly in copies, not quadratically
-    replace("embeddings.parquet") {
-      spark.read.schema(Tables.embeddingsSchema)
-        .parquet(s"$sfDir/embeddings.parquet").crossJoin(copies)
-        .select(($"vec_id" + $"k" * 10000000L).as("vec_id"),
-          concat(slice($"embedding", ($"k" % 64) + lit(1), lit(64) - ($"k" % 64)),
-            slice($"embedding", lit(1), $"k" % 64)).as("embedding"),
-          $"label")
-    }
-    dir
-  }
-
-  private lazy val dirs: Map[Int, String] =
-    scales.map(k => k -> build(k)).toMap
+  private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
   private def time(name: String, dir: String): Double = {
     val t0 = System.nanoTime()
