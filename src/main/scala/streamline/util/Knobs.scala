@@ -39,7 +39,12 @@ object Knobs {
     spark.conf.get("graft.stream.statePartitions", "4").toInt
   def iterPartitions(spark: SparkSession): Int =
     spark.conf.get("graft.iter.partitions",
-      math.min(8, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      // default 4 (was 8): harness label tables are a few thousand
+      // rows, so every extra partition is pure per-superstep scheduling
+      // cost — measured on q_iter_scc at sf0.1: 2 parts 4.4 s, 4 parts
+      // 5.8 s, 8 parts 6.3 s, 16 parts 8.5 s. On a cluster, size to
+      // |vertices| / target-partition-rows (the scaladoc contract).
+      math.min(4, spark.conf.get("spark.sql.shuffle.partitions").toInt)
         .toString).toInt
   def iterAqe(spark: SparkSession): Boolean =
     spark.conf.get("graft.iter.aqe", "false").toBoolean
