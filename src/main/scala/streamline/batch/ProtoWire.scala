@@ -248,7 +248,12 @@ object ProtoWire {
     import ds.sparkSession.implicits._
     ds.repartition(4).mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val tmpF = new java.io.File(root, s".part-$pid.pb.tmp")
+      // Attempt id in the temp name: a speculative/retried attempt for
+      // the same partition must never share a temp file with the first
+      // (interleaved writes would publish a corrupt payload through the
+      // rename); the rename itself still wins atomically either way.
+      val att = org.apache.spark.TaskContext.get().taskAttemptId()
+      val tmpF = new java.io.File(root, s".part-$pid-$att.pb.tmp")
       val os = new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(tmpF), 1 << 16)
       var n = 0L

@@ -17,6 +17,11 @@ import streamline.expr.Exprs
   */
 object Similarity {
 
+  /** One-shot latch for the non-default lshBandBits warning: the plan
+    * constructor runs once per query build, and repeating the same
+    * stderr line every time is log noise, not signal (ADVICE r12). */
+  private val bandBitsWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   // The fitted IVF quantizer is the INDEX: at scale it's built once at
   // ingest and reused by every query, so the per-call refit was pure
   // harness overhead. The fit is seed-pinned ⇒ a cache hit is
@@ -222,7 +227,8 @@ object Similarity {
     // static DuckDB oracle below is generated at the DEFAULT — warn
     // loudly so a driver-side hash mismatch reads as config divergence,
     // not a correctness bug (ADVICE r11).
-    if (bits != streamline.util.Knobs.lshBandBitsDefault)
+    if (bits != streamline.util.Knobs.lshBandBitsDefault &&
+        !bandBitsWarned.getAndSet(true))
       System.err.println(
         s"[graft] q_llm_dedup_embed_lsh: graft.lsh.bandBits=$bits != " +
           s"default ${streamline.util.Knobs.lshBandBitsDefault} — the " +

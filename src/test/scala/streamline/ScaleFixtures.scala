@@ -38,8 +38,13 @@ object ScaleFixtures {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val mangled = m.values
       .map(_.replaceAll("[^A-Za-z0-9._-]", "_")).toSeq
+    // Scratch.dir names are exactly `graft_<query>_<mangledSrcDir>` —
+    // match that shape (prefix + suffix) rather than a bare substring
+    // sweep, so an unrelated tmpdir entry that merely mentions the
+    // path can never be deleted (ADVICE r12).
     Option(tmp.listFiles()).foreach(_.foreach { f =>
-      if (mangled.exists(s => f.getName.contains(s)))
+      if (f.getName.startsWith("graft_") &&
+          mangled.exists(s => f.getName.endsWith(s)))
         stream.Streams.deleteRec(f)
     })
   }
