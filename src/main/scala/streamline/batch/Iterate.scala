@@ -142,26 +142,37 @@ object Iterate {
     val init = undirected.select($"src".as("v"), $"dst".as("comp"))
       .union(undirected.select($"src".as("v"), $"src".as("comp")))
       .groupBy($"v").agg(min($"comp").as("comp"))
-    val (fixed, iters) = fixpoint(init, maxIter, requireConverged = true) { comp =>
-      // superstep: each vertex takes min(own label, neighbors' labels)…
-      // (label table broadcast per stateSide: the propagate is then a
-      // map-side hash join over the partition-local edge cache — the
-      // cached edge table is never re-shuffled per superstep)
+    // One propagate hop: each vertex takes min(own label, neighbors'
+    // labels) — a map-side hash join against the partition-local edge
+    // cache when the label table broadcasts (stateSide); the cached
+    // edge table is never re-shuffled per superstep. The input must be
+    // MATERIALIZED (checkpointed) before this is called: broadcasting
+    // an un-materialized plan re-executes it inside the broadcast
+    // build (measured 30 s/superstep in the r13 double-halving
+    // experiment vs 0.4 s from a checkpointed leaf).
+    def hop(comp: DataFrame): DataFrame = {
       val fromNeighbors = undirected
         .join(stateSide(comp), undirected("src") === comp("v"))
         .select(undirected("dst").as("v"), comp("comp"))
-      val propagated = comp.union(fromNeighbors)
+      comp.union(fromNeighbors)
         .groupBy($"v").agg(min($"comp").as("comp"))
-        // materialized so the halving self-join below reads it rather
-        // than recomputing the propagate shuffle on both join sides
-        // (measured faster than relying on ReuseExchange here).
-        .localCheckpoint(true)
+    }
+    val (fixed, iters) = fixpoint(init, maxIter, requireConverged = true) { comp =>
+      // TWO propagate hops per superstep, then one path-halving jump.
+      // Convergence here is gated by how far min-label information
+      // travels per superstep (one edge-hop per propagate); the r13
+      // profile measured the per-superstep cost as ~fixed (materialize
+      // + convergence action at 4 partitions) regardless of data size,
+      // so packing two hops into each superstep halves the superstep
+      // COUNT for ~1.5× the per-superstep work — measured 12→6
+      // supersteps on the sparse first micro-batch of q_stream_iterate.
+      // Each hop's input is checkpointed first (see hop's scaladoc).
+      val p1 = hop(comp).localCheckpoint(true)
+      val propagated = hop(p1).localCheckpoint(true)
       // …then path-halving (pointer jumping): v additionally adopts its
       // label's label. Every label IS a vertex id, so the inner
-      // self-join is total; label distances halve per superstep and the
-      // loop converges in O(log diameter) supersteps instead of
-      // O(diameter) — the difference between ~20 and ~6 shuffles on a
-      // long-chain graph.
+      // self-join is total; label distances halve per superstep on top
+      // of the two propagate hops.
       // (fresh aliases on the second side: Spark's self-join attribute
       // dedup chokes on plan-identical sides under a Union child)
       val lut = propagated.select($"v".as("lv"), $"comp".as("lcomp"))
@@ -1049,16 +1060,20 @@ object Iterate {
     * `DataStream.iterate` scope cut (§2.14b) from an absence into a
     * witnessed equivalent: Structured Streaming has no cyclic
     * dataflow, so the honest spelling is driver-held feedback state
-    * threaded through `foreachBatch` — each micro-batch of NEW edges
-    * is unioned with the previous labels RE-ENCODED AS EDGES
-    * (v — comp is an edge to the component's minimum, so prior
-    * components are single stars, not the full history) and the CC
-    * combinator re-converges incrementally. Per batch the work is
-    * proportional to (new edges + one star edge per known vertex),
-    * never to the edges already consumed — the incremental property
-    * streaming iteration exists for. Final labels must equal batch CC
-    * over ALL edges (same recursive-CTE oracle as q_iter_cc),
-    * regardless of how the file stream batched them. */
+    * threaded through `foreachBatch`. Each micro-batch of NEW edges is
+    * CONTRACTED through the current labels (endpoint → its component
+    * representative, a union-find `find`), CC re-converges on that
+    * contracted batch-sized graph only, and the resulting rep→rep
+    * merge map is applied back to the label state — so the per-batch
+    * fixpoint runs over |batch| edges, never over the accumulated
+    * vertex set (the earlier star-edge spelling re-ran CC over one
+    * edge per KNOWN vertex per batch; r12 bench put that at 5.8 s,
+    * the repo's most expensive query). Per batch the work is the
+    * contracted CC plus two keyed joins against the label state —
+    * the incremental property streaming iteration exists for. Final
+    * labels must equal batch CC over ALL edges (same recursive-CTE
+    * oracle as q_iter_cc), regardless of how the file stream batched
+    * them. */
   private def streamIterate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = streamline.util.Scratch.dir("iterstream", dir)
@@ -1088,8 +1103,16 @@ object Iterate {
   /** The foreachBatch feedback loop itself, factored out so
     * StreamIterateSpec can drive it over RANDOM batchings of the same
     * edge set: reads `(src, dst)` parquet files from `stage` one file
-    * per micro-batch, re-converges CC per batch against the previous
-    * labels' star edges, and returns the final `(v, comp)` table. */
+    * per micro-batch, contracts each batch through the current labels,
+    * re-converges CC on the contracted graph, applies the merge map,
+    * and returns the final `(v, comp)` table.
+    *
+    * Correctness of the contraction: component representatives are
+    * component MINIMA, so the true minimum of any set of merged
+    * components is the minimum over their representatives and the new
+    * vertex ids — exactly what CC over the contracted graph computes.
+    * Untouched components never appear in the merge map and keep their
+    * label through the coalesce. */
   private[streamline] def feedbackCc(spark: SparkSession,
                                      stage: String): DataFrame = {
     import spark.implicits._
@@ -1103,12 +1126,48 @@ object Iterate {
       .parquet(stage)
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val fed =
-          if (labels == null) df.toDF()
-          else df.toDF().unionByName(
-            labels.select($"v".as("src"), $"comp".as("dst")))
-        labels = connectedComponents(fed)._1.localCheckpoint(true)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        // per-batch timing under the same opt-in flag as fixpoint's laps
+        val verbose = sys.props.get("graft.iter.verbose")
+          .orElse(sys.env.get("GRAFT_ITER_VERBOSE")).contains("true")
+        val t0 = System.nanoTime()
+        def lap(tag: String): Unit = if (verbose) System.err.println(
+          f"[iterstream] batch $bid $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val batch = df.toDF()
+        labels =
+          if (labels == null) {
+            val (r, it) = connectedComponents(batch)
+            lap(s"full-cc iters=$it")
+            r.localCheckpoint(true)
+          } else {
+            val l = labels
+            // find(): contract both endpoints to their current rep.
+            // At cluster scale these are two keyed joins of the (small)
+            // batch against the label state — broadcast per the
+            // iterBroadcast knob at bounded-vertex scale, plain keyed
+            // shuffle joins in the web-graph regime.
+            def find(col: String) = stateSide(
+              l.select($"v".as(s"f_$col"), $"comp".as(s"fc_$col")))
+            val contracted = batch
+              .join(find("src"), $"src" === $"f_src", "left")
+              .join(find("dst"), $"dst" === $"f_dst", "left")
+              .select(coalesce($"fc_src", $"src").as("src"),
+                coalesce($"fc_dst", $"dst").as("dst"))
+            // CC over the contracted graph: vertices are touched reps +
+            // genuinely new ids — batch-sized, NOT state-sized.
+            val (cc, ccIters) = connectedComponents(contracted)
+            lap(s"contracted-cc iters=$ccIters")
+            val merge = cc.select($"v".as("mv"), $"comp".as("mc"))
+            // merge map is frontier-sized — broadcast it into the
+            // relabel join; untouched components coalesce through.
+            val relabeled = l.join(stateSide(merge), $"comp" === $"mv", "left")
+              .select($"v", coalesce($"mc", $"comp").as("comp"))
+            val fresh = cc.join(l.select($"v"), Seq("v"), "left_anti")
+            val out = relabeled.unionByName(fresh.select($"v", $"comp"))
+              .localCheckpoint(true)
+            lap("done")
+            out
+          }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
