@@ -61,11 +61,13 @@ object Bench {
     *    those re-run.
     *  - HISTORY (per-query, round 10; tightened round 11): anything
     *    reading over its committed quiet baseline by the tier ratio
-    *    AND >1 s re-runs — 3× for sub-2 s baselines (jitter room),
+    *    AND >0.5 s re-runs — 3× for sub-2 s baselines (jitter room),
     *    2× for >2 s baselines, where BENCH_r10 showed 1.6× throttle
     *    inflation (q_stream_retract_hist 6.83 vs 4.15 s) sitting
-    *    invisibly under the old single 3× trigger. The >1 s floor
-    *    keeps sub-second jitter from burning re-time slots.
+    *    invisibly under the old single 3× trigger. The floor keeps
+    *    sub-half-second jitter from burning re-time slots; it was 1 s
+    *    through r12, which let q_source_proto_nested read 3× its min
+    *    (0.71 vs 0.23 s) without ever being re-timed (VERDICT r12).
     * History picks the 10 largest ABSOLUTE excesses (dt − baseline) —
     * ratio alone would spend slots on 0.4 s blips. Union capped at 12.
     * Returns (suspects, historyCount). */
@@ -77,7 +79,7 @@ object Bench {
       .sortBy(-_._2).take(10).map(_._1)
     def tier(b: Double): Double = if (b > 2.0) 2.0 else 3.0
     val historySuspects = firstPass.collect {
-      case (name, dt) if dt > 1.0 &&
+      case (name, dt) if dt > 0.5 &&
         baseline.get(name).exists(b => dt > tier(b) * b) => name -> dt
     }.sortBy { case (n, dt) => -(dt - baseline(n)) }.take(10).map(_._1)
     ((throttleSuspects ++ historySuspects).distinct.take(12),

@@ -19,13 +19,20 @@ class BenchGateSpec extends AnyFunSuite {
       (Seq.empty, 0))
   }
 
-  test("history gate: >3x baseline AND >1s for sub-2s baselines") {
+  test("history gate: >3x baseline AND >0.5s for sub-2s baselines") {
     val fp = Seq(
       "q_a" -> 3.5,  // 3.5x of 1.0 -> suspect
-      "q_b" -> 0.9,  // 4.5x of 0.2 but under the 1s floor -> no
+      "q_b" -> 0.4,  // 2.0x of 0.2 and under the 0.5s floor -> no
       "q_c" -> 3.9,  // 1.95x of 2.0 (2x tier applies, not met) -> no
       "q_x" -> 50.0) // no baseline -> no
     assert(Bench.pickSuspects(fp, base, quiet) == (Seq("q_a"), 1))
+  }
+
+  test("history gate floor lowered to 0.5s: a 3x sub-second excursion re-times") {
+    // r12's blind spot: q_source_proto_nested read 0.71 s vs a 0.23 s
+    // min (3.02x) and sat under the old 1 s floor, never re-timed.
+    val fp = Seq("q_b" -> 0.71)   // 3.55x of 0.2, over the 0.5 s floor
+    assert(Bench.pickSuspects(fp, base, quiet) == (Seq("q_b"), 1))
   }
 
   test("history gate tightens to 2x for baselines over 2s") {
