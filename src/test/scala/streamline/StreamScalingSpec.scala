@@ -28,7 +28,15 @@ class StreamScalingSpec extends SparkSuite {
   private val stateQueries = Seq(
     "q_stream_retract_hist", "q_stream_state_rewrite",
     "q_stream_state_evolve", "q_join_stream_stream",
-    "q_join_stream_stream_left", "q_join_stream_stream_full")
+    "q_join_stream_stream_left", "q_join_stream_stream_full",
+    // streaming-CEP family (r12 verdict item 2): per-user NFA register +
+    // watermark-bounded suffix buffer in flatMapGroupsWithState — state
+    // is (keys × delay-window events), the classic 100× death site. The
+    // blowup multiplies USERS at the same timestamps, so both state rows
+    // and matches must scale linearly; a buffer that fails to evict on
+    // watermark progress (or NFA state that leaks across keys) shows as
+    // a super-linear numRowsTotal curve here.
+    "q_stream_cep_noskip", "q_stream_cep_greedy", "q_stream_cep_times")
 
   /** Runs the query under a progress listener; returns (seconds, max
     * numRowsTotal across all stateful operators and micro-batches). */
