@@ -98,4 +98,42 @@ class StreamScalingSpec extends SparkSuite {
     assert(failures.isEmpty,
       s"super-linear streaming scaling: ${failures.mkString("; ")}")
   }
+
+  test("the scaling bounds hold on the RocksDB state store") {
+    // r12 verdict item 6: RocksDbStateSpec proves the provider produces
+    // identical RESULTS; nobody had measured state growth ON RocksDB —
+    // and at 100 TB the in-memory HDFS-backed provider is not an
+    // option, so the linear-state witness must hold on the backend a
+    // cluster would actually run. Same bounds as the default-store
+    // test, on the state-heaviest aggregation + the stream-stream join.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, rocks)
+    try {
+      val failures = Seq("q_stream_retract_hist", "q_join_stream_stream")
+        .flatMap { q =>
+          val m = Seq(1, 16).map { k =>
+            val rs = Seq.fill(2)(run(q, ScaleFixtures.dirs(k)))
+            k -> ((rs.map(_._1).min, rs.map(_._2).max))
+          }.toMap
+          val (t1, r1) = m(1); val (t16, r16) = m(16)
+          info(f"$q%-28s [rocksdb] t1=$t1%5.2f t16=$t16%5.2f " +
+            f"rows1=$r1%6d rows16=$r16%8d")
+          val timeBad = t16 > 2.0 * 16 * t1 + 1.0
+          val stateBad = r1 > 0 && r16 > 2L * 16 * r1 + 64
+          if (r1 == 0)
+            info(s"$q: no 1x progress events captured; state bound skipped")
+          if (timeBad || stateBad)
+            Some(s"$q (time=$timeBad state=$stateBad r1=$r1 r16=$r16)")
+          else None
+        }
+      assert(failures.isEmpty,
+        s"super-linear scaling on RocksDB: ${failures.mkString("; ")}")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
