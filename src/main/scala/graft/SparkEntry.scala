@@ -16,7 +16,8 @@ import streamline.stream.{CepStream, Connect, OffsetReplay, Stateful, Streams}
 object SparkEntry {
 
   private def modules: Seq[Q] =
-    Aggregates.all ++ Relational.all ++ ProtoWire.all ++ Joins.all ++
+    Aggregates.all ++ Relational.all ++ ProtoWire.all ++
+      ProtoDescriptor.all ++ Joins.all ++
       SkewJoin.all ++
       Windows.all ++
       Functions.all ++ UdfSurface.all ++ SqlApi.all ++ SqlTpch.all ++

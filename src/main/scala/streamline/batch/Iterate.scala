@@ -772,6 +772,10 @@ object Iterate {
       // the SCC color tables are core-subgraph-sized and the halving
       // self-join reuses the propagate exchange via ReuseExchange —
       // measured ~10% faster on the warm loop than materializing twice.
+      // (The CC loop's two-hops-per-superstep trick was measured here
+      // too — r13: 6.92 → 7.22 s warm, a wash — the coloring sweeps
+      // run ~6 supersteps already and the mandatory mid-hop checkpoint
+      // eats the count saving, so the single-hop shape stays.)
       val prop = comp.union(fromIn)
         .groupBy($"v").agg(min($"comp").as("comp"))
       val lut = prop.select($"v".as("lv"), $"comp".as("lcomp"))

@@ -308,9 +308,12 @@ object ProtoWire {
     * The oracle derives every field independently from the events
     * table (the JSON extraction happens on BOTH sides, so an encoder
     * bug can't cancel out). */
-  private def sourceProtoNested(spark: SparkSession, dir: String): DataFrame = {
+  /** Nested-topic staging, shared with q_source_proto_descriptor (the
+    * descriptor path must read the IDENTICAL payloads the hand-rolled
+    * decoder reads). Idempotent via stageWrite's _DONE marker. */
+  private[streamline] def stageNested(spark: SparkSession, dir: String,
+                                      root: String): Unit = {
     import spark.implicits._
-    val root = streamline.util.Scratch.dir("proton", dir)
     stageWrite(root,
       Tables.events(spark, dir)
         .select($"event_id", $"event_type",
@@ -321,6 +324,12 @@ object ProtoWire {
         encodeNestedDelimited(os,
           GraftEventN(id, et, pv, Seq(uid, id % 100, 42L)))
     }
+  }
+
+  private def sourceProtoNested(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir("proton", dir)
+    stageNested(spark, dir, root)
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.pb").load(root)
       .select($"content").as[Array[Byte]]
