@@ -54,5 +54,24 @@ class RebalanceSpec extends SparkSuite {
     }
     assert(OffsetReplay.committedGroup(root) == end, "interleaved drain stalled")
     assert(finalRows() == r0, "two-consumer drain changed the final table")
+
+    // the JOIN direction of a rebalance (the declared query covers
+    // LEAVE): A starts as the sole consumer of all partitions; C joins
+    // mid-drain and partitions {2,3} move to it — including one A had
+    // sunk-but-not-committed (the same handoff window, opposite
+    // topology change). Union must still be exactly-once.
+    (0 until 4).foreach(p => OffsetReplay.commitPart(root, p, 0L))
+    OffsetReplay.runConsumer(spark, root, Set(0, 1, 2, 3), step,
+      maxBatches = 1, failBeforeCommit = 0)   // A: sunk, nothing committed
+    // C joins: epoch 1 splits the group; both drain from committed = 0,
+    // re-delivering A's uncommitted batch on every partition
+    var g2 = 0
+    while (OffsetReplay.committedGroup(root) != end && g2 < 64) {
+      OffsetReplay.runConsumer(spark, root, Set(0, 1), step, maxBatches = 1)
+      OffsetReplay.runConsumer(spark, root, Set(2, 3), step, maxBatches = 1)
+      g2 += 1
+    }
+    assert(OffsetReplay.committedGroup(root) == end, "post-join drain stalled")
+    assert(finalRows() == r0, "consumer-join rebalance changed the final table")
   }
 }
