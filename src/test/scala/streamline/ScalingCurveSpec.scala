@@ -60,4 +60,30 @@ class ScalingCurveSpec extends SparkSuite {
     assert(failures.isEmpty,
       s"super-linear scaling: ${failures.mkString(", ")}")
   }
+
+  test("the offset-replay consume loops scale ~linearly in staged log size") {
+    // r13: the replay/rebalance lifecycles are driver LOOPS over a
+    // staged log (stage → batched range reads → sink → commit) — the
+    // shape where an accidental per-batch full-scan or a
+    // batch-count × log-size term would turn quadratic. Their scratch
+    // is _DONE-cached, so min-of-2 would time the cached re-read:
+    // delete the scratch root per point and time the FULL lifecycle
+    // once (single-run timing; the 32× headroom + 1 s floor absorb
+    // host jitter).
+    val failures = Seq("q_source_offset_replay", "q_source_rebalance")
+      .flatMap { q =>
+        val scratchName = if (q == "q_source_rebalance") "rebalance"
+          else "offreplay"
+        val t = Seq(1, 16).map { k =>
+          stream.Streams.deleteRec(new java.io.File(
+            util.Scratch.dir(scratchName, dirs(k))))
+          k -> time(q, dirs(k))
+        }.toMap
+        info(f"$q%-24s t1=${t(1)}%5.2f  t16=${t(16)}%5.2f  " +
+          f"c16=${t(16) / (16 * t(1))}%5.2f")
+        if (t(16) > 2.0 * 16 * t(1) + 1.0) Some(q) else None
+      }
+    assert(failures.isEmpty,
+      s"super-linear replay scaling: ${failures.mkString(", ")}")
+  }
 }
