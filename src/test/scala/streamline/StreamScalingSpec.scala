@@ -36,7 +36,12 @@ class StreamScalingSpec extends SparkSuite {
     // and matches must scale linearly; a buffer that fails to evict on
     // watermark progress (or NFA state that leaks across keys) shows as
     // a super-linear numRowsTotal curve here.
-    "q_stream_cep_noskip", "q_stream_cep_greedy", "q_stream_cep_times")
+    "q_stream_cep_noskip", "q_stream_cep_greedy", "q_stream_cep_times",
+    // r13: the windowed-aggregation streamers — per-key session / pane
+    // state under watermark eviction; the blowup multiplies keys at
+    // the same timestamps, so open-window state must scale linearly
+    // and never accrete closed panes.
+    "q_stream_session", "q_stream_cumulate", "q_stream_wintopn")
 
   /** Runs the query under a progress listener; returns (seconds, max
     * numRowsTotal across all stateful operators and micro-batches). */
