@@ -1045,7 +1045,17 @@ object Streams {
     val tmp = streamline.util.Scratch.dir("bp_events", dir)
     val ev = Tables.events(spark, dir)
       .select($"event_id", $"ts", $"event_type", $"value")
-    ev.repartition(4).write.mode("overwrite").parquet(tmp)
+    // _DONE-cached stage (r13): the staged split is a pure function of
+    // the source dir, and re-writing it cost a full events
+    // scan+shuffle+write on EVERY execution; Spark's file index
+    // ignores underscore-prefixed entries, so the marker can live
+    // inside the parquet dir (the _SUCCESS convention).
+    val stageDone = new java.io.File(tmp, "_DONE")
+    if (!stageDone.exists()) {
+      deleteRec(new java.io.File(tmp))
+      ev.repartition(4).write.parquet(tmp)
+      stageDone.createNewFile(): Unit
+    }
     val src = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(tmp)
     val agg = src.groupBy($"event_type")
@@ -2118,7 +2128,15 @@ object Streams {
     import spark.implicits._
     val tmp = streamline.util.Scratch.dir("retract_ev", dir)
     val ev = Tables.events(spark, dir).select($"event_id", $"user_id")
-    ev.repartition(4).write.mode("overwrite").parquet(tmp)
+    // _DONE-cached stage, same reasoning as streamBackpressure's (the
+    // generations under `root` are rebuilt per run regardless — only
+    // the immutable staged INPUT is cached).
+    val stageDone = new java.io.File(tmp, "_DONE")
+    if (!stageDone.exists()) {
+      deleteRec(new java.io.File(tmp))
+      ev.repartition(4).write.parquet(tmp)
+      stageDone.createNewFile(): Unit
+    }
     val root = streamline.util.Scratch.dir("retract_hist", dir)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
