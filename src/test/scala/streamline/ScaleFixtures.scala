@@ -87,6 +87,31 @@ object ScaleFixtures {
       stream.Streams.deleteRec(new java.io.File(tmpOut))
     } finally
       spark.conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
+    // orders + lineitem (r13): key-shifted copies for the ITERATE
+    // family — each copy is a DISJOINT replica of the customer–supplier
+    // graph (o_orderkey/o_custkey and l_orderkey/l_suppkey shifted
+    // together), so component structure per copy is identical: vertex
+    // count and edges scale linearly while per-component diameter — and
+    // hence the CC superstep count — stays CONSTANT. Dates untouched
+    // (the 1997-01 month filter matches every copy). The +1e6 supplier
+    // offset the queries apply cannot collide across the 1e8 shift.
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    try {
+      replace("orders.parquet") {
+        spark.read.parquet(s"$sfDir/orders.parquet").crossJoin(copies)
+          .withColumn("o_orderkey", $"o_orderkey" + $"k" * 100000000L)
+          .withColumn("o_custkey", $"o_custkey" + $"k" * 100000000L)
+          .drop("k")
+      }
+      replace("lineitem.parquet") {
+        spark.read.parquet(s"$sfDir/lineitem.parquet").crossJoin(copies)
+          .withColumn("l_orderkey", $"l_orderkey" + $"k" * 100000000L)
+          .withColumn("l_suppkey", $"l_suppkey" + $"k" * 100000000L)
+          .drop("k")
+      }
+    } finally
+      spark.conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
     // documents: every word gets a copy-specific suffix (applied to
     // copy 0 too, so 1× and 16× run the same transform) — shingle /
     // simhash / tf-idf vocabularies are disjoint across copies

@@ -86,4 +86,47 @@ class ScalingCurveSpec extends SparkSuite {
     assert(failures.isEmpty,
       s"super-linear replay scaling: ${failures.mkString(", ")}")
   }
+
+  test("graph iteration: 16x disjoint copies keep the superstep count constant") {
+    // r13: the blowup's key-shifted orders/lineitem copies replicate
+    // the customer–supplier graph disjointly — linear vertices/edges,
+    // IDENTICAL per-component diameter — so the CC fixpoint must
+    // converge in the SAME number of supersteps at 16x (superstep
+    // count is the cost driver at fixed per-superstep overhead; a
+    // count that grows with scale is how an iteration family dies at
+    // 100x). Asserted directly on the combinator's returned count,
+    // plus the standard wall-clock bound on the declared queries —
+    // including q_stream_iterate, whose contracted-batch redesign this
+    // pins end to end (scratch deleted per point: full lifecycle).
+    import graft.SparkTestBase.spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    def monthEdges(dir: String) = {
+      val month = Tables.orders(spark, dir)
+        .where($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-02-01").cast("timestamp"))
+      month.join(Tables.lineitem(spark, dir),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("src"),
+          ($"l_suppkey" + lit(1000000L)).as("dst"))
+        .distinct()
+    }
+    val iters = Seq(1, 16).map { k =>
+      k -> batch.Iterate.connectedComponents(monthEdges(dirs(k)))._2
+    }.toMap
+    info(s"cc supersteps: 1x=${iters(1)}  16x=${iters(16)}")
+    assert(iters(16) <= iters(1) + 1,
+      s"superstep count grew with scale: ${iters(1)} -> ${iters(16)}")
+    val failures = Seq("q_iter_cc", "q_stream_iterate").flatMap { q =>
+      val t = Seq(1, 16).map { k =>
+        stream.Streams.deleteRec(new java.io.File(
+          util.Scratch.dir("iterstream", dirs(k))))
+        k -> time(q, dirs(k))
+      }.toMap
+      info(f"$q%-24s t1=${t(1)}%5.2f  t16=${t(16)}%5.2f  " +
+        f"c16=${t(16) / (16 * t(1))}%5.2f")
+      if (t(16) > 2.0 * 16 * t(1) + 1.0) Some(q) else None
+    }
+    assert(failures.isEmpty,
+      s"super-linear iteration scaling: ${failures.mkString(", ")}")
+  }
 }
