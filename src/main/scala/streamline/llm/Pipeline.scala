@@ -30,6 +30,101 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** q_llm_filter_cascade — quality-filter cascade with per-rule
+    * attrition accounting (the audit trail every published corpus
+    * reports — C4's and Gopher's filter tables): every document gets a
+    * BITMASK of the rules it fails (1 = too short, 2 = low lexical
+    * diversity, 4 = dominated by one token, 8 = short mean word length)
+    * plus pass and first-failing-rule columns, so downstream can both
+    * filter and attribute the cut. EVERY rule is an exact integer
+    * cross-multiplication (`n_uniq·2 < n_words`, never
+    * `n_uniq/n_words < 0.5`) — no float boundary exists, the mask is
+    * bit-exact in any engine. Plan: one explode → per-(doc,word) count →
+    * per-doc aggregate (two keyed shuffles, the word-frequency pass
+    * shared by all four rules) → map-side mask arithmetic. */
+  private def filterCascade(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wf = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+    val st = wf.groupBy($"doc_id").agg(
+      sum($"c").cast("long").as("n_words"),
+      count(lit(1)).cast("long").as("n_uniq"),
+      max($"c").cast("long").as("max_freq"),
+      sum(length($"w") * $"c").cast("long").as("n_wchars"))
+    val masked = st.select($"doc_id", $"n_words",
+      (when($"n_words" < 60, 1L).otherwise(0L)
+        + when($"n_uniq" * 2 < $"n_words", 2L).otherwise(0L)
+        + when($"max_freq" * 10 > $"n_words", 4L).otherwise(0L)
+        + when($"n_wchars" < $"n_words" * 4, 8L).otherwise(0L))
+        .as("mask"))
+    masked.select($"doc_id", $"n_words", $"mask",
+      ($"mask" === 0L).as("pass"),
+      when($"mask" === 0L, 0L)
+        .when($"mask" % 2 === 1L, 1L)
+        .when($"mask" % 4 >= 2L, 2L)
+        .when($"mask" % 8 >= 4L, 3L)
+        .otherwise(4L).cast("long").as("first_fail"))
+      .orderBy($"doc_id")
+  }
+
+  private val filterCascadeSql = """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    wf AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+    st AS (SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_uniq,
+             CAST(max(c) AS BIGINT) AS max_freq,
+             CAST(sum(length(w) * c) AS BIGINT) AS n_wchars
+           FROM wf GROUP BY doc_id),
+    m AS (SELECT doc_id, n_words,
+            CAST((CASE WHEN n_words < 60 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_uniq * 2 < n_words THEN 2 ELSE 0 END)
+               + (CASE WHEN max_freq * 10 > n_words THEN 4 ELSE 0 END)
+               + (CASE WHEN n_wchars < n_words * 4 THEN 8 ELSE 0 END)
+              AS BIGINT) AS mask
+          FROM st)
+    SELECT doc_id, n_words, mask,
+      (mask = 0) AS pass,
+      CAST(CASE WHEN mask = 0 THEN 0
+           WHEN mask % 2 = 1 THEN 1
+           WHEN mask % 4 >= 2 THEN 2
+           WHEN mask % 8 >= 4 THEN 3
+           ELSE 4 END AS BIGINT) AS first_fail
+    FROM m ORDER BY doc_id"""
+
+  /** q_llm_sample_weighted — weight-proportional Bernoulli sampling
+    * (importance sampling: keep a document with probability ∝ its
+    * weight — here n_chars, in a real pipeline a quality or DSIR
+    * importance score; the selection shape of CC-Net / DoReMi-style
+    * reweighting). Keep iff
+    * `hash32 · max_w · 4 < w · 2^32`, i.e. p = w/(4·max_w), where
+    * hash32 is the first 8 hex digits of md5(text) — the same
+    * content-hash-as-uniform trick as q_llm_sample_hash, so the sample
+    * is engine/partitioning/run-independent. The comparison is PURE
+    * BIGINT arithmetic (no doubles, no ln): hash32 < 2^32 and
+    * max_w ≤ 2^20 keep the product far under 2^63, so the cut is
+    * bit-exact in any engine. At scale: one scalar max() broadcast as a
+    * 1-row probe, then a map-only filter — no shuffle of the corpus. */
+  private def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val maxW = docs.agg(max($"n_chars").as("max_w"))
+    docs.crossJoin(broadcast(maxW))
+      .where(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long")
+        * $"max_w" * lit(4L) < $"n_chars" * lit(4294967296L))
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  private val sampleWeightedSql = """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+          * (SELECT max(n_chars) FROM documents) * 4
+          < n_chars * 4294967296
+    ORDER BY doc_id"""
+
   private val sampleHashSql = """
     SELECT doc_id, lang, n_chars FROM documents
     WHERE substring(md5(text), 1, 1) = '0'
@@ -588,6 +683,8 @@ object Pipeline {
     Q("q_llm_dataset_card", datasetCard _, datasetCardSql),
     Q("q_llm_mix", mix _, mixSql),
     Q("q_llm_sample_hash", sampleHash _, sampleHashSql),
+    Q("q_llm_sample_weighted", sampleWeighted _, sampleWeightedSql),
+    Q("q_llm_filter_cascade", filterCascade _, filterCascadeSql),
     Q("q_llm_sample_stratified", sampleStratified _, sampleStratifiedSql),
     Q("q_llm_shuffle", shuffleCorpus _, shuffleCorpusSql),
     Q("q_llm_redact", redact _, redactSql),

@@ -306,6 +306,94 @@ object Text {
     FROM ranked WHERE rk <= 3
     ORDER BY doc_id, rk"""
 
+  /** q_llm_bm25 — BM25 retrieval scoring (Robertson/Spärck Jones; the
+    * ranking function behind decontamination lookups and
+    * retrieval-augmented data curation): score every document against a
+    * fixed query-term set, return the top-10. k1=1.2, b=0.75, the
+    * Lucene-style idf `ln((N-df+0.5)/(df+0.5)+1)`. Cross-engine
+    * determinism: each per-term contribution is one fixed-order double
+    * expression (single `ln`, agreeing to ≤1 ulp) rounded to 4 dp and
+    * CAST TO DECIMAL(18,4) BEFORE the per-doc sum — the sum and the
+    * final ranking are exact decimal arithmetic, so neither float
+    * summation order nor 1-ulp drift can reorder the top-k (the ordering
+    * key is (decimal score DESC, doc_id)).
+    * Plan shape at scale: one explode pass feeds BOTH the per-doc length
+    * aggregation and the tf aggregation; tf is pre-filtered to the
+    * query-term set (|Q| terms), so everything after the first keyed agg
+    * is sized `docs-containing-a-query-term × |Q|`, not corpus-sized. df
+    * is a window count over that small set (tfidf's fused form — no
+    * self-join); corpus stats are a 1-row broadcast probe; the final
+    * rank is a global sort of the hit set only. */
+  private def bm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select($"doc_id",
+      explode(split(lower($"text"), "[^a-z]+")).as("term"))
+      .where($"term" =!= "")
+    val lens = toks.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+    val stats = lens.agg(count(lit(1)).cast("long").as("n_docs"),
+      (sum($"len").cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    val tf = toks.where($"term".isin("query", "join", "window"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy($"term")))
+    val contrib = withDf.join(lens, "doc_id").crossJoin(broadcast(stats))
+      .select($"doc_id", $"len",
+        round(
+          log(($"n_docs".cast("double") - $"df".cast("double") + lit(0.5))
+            / ($"df".cast("double") + lit(0.5)) + lit(1.0))
+            * ($"tf".cast("double") * lit(2.2))
+            / ($"tf".cast("double")
+              + lit(1.2) * (lit(0.25)
+                + lit(0.75) * $"len".cast("double") / $"avgdl")),
+          4).cast(DecimalType(18, 4)).as("c"))
+    val scored = contrib.groupBy($"doc_id")
+      .agg(max($"len").as("len"), count(lit(1)).cast("long").as("n_hit"),
+        sum($"c").cast(DecimalType(18, 4)).as("score"))
+    scored
+      .withColumn("rk", row_number()
+        .over(Window.orderBy($"score".desc, $"doc_id".asc)).cast("long"))
+      .where($"rk" <= 10)
+      .select($"rk", $"doc_id", $"len", $"n_hit", $"score")
+      .orderBy($"rk")
+  }
+
+  private val bm25Sql = """
+    WITH toks AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                  FROM documents),
+    lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgdl
+              FROM lens),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ('query','join','window') GROUP BY doc_id, term),
+    dfreq AS (SELECT doc_id, term, tf,
+                count(*) OVER (PARTITION BY term) AS df
+              FROM tf),
+    contrib AS (
+      SELECT d.doc_id, l.len,
+        CAST(round(
+          ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+             / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+          * (CAST(d.tf AS DOUBLE) * 2.2)
+          / (CAST(d.tf AS DOUBLE)
+             + 1.2 * (0.25 + 0.75 * CAST(l.len AS DOUBLE) / s.avgdl)),
+          4) AS DECIMAL(18,4)) AS c
+      FROM dfreq d JOIN lens l ON d.doc_id = l.doc_id CROSS JOIN stats s),
+    scored AS (SELECT doc_id, CAST(max(len) AS BIGINT) AS len,
+                 CAST(count(*) AS BIGINT) AS n_hit,
+                 CAST(sum(c) AS DECIMAL(18,4)) AS score
+               FROM contrib GROUP BY doc_id),
+    ranked AS (SELECT doc_id, len, n_hit, score,
+                 CAST(row_number() OVER
+                   (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+               FROM scored)
+    SELECT rk, doc_id, len, n_hit, score FROM ranked
+    WHERE rk <= 10 ORDER BY rk"""
+
   /** q_llm_rarity — token-rarity quality scoring (the rank-based
     * counterpart of an LM-perplexity filter, CCNet-style, without the
     * cross-engine hazard of libm `ln`): every token gets its corpus
@@ -924,6 +1012,7 @@ object Text {
     Q("q_llm_zipf", zipf _, zipfSql),
     Q("q_llm_novelty", novelty _, noveltySql),
     Q("q_llm_tfidf", tfidf _, tfidfSql),
+    Q("q_llm_bm25", bm25 _, bm25Sql),
     Q("q_llm_text_stats", textStats _, textStatsSql),
     Q("q_llm_tokenize", tokenize _, tokenizeSql),
     Q("q_llm_winnow", winnow _, winnowSql),
