@@ -352,10 +352,15 @@ object Text {
     val scored = contrib.groupBy($"doc_id")
       .agg(max($"len").as("len"), count(lit(1)).cast("long").as("n_hit"),
         sum($"c").cast(DecimalType(18, 4)).as("score"))
-    scored
+    // top-k FIRST via orderBy+limit — planned as TakeOrderedAndProject
+    // (per-partition heap + driver merge, no single-partition shuffle of
+    // the full hit set; on a query hitting most of the corpus that sort
+    // would otherwise concentrate corpus-sized data on one task). The
+    // rank window then runs over only the 10 surviving rows.
+    val top = scored.orderBy($"score".desc, $"doc_id".asc).limit(10)
+    top
       .withColumn("rk", row_number()
         .over(Window.orderBy($"score".desc, $"doc_id".asc)).cast("long"))
-      .where($"rk" <= 10)
       .select($"rk", $"doc_id", $"len", $"n_hit", $"score")
       .orderBy($"rk")
   }

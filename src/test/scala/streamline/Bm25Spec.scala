@@ -51,6 +51,12 @@ class Bm25Spec extends SparkSuite {
     val out = SparkEntry.queries("q_llm_bm25")(spark, sfDir)
     val scoreType = out.schema("score").dataType.simpleString
     assert(scoreType === "decimal(18,4)", s"score must be exact: $scoreType")
+    // the top-k must plan as TakeOrderedAndProject (per-partition heap +
+    // driver merge) — a query hitting most of the corpus must NOT sort
+    // the whole hit set on one task via an unpartitioned rank window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-10 lost its distributed TakeOrderedAndProject")
     val rows = out.collect()
     assert(rows.map(_.getLong(0)).toSeq === (1L to rows.length.toLong))
     val scores = rows.map(r => BigDecimal(r.getDecimal(4)))
