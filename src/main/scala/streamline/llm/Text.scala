@@ -18,6 +18,12 @@ import streamline.{Q, Tables}
   */
 object Text {
 
+  /** One-shot latch for the non-default bm25Terms warning (the plan
+    * constructor runs once per query build; same rationale as
+    * Similarity.bandBitsWarned). */
+  private val bm25TermsWarned =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def words(c: Column): Column = split(c, " ")
 
   /** q_llm_text_stats — tokenize + counts; also validates the n_chars
@@ -335,7 +341,17 @@ object Text {
     val stats = lens.agg(count(lit(1)).cast("long").as("n_docs"),
       (sum($"len").cast("double") / count(lit(1)).cast("double"))
         .as("avgdl"))
-    val tf = toks.where($"term".isin("query", "join", "window"))
+    // Query-term set from Knobs.bm25Terms (default matches the oracle;
+    // ScalingCurveSpec overrides it to the blowup copies' vocabulary —
+    // warn once on divergence, same contract as the LSH band knob).
+    val terms = streamline.util.Knobs.bm25Terms(spark)
+    if (terms != streamline.util.Knobs.bm25TermsDefault.split(",").toSeq &&
+        !bm25TermsWarned.getAndSet(true))
+      System.err.println(
+        s"[graft] q_llm_bm25: graft.bm25.terms=${terms.mkString(",")} != " +
+          s"default ${streamline.util.Knobs.bm25TermsDefault} — the " +
+          "static DuckDB oracle no longer describes this run")
+    val tf = toks.where($"term".isin(terms: _*))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val withDf = tf.withColumn("df",
       count(lit(1)).over(Window.partitionBy($"term")))

@@ -88,6 +88,21 @@ object Knobs {
     b
   }
 
+  /** Query-term set of the BM25 retrieval witness (q_llm_bm25),
+    * comma-separated. In a deployment the term set comes from the
+    * probe query, not source code; the harness default matches the
+    * committed oracle (a non-default value is legitimate for scale
+    * runs but invalidates the static oracle — bm25 warns once, the
+    * same contract as lshBandBits). */
+  val bm25TermsDefault: String = "query,join,window"
+
+  def bm25Terms(spark: SparkSession): Seq[String] = {
+    val ts = spark.conf.get("graft.bm25.terms", bm25TermsDefault)
+      .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    require(ts.nonEmpty, "graft.bm25.terms must name at least one term")
+    ts
+  }
+
   /** Upper bound on distinct 3-shingles per benchmark document, used to
     * size the q_llm_bloom filter WITHOUT an exact counting pass over
     * the shingle stream (capacity = bench docs × this). Size to the

@@ -22,7 +22,12 @@ class ScalingCurveSpec extends SparkSuite {
     "q_llm_dedup_cluster", "q_llm_dedup_jaccard", "q_llm_dedup_span",
     "q_llm_tfidf_pairs", "q_llm_simhash_pairs", "q_llm_bpe_encode",
     "q_llm_dedup_embed_lsh", "q_cep_greedy", "q_cep_noskip",
-    "q_win_session")
+    "q_win_session",
+    // r13: BM25's hit set grows with the corpus when the query terms
+    // are common — the curve runs it with terms covering EVERY blowup
+    // copy's vocabulary (hit set 16× at 16×), the stress path for the
+    // TakeOrderedAndProject top-k
+    "q_llm_bm25")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
@@ -37,12 +42,23 @@ class ScalingCurveSpec extends SparkSuite {
     * (Knobs.lshBandBits scaladoc) — 4 bits at 1×, +log2(blowup) after.
     * Everything else runs at harness defaults. */
   private def withScaleConfs[A](q: String, k: Int)(body: => A): A =
-    if (q != "q_llm_dedup_embed_lsh") body
-    else {
-      val bits = 4 + (31 - Integer.numberOfLeadingZeros(k)) / 2 * 2
-      val prev = spark.conf.get("graft.lsh.bandBits", "4")
-      spark.conf.set("graft.lsh.bandBits", bits.toString)
-      try body finally spark.conf.set("graft.lsh.bandBits", prev)
+    q match {
+      case "q_llm_dedup_embed_lsh" =>
+        val bits = 4 + (31 - Integer.numberOfLeadingZeros(k)) / 2 * 2
+        val prev = spark.conf.get("graft.lsh.bandBits", "4")
+        spark.conf.set("graft.lsh.bandBits", bits.toString)
+        try body finally spark.conf.set("graft.lsh.bandBits", prev)
+      case "q_llm_bm25" =>
+        // every blowup copy suffixes words with x<k>: query terms
+        // covering all copies keep the hit fraction constant, so the
+        // hit set (and the top-k's input) scales with the corpus
+        val terms = (0 until k).flatMap(c =>
+          Seq("query", "join", "window").map(t => s"${t}x$c"))
+        val prev = spark.conf.get("graft.bm25.terms",
+          util.Knobs.bm25TermsDefault)
+        spark.conf.set("graft.bm25.terms", terms.mkString(","))
+        try body finally spark.conf.set("graft.bm25.terms", prev)
+      case _ => body
     }
 
   test("heavy batch queries scale at most ~linearly from 1x to 16x") {
