@@ -913,6 +913,56 @@ object Aggregates {
       min(l_quantity) FILTER (WHERE cd >= 0.75) AS p75
     FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** q_agg_weighted_median — weighted median (the robust-statistics
+    * counterpart of percentile_disc when observations carry weights:
+    * here price weighted by shipped quantity — "the price at which
+    * half the VOLUME trades"). Standard lower-weighted-median
+    * definition: the smallest v whose cumulative weight reaches half
+    * the total, `min v : 2·cumw(v) ≥ W`. Cross-engine exact: weights
+    * are BIGINT, the cumsum/total comparison is pure integer
+    * arithmetic, and the output value is COPIED from the data, never
+    * computed. Ties in v are safe by construction — if the half-weight
+    * boundary falls inside a run of equal values, every qualifying
+    * first row shares the same v, so intra-tie cumsum order (the usual
+    * ROWS-frame hazard) cannot change any output column. Plan: one
+    * keyed window cumsum + a per-group min — two shuffles on the group
+    * key, no global sort, no collect; at 100 TB the per-group sort
+    * inside the window is the cost, exactly as a weighted quantile
+    * must pay. */
+  private def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Tables.lineitem(spark, dir).select(
+      $"l_returnflag".as("flag"), $"l_extendedprice".as("v"),
+      $"l_quantity".cast("long").as("wt"))
+    val byFlag = Window.partitionBy($"flag")
+    val c = w.select($"flag", $"v", $"wt",
+      sum($"wt").over(byFlag.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum"),
+      sum($"wt").over(byFlag).as("total"))
+    c.where($"cum" * 2 >= $"total")
+      .groupBy($"flag")
+      .agg(min($"v").as("wmedian"),
+        max($"total").cast("long").as("total_weight"))
+      .select($"flag".as("l_returnflag"), $"wmedian", $"total_weight")
+      .orderBy($"l_returnflag")
+  }
+
+  private val aggWeightedMedianSql = """
+    WITH w AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+                 CAST(l_quantity AS BIGINT) AS wt FROM lineitem),
+    c AS (SELECT flag, v, wt,
+            sum(wt) OVER (PARTITION BY flag ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+            sum(wt) OVER (PARTITION BY flag) AS total
+          FROM w)
+    SELECT flag AS l_returnflag,
+      min(v) AS wmedian,
+      CAST(max(total) AS BIGINT) AS total_weight
+    FROM c WHERE cum * 2 >= total
+    GROUP BY flag ORDER BY l_returnflag"""
+
   /** The bucketed-aggregation stage, shared with BucketedJoinPlanSpec
     * (which pins zero Exchange in its physical plan — the orderBy that
     * the declared query adds for determinism is deliberately outside
@@ -1103,6 +1153,8 @@ object Aggregates {
     streamline.Q("q_agg_bucketed", aggBucketed _, aggBucketedSql),
     streamline.Q("q_agg_percentile_disc", aggPercentileDisc _,
       aggPercentileDiscSql),
+    streamline.Q("q_agg_weighted_median", aggWeightedMedian _,
+      aggWeightedMedianSql),
     streamline.Q("q_agg_distinct_split", aggDistinctSplit _,
       aggDistinctSplitSql),
     streamline.Q("q_agg_corr", aggCorr _, aggCorrSql),
