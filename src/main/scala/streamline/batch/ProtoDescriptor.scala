@@ -313,10 +313,12 @@ object ProtoDescriptor {
     * derive the Spark schema, decode generically, and project the same
     * output the hand-rolled decoder produces — against the identical
     * DuckDB oracle. */
-  private def sourceProtoDescriptor(spark: SparkSession,
-                                    dir: String): DataFrame = {
-    import spark.implicits._
-    val root = streamline.util.Scratch.dir("proton", dir)
+  /** Stage payloads + descriptor and load the parsed registry — the
+    * "fetch the schema from the registry" step, shared by the batch and
+    * streaming descriptor witnesses. Bytes-sized, driver-side, once per
+    * plan. */
+  private def stagedRegistry(spark: SparkSession, dir: String,
+      root: String): Map[String, MessageDesc] = {
     ProtoWire.stageNested(spark, dir, root)
     val descFile = new java.io.File(root, "schema.desc")
     if (!descFile.exists()) {
@@ -326,9 +328,15 @@ object ProtoDescriptor {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
     }
-    // registry fetch: bytes-sized, driver-side, once per plan
-    val reg = registry(parseDescriptorSet(
+    registry(parseDescriptorSet(
       java.nio.file.Files.readAllBytes(descFile.toPath)))
+  }
+
+  private def sourceProtoDescriptor(spark: SparkSession,
+                                    dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir("proton", dir)
+    val reg = stagedRegistry(spark, dir, root)
     val msg = reg("GraftEventN")
     val schema = sparkSchema(msg, reg)
     val rows = spark.read.format("binaryFile")
@@ -352,7 +360,48 @@ object ProtoDescriptor {
       user_id + (event_id % 100) + 42 AS sum_vals
     FROM events ORDER BY event_id"""
 
+  /** q_stream_proto_descriptor — the descriptor-driven decoder under
+    * MICRO-BATCH execution (schema-registry consumer shape: fetch the
+    * descriptor once at plan time, then decode a file stream with the
+    * generic decoder): the identical staged payloads arrive through
+    * `readStream.format("binaryFile")` one file per trigger, each
+    * micro-batch decodes with the descriptor-derived schema, and the
+    * appended union must reproduce the batch descriptor witness — and
+    * therefore the same DuckDB oracle — regardless of file batching. */
+  private def streamProtoDescriptor(spark: SparkSession,
+                                    dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir("proton", dir)
+    val reg = stagedRegistry(spark, dir, root)
+    val msg = reg("GraftEventN")
+    val schema = sparkSchema(msg, reg)
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val rows = spark.readStream.format("binaryFile").schema(binSchema)
+      .option("pathGlobFilter", "*.pb")
+      .option("maxFilesPerTrigger", "1")
+      .load(root)
+      .select($"content").as[Array[Byte]]
+      .mapPartitions(_.flatMap(decodeFrames(_, msg, reg)))(
+        org.apache.spark.sql.Encoders.row(schema))
+      .select($"event_id", $"props.k".as("prop_k"), $"props.v".as("prop_v"),
+        size($"vals").cast("long").as("n_vals"),
+        aggregate($"vals", lit(0L), _ + _).as("sum_vals"))
+    streamline.stream.Streams
+      .runToTable(spark, "proton_stream", "append", rows)
+      .orderBy($"event_id")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_source_proto_descriptor", sourceProtoDescriptor _,
+      sourceProtoDescriptorSql),
+    Q("q_stream_proto_descriptor", streamProtoDescriptor _,
       sourceProtoDescriptorSql))
 }

@@ -24,7 +24,7 @@ class PlanAuditSpec extends SparkSuite {
       .map(_.name).toSet ++
       // streaming compositions registered from batch modules (r11):
       // calling their fn runs a full streaming drain, not a lazy plan
-      Set("q_stream_proto", "q_stream_iterate")
+      Set("q_stream_proto", "q_stream_proto_descriptor", "q_stream_iterate")
 
   private val cartesianOk = Set("q_join_cross")
 

@@ -93,4 +93,15 @@ class ProtoDescriptorSpec extends SparkSuite {
     assert(viaDescriptor.nonEmpty)
     assert(viaDescriptor == viaHand)
   }
+
+  test("micro-batch descriptor decode equals the one-shot batch scan") {
+    // file-batching invariance: one staged file per trigger, appended
+    // union must reproduce the batch witness exactly
+    val streamed = graft.SparkEntry
+      .queries("q_stream_proto_descriptor")(spark, sfDir).collect().toSeq
+    val batch = graft.SparkEntry
+      .queries("q_source_proto_descriptor")(spark, sfDir).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
