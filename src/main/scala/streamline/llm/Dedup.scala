@@ -358,6 +358,106 @@ object Dedup {
     SELECT id_a, id_b, round(jac, 6) AS jac FROM j
     WHERE jac >= 0.6 ORDER BY id_a, id_b"""
 
+  /** q_llm_dedup_incremental — dedup an incoming shard against the
+    * FROZEN existing corpus (the incremental-ingest shape a production
+    * pipeline runs per crawl dump: the base corpus is already deduped,
+    * only new docs are candidates). Two layers, mirroring the
+    * exact-then-near cascade: (1) content-hash probe of the delta into
+    * the base md5 index; (2) exact 3-gram Jaccard ≥ 0.5 of the
+    * survivors against the base gram index — a keyed equi-join on
+    * gram hash (the inverted-index probe; never delta × base), with
+    * the τ-verify in pure-integer form (3·|∩| ≥ |a|+|b|). Per delta
+    * doc: verdict, best base match (max ROUNDED jac, min id — the
+    * rank key is rounded in BOTH engines so 1-ulp drift can't reorder
+    * it), sentinel −1/0.0 for kept (no nullable outputs). At 100 TB
+    * the base gram/hash tables are persisted ingest-time indexes; here
+    * they derive from the same scan (delta is id%5 — a deterministic
+    * stand-in for the shard boundary). */
+  private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one shingle/hash pass feeds the base index, the delta probe and
+    // both verify sides (same materialize-once rationale as
+    // jaccardPairs above)
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", md5($"text").as("h"),
+        array_sort(array_distinct(
+          transform(shingles3($"text"), s => xxhash64(s)))).as("sh"))
+      .localCheckpoint(true)
+    val base = sh.where($"doc_id" % 5 =!= 0)
+    val delta = sh.where($"doc_id" % 5 === 0)
+    val exact = delta.as("d")
+      .join(base.as("b"), $"d.h" === $"b.h", "left")
+      .groupBy($"d.doc_id".as("doc_id"))
+      .agg(min($"b.doc_id").as("exact_match"))
+    val dg = delta.select($"doc_id", explode($"sh").as("p"))
+    val bg = base.select($"doc_id".as("bid"), explode($"sh").as("p"))
+    // keyed equi-join on gram hash; shuffle-hash so the two exploded
+    // gram streams shuffle by gram and the probe never broadcasts a
+    // corpus-sized index
+    val cand = dg.hint("shuffle_hash").join(bg, "p")
+      .select($"doc_id", $"bid").distinct()
+    val inter = size(array_intersect($"sa.sh", $"sb.sh"))
+    val near = cand.as("c")
+      .join(broadcast(sh.as("sa")), $"sa.doc_id" === $"c.doc_id")
+      .join(broadcast(sh.as("sb")), $"sb.doc_id" === $"c.bid")
+      .where(inter * lit(3) >= size($"sa.sh") + size($"sb.sh"))
+      .select($"c.doc_id".as("doc_id"), $"c.bid".as("bid"),
+        round(inter.cast("double") /
+          (size($"sa.sh") + size($"sb.sh") - inter).cast("double"), 6)
+          .as("jac"))
+    val best = near.withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"jac".desc, $"bid".asc)))
+      .where($"rn" === 1).select($"doc_id", $"bid", $"jac")
+    exact.join(best, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"exact_match".isNotNull, "dropped_exact")
+          .when($"jac".isNotNull, "dropped_near")
+          .otherwise("kept").as("verdict"),
+        coalesce($"exact_match", $"bid", lit(-1L)).as("match_id"),
+        coalesce(when($"exact_match".isNotNull, lit(1.0)).otherwise($"jac"),
+          lit(0.0)).as("jac"))
+      .orderBy($"doc_id")
+  }
+
+  private val dedupIncrementalSql = """
+    WITH w AS (SELECT doc_id, md5(text) AS h,
+                 string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, h, list_sort(list_distinct(
+             list_transform(generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+           FROM w),
+    base AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+    delta AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+    exact AS (SELECT d.doc_id, min(b.doc_id) AS exact_match
+              FROM delta d LEFT JOIN base b ON d.h = b.h GROUP BY d.doc_id),
+    dg AS (SELECT doc_id, unnest(sh) AS p FROM delta),
+    bg AS (SELECT doc_id AS bid, unnest(sh) AS p FROM base),
+    cand AS (SELECT DISTINCT dg.doc_id, bg.bid FROM dg JOIN bg USING (p)),
+    near AS (SELECT c.doc_id, c.bid,
+               round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                 CAST(len(sa.sh) + len(sb.sh)
+                      - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6)
+                 AS jac
+             FROM cand c JOIN sh sa ON sa.doc_id = c.doc_id
+                         JOIN sh sb ON sb.doc_id = c.bid
+             WHERE 3 * len(list_intersect(sa.sh, sb.sh))
+                   >= len(sa.sh) + len(sb.sh)),
+    best AS (SELECT doc_id, bid, jac, row_number() OVER
+               (PARTITION BY doc_id ORDER BY jac DESC, bid ASC) AS rn
+             FROM near),
+    v AS (SELECT e.doc_id,
+            CASE WHEN e.exact_match IS NOT NULL THEN 'dropped_exact'
+                 WHEN n.jac IS NOT NULL THEN 'dropped_near'
+                 ELSE 'kept' END AS verdict,
+            coalesce(e.exact_match, n.bid, -1) AS match_id,
+            coalesce(CASE WHEN e.exact_match IS NOT NULL THEN 1.0
+                     ELSE n.jac END, 0.0) AS jac
+          FROM exact e LEFT JOIN (SELECT * FROM best WHERE rn = 1) n
+            USING (doc_id))
+    SELECT doc_id, verdict, CAST(match_id AS BIGINT) AS match_id, jac
+    FROM v ORDER BY doc_id"""
+
   /** q_llm_simhash_pairs — SimHash near-pair SEARCH at scale: the 64-bit
     * signature is cut into four 16-bit bands; two docs within hamming
     * distance 3 must agree on at least one band (pigeonhole), so the
@@ -448,6 +548,7 @@ object Dedup {
     Q("q_llm_dedup_exact", dedupExact _, dedupExactSql),
     Q.noOracle("q_llm_dedup_near", dedupNear _),
     Q("q_llm_dedup_jaccard", dedupJaccard _, dedupJaccardSql),
+    Q("q_llm_dedup_incremental", dedupIncremental _, dedupIncrementalSql),
     Q("q_llm_dedup_cluster", dedupCluster _, dedupClusterSql),
     Q("q_llm_contamination", contamination _, contaminationSql),
     // exact-same contract as contamination, bloom-pruned plan — the
