@@ -27,7 +27,11 @@ class ScalingCurveSpec extends SparkSuite {
     // are common — the curve runs it with terms covering EVERY blowup
     // copy's vocabulary (hit set 16× at 16×), the stress path for the
     // TakeOrderedAndProject top-k
-    "q_llm_bm25")
+    "q_llm_bm25",
+    // r13: the delta-vs-base gram join is the classic quadratic risk
+    // (a shared hot gram joins every delta doc to every base doc);
+    // copies are near-dup-disjoint so the honest curve is linear
+    "q_llm_dedup_incremental")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
