@@ -704,7 +704,55 @@ object Windows {
     SELECT user_id, pos, dist FROM d
     ORDER BY dist ASC, user_id ASC, pos ASC LIMIT 10"""
 
+  /** q_win_cusum — CUSUM drift detection per key (Page 1954; the
+    * classic change-point / anomaly monitor over a value stream):
+    * one-sided CUSUM `S_i = max(0, S_{i−1} + x_i − k)` with reference
+    * k = μ + 50 and alarm threshold h = 200, emitting the alarm rows.
+    * The max(0,·) RECURSION is not a window function — but it has the
+    * closed form `S_i = C_i − min_{j≤i} C_j` over the plain cumsum C
+    * of deviations, so the whole detector is two stacked keyed window
+    * aggregates (running sum, then running min), no UDF, no iteration.
+    * Determinism: the ROWS frame is ordered by the total key
+    * (ts, event_id), so both engines add the identical doubles in the
+    * identical order — the cumsum is bit-identical, not merely close;
+    * μ is the exact-decimal corpus mean divided once (Det.davg's
+    * contract). Scale: two window passes over the same (user_id)
+    * partitioning — ONE shuffle, the second window reuses the sort. */
+  private def winCusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val mu = ev.agg(davg("value").as("mu"))
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = ev.crossJoin(broadcast(mu))
+      .select($"event_id", $"user_id", $"ts",
+        ($"value" - $"mu" - lit(50.0d)).as("dev"))
+    val c = d.withColumn("cum", sum($"dev").over(byUser))
+    c.withColumn("cusum", $"cum" - min($"cum").over(byUser))
+      .where($"cusum" > lit(200.0d))
+      .select($"event_id", $"user_id", round($"cusum", 6).as("cusum"))
+      .orderBy($"event_id")
+  }
+
+  private val winCusumSql = """
+    WITH m AS (SELECT CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(count(value) AS DOUBLE) AS mu FROM events),
+    d AS (SELECT event_id, user_id, ts,
+            value - (SELECT mu FROM m) - 50.0 AS dev FROM events),
+    c AS (SELECT event_id, user_id, ts,
+            sum(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d),
+    s AS (SELECT event_id, user_id,
+            cum - min(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS cusum
+          FROM c)
+    SELECT event_id, user_id, round(cusum, 6) AS cusum
+    FROM s WHERE cusum > 200.0 ORDER BY event_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_win_cusum", winCusum _, winCusumSql),
     Q("q_win_distinct_sliding", winDistinctSliding _,
       winDistinctSlidingSql),
     Q("q_win_resample", winResample _, winResampleSql),
