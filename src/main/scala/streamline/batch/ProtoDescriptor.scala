@@ -241,16 +241,20 @@ object ProtoDescriptor {
     m.fields.zipWithIndex.foreach { case (f, i) =>
       if (f.repeated) cells(i) = List.empty[Any]
     }
+    def expect(f: FieldDesc, wt: Int, want: Int): Unit =
+      if (wt != want) throw new java.io.IOException(
+        s"${f.name}: wire type $wt, expected $want")
     def scalar(r: Reader, f: FieldDesc, wt: Int): Any = f.tpe match {
       case TDouble =>
-        if (wt != 1) throw new java.io.IOException(
-          s"${f.name}: wire type $wt, expected 1")
+        expect(f, wt, 1)
         java.lang.Double.longBitsToDouble(r.readFixed64())
-      case TInt64 => r.readVarint()
-      case TSint64 => unzigzag(r.readVarint())
+      case TInt64 => expect(f, wt, 0); r.readVarint()
+      case TSint64 => expect(f, wt, 0); unzigzag(r.readVarint())
       case TString =>
+        expect(f, wt, 2)
         new String(r.readBytes(r.readVarint().toInt), "UTF-8")
       case TMessage =>
+        expect(f, wt, 2)
         decodeMessage(r.readBytes(r.readVarint().toInt), resolve(f, reg), reg)
       case t => throw new IllegalArgumentException(s"unmapped type $t")
     }

@@ -709,9 +709,11 @@ object Windows {
     * one-sided CUSUM `S_i = max(0, S_{i−1} + x_i − k)` with reference
     * k = μ + 50 and alarm threshold h = 200, emitting the alarm rows.
     * The max(0,·) RECURSION is not a window function — but it has the
-    * closed form `S_i = C_i − min_{j≤i} C_j` over the plain cumsum C
-    * of deviations, so the whole detector is two stacked keyed window
-    * aggregates (running sum, then running min), no UDF, no iteration.
+    * closed form `S_i = C_i − min_{0≤j≤i} C_j` over the plain cumsum C
+    * of deviations WITH the initial state C_0 = 0 included in the min
+    * (spelled `least(min(cum) OVER …, 0)`), so the whole detector is
+    * two stacked keyed window aggregates (running sum, then running
+    * min), no UDF, no iteration.
     * Determinism: the ROWS frame is ordered by the total key
     * (ts, event_id), so both engines add the identical doubles in the
     * identical order — the cumsum is bit-identical, not merely close;
@@ -729,7 +731,11 @@ object Windows {
       .select($"event_id", $"user_id", $"ts",
         ($"value" - $"mu" - lit(50.0d)).as("dev"))
     val c = d.withColumn("cum", sum($"dev").over(byUser))
-    c.withColumn("cusum", $"cum" - min($"cum").over(byUser))
+    // S_i = C_i − min_{0≤j≤i} C_j with C_0 = 0: the running min must
+    // include the initial zero state, else the first row per key is
+    // forced to 0 and drift is under-reported while cum stays > 0.
+    c.withColumn("cusum",
+        $"cum" - least(min($"cum").over(byUser), lit(0.0d)))
       .where($"cusum" > lit(200.0d))
       .select($"event_id", $"user_id", round($"cusum", 6).as("cusum"))
       .orderBy($"event_id")
@@ -745,8 +751,10 @@ object Windows {
                            ROWS UNBOUNDED PRECEDING) AS cum
           FROM d),
     s AS (SELECT event_id, user_id,
-            cum - min(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS cusum
+            cum - least(min(cum) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING),
+                        0) AS cusum
           FROM c)
     SELECT event_id, user_id, round(cusum, 6) AS cusum
     FROM s WHERE cusum > 200.0 ORDER BY event_id"""
