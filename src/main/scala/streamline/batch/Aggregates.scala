@@ -1145,7 +1145,116 @@ object Aggregates {
     FROM v CROSS JOIN mm
     GROUP BY 1 ORDER BY bucket"""
 
+  /** q_agg_chisq — Pearson χ² test of independence over the
+    * event_type × engagement-arm contingency table (arm = user_id % 4,
+    * the engine-portable hash bucketing of q_agg_abtest): per cell the
+    * observed count, the expected count under independence
+    * e = row·col/N, and the χ² contribution (o−e)²/e. Emitted per
+    * CELL, never summed across cells — each contribution is a fixed
+    * IEEE tree over exact BIGINT marginals, so there is no float
+    * summation-order story to defend; the total χ² is a trivial
+    * client-side sum of the ≤ |event_types|×4 rows. Scale: ONE
+    * map-side-combined keyed count over the corpus; the marginal
+    * windows run on the cell table (|event_types| × 4 rows), not the
+    * corpus. Completes the inference surface next to q_agg_abtest
+    * (Welch's t = two-sample means) with the categorical
+    * independence test. */
+  private def aggChisq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val cell = ev
+      .groupBy($"event_type", ($"user_id" % 4).as("arm"))
+      .agg(count(lit(1)).as("obs"))
+    val tot = ev.agg(count(lit(1)).cast("double").as("n"))
+    val rt = sum($"obs").over(Window.partitionBy($"event_type"))
+      .cast("double")
+    val ct = sum($"obs").over(Window.partitionBy($"arm")).cast("double")
+    val e = rt * ct / $"n"
+    cell.crossJoin(broadcast(tot))
+      .select($"event_type", $"arm", $"obs",
+        round(e, 6).as("expected"),
+        round(($"obs" - e) * ($"obs" - e) / e, 6).as("contrib"))
+      .orderBy($"event_type", $"arm")
+  }
+
+  private val aggChisqSql = """
+    WITH cell AS (
+      SELECT event_type, user_id % 4 AS arm,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(obs) AS DOUBLE) AS n FROM cell)
+    SELECT event_type, arm, obs,
+      round(CAST(sum(obs) OVER (PARTITION BY event_type) AS DOUBLE)
+            * CAST(sum(obs) OVER (PARTITION BY arm) AS DOUBLE) / n, 6)
+        AS expected,
+      round((obs - CAST(sum(obs) OVER (PARTITION BY event_type) AS DOUBLE)
+                   * CAST(sum(obs) OVER (PARTITION BY arm) AS DOUBLE) / n)
+            * (obs - CAST(sum(obs) OVER (PARTITION BY event_type) AS DOUBLE)
+                     * CAST(sum(obs) OVER (PARTITION BY arm) AS DOUBLE) / n)
+            / (CAST(sum(obs) OVER (PARTITION BY event_type) AS DOUBLE)
+               * CAST(sum(obs) OVER (PARTITION BY arm) AS DOUBLE) / n), 6)
+        AS contrib
+    FROM cell, tot
+    ORDER BY event_type, arm"""
+
+  /** q_agg_benford — Benford first-significant-digit goodness-of-fit
+    * over o_totalprice (the classic financial-anomaly screen): per
+    * digit 1..9 the observed count, the Benford-law expectation
+    * N·log₁₀(1+1/d), and the χ² contribution. Digit extraction goes
+    * through the EXACT decimal image (`DECIMAL(12,2) → VARCHAR`,
+    * first char) — never float log₁₀ of a double, whose libm rounding
+    * could misclassify values at power-of-ten boundaries; the nine
+    * log₁₀ expectations are correctly-rounded double LITERALS on both
+    * engines, so no transcendental is ever evaluated at query time.
+    * A dense digit spine keeps 0-count digits present (contrib = e).
+    * Emitted per digit (9 rows), no cross-row float sum — the
+    * q_agg_chisq discipline. Scale: one map-side-combined count. */
+  private def aggBenford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+    val cnt = ord
+      .select(substring($"o_totalprice".cast("decimal(12,2)")
+        .cast("string"), 1, 1).cast("bigint").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("cnt"))
+    val tot = ord.agg(count(lit(1)).cast("double").as("n"))
+    val spine = Seq(
+      1L -> 0.3010299956639812, 2L -> 0.17609125905568124,
+      3L -> 0.12493873660829992, 4L -> 0.09691001300805642,
+      5L -> 0.07918124604762482, 6L -> 0.06694678963061322,
+      7L -> 0.05799194697768673, 8L -> 0.05115252244738129,
+      9L -> 0.04575749056067514).toDF("digit", "p")
+    val e = $"n" * $"p"
+    spine.join(cnt, Seq("digit"), "left").crossJoin(broadcast(tot))
+      .select($"digit", coalesce($"cnt", lit(0L)).as("obs"),
+        round(e, 6).as("expected"),
+        round((coalesce($"cnt", lit(0L)) - e)
+          * (coalesce($"cnt", lit(0L)) - e) / e, 6).as("contrib"))
+      .orderBy($"digit")
+  }
+
+  private val aggBenfordSql = """
+    WITH d AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                 AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders),
+    cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM orders),
+    spine AS (SELECT CAST(digit AS BIGINT) AS digit, p FROM (VALUES
+      (1, 0.3010299956639812), (2, 0.17609125905568124),
+      (3, 0.12493873660829992), (4, 0.09691001300805642),
+      (5, 0.07918124604762482), (6, 0.06694678963061322),
+      (7, 0.05799194697768673), (8, 0.05115252244738129),
+      (9, 0.04575749056067514)) AS t(digit, p))
+    SELECT digit, coalesce(c, CAST(0 AS BIGINT)) AS obs,
+      round(n * p, 6) AS expected,
+      round((coalesce(c, CAST(0 AS BIGINT)) - n * p)
+            * (coalesce(c, CAST(0 AS BIGINT)) - n * p) / (n * p), 6)
+        AS contrib
+    FROM spine LEFT JOIN cnt USING (digit), tot
+    ORDER BY digit"""
+
   val all: Seq[streamline.Q] = Seq(
+    streamline.Q("q_agg_chisq", aggChisq _, aggChisqSql),
+    streamline.Q("q_agg_benford", aggBenford _, aggBenfordSql),
     streamline.Q("q_agg_hist", aggHist _, aggHistSql),
     streamline.Q("q_agg_listagg", aggListagg _, aggListaggSql),
     streamline.Q("q_agg_bool", aggBool _, aggBoolSql),
