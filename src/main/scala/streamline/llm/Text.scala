@@ -317,12 +317,20 @@ object Text {
     * retrieval-augmented data curation): score every document against a
     * fixed query-term set, return the top-10. k1=1.2, b=0.75, the
     * Lucene-style idf `ln((N-df+0.5)/(df+0.5)+1)`. Cross-engine
-    * determinism: each per-term contribution is one fixed-order double
-    * expression (single `ln`, agreeing to ≤1 ulp) rounded to 4 dp and
-    * CAST TO DECIMAL(18,4) BEFORE the per-doc sum — the sum and the
-    * final ranking are exact decimal arithmetic, so neither float
-    * summation order nor 1-ulp drift can reorder the top-k (the ordering
-    * key is (decimal score DESC, doc_id)).
+    * determinism (r15, libm-free at the row level): idf depends ONLY on
+    * df, which takes ≤|Q| distinct values — so the single `ln` is
+    * evaluated once per DISTINCT df on a |Q|-row side table, rounded to
+    * 4 dp and cast DECIMAL(18,4) THERE, then joined back. Every per-row
+    * operation after that is an IEEE basic op (×, ÷, +) over
+    * bit-identical inputs — basic ops are correctly rounded by IEEE 754,
+    * hence cross-engine exact — so a libm `ln` discrepancy in the
+    * oracle engine can flip at most the |Q| pre-rounded idf literals
+    * (each pinned far from its 4-dp boundary in Bm25Spec), never a
+    * per-row contribution. Contributions are rounded to 4 dp and cast
+    * DECIMAL(18,4) before the per-doc sum — the sum and the final
+    * ranking are exact decimal arithmetic, so neither float summation
+    * order nor 1-ulp drift can reorder the top-k (the ordering key is
+    * (decimal score DESC, doc_id)).
     * Plan shape at scale: one explode pass feeds BOTH the per-doc length
     * aggregation and the tf aggregation; tf is pre-filtered to the
     * query-term set (|Q| terms), so everything after the first keyed agg
@@ -355,11 +363,20 @@ object Text {
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val withDf = tf.withColumn("df",
       count(lit(1)).over(Window.partitionBy($"term")))
-    val contrib = withDf.join(lens, "doc_id").crossJoin(broadcast(stats))
-      .select($"doc_id", $"len",
+    // The ONLY transcendental, evaluated on a ≤|Q|-row table (distinct
+    // df values) and frozen to DECIMAL(18,4) before any per-row math.
+    val dfIdf = withDf.select($"df").distinct()
+      .crossJoin(broadcast(stats.select($"n_docs")))
+      .select($"df",
         round(
           log(($"n_docs".cast("double") - $"df".cast("double") + lit(0.5))
-            / ($"df".cast("double") + lit(0.5)) + lit(1.0))
+            / ($"df".cast("double") + lit(0.5)) + lit(1.0)),
+          4).cast(DecimalType(18, 4)).as("idf"))
+    val contrib = withDf.join(broadcast(dfIdf), "df")
+      .join(lens, "doc_id").crossJoin(broadcast(stats))
+      .select($"doc_id", $"len",
+        round(
+          $"idf".cast("double")
             * ($"tf".cast("double") * lit(2.2))
             / ($"tf".cast("double")
               + lit(1.2) * (lit(0.25)
@@ -394,16 +411,22 @@ object Text {
     dfreq AS (SELECT doc_id, term, tf,
                 count(*) OVER (PARTITION BY term) AS df
               FROM tf),
+    dfidf AS (SELECT df,
+                CAST(round(
+                  ln((CAST(s.n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                     / (CAST(df AS DOUBLE) + 0.5) + 1.0),
+                  4) AS DECIMAL(18,4)) AS idf
+              FROM (SELECT DISTINCT df FROM dfreq) CROSS JOIN stats s),
     contrib AS (
       SELECT d.doc_id, l.len,
         CAST(round(
-          ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
-             / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+          CAST(i.idf AS DOUBLE)
           * (CAST(d.tf AS DOUBLE) * 2.2)
           / (CAST(d.tf AS DOUBLE)
              + 1.2 * (0.25 + 0.75 * CAST(l.len AS DOUBLE) / s.avgdl)),
           4) AS DECIMAL(18,4)) AS c
-      FROM dfreq d JOIN lens l ON d.doc_id = l.doc_id CROSS JOIN stats s),
+      FROM dfreq d JOIN dfidf i ON d.df = i.df
+        JOIN lens l ON d.doc_id = l.doc_id CROSS JOIN stats s),
     scored AS (SELECT doc_id, CAST(max(len) AS BIGINT) AS len,
                  CAST(count(*) AS BIGINT) AS n_hit,
                  CAST(sum(c) AS DECIMAL(18,4)) AS score

@@ -25,13 +25,17 @@ class Bm25Spec extends SparkSuite {
     val avgdl = lens.values.sum.toDouble / nDocs.toDouble
     val df = qterms.map(t =>
       t -> toks.count { case (_, ts) => ts.contains(t) }.toLong).toMap
+    // r15 libm-free discipline: idf is frozen to a 4-dp decimal once
+    // per distinct df BEFORE any per-row math (mirrors Text.scala).
+    def idfDec(dfT: Long): BigDecimal =
+      BigDecimal(math.log((nDocs.toDouble - dfT.toDouble + 0.5)
+        / (dfT.toDouble + 0.5) + 1.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
     def contrib(tf: Long, dfT: Long, len: Long): BigDecimal =
-      BigDecimal(math.round(
-        math.log((nDocs.toDouble - dfT.toDouble + 0.5)
-          / (dfT.toDouble + 0.5) + 1.0)
-          * (tf.toDouble * 2.2)
-          / (tf.toDouble + 1.2 * (0.25 + 0.75 * len.toDouble / avgdl))
-          * 1e4)) / 1e4
+      BigDecimal(idfDec(dfT).toDouble
+        * (tf.toDouble * 2.2)
+        / (tf.toDouble + 1.2 * (0.25 + 0.75 * len.toDouble / avgdl)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
     val expected = toks.toSeq.flatMap { case (id, ts) =>
       val hits = qterms.toSeq.sorted
         .map(t => t -> ts.count(_ == t).toLong).filter(_._2 > 0)
@@ -45,6 +49,32 @@ class Bm25Spec extends SparkSuite {
         BigDecimal(r.getDecimal(4))))
     assert(got.toSeq === expected,
       s"distributed BM25 diverged from brute force")
+  }
+
+  /** The one residual cross-engine surface after the r15 libm-free
+    * re-plan: the ≤|Q| distinct-df idf values each evaluate `ln` once
+    * before their 4-dp freeze. A 1-ulp libm disagreement only matters
+    * if the unrounded value sits within ~1 ulp of a 4-dp rounding
+    * boundary — pin that each idf is far (>1e-9) from its boundary, so
+    * any conforming libm rounds identically. */
+  test("distinct-df idf values sit far from their 4-dp boundaries") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val toks = docs.map(_.toLowerCase.split("[^a-z]+").filter(_.nonEmpty))
+    val nDocs = toks.length.toDouble
+    val dfs = qterms.toSeq.map(t => toks.count(_.contains(t)).toLong)
+      .filter(_ > 0).distinct
+    assert(dfs.nonEmpty)
+    dfs.foreach { df =>
+      val raw = math.log((nDocs - df.toDouble + 0.5)
+        / (df.toDouble + 0.5) + 1.0)
+      val frac = BigDecimal(raw) * 10000
+      val dist = (frac - frac.setScale(0, BigDecimal.RoundingMode.HALF_UP))
+        .abs
+      assert((BigDecimal("0.5") - dist).abs > BigDecimal("1e-5"),
+        s"idf(ln) for df=$df is ${dist} from x.5 — too close to a " +
+          "4-dp rounding boundary for cross-libm safety")
+    }
   }
 
   test("score is exact decimal(18,4), rank keys contiguous") {
