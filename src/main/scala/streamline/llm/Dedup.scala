@@ -89,8 +89,14 @@ object Dedup {
       .distinct()
     val inter = size(array_intersect($"sa.sh", $"sb.sh"))
     val union = size($"sa.sh") + size($"sb.sh") - inter
-    cand.join(broadcast(sh.as("sa")), $"sa.doc_id" === $"id_a")
-      .join(broadcast(sh.as("sb")), $"sb.doc_id" === $"id_b")
+    // Exact-verify re-attach as SHUFFLE-hash joins keyed on doc id
+    // (r15): the shingle table is corpus-sized, so broadcasting it is
+    // the one plan shape that cannot survive 100 TB (driver OOM on the
+    // build). Both sh exchanges hash-partition on doc_id over the same
+    // materialized scan, so ReuseExchange collapses them — the corpus
+    // shuffles ONCE and the (small) pair stream is the build side.
+    cand.hint("shuffle_hash").join(sh.as("sa"), $"sa.doc_id" === $"id_a")
+      .hint("shuffle_hash").join(sh.as("sb"), $"sb.doc_id" === $"id_b")
       // τ-filter in integer form (dist ≤ 0.6 ⟺ 5·|∩| ≥ 2·|∪|), so the
       // predicate pushed into the join evaluates one intersect.
       .where(inter * lit(5) >= union * lit(2))
@@ -161,13 +167,14 @@ object Dedup {
         $"a.p" === $"b.p" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .distinct()
-    // Broadcast the shingle table into both probe joins: the pair stream
-    // never shuffles. Beyond broadcast size (the 100 TB regime) drop the
-    // hint — AQE picks a shuffled hash join on doc_id and the plan stays
-    // correct.
+    // Exact-verify re-attach as SHUFFLE-hash joins keyed on doc id
+    // (r15): sh is corpus-sized, so a broadcast build is the plan that
+    // dies first at 100 TB. The two sh exchanges are identical
+    // (hash(doc_id) over the one materialized scan) ⇒ ReuseExchange
+    // shuffles the corpus once; the pair stream is the build side.
     val inter = size(array_intersect($"sa.sh", $"sb.sh"))
-    cand.join(broadcast(sh.as("sa")), $"sa.doc_id" === $"id_a")
-      .join(broadcast(sh.as("sb")), $"sb.doc_id" === $"id_b")
+    cand.hint("shuffle_hash").join(sh.as("sa"), $"sa.doc_id" === $"id_a")
+      .hint("shuffle_hash").join(sh.as("sb"), $"sb.doc_id" === $"id_b")
       // τ-filter in INTEGER form (for τ=3/5: jac ≥ τ ⟺ 8·|∩| ≥ 3·(|a|+|b|))
       // so the predicate the optimizer pushes into the join condition
       // evaluates array_intersect once, not the full double ratio twice.
@@ -386,8 +393,11 @@ object Dedup {
       .localCheckpoint(true)
     val base = sh.where($"doc_id" % 5 =!= 0)
     val delta = sh.where($"doc_id" % 5 === 0)
+    // The md5 index probe shuffles BOTH sides on the hash (r15): the
+    // base index is corpus-sized, so letting Catalyst broadcast it
+    // (which it does at fixture scale) is the wrong 100 TB shape.
     val exact = delta.as("d")
-      .join(base.as("b"), $"d.h" === $"b.h", "left")
+      .join(base.as("b").hint("shuffle_hash"), $"d.h" === $"b.h", "left")
       .groupBy($"d.doc_id".as("doc_id"))
       .agg(min($"b.doc_id").as("exact_match"))
     val dg = delta.select($"doc_id", explode($"sh").as("p"))
@@ -398,9 +408,13 @@ object Dedup {
     val cand = dg.hint("shuffle_hash").join(bg, "p")
       .select($"doc_id", $"bid").distinct()
     val inter = size(array_intersect($"sa.sh", $"sb.sh"))
-    val near = cand.as("c")
-      .join(broadcast(sh.as("sa")), $"sa.doc_id" === $"c.doc_id")
-      .join(broadcast(sh.as("sb")), $"sb.doc_id" === $"c.bid")
+    // Shuffle-hash re-attach (r15, same rationale as jaccardPairs): at
+    // 100 TB the base-corpus shingle index can never be a broadcast
+    // build; keyed on doc id, exchanges reused, pair stream builds.
+    val near = cand.as("c").hint("shuffle_hash")
+      .join(sh.as("sa"), $"sa.doc_id" === $"c.doc_id")
+      .hint("shuffle_hash")
+      .join(sh.as("sb"), $"sb.doc_id" === $"c.bid")
       .where(inter * lit(3) >= size($"sa.sh") + size($"sb.sh"))
       .select($"c.doc_id".as("doc_id"), $"c.bid".as("bid"),
         round(inter.cast("double") /

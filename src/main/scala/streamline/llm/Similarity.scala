@@ -94,18 +94,21 @@ object Similarity {
     // identical self-join sides ⇒ one shuffle computed once
     // (ReuseExchange). Candidates carry BARE id pairs through the
     // distinct — the embeddings (0.5 KB/pair) would multiply the dedup
-    // shuffle ~30×; they re-attach via two broadcasts of the small
-    // embedding table for the exact verify.
+    // shuffle ~30×; they re-attach via shuffle-hash joins keyed on
+    // vec_id (r15: the embedding table is corpus-sized, so a broadcast
+    // build is the first thing to OOM at 100 TB; the two emb exchanges
+    // canonicalize identically ⇒ ReuseExchange shuffles it once).
     val cand = buckets.as("a").hint("shuffle_hash").join(buckets.as("b"),
         $"a.t" === $"b.t" && $"a.b" === $"b.b" &&
           $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"))
       .distinct() // collided in both tables
-    cand
-      .join(broadcast(emb.select($"vec_id".as("id_a"),
-        $"embedding".as("ea"))), "id_a")
-      .join(broadcast(emb.select($"vec_id".as("id_b"),
-        $"embedding".as("eb"))), "id_b")
+    cand.hint("shuffle_hash")
+      .join(emb.select($"vec_id".as("id_a"),
+        $"embedding".as("ea")), "id_a")
+      .hint("shuffle_hash")
+      .join(emb.select($"vec_id".as("id_b"),
+        $"embedding".as("eb")), "id_b")
       // codegen'd L2 (expr/Exprs.scala EuclidDist): the verify scan is
       // candidate-pair-sized — an interpreted HOF tree here was the
       // residual hot path.

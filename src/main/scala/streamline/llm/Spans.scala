@@ -159,7 +159,7 @@ object Spans {
     // nbi = TOTAL bigram positions (pre-filter) — the probability
     // denominator; the min-count filter only gates which pairs report.
     val tot = uni.agg(sum($"c").as("nuni"))
-      .crossJoin(biAll.agg(sum($"cab").as("nbi")))
+      .crossJoin(broadcast(biAll.agg(sum($"cab").as("nbi"))))
     bi.join(broadcast(uni.withColumnRenamed("tok", "a")
           .withColumnRenamed("c", "ca")), "a")
       .join(broadcast(uni.withColumnRenamed("tok", "b")
