@@ -52,4 +52,25 @@ class DedupIncrementalSpec extends SparkSuite {
     // the cascade must discriminate on this corpus
     assert(got.map(_._2).distinct.length > 1)
   }
+
+  test("streaming ingest equals batch, invariant to file batching") {
+    import org.apache.spark.sql.functions.col
+    val batch = SparkEntry.queries("q_llm_dedup_incremental")(spark, sfDir)
+      .collect().toSeq
+    // default 4-shard staging (the declared query)
+    val stream4 = SparkEntry.queries("q_stream_dedup_incremental")(
+      spark, sfDir).collect().toSeq
+    assert(stream4 === batch, "4-shard streaming drain != batch witness")
+    // a DIFFERENT sharding of the same delta must not change verdicts:
+    // 7 shards (uneven, some possibly empty) through the same drain
+    val root = java.nio.file.Files
+      .createTempDirectory("dedupinc_spec").toString + "/in"
+    Tables.documents(spark, sfDir).where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text")).repartition(7).write.parquet(root)
+    val base = llm.Dedup.incShingled(Tables.documents(spark, sfDir))
+      .where(col("doc_id") % 5 =!= 0).localCheckpoint(true)
+    val stream7 = llm.Dedup.streamIncrementalDrain(spark, root, base)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(stream7 === batch, "7-shard streaming drain != batch witness")
+  }
 }

@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSuite {
       .map(_.name).toSet ++
       // streaming compositions registered from batch modules (r11):
       // calling their fn runs a full streaming drain, not a lazy plan
-      Set("q_stream_proto", "q_stream_proto_descriptor", "q_stream_iterate")
+      Set("q_stream_proto", "q_stream_proto_descriptor", "q_stream_iterate",
+        "q_stream_dedup_incremental")
 
   private val cartesianOk = Set("q_join_cross")
 
