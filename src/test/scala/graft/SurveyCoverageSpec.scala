@@ -21,4 +21,20 @@ class SurveyCoverageSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
+
+  /** Second drift axis (r14 judge): a query declared without a
+    * `bench_baseline.json` min is invisible to the bench history gate,
+    * so a perf regression in it can never trip. Every declared key
+    * must seed its min (from a quiet full run) in the same change. */
+  test("every declared query key has a bench_baseline.json min") {
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Path.of("bench_baseline.json"))
+    // Keys in the JSON object are unique and quoted; substring match on
+    // the quoted key is exact because query names are never prefixes of
+    // each other inside quotes.
+    val missing =
+      SparkEntry.queries.keySet.filterNot(k => text.contains("\"" + k + "\""))
+    assert(missing.isEmpty,
+      s"declared but no bench min seeded: ${missing.toSeq.sorted}")
+  }
 }
