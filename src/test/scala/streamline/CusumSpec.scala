@@ -48,7 +48,12 @@ class CusumSpec extends SparkSuite {
         (r._1, r._3, s)
       }
     }.filter(_._3 > 200.0)
-      .map { case (id, u, s) => (id, u, math.rint(s * 1e6) / 1e6) }
+      // mirror Spark round() exactly (HALF_UP on the shortest decimal
+      // image) — math.rint is half-EVEN and would diverge on a .5 tie
+      .map { case (id, u, s) =>
+        (id, u, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }
       .sortBy(_._1)
 
     val got = SparkEntry.queries("q_win_cusum")(spark, dir)
