@@ -358,8 +358,8 @@ object Similarity {
     * oracle-checked (sha256/length are engine-independent). */
   private def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+    MediaDecoder.decoded(spark, Tables.documents(spark, dir)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -397,8 +397,8 @@ object Similarity {
     * and the feature extractor. */
   private def mmResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+    MediaDecoder.decoded(spark, Tables.documents(spark, dir)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -438,22 +438,29 @@ object Similarity {
     import spark.implicits._
     val frameLen = 64
     val stride = 4
-    val nFrames = ceil(length($"text") / lit(frameLen.toDouble)).cast("int")
-    Tables.documents(spark, dir)
-      .select($"doc_id", $"text", nFrames.as("n_frames"))
+    // frames over the DECODED payload (binary throughout — r15: the
+    // decode seam is MediaDecoder; identity elides the stage and this
+    // stays one codegen span; length/substring/sha2 all operate on the
+    // byte view, which coincides with the oracle's char view on the
+    // ASCII-pinned fixture exactly as before)
+    val nFrames =
+      ceil(length($"payload") / lit(frameLen.toDouble)).cast("int")
+    MediaDecoder.decoded(spark, Tables.documents(spark, dir)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload")))
+      .select($"doc_id", $"payload", nFrames.as("n_frames"))
       // n_frames > 0 guard: an empty payload has no frames to sample.
       // Without it Spark's (0-1)/4 = -0.25 casts to int 0 (truncation
       // toward zero) and emits a phantom frame, while the oracle's
       // floor-division (-1) emits none (ADVICE r1).
       .where($"n_frames" > 0)
-      .select($"doc_id", $"text", $"n_frames",
+      .select($"doc_id", $"payload", $"n_frames",
         explode(sequence(lit(0),
           (greatest($"n_frames" - 1, lit(0)) / lit(stride)).cast("int")))
           .as("sample_idx"))
       .withColumn("frame_idx", $"sample_idx" * stride)
       .select($"doc_id", $"n_frames", $"sample_idx", $"frame_idx",
-        sha2(substring($"text", $"frame_idx" * frameLen + 1, lit(frameLen)),
-          256).as("frame_sha"))
+        sha2(substring($"payload",
+          $"frame_idx" * frameLen + 1, lit(frameLen)), 256).as("frame_sha"))
       .orderBy($"doc_id", $"sample_idx")
   }
 
