@@ -1159,6 +1159,134 @@ object Aggregates {
     * corpus. Completes the inference surface next to q_agg_abtest
     * (Welch's t = two-sample means) with the categorical
     * independence test. */
+  /** q_agg_ks — two-sample Kolmogorov–Smirnov drift statistic per
+    * event_type (arms = user_id % 2, the q_agg_abtest bucketing): the
+    * distribution-drift screen a training pipeline runs between data
+    * slices, completing the inference family (Welch's t = means, χ² =
+    * categorical, KS = whole distribution). D = max over sample points
+    * of |F₀−F₁| is computed ENTIRELY in integers: at each distinct
+    * value, |n₁·k₀ − n₀·k₁| (cumulative counts cross-multiplied — the
+    * common-denominator form), maxed per group, divided once at the
+    * end — no per-row float, no transcendental, bit-identical across
+    * engines (the bm25-r15 libm-free discipline with nothing left to
+    * freeze). Scale: one map-side-combined count to the DISTINCT-value
+    * point table, the ECDF cumsum windows over that point table (≪
+    * corpus for quantized metrics; an unbounded-cardinality metric
+    * would bucket the ECDF first), stats joined back via a
+    * group-count-sized broadcast. */
+  private def aggKs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.events(spark, dir)
+      .select($"event_type", $"value", ($"user_id" % 2).as("arm"))
+    val n = s.groupBy($"event_type").agg(
+      count(when($"arm" === 0, 1)).as("n0"),
+      count(when($"arm" === 1, 1)).as("n1"))
+    val pts = s.groupBy($"event_type", $"value").agg(
+      count(when($"arm" === 0, 1)).as("c0"),
+      count(when($"arm" === 1, 1)).as("c1"))
+    val w = Window.partitionBy($"event_type").orderBy($"value")
+    val cum = pts.select($"event_type",
+      sum($"c0").over(w).as("k0"), sum($"c1").over(w).as("k1"))
+    val d = cum.join(broadcast(n), "event_type")
+      .groupBy($"event_type")
+      .agg(max(abs($"n1" * $"k0" - $"n0" * $"k1")).as("d_num"))
+    d.join(broadcast(n), "event_type")
+      .select($"event_type", $"n0", $"n1", $"d_num",
+        round($"d_num".cast("double")
+          / ($"n0".cast("double") * $"n1".cast("double")), 6).as("d"))
+      .orderBy($"event_type")
+  }
+
+  private val aggKsSql = """
+    WITH s AS (SELECT event_type, value, user_id % 2 AS arm FROM events),
+    n AS (SELECT event_type,
+            CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n0,
+            CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n1
+          FROM s GROUP BY 1),
+    pts AS (SELECT event_type, value,
+              CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS c0,
+              CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS c1
+            FROM s GROUP BY 1, 2),
+    cum AS (SELECT event_type, value,
+              sum(c0) OVER (PARTITION BY event_type ORDER BY value) AS k0,
+              sum(c1) OVER (PARTITION BY event_type ORDER BY value) AS k1
+            FROM pts),
+    d AS (SELECT c.event_type,
+            max(abs(n.n1 * CAST(c.k0 AS BIGINT)
+                    - n.n0 * CAST(c.k1 AS BIGINT))) AS d_num
+          FROM cum c JOIN n ON c.event_type = n.event_type
+          GROUP BY 1)
+    SELECT d.event_type, n.n0, n.n1, CAST(d.d_num AS BIGINT) AS d_num,
+      round(CAST(d.d_num AS DOUBLE)
+            / (CAST(n.n0 AS DOUBLE) * CAST(n.n1 AS DOUBLE)), 6) AS d
+    FROM d JOIN n ON d.event_type = n.event_type
+    ORDER BY d.event_type"""
+
+  /** q_agg_mannwhitney — Mann–Whitney U rank-sum statistic + AUC per
+    * event_type (arms = user_id % 2): the NONPARAMETRIC two-sample
+    * location test next to Welch's t (q_agg_abtest), whose U/(n₀·n₁)
+    * is also the AUC / common-language effect size — the ranking
+    * metric every pairwise-preference pipeline reports. Exact tie
+    * handling via average ranks WITHOUT fractions: all rank algebra is
+    * carried DOUBLED (a tie block starting after cb rows with c
+    * members has doubled average rank 2·cb + c + 1), so
+    * R₁×2 = Σ c₁·(2·cb + c + 1) and
+    * U₁×2 = R₁×2 − n₁(n₁+1) stay BIGINT end to end; one
+    * final division yields the 6-dp AUC. No float, no transcendental —
+    * hash-exact. Scale: identical shape to q_agg_ks (map-side-combined
+    * count → distinct-value point table → keyed window cumsum →
+    * group-count-sized broadcast join). */
+  private def aggMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.events(spark, dir)
+      .select($"event_type", $"value", ($"user_id" % 2).as("arm"))
+    val n = s.groupBy($"event_type").agg(
+      count(when($"arm" === 0, 1)).as("n0"),
+      count(when($"arm" === 1, 1)).as("n1"))
+    val pts = s.groupBy($"event_type", $"value").agg(
+      count(when($"arm" === 0, 1)).as("c0"),
+      count(when($"arm" === 1, 1)).as("c1"))
+    val w = Window.partitionBy($"event_type").orderBy($"value")
+    val ranked = pts.withColumn("cb",
+      sum($"c0" + $"c1").over(w) - ($"c0" + $"c1"))
+    val r1 = ranked.groupBy($"event_type").agg(
+      sum($"c1" * (lit(2) * $"cb" + $"c0" + $"c1" + lit(1))).as("r1_x2"))
+    r1.join(broadcast(n), "event_type")
+      .withColumn("u1_x2", $"r1_x2" - $"n1" * ($"n1" + lit(1)))
+      .select($"event_type", $"n0", $"n1", $"r1_x2", $"u1_x2",
+        round($"u1_x2".cast("double")
+          / (lit(2.0) * $"n0".cast("double") * $"n1".cast("double")), 6)
+          .as("auc"))
+      .orderBy($"event_type")
+  }
+
+  private val aggMannWhitneySql = """
+    WITH s AS (SELECT event_type, value, user_id % 2 AS arm FROM events),
+    n AS (SELECT event_type,
+            CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n0,
+            CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n1
+          FROM s GROUP BY 1),
+    pts AS (SELECT event_type, value,
+              CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS c0,
+              CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS c1
+            FROM s GROUP BY 1, 2),
+    ranked AS (SELECT event_type, c0, c1,
+                 CAST(sum(c0 + c1) OVER (PARTITION BY event_type
+                   ORDER BY value) AS BIGINT) - (c0 + c1) AS cb
+               FROM pts),
+    r AS (SELECT event_type,
+            CAST(sum(c1 * (2 * cb + c0 + c1 + 1)) AS BIGINT) AS r1_x2
+          FROM ranked GROUP BY 1)
+    SELECT r.event_type, n.n0, n.n1, r.r1_x2,
+      r.r1_x2 - n.n1 * (n.n1 + 1) AS u1_x2,
+      round(CAST(r.r1_x2 - n.n1 * (n.n1 + 1) AS DOUBLE)
+            / (2.0 * CAST(n.n0 AS DOUBLE) * CAST(n.n1 AS DOUBLE)), 6)
+        AS auc
+    FROM r JOIN n ON r.event_type = n.event_type
+    ORDER BY r.event_type"""
+
   private def aggChisq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1253,6 +1381,8 @@ object Aggregates {
     ORDER BY digit"""
 
   val all: Seq[streamline.Q] = Seq(
+    streamline.Q("q_agg_ks", aggKs _, aggKsSql),
+    streamline.Q("q_agg_mannwhitney", aggMannWhitney _, aggMannWhitneySql),
     streamline.Q("q_agg_chisq", aggChisq _, aggChisqSql),
     streamline.Q("q_agg_benford", aggBenford _, aggBenfordSql),
     streamline.Q("q_agg_hist", aggHist _, aggHistSql),

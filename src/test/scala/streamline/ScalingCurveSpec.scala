@@ -37,7 +37,11 @@ class ScalingCurveSpec extends SparkSuite {
     // cumsums, benford / chisq one map-side-combined count each,
     // filter_cascade a per-row predicate stack — all must read linear.
     "q_agg_weighted_median", "q_win_cusum", "q_llm_filter_cascade",
-    "q_agg_benford", "q_agg_chisq")
+    "q_agg_benford", "q_agg_chisq",
+    // r15: KS/MW run their ECDF/rank windows over the DISTINCT-value
+    // point table — the curve witnesses that the point-table shape,
+    // not the corpus, carries the window cost
+    "q_agg_ks", "q_agg_mannwhitney")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
