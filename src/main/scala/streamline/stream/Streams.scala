@@ -220,6 +220,100 @@ object Streams {
     HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
     ORDER BY w_start, event_type"""
 
+  /** q_stream_drift — windowed distribution-DRIFT monitor: each closed
+    * 1-day window's value distribution is compared against the frozen
+    * whole-corpus reference via the binned two-sample KS statistic
+    * (q_agg_ks's integer form over floor(value) buckets) — the
+    * streaming face of the §2.4 inference family, and the data-quality
+    * gate a production ingest runs per window (drifted slice → alarm
+    * before it trains). The STREAMING stage is a native watermarked
+    * windowed count per (window, event_type, bucket) — state is
+    * windows × types × buckets, bounded and watermark-evicted; the
+    * drift arithmetic runs batch-side over the (small) sink table:
+    * reference cumulative counts are a types × buckets table joined in
+    * (broadcast-scale), window ECDFs one keyed cumsum over sink rows,
+    * D̂ = max |n_ref·k_w − n_w·k_ref| in pure BIGINT with ONE final
+    * division — the reference's buckets are a superset of every
+    * window's (it is the union of them), so they are exactly the ECDF
+    * evaluation grid. Append-mode closed windows ⇔ the oracle's
+    * watermark HAVING filter. */
+  private def streamDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 day"), $"event_type",
+        floor($"value").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select(tsOut($"window.start").as("w_start"), $"event_type",
+        $"bucket", $"c")
+    val sink = runToTable(spark, "drift", "append", counts)
+    // frozen reference: the whole corpus per event_type (types×buckets
+    // rows — broadcast scale; a deployment would freeze a vetted base
+    // period here instead)
+    val refW = Window.partitionBy($"event_type").orderBy($"bucket")
+    val ref = Tables.events(spark, dir)
+      .groupBy($"event_type", floor($"value").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("rc"))
+      .select($"event_type", $"bucket", sum($"rc").over(refW).as("k_ref"),
+        sum($"rc").over(Window.partitionBy($"event_type")).as("n_ref"))
+    val wgrid = sink.select($"w_start", $"event_type").distinct()
+    // renamed projection ⇒ fresh attribute ids, so the sink self-join
+    // (grid side + counts side both derive from the memory table)
+    // resolves unambiguously
+    val sinkC = sink.select($"w_start".as("sw"), $"event_type".as("se"),
+      $"bucket".as("sb"), $"c")
+    val winW = Window.partitionBy($"w_start", $"event_type")
+      .orderBy($"bucket")
+    val ecdf = wgrid.join(broadcast(ref), "event_type")
+      .join(sinkC, $"sw" === $"w_start" && $"se" === $"event_type" &&
+        $"sb" === $"bucket", "left")
+      .select($"w_start", $"event_type", $"n_ref", $"k_ref",
+        sum(coalesce($"c", lit(0L))).over(winW).as("k_w"),
+        sum(coalesce($"c", lit(0L)))
+          .over(Window.partitionBy($"w_start", $"event_type")).as("n_w"))
+    ecdf.groupBy($"w_start", $"event_type")
+      .agg(max($"n_w").as("n_w"), max($"n_ref").as("n_ref"),
+        max(abs($"n_ref" * $"k_w" - $"n_w" * $"k_ref")).as("d_num"))
+      .select($"w_start", $"event_type", $"n_w", $"d_num",
+        round($"d_num".cast("double")
+          / ($"n_w".cast("double") * $"n_ref".cast("double")), 6).as("d"))
+      .orderBy($"w_start", $"event_type")
+  }
+
+  private val streamDriftSql = """
+    WITH wm AS (SELECT date_trunc('millisecond', max(ts))
+                  - INTERVAL 10 MINUTE AS w FROM events),
+    ref0 AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS rc
+             FROM events GROUP BY 1, 2),
+    ref AS (SELECT event_type, bucket,
+              CAST(sum(rc) OVER (PARTITION BY event_type
+                ORDER BY bucket) AS BIGINT) AS k_ref,
+              CAST(sum(rc) OVER (PARTITION BY event_type) AS BIGINT)
+                AS n_ref
+            FROM ref0),
+    wc AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+             event_type, CAST(floor(value) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2, 3
+           HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)),
+    grid AS (SELECT DISTINCT w_start, event_type FROM wc),
+    ecdf AS (SELECT g.w_start, g.event_type, r.n_ref, r.k_ref,
+               CAST(sum(coalesce(wc.c, 0)) OVER (PARTITION BY g.w_start,
+                 g.event_type ORDER BY r.bucket) AS BIGINT) AS k_w,
+               CAST(sum(coalesce(wc.c, 0)) OVER (PARTITION BY g.w_start,
+                 g.event_type) AS BIGINT) AS n_w
+             FROM grid g JOIN ref r ON g.event_type = r.event_type
+             LEFT JOIN wc ON wc.w_start = g.w_start
+               AND wc.event_type = g.event_type AND wc.bucket = r.bucket)
+    SELECT w_start, event_type, max(n_w) AS n_w,
+      CAST(max(abs(n_ref * k_w - n_w * k_ref)) AS BIGINT) AS d_num,
+      round(CAST(max(abs(n_ref * k_w - n_w * k_ref)) AS DOUBLE)
+            / (CAST(max(n_w) AS DOUBLE) * CAST(max(n_ref) AS DOUBLE)), 6)
+        AS d
+    FROM ecdf GROUP BY 1, 2 ORDER BY w_start, event_type"""
+
   /** q_stream_recovery — checkpoint STOP → RESTART witness, the
     * operational half of the exactly-once story (the upsert sink's
     * batchId keying is the sink half). A watermarked daily aggregate
@@ -2208,6 +2302,7 @@ object Streams {
     Q("q_stream_retract_hist", streamRetractHist _, streamRetractHistSql),
     Q("q_stream_proctime", streamProcTime _, streamProcTimeSql),
     Q("q_stream_tumble", streamTumble _, streamTumbleSql),
+    Q("q_stream_drift", streamDrift _, streamDriftSql),
     Q("q_stream_recovery", streamRecovery _, streamRecoverySql),
     Q("q_stream_rescale", streamRescale _, streamRescaleSql),
     Q("q_stream_state_rewrite", streamStateRewrite _, streamStateRewriteSql),
