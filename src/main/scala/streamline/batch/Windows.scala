@@ -3,6 +3,7 @@ package streamline.batch
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import streamline.{Q, Tables}
 import streamline.util.Det._
 
@@ -724,40 +725,72 @@ object Windows {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir)
-    val mu = ev.agg(davg("value").as("mu"))
+    // r15 sf0.1 lesson: a running DOUBLE window sum is NOT cross-engine
+    // safe even though both engines walk the same order — DuckDB
+    // evaluates windowed sums with a segment TREE, so prefix sums
+    // associate differently and low bits diverge on long keys (3/794
+    // rows at sf0.1). Fix by the Det discipline, dodging the μ division:
+    // multiply the recurrence through by n — n·devᵢ = n·vᵢ − Σv − 50n
+    // is EXACT DECIMAL, every window sum/min stays exact decimal
+    // (association-order independent by definition), the alarm
+    // threshold scales to 200·n, and ONE final double division per
+    // output row maps back (identical doubles both engines).
+    val stats = ev.agg(sum(dec("value")).as("sv"),
+      count(lit(1)).as("n"))
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val d = ev.crossJoin(broadcast(mu))
-      .select($"event_id", $"user_id", $"ts",
-        ($"value" - $"mu" - lit(50.0d)).as("dev"))
-    val c = d.withColumn("cum", sum($"dev").over(byUser))
+    val d = ev.crossJoin(broadcast(stats))
+      .select($"event_id", $"user_id", $"ts", $"n",
+        (dec("value") * $"n" - $"sv" - decLit(50) * $"n")
+          .cast(DecimalType(38, 4)).as("devq"))
+    val c = d.withColumn("cumq", sum($"devq").over(byUser))
     // S_i = C_i − min_{0≤j≤i} C_j with C_0 = 0: the running min must
     // include the initial zero state, else the first row per key is
     // forced to 0 and drift is under-reported while cum stays > 0.
-    c.withColumn("cusum",
-        $"cum" - least(min($"cum").over(byUser), lit(0.0d)))
-      .where($"cusum" > lit(200.0d))
-      .select($"event_id", $"user_id", round($"cusum", 6).as("cusum"))
+    // The 6-dp output itself must round in INTEGERS: cusumq/n is a
+    // rational that can land exactly ON a x.xxxxxx5 tie (21/794 rows
+    // at sf0.1 did), where the two engines' double images straddle the
+    // boundary. a = cusumq·10⁴ is an exact BIGINT, so
+    // c6 = ⌊(200·a + n) / (2n)⌋ is HALF_UP at 6 dp computed exactly,
+    // and c6/10⁶ is ONE correctly-rounded double division of identical
+    // integers — bit-identical both engines.
+    c.withColumn("cusumq",
+        $"cumq" - least(min($"cumq").over(byUser),
+          lit(0).cast(DecimalType(38, 4))))
+      .where($"cusumq" > decLit(200).cast(DecimalType(38, 4)) * $"n")
+      .withColumn("a", ($"cusumq" * lit(10000)).cast("long"))
+      .select($"event_id", $"user_id",
+        (expr("(a * 200 + n) DIV (2 * n)").cast("double") / lit(1e6))
+          .as("cusum"))
       .orderBy($"event_id")
   }
 
   private val winCusumSql = """
-    WITH m AS (SELECT CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
-                 / CAST(count(value) AS DOUBLE) AS mu FROM events),
-    d AS (SELECT event_id, user_id, ts,
-            value - (SELECT mu FROM m) - 50.0 AS dev FROM events),
-    c AS (SELECT event_id, user_id, ts,
-            sum(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS cum
+    WITH m AS (SELECT CAST(sum(CAST(value AS DECIMAL(18,4)))
+                        AS DECIMAL(38,4)) AS sv,
+                 CAST(count(*) AS BIGINT) AS n FROM events),
+    d AS (SELECT event_id, user_id, ts, n,
+            CAST(CAST(value AS DECIMAL(18,4)) * n - sv - 50 * n
+              AS DECIMAL(38,4)) AS devq
+          FROM events, m),
+    c AS (SELECT event_id, user_id, ts, n,
+            CAST(sum(devq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING)
+              AS DECIMAL(38,4)) AS cumq
           FROM d),
-    s AS (SELECT event_id, user_id,
-            cum - least(min(cum) OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING),
-                        0) AS cusum
-          FROM c)
-    SELECT event_id, user_id, round(cusum, 6) AS cusum
-    FROM s WHERE cusum > 200.0 ORDER BY event_id"""
+    s AS (SELECT event_id, user_id, n,
+            cumq - least(CAST(min(cumq) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING)
+                           AS DECIMAL(38,4)),
+                         CAST(0 AS DECIMAL(38,4))) AS cusumq
+          FROM c),
+    a AS (SELECT event_id, user_id, n,
+            CAST(cusumq * 10000 AS BIGINT) AS a
+          FROM s WHERE cusumq > CAST(200 AS DECIMAL(38,4)) * n)
+    SELECT event_id, user_id,
+      CAST((a * 200 + n) // (2 * n) AS DOUBLE) / 1000000.0 AS cusum
+    FROM a ORDER BY event_id"""
 
   val all: Seq[Q] = Seq(
     Q("q_win_cusum", winCusum _, winCusumSql),
