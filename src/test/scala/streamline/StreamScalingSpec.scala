@@ -41,7 +41,15 @@ class StreamScalingSpec extends SparkSuite {
     // state under watermark eviction; the blowup multiplies keys at
     // the same timestamps, so open-window state must scale linearly
     // and never accrete closed panes.
-    "q_stream_session", "q_stream_cumulate", "q_stream_wintopn")
+    "q_stream_session", "q_stream_cumulate", "q_stream_wintopn",
+    // r15: the drift monitor's state is windows × types × BUCKETS, and
+    // the blowup multiplies users at the SAME timestamps and values —
+    // so its state curve must read ~flat (same window/bucket grid,
+    // only counts grow), the strongest possible posture under this
+    // bound; the streaming dedup drain is stateless (foreachBatch
+    // probe), so its witness here is the wall-clock bar over the 16×
+    // corpus staging + probe lifecycle.
+    "q_stream_drift", "q_stream_dedup_incremental")
 
   /** Runs the query under a progress listener; returns (seconds, max
     * numRowsTotal across all stateful operators and micro-batches). */
