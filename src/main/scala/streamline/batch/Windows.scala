@@ -618,6 +618,55 @@ object Windows {
       list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc) AS ema
     FROM s ORDER BY user_id"""
 
+  /** q_win_concurrency — sweep-line max-concurrency profile: per
+    * event_type and day, the PEAK number of simultaneously-open
+    * sessions (each event opens [ts, ts+5 min)) — the occupancy /
+    * concurrent-users / capacity-planning staple no single window
+    * frame expresses. Classic sweep: every interval contributes a +1
+    * at its start and a −1 at its end, one keyed running INTEGER sum
+    * ordered by (t, delta) gives the concurrency after each boundary
+    * block, and a keyed max per day reads the peak. Determinism: the
+    * default RANGE frame includes peers, so every row in a tied
+    * (t, delta) block carries the block-END value — permutation of
+    * tied rows cannot change anything; δ = −1 sorts before +1 at equal
+    * t ⇒ half-open interval semantics (a session ending exactly when
+    * another starts never overlaps it); all arithmetic is integer.
+    * Peak is evaluated at event boundaries within the day (the
+    * carry-in level at midnight is visible from the previous day's
+    * tail — documented semantics, identical both engines). Scale: 2
+    * rows per event through ONE keyed shuffle per event_type + a
+    * map-side-combined day rollup; at 1000-executor scale the
+    * per-type sort is the classic sweep-line partition. */
+  private def winConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val d = ev.select($"event_type", $"ts".as("t"), lit(1).as("delta"))
+      .unionAll(ev.select($"event_type",
+        ($"ts" + expr("INTERVAL 5 MINUTES")).as("t"),
+        lit(-1).as("delta")))
+    val w = Window.partitionBy($"event_type").orderBy($"t", $"delta")
+    d.withColumn("conc", sum($"delta").over(w))
+      .groupBy($"event_type", tsOut(date_trunc("day", $"t")).as("day"))
+      .agg(max($"conc").cast("long").as("peak"),
+        count(lit(1)).as("n_bounds"))
+      .orderBy($"event_type", $"day")
+  }
+
+  private val winConcurrencySql = """
+    WITH d AS (
+      SELECT event_type, ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 5 MINUTE AS t, -1 AS delta
+      FROM events),
+    c AS (SELECT event_type, t, delta,
+            CAST(sum(delta) OVER (PARTITION BY event_type
+              ORDER BY t, delta) AS BIGINT) AS conc
+          FROM d)
+    SELECT event_type, CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+      max(conc) AS peak, CAST(count(*) AS BIGINT) AS n_bounds
+    FROM c GROUP BY 1, 2 ORDER BY event_type, day"""
+
   /** q_win_ts_match — time-series similarity search (the UCR-suite /
     * matrix-profile primitive, after "Time Series Similarity Search
     * for Streaming Data in Distributed Systems", EDBT 2019): find the
@@ -794,6 +843,7 @@ object Windows {
 
   val all: Seq[Q] = Seq(
     Q("q_win_cusum", winCusum _, winCusumSql),
+    Q("q_win_concurrency", winConcurrency _, winConcurrencySql),
     Q("q_win_distinct_sliding", winDistinctSliding _,
       winDistinctSlidingSql),
     Q("q_win_resample", winResample _, winResampleSql),

@@ -41,7 +41,10 @@ class ScalingCurveSpec extends SparkSuite {
     // r15: KS/MW run their ECDF/rank windows over the DISTINCT-value
     // point table — the curve witnesses that the point-table shape,
     // not the corpus, carries the window cost
-    "q_agg_ks", "q_agg_mannwhitney")
+    "q_agg_ks", "q_agg_mannwhitney",
+    // r15: the sweep-line profile is 2 rows/event through one keyed
+    // sort — the linear witness for the boundary-explode shape
+    "q_win_concurrency")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
