@@ -1174,9 +1174,14 @@ object Aggregates {
     * corpus for quantized metrics; an unbounded-cardinality metric
     * would bucket the ECDF first), stats joined back via a
     * group-count-sized broadcast. */
-  private def aggKs(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared prelude of the two-sample inference screens (q_agg_ks,
+    * q_agg_mannwhitney): arms = user_id % 2 (the q_agg_abtest
+    * bucketing), per-group arm sizes, and the distinct-value point
+    * table with per-arm counts — ONE map-side-combined keyed count
+    * over the corpus; everything downstream runs on the point table. */
+  private def armPointTables(spark: SparkSession,
+                             dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val s = Tables.events(spark, dir)
       .select($"event_type", $"value", ($"user_id" % 2).as("arm"))
     val n = s.groupBy($"event_type").agg(
@@ -1185,6 +1190,39 @@ object Aggregates {
     val pts = s.groupBy($"event_type", $"value").agg(
       count(when($"arm" === 0, 1)).as("c0"),
       count(when($"arm" === 1, 1)).as("c1"))
+    (n, pts)
+  }
+
+  /** round(num/den, 6) with EXACT HALF_UP tie resolution (num, den ≥ 0
+    * BIGINT columns): the scaled quotient ⌊(2·10⁶·num + den)/(2·den)⌋
+    * in DECIMAL(38,0) integral division — never the double quotient,
+    * whose nearest-double can straddle a x.xxxxxx5 tie differently per
+    * engine (the q_win_cusum divergence class). The integer result is
+    * ≤ 10⁶ when num ≤ den, so exactly representable as a double, and
+    * /10⁶ is ONE correctly-rounded IEEE division — bit-identical on
+    * any engine. DECIMAL(38,0) carry keeps it exact far past BIGINT
+    * group sizes (n₀·n₁ overflows a long at ~2·10⁹ rows per arm). */
+  private[streamline] def exactRound6(
+      num: org.apache.spark.sql.Column,
+      den: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n38 = num.cast("decimal(38,0)")
+    val d38 = den.cast("decimal(38,0)")
+    call_function("div",
+      lit(2000000L).cast("decimal(38,0)") * n38 + d38,
+      lit(2L).cast("decimal(38,0)") * d38)
+      .cast("double") / lit(1000000.0)
+  }
+
+  /** The DuckDB mirror of [[exactRound6]] — HUGEINT carry, `//`
+    * integral division. */
+  private[streamline] def exactRound6Sql(num: String, den: String): String =
+    s"CAST((2000000::HUGEINT * ($num) + ($den)) // " +
+      s"(2::HUGEINT * ($den)) AS DOUBLE) / 1000000.0"
+
+  private def aggKs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (n, pts) = armPointTables(spark, dir)
     val w = Window.partitionBy($"event_type").orderBy($"value")
     val cum = pts.select($"event_type",
       sum($"c0").over(w).as("k0"), sum($"c1").over(w).as("k1"))
@@ -1193,12 +1231,14 @@ object Aggregates {
       .agg(max(abs($"n1" * $"k0" - $"n0" * $"k1")).as("d_num"))
     d.join(broadcast(n), "event_type")
       .select($"event_type", $"n0", $"n1", $"d_num",
-        round($"d_num".cast("double")
-          / ($"n0".cast("double") * $"n1".cast("double")), 6).as("d"))
+        exactRound6($"d_num", $"n0".cast("decimal(19,0)")
+          * $"n1".cast("decimal(19,0)")).as("d"))
       .orderBy($"event_type")
   }
 
-  private val aggKsSql = """
+  /** The oracle-side twin of [[armPointTables]], shared by the KS and
+    * Mann–Whitney oracles so the prelude cannot desynchronize. */
+  private val armPtsCte = """
     WITH s AS (SELECT event_type, value, user_id % 2 AS arm FROM events),
     n AS (SELECT event_type,
             CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n0,
@@ -1207,7 +1247,9 @@ object Aggregates {
     pts AS (SELECT event_type, value,
               CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS c0,
               CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS c1
-            FROM s GROUP BY 1, 2),
+            FROM s GROUP BY 1, 2)"""
+
+  private val aggKsSql = armPtsCte + """,
     cum AS (SELECT event_type, value,
               sum(c0) OVER (PARTITION BY event_type ORDER BY value) AS k0,
               sum(c1) OVER (PARTITION BY event_type ORDER BY value) AS k1
@@ -1218,8 +1260,7 @@ object Aggregates {
           FROM cum c JOIN n ON c.event_type = n.event_type
           GROUP BY 1)
     SELECT d.event_type, n.n0, n.n1, CAST(d.d_num AS BIGINT) AS d_num,
-      round(CAST(d.d_num AS DOUBLE)
-            / (CAST(n.n0 AS DOUBLE) * CAST(n.n1 AS DOUBLE)), 6) AS d
+      """ + exactRound6Sql("d.d_num", "n.n0::HUGEINT * n.n1") + """ AS d
     FROM d JOIN n ON d.event_type = n.event_type
     ORDER BY d.event_type"""
 
@@ -1240,14 +1281,7 @@ object Aggregates {
   private def aggMannWhitney(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val s = Tables.events(spark, dir)
-      .select($"event_type", $"value", ($"user_id" % 2).as("arm"))
-    val n = s.groupBy($"event_type").agg(
-      count(when($"arm" === 0, 1)).as("n0"),
-      count(when($"arm" === 1, 1)).as("n1"))
-    val pts = s.groupBy($"event_type", $"value").agg(
-      count(when($"arm" === 0, 1)).as("c0"),
-      count(when($"arm" === 1, 1)).as("c1"))
+    val (n, pts) = armPointTables(spark, dir)
     val w = Window.partitionBy($"event_type").orderBy($"value")
     val ranked = pts.withColumn("cb",
       sum($"c0" + $"c1").over(w) - ($"c0" + $"c1"))
@@ -1256,22 +1290,13 @@ object Aggregates {
     r1.join(broadcast(n), "event_type")
       .withColumn("u1_x2", $"r1_x2" - $"n1" * ($"n1" + lit(1)))
       .select($"event_type", $"n0", $"n1", $"r1_x2", $"u1_x2",
-        round($"u1_x2".cast("double")
-          / (lit(2.0) * $"n0".cast("double") * $"n1".cast("double")), 6)
+        exactRound6($"u1_x2", lit(2L).cast("decimal(19,0)")
+          * $"n0".cast("decimal(19,0)") * $"n1".cast("decimal(19,0)"))
           .as("auc"))
       .orderBy($"event_type")
   }
 
-  private val aggMannWhitneySql = """
-    WITH s AS (SELECT event_type, value, user_id % 2 AS arm FROM events),
-    n AS (SELECT event_type,
-            CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n0,
-            CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n1
-          FROM s GROUP BY 1),
-    pts AS (SELECT event_type, value,
-              CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS c0,
-              CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS c1
-            FROM s GROUP BY 1, 2),
+  private val aggMannWhitneySql = armPtsCte + """,
     ranked AS (SELECT event_type, c0, c1,
                  CAST(sum(c0 + c1) OVER (PARTITION BY event_type
                    ORDER BY value) AS BIGINT) - (c0 + c1) AS cb

@@ -489,28 +489,29 @@ object Dedup {
     // checkpoint would replay committed offsets and feed no batches.
     val ckpt = streamline.util.Knobs.fastTmp +
       s"/ck_dedupinc_${java.util.UUID.randomUUID().toString.take(8)}"
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      streamline.util.Knobs.statePartitions(spark).toString)
     var acc: DataFrame = null
-    val q = spark.readStream.schema("doc_id LONG, text STRING")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stage)
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // materialize within the batch scope — the batch df is not
-        // valid after the micro-batch commits
-        val verdicts = incrementalProbe(spark, incShingled(df.toDF()), base)
-          .localCheckpoint(true)
-        acc = if (acc == null) verdicts else acc.unionByName(verdicts)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      streamline.stream.Streams.deleteRec(new java.io.File(ckpt))
+    // withStreamConfs = the one shared witness lifecycle (small
+    // state-store partition count, checkpoint checksum manager off,
+    // both restored even if plan construction or start() throws).
+    streamline.stream.Streams.withStreamConfs(spark) {
+      try {
+        val q = spark.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            // materialize within the batch scope — the batch df is not
+            // valid after the micro-batch commits
+            val verdicts =
+              incrementalProbe(spark, incShingled(df.toDF()), base)
+                .localCheckpoint(true)
+            acc = if (acc == null) verdicts else acc.unionByName(verdicts)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally streamline.stream.Streams.deleteRec(new java.io.File(ckpt))
     }
     require(acc != null, "stream fed no batches (stale checkpoint?)")
     acc

@@ -85,14 +85,34 @@ object Streams {
   private val checksumKey =
     "spark.sql.streaming.checkpoint.fileChecksum.enabled"
 
-  def runToTable(spark: SparkSession, base: String, mode: String,
-                 stream: DataFrame): DataFrame = {
-    val name = s"${base}_${seq.incrementAndGet()}"
+  /** Pins the streaming-witness session confs — small state-store
+    * partition count, checksum manager off (scaladocs above) — around
+    * `body`, restoring BOTH in a finally so a failure anywhere in plan
+    * construction, start() or the drain cannot leak the overrides into
+    * subsequent batch queries. The single streaming lifecycle shared
+    * by the memory-sink runners here and the foreachBatch drain
+    * (llm.Dedup.streamIncrementalDrain), so the discipline cannot
+    * drift between hand-kept copies. */
+  private[streamline] def withStreamConfs[T](spark: SparkSession)
+                                            (body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevCk = spark.conf.getOption(checksumKey)
     spark.conf.set(checksumKey, "false")
     spark.conf.set("spark.sql.shuffle.partitions",
       streamline.util.Knobs.statePartitions(spark).toString)
+    try body
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevCk match {
+        case Some(v) => spark.conf.set(checksumKey, v)
+        case None    => spark.conf.unset(checksumKey)
+      }
+    }
+  }
+
+  def runToTable(spark: SparkSession, base: String, mode: String,
+                 stream: DataFrame): DataFrame = {
+    val name = s"${base}_${seq.incrementAndGet()}"
     // Explicit checkpoint on the fast ephemeral root (Knobs.fastTmp):
     // every micro-batch fsyncs its offset/commit WAL and state files,
     // which rides the throttled block device otherwise. JVM-unique
@@ -100,27 +120,22 @@ object Streams {
     // and silently emit nothing; deleted after the run. Production
     // queries point this at reliable shared storage instead.
     val ckpt = s"${streamline.util.Knobs.fastTmp}/ck_${jvmToken}_$name"
-    try {
-      val q = stream.writeStream
-        .format("memory").queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // Micro-batch cost breakdown, for perf triage only.
-      if (sys.env.get("GRAFT_STREAM_VERBOSE").contains("true"))
-        q.recentProgress.foreach { p =>
-          System.err.println(s"[stream] $name batch=${p.batchId} " +
-            s"rows=${p.numInputRows} durationMs=${p.durationMs}")
-        }
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      prevCk match {
-        case Some(v) => spark.conf.set(checksumKey, v)
-        case None    => spark.conf.unset(checksumKey)
-      }
-      deleteRec(new java.io.File(ckpt))
+    withStreamConfs(spark) {
+      try {
+        val q = stream.writeStream
+          .format("memory").queryName(name)
+          .outputMode(mode)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // Micro-batch cost breakdown, for perf triage only.
+        if (sys.env.get("GRAFT_STREAM_VERBOSE").contains("true"))
+          q.recentProgress.foreach { p =>
+            System.err.println(s"[stream] $name batch=${p.batchId} " +
+              s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+          }
+      } finally deleteRec(new java.io.File(ckpt))
     }
     spark.table(name)
   }
@@ -143,35 +158,25 @@ object Streams {
   def runToTableCaughtUp(spark: SparkSession, base: String, mode: String,
                          stream: DataFrame): DataFrame = {
     val name = s"${base}_${seq.incrementAndGet()}"
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevCk = spark.conf.getOption(checksumKey)
-    spark.conf.set(checksumKey, "false")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      streamline.util.Knobs.statePartitions(spark).toString)
     val ckpt = s"${streamline.util.Knobs.fastTmp}/ck_${jvmToken}_$name"
-    try {
-      val q = stream.writeStream
-        .format("memory").queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
+    withStreamConfs(spark) {
       try {
-        var drained = false
-        // awaitTermination(250) doubles as the poll interval and the
-        // exit path if the engine does terminate on its own.
-        while (!drained && !q.awaitTermination(250)) {
-          val p = q.lastProgress
-          drained = p != null && p.batchId > 0 && p.numInputRows == 0
-        }
-      } finally if (q.isActive) q.stop()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      prevCk match {
-        case Some(v) => spark.conf.set(checksumKey, v)
-        case None    => spark.conf.unset(checksumKey)
-      }
-      deleteRec(new java.io.File(ckpt))
+        val q = stream.writeStream
+          .format("memory").queryName(name)
+          .outputMode(mode)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          var drained = false
+          // awaitTermination(250) doubles as the poll interval and the
+          // exit path if the engine does terminate on its own.
+          while (!drained && !q.awaitTermination(250)) {
+            val p = q.lastProgress
+            drained = p != null && p.batchId > 0 && p.numInputRows == 0
+          }
+        } finally if (q.isActive) q.stop()
+      } finally deleteRec(new java.io.File(ckpt))
     }
     spark.table(name)
   }
@@ -276,8 +281,11 @@ object Streams {
       .agg(max($"n_w").as("n_w"), max($"n_ref").as("n_ref"),
         max(abs($"n_ref" * $"k_w" - $"n_w" * $"k_ref")).as("d_num"))
       .select($"w_start", $"event_type", $"n_w", $"d_num",
-        round($"d_num".cast("double")
-          / ($"n_w".cast("double") * $"n_ref".cast("double")), 6).as("d"))
+        // exact integer HALF_UP (the q_agg_ks discipline) — never the
+        // double quotient, whose 6-dp tie can straddle per engine
+        streamline.batch.Aggregates.exactRound6($"d_num",
+          $"n_w".cast("decimal(19,0)") * $"n_ref".cast("decimal(19,0)"))
+          .as("d"))
       .orderBy($"w_start", $"event_type")
   }
 
@@ -309,9 +317,9 @@ object Streams {
                AND wc.event_type = g.event_type AND wc.bucket = r.bucket)
     SELECT w_start, event_type, max(n_w) AS n_w,
       CAST(max(abs(n_ref * k_w - n_w * k_ref)) AS BIGINT) AS d_num,
-      round(CAST(max(abs(n_ref * k_w - n_w * k_ref)) AS DOUBLE)
-            / (CAST(max(n_w) AS DOUBLE) * CAST(max(n_ref) AS DOUBLE)), 6)
-        AS d
+      """ + streamline.batch.Aggregates.exactRound6Sql(
+        "max(abs(n_ref * k_w - n_w * k_ref))",
+        "max(n_w)::HUGEINT * max(n_ref)") + """ AS d
     FROM ecdf GROUP BY 1, 2 ORDER BY w_start, event_type"""
 
   /** q_stream_recovery — checkpoint STOP → RESTART witness, the

@@ -55,8 +55,9 @@ class Bm25Spec extends SparkSuite {
     * re-plan: the ≤|Q| distinct-df idf values each evaluate `ln` once
     * before their 4-dp freeze. A 1-ulp libm disagreement only matters
     * if the unrounded value sits within ~1 ulp of a 4-dp rounding
-    * boundary — pin that each idf is far (>1e-9) from its boundary, so
-    * any conforming libm rounds identically. */
+    * boundary — pin that each idf is far (>1e-5 in scaled 4-dp units,
+    * ~11 orders of magnitude beyond a 1-ulp disagreement) from its
+    * boundary, so any conforming libm rounds identically. */
   test("distinct-df idf values sit far from their 4-dp boundaries") {
     val docs = Tables.documents(spark, sfDir)
       .select("text").collect().map(_.getString(0))

@@ -63,14 +63,17 @@ class DedupIncrementalSpec extends SparkSuite {
     assert(stream4 === batch, "4-shard streaming drain != batch witness")
     // a DIFFERENT sharding of the same delta must not change verdicts:
     // 7 shards (uneven, some possibly empty) through the same drain
-    val root = java.nio.file.Files
-      .createTempDirectory("dedupinc_spec").toString + "/in"
-    Tables.documents(spark, sfDir).where(col("doc_id") % 5 === 0)
-      .select(col("doc_id"), col("text")).repartition(7).write.parquet(root)
-    val base = llm.Dedup.incShingled(Tables.documents(spark, sfDir))
-      .where(col("doc_id") % 5 =!= 0).localCheckpoint(true)
-    val stream7 = llm.Dedup.streamIncrementalDrain(spark, root, base)
-      .orderBy(col("doc_id")).collect().toSeq
-    assert(stream7 === batch, "7-shard streaming drain != batch witness")
+    val tmp = java.nio.file.Files.createTempDirectory("dedupinc_spec")
+    try {
+      val root = s"$tmp/in"
+      Tables.documents(spark, sfDir).where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text")).repartition(7)
+        .write.parquet(root)
+      val base = llm.Dedup.incShingled(Tables.documents(spark, sfDir))
+        .where(col("doc_id") % 5 =!= 0).localCheckpoint(true)
+      val stream7 = llm.Dedup.streamIncrementalDrain(spark, root, base)
+        .orderBy(col("doc_id")).collect().toSeq
+      assert(stream7 === batch, "7-shard streaming drain != batch witness")
+    } finally stream.Streams.deleteRec(tmp.toFile)
   }
 }

@@ -56,20 +56,22 @@ class DriftSpec extends SparkSuite {
         .map(r => math.floor(r._5).toLong)
       val n = win.length.toLong
       val num = dNum(win)
-      (s"2024-02-0${d}T00:00", n, num,
-        BigDecimal(num.toDouble / (n.toDouble * nRef.toDouble))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // the query's exact integer HALF_UP rounding (Aggregates
+      // .exactRound6), not a rounded double quotient
+      val den = BigInt(n) * BigInt(nRef)
+      val scaled = (BigInt(2000000) * num + den) / (2 * den)
+      (s"2024-02-0${d}T00:00", n, num, scaled.toDouble / 1000000.0)
     }
 
-    // w_start is timestamp_ntz ⇒ LocalDateTime ("2024-02-01T00:00")
-    val got = SparkEntry.queries("q_stream_drift")(spark, root).collect()
-      .map(r => (r.get(0).toString,
-        r.getLong(2), r.getLong(3), r.getDouble(4)))
-    assert(got.toSeq === expected)
-    // the drifted window must strictly dominate the background one
-    assert(got(1)._4 > 1.5 * got(0)._4,
-      "planted drift did not dominate the statistic")
-
-    stream.Streams.deleteRec(new java.io.File(root))
+    try {
+      // w_start is timestamp_ntz ⇒ LocalDateTime ("2024-02-01T00:00")
+      val got = SparkEntry.queries("q_stream_drift")(spark, root).collect()
+        .map(r => (r.get(0).toString,
+          r.getLong(2), r.getLong(3), r.getDouble(4)))
+      assert(got.toSeq === expected)
+      // the drifted window must strictly dominate the background one
+      assert(got(1)._4 > 1.5 * got(0)._4,
+        "planted drift did not dominate the statistic")
+    } finally stream.Streams.deleteRec(new java.io.File(root))
   }
 }

@@ -26,9 +26,12 @@ class KsSpec extends SparkSuite {
         val k1 = a1.count(_ <= v).toLong
         math.abs(n1 * k0 - n0 * k1)
       }.max
-      et -> ((n0, n1, dNum,
-        BigDecimal(dNum.toDouble / (n0.toDouble * n1.toDouble))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      // the query's exact integer HALF_UP: ⌊(2·10⁶·num + den)/(2·den)⌋
+      // (BigInt / truncates toward zero = floor for positives), then
+      // one exact double division
+      val den = BigInt(n0) * BigInt(n1)
+      val scaled = (BigInt(2000000) * dNum + den) / (2 * den)
+      et -> ((n0, n1, dNum, scaled.toDouble / 1000000.0))
     }
     val got = SparkEntry.queries("q_agg_ks")(spark, sfDir).collect()
       .map(r => r.getString(0) ->
@@ -51,10 +54,10 @@ class KsSpec extends SparkSuite {
       val a1 = rs.filter(_._3 == 1L).map(_._2)
       val u1x2 = (for (x0 <- a0; x1 <- a1) yield
         if (x1 > x0) 2L else if (x1 == x0) 1L else 0L).sum
+      val den = 2 * BigInt(a0.length) * BigInt(a1.length)
+      val scaled = (BigInt(2000000) * u1x2 + den) / (2 * den)
       et -> ((a0.length.toLong, a1.length.toLong, u1x2,
-        BigDecimal(u1x2.toDouble
-          / (2.0 * a0.length.toDouble * a1.length.toDouble))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        scaled.toDouble / 1000000.0))
     }
     val got = SparkEntry.queries("q_agg_mannwhitney")(spark, sfDir)
       .collect()
