@@ -1306,11 +1306,89 @@ object Aggregates {
           FROM ranked GROUP BY 1)
     SELECT r.event_type, n.n0, n.n1, r.r1_x2,
       r.r1_x2 - n.n1 * (n.n1 + 1) AS u1_x2,
-      round(CAST(r.r1_x2 - n.n1 * (n.n1 + 1) AS DOUBLE)
-            / (2.0 * CAST(n.n0 AS DOUBLE) * CAST(n.n1 AS DOUBLE)), 6)
-        AS auc
+      """ + exactRound6Sql("r.r1_x2 - n.n1 * (n.n1 + 1)",
+        "2::HUGEINT * n.n0 * n.n1") + """ AS auc
     FROM r JOIN n ON r.event_type = n.event_type
     ORDER BY r.event_type"""
+
+  /** q_agg_hhi — Herfindahl–Hirschman concentration index per nation:
+    * Σᵢ shareᵢ² over each nation's customers' order-count shares — the
+    * standard market-concentration / data-source-diversity screen (a
+    * training pipeline runs the same statistic over per-domain document
+    * shares to catch a corpus dominated by one source). Exactness: HHI
+    * = Σc² / (Σc)² is emitted as its BIGINT numerator and denominator
+    * root plus ONE [[exactRound6]] — no per-row float. Scale: two
+    * map-side-combined keyed counts (orders → per-customer, then
+    * per-nation moments) and a 25-row broadcast name join; the window
+    * equivalent (share² sum over a partition) is avoided entirely. */
+  private def aggHhi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val oc = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey", $"o_custkey").agg(count(lit(1)).as("c"))
+    val a = oc.groupBy($"c_nationkey").agg(
+      count(lit(1)).as("n_cust"),
+      sum($"c" * $"c").as("num"), sum($"c").as("n"))
+    a.join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), $"n_cust", $"num", $"n",
+        exactRound6($"num",
+          $"n".cast("decimal(19,0)") * $"n".cast("decimal(19,0)"))
+          .as("hhi"))
+      .orderBy($"nation")
+  }
+
+  private val aggHhiSql = """
+    WITH oc AS (SELECT c.c_nationkey AS nationkey, o.o_custkey AS cust,
+            CAST(count(*) AS BIGINT) AS c
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2),
+    a AS (SELECT nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+            CAST(sum(c * c) AS BIGINT) AS num,
+            CAST(sum(c) AS BIGINT) AS n
+          FROM oc GROUP BY 1)
+    SELECT n.n_name AS nation, a.n_cust, a.num, a.n,
+      """ + exactRound6Sql("a.num", "a.n::HUGEINT * a.n") + """ AS hhi
+    FROM a JOIN nation n ON a.nationkey = n.n_nationkey
+    ORDER BY nation"""
+
+  /** q_agg_transition — first-order Markov transition matrix over user
+    * event journeys: P(curr | prev) from each user's (ts, event_id)-
+    * ordered event sequence — the behavioral-analytics staple (funnel
+    * leakage, next-action prediction features, session modeling).
+    * lag() over the user partition pairs consecutive events; counts
+    * and row totals stay BIGINT and the probability is ONE
+    * [[exactRound6]] per matrix cell. Determinism: the lag order is
+    * the total key (ts, event_id). Scale: one user-keyed window over
+    * the corpus (the shuffle every sessionization already pays), a
+    * map-side-combined pair count to ≤ |types|² rows, and a broadcast
+    * row-total join on that tiny matrix. */
+  private def aggTransition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val t = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .where($"prev".isNotNull)
+      .groupBy($"prev", $"event_type".as("curr"))
+      .agg(count(lit(1)).as("c"))
+    val r = t.groupBy($"prev").agg(sum($"c").as("n"))
+    t.join(broadcast(r), "prev")
+      .select($"prev", $"curr", $"c", $"n", exactRound6($"c", $"n").as("p"))
+      .orderBy($"prev", $"curr")
+  }
+
+  private val aggTransitionSql = """
+    WITH seq AS (SELECT user_id, event_type, lag(event_type) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+    t AS (SELECT prev, event_type AS curr, CAST(count(*) AS BIGINT) AS c
+          FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT prev, CAST(sum(c) AS BIGINT) AS n FROM t GROUP BY 1)
+    SELECT t.prev, t.curr, t.c, r.n,
+      """ + exactRound6Sql("t.c", "r.n") + """ AS p
+    FROM t JOIN r ON t.prev = r.prev ORDER BY t.prev, t.curr"""
 
   private def aggChisq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1408,6 +1486,8 @@ object Aggregates {
   val all: Seq[streamline.Q] = Seq(
     streamline.Q("q_agg_ks", aggKs _, aggKsSql),
     streamline.Q("q_agg_mannwhitney", aggMannWhitney _, aggMannWhitneySql),
+    streamline.Q("q_agg_hhi", aggHhi _, aggHhiSql),
+    streamline.Q("q_agg_transition", aggTransition _, aggTransitionSql),
     streamline.Q("q_agg_chisq", aggChisq _, aggChisqSql),
     streamline.Q("q_agg_benford", aggBenford _, aggBenfordSql),
     streamline.Q("q_agg_hist", aggHist _, aggHistSql),

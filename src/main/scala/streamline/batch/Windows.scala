@@ -667,6 +667,101 @@ object Windows {
       max(conc) AS peak, CAST(count(*) AS BIGINT) AS n_bounds
     FROM c GROUP BY 1, 2 ORDER BY event_type, day"""
 
+  /** q_win_streak — longest consecutive-day activity streak per user:
+    * the gaps-and-islands idiom (engagement / retention staple — "N-day
+    * streak" badges, churn features). Island key = day_index −
+    * row_number() over the user's DISTINCT active days: consecutive
+    * days share it, any gap shifts it — no recursion, no self-join.
+    * Output per user: longest streak, total active days, number of
+    * islands. All-integer arithmetic, hash-exact by construction.
+    * Scale: one distinct over (user, day) (map-side combined — the
+    * dedup collapses the corpus to ≤ users×days rows), one user-keyed
+    * window, two keyed rollups; no global window, no shuffle beyond
+    * the user hash. */
+  private def winStreak(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    Tables.events(spark, dir)
+      .select($"user_id", to_date(date_trunc("day", $"ts")).as("day"))
+      .distinct()
+      // epoch anchor is arbitrary: only DIFFERENCES of the island key
+      // matter, and datediff is exact integer day arithmetic
+      .withColumn("grp",
+        datediff($"day", lit("2020-01-01")).cast("long")
+          - row_number().over(w))
+      .groupBy($"user_id", $"grp").agg(count(lit(1)).as("len"))
+      .groupBy($"user_id").agg(max($"len").as("max_streak"),
+        sum($"len").as("active_days"), count(lit(1)).as("n_streaks"))
+      .orderBy($"user_id")
+  }
+
+  private val winStreakSql = """
+    WITH d AS (SELECT DISTINCT user_id,
+                 CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+    i AS (SELECT user_id, day,
+            CAST(date_diff('day', DATE '2020-01-01', day) AS BIGINT)
+              - row_number() OVER (PARTITION BY user_id ORDER BY day)
+              AS grp
+          FROM d),
+    s AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+          FROM i GROUP BY 1, 2)
+    SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak,
+      CAST(sum(len) AS BIGINT) AS active_days,
+      CAST(count(*) AS BIGINT) AS n_streaks
+    FROM s GROUP BY 1 ORDER BY user_id"""
+
+  /** q_win_drawdown — maximum drawdown of a keyed cumulative series
+    * (the risk/monitoring staple: how far below its running peak has
+    * the series fallen). Series = per event_type the DAILY signed
+    * balance between the two user arms (count(arm 0) − count(arm 1)) —
+    * a genuine integer random walk, so the whole pipeline (daily
+    * delta, running sum, running max, peak − cum) stays BIGINT: exact
+    * on any engine, no float accumulation story at all (the
+    * q_win_cusum double-cumsum lesson applied by construction).
+    * Output per key: max drawdown, final peak, days, #days at peak.
+    * Scale: the corpus passes ONE map-side-combined daily count; both
+    * windows and the rollup run on the types×days table (bounded —
+    * days grow with time, not data volume). The per-type window
+    * serialization is over that tiny table, never the corpus. */
+  private def winDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val day = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
+      .agg((count(when($"user_id" % 2 === 0, 1))
+        - count(when($"user_id" % 2 === 1, 1))).as("delta"))
+    val byDay = Window.partitionBy($"event_type").orderBy($"day")
+    day.withColumn("cum", sum($"delta").over(byDay))
+      .withColumn("peak", max($"cum").over(byDay))
+      .groupBy($"event_type").agg(
+        max($"peak" - $"cum").as("max_drawdown"),
+        max($"peak").as("peak"),
+        count(lit(1)).as("n_days"),
+        sum(when($"cum" === $"peak", 1L).otherwise(0L)).as("n_at_peak"))
+      .orderBy($"event_type")
+  }
+
+  private val winDrawdownSql = """
+    WITH day AS (SELECT event_type,
+            CAST(date_trunc('day', ts) AS DATE) AS day,
+            CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+              - CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT)
+              AS delta
+          FROM events GROUP BY 1, 2),
+    c AS (SELECT event_type, day, delta,
+            CAST(sum(delta) OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS cum
+          FROM day),
+    p AS (SELECT event_type, day, cum,
+            CAST(max(cum) OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS peak
+          FROM c)
+    SELECT event_type, CAST(max(peak - cum) AS BIGINT) AS max_drawdown,
+      CAST(max(peak) AS BIGINT) AS peak,
+      CAST(count(*) AS BIGINT) AS n_days,
+      CAST(sum(CASE WHEN cum = peak THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_at_peak
+    FROM p GROUP BY 1 ORDER BY event_type"""
+
   /** q_win_ts_match — time-series similarity search (the UCR-suite /
     * matrix-profile primitive, after "Time Series Similarity Search
     * for Streaming Data in Distributed Systems", EDBT 2019): find the
@@ -844,6 +939,8 @@ object Windows {
   val all: Seq[Q] = Seq(
     Q("q_win_cusum", winCusum _, winCusumSql),
     Q("q_win_concurrency", winConcurrency _, winConcurrencySql),
+    Q("q_win_streak", winStreak _, winStreakSql),
+    Q("q_win_drawdown", winDrawdown _, winDrawdownSql),
     Q("q_win_distinct_sliding", winDistinctSliding _,
       winDistinctSlidingSql),
     Q("q_win_resample", winResample _, winResampleSql),

@@ -44,7 +44,11 @@ class ScalingCurveSpec extends SparkSuite {
     "q_agg_ks", "q_agg_mannwhitney",
     // r15: the sweep-line profile is 2 rows/event through one keyed
     // sort — the linear witness for the boundary-explode shape
-    "q_win_concurrency")
+    "q_win_concurrency",
+    // r15: streak/transition are one user-keyed window + keyed
+    // rollups; drawdown/hhi collapse the corpus in one map-side
+    // combined count before any window/join — all must read linear
+    "q_win_streak", "q_win_drawdown", "q_agg_hhi", "q_agg_transition")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
