@@ -1182,14 +1182,18 @@ object Aggregates {
   private def armPointTables(spark: SparkSession,
                              dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val s = Tables.events(spark, dir)
+    val pts = Tables.events(spark, dir)
       .select($"event_type", $"value", ($"user_id" % 2).as("arm"))
-    val n = s.groupBy($"event_type").agg(
-      count(when($"arm" === 0, 1)).as("n0"),
-      count(when($"arm" === 1, 1)).as("n1"))
-    val pts = s.groupBy($"event_type", $"value").agg(
-      count(when($"arm" === 0, 1)).as("c0"),
-      count(when($"arm" === 1, 1)).as("c1"))
+      .groupBy($"event_type", $"value").agg(
+        count(when($"arm" === 0, 1)).as("c0"),
+        count(when($"arm" === 1, 1)).as("c1"))
+      .localCheckpoint(true)
+    // arm sizes roll up FROM the point table (n0 = Σc0 per group) — a
+    // second tiny aggregate, NOT a second corpus scan; without the
+    // checkpoint both consumers would re-execute the corpus count
+    // (Spark plans DAG branches independently), doubling 100 TB IO.
+    val n = pts.groupBy($"event_type").agg(
+      sum($"c0").as("n0"), sum($"c1").as("n1"))
     (n, pts)
   }
 
@@ -1373,8 +1377,10 @@ object Aggregates {
       .where($"prev".isNotNull)
       .groupBy($"prev", $"event_type".as("curr"))
       .agg(count(lit(1)).as("c"))
-    val r = t.groupBy($"prev").agg(sum($"c").as("n"))
-    t.join(broadcast(r), "prev")
+    // row totals as an unordered window over the ALREADY-aggregated
+    // ≤ |types|² matrix — a self-join on a derived total would plan
+    // the corpus lag window TWICE (DAG branches re-execute)
+    t.withColumn("n", sum($"c").over(Window.partitionBy($"prev")))
       .select($"prev", $"curr", $"c", $"n", exactRound6($"c", $"n").as("p"))
       .orderBy($"prev", $"curr")
   }
