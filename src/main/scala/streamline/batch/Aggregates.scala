@@ -1399,11 +1399,14 @@ object Aggregates {
   private def aggChisq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(spark, dir)
-    val cell = ev
+    val cell = Tables.events(spark, dir)
       .groupBy($"event_type", ($"user_id" % 4).as("arm"))
       .agg(count(lit(1)).as("obs"))
-    val tot = ev.agg(count(lit(1)).cast("double").as("n"))
+      .localCheckpoint(true)
+    // grand total rolls up FROM the checkpointed cell table — deriving
+    // it from the raw events would plan the corpus count in a second
+    // DAG branch (r15 plan-audit class), doubling 100 TB IO
+    val tot = cell.agg(sum($"obs").cast("double").as("n"))
     val rt = sum($"obs").over(Window.partitionBy($"event_type"))
       .cast("double")
     val ct = sum($"obs").over(Window.partitionBy($"arm")).cast("double")
@@ -1449,12 +1452,15 @@ object Aggregates {
     * q_agg_chisq discipline. Scale: one map-side-combined count. */
   private def aggBenford(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ord = Tables.orders(spark, dir)
-    val cnt = ord
+    val cnt = Tables.orders(spark, dir)
       .select(substring($"o_totalprice".cast("decimal(12,2)")
         .cast("string"), 1, 1).cast("bigint").as("digit"))
       .groupBy($"digit").agg(count(lit(1)).as("cnt"))
-    val tot = ord.agg(count(lit(1)).cast("double").as("n"))
+      .localCheckpoint(true)
+    // every positive price has a leading digit 1-9, so the corpus total
+    // IS the digit-table sum — rolled up from the checkpointed ≤9-row
+    // table, not a second corpus scan (r15 plan-audit class)
+    val tot = cnt.agg(sum($"cnt").cast("double").as("n"))
     val spine = Seq(
       1L -> 0.3010299956639812, 2L -> 0.17609125905568124,
       3L -> 0.12493873660829992, 4L -> 0.09691001300805642,

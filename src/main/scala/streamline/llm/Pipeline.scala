@@ -384,6 +384,7 @@ object Pipeline {
       .agg(count(lit(1)).as("n"))
       .withColumn("wt",
         substring($"source", 4, 10).cast("long") % 4 + 1)
+      .localCheckpoint(true) // totals + rates both read it: one corpus pass
     val tot = w.agg(sum($"n").as("n_tot"), sum($"wt").as("wt_tot"))
     val rates = w.crossJoin(broadcast(tot))
       .withColumn("rate",
@@ -631,6 +632,10 @@ object Pipeline {
       .withColumn("u",
         (round(sqrt($"n".cast("double")), 6).cast("decimal(18,6)") *
           lit(1000000)).cast("long"))
+      // four DAG branches read w (per-lang quota, its total, the
+      // leftover count and the fill) — checkpoint or each re-plans the
+      // corpus groupBy (r15 plan-audit class)
+      .localCheckpoint(true)
     val withTot = w.crossJoin(broadcast(w.agg(sum($"u").as("ut"))))
       .withColumn("base", expr(s"($budget * u) div ut"))
       .withColumn("rem", expr(s"($budget * u) % ut"))

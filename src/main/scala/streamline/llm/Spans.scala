@@ -149,12 +149,17 @@ object Spans {
   private def pmi(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Tables.documents(spark, dir).select($"doc_id", $"text")
+    // checkpoint both count tables: uni feeds THREE consumers (total +
+    // two marginal joins) and biAll two (pair filter + total) — without
+    // it each DAG branch re-explodes the corpus (r15 plan-audit class)
     val uni = w.select(explode(split($"text", " ")).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val biAll = w.select(explode(kgrams($"text", 2)).as("g"))
       .select(split($"g", " ").as("ab"))
       .select($"ab".getItem(0).as("a"), $"ab".getItem(1).as("b"))
       .groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+      .localCheckpoint(true)
     val bi = biAll.where($"cab" >= 5)
     // nbi = TOTAL bigram positions (pre-filter) — the probability
     // denominator; the min-count filter only gates which pairs report.
