@@ -1396,6 +1396,60 @@ object Aggregates {
       """ + exactRound6Sql("t.c", "r.n") + """ AS p
     FROM t JOIN r ON t.prev = r.prev ORDER BY t.prev, t.curr"""
 
+  /** q_agg_lift — decile lift table (the model-evaluation staple:
+    * rank the population by a score, cut into ten equal buckets, and
+    * report each bucket's outcome rate against the base rate).
+    * Score = per-user event count, outcome = the user ever purchased.
+    * Exactness: counts stay BIGINT; conv = n_conv/n_users and
+    * lift = (n_conv·N)/(n_users·C) are exact rationals through ONE
+    * [[exactRound6]] each (lift can exceed 1 — its scaled integer
+    * stays double-exact up to lift ≤ 2⁵³/10⁶, far past any real lift).
+    * ntile ties broken on the total (score DESC, user_id ASC) key —
+    * identical bucket assignment both engines. Scale: the ranked table
+    * is the per-USER aggregate, not the corpus; the global ntile sort
+    * is the documented exactness baseline — a 100 TB deployment cuts
+    * on approx_percentile score boundaries instead (the
+    * dedup_embed / dedup_embed_lsh split applied to ranking). */
+  private def aggLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("score"),
+        // high-value purchase, not any purchase — every user purchases
+        // eventually, which would make every decile's rate 1.0
+        max(when($"event_type" === "purchase" && $"value" > 95, 1L)
+          .otherwise(0L)).as("conv"))
+    // ntile is INT in Spark, BIGINT in DuckDB — cast for the compare
+    val d = u.withColumn("decile", ntile(10).over(
+      Window.orderBy($"score".desc, $"user_id".asc)).cast("long"))
+    val a = d.groupBy($"decile").agg(count(lit(1)).as("n_users"),
+      sum($"conv").as("n_conv"))
+      .localCheckpoint(true) // totals read it too: one pass (r15 class)
+    val t = a.agg(sum($"n_users").as("nu"), sum($"n_conv").as("nc"))
+    a.crossJoin(broadcast(t))
+      .select($"decile", $"n_users", $"n_conv",
+        exactRound6($"n_conv", $"n_users").as("conv_rate"),
+        exactRound6($"n_conv" * $"nu", $"n_users" * $"nc").as("lift"))
+      .orderBy($"decile")
+  }
+
+  private val aggLiftSql = """
+    WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+            CAST(max(CASE WHEN event_type = 'purchase' AND value > 95
+              THEN 1 ELSE 0 END) AS BIGINT) AS conv
+          FROM events GROUP BY 1),
+    d AS (SELECT user_id, score, conv, ntile(10) OVER
+            (ORDER BY score DESC, user_id ASC) AS decile FROM u),
+    a AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+            CAST(sum(conv) AS BIGINT) AS n_conv FROM d GROUP BY 1),
+    t AS (SELECT CAST(sum(n_users) AS BIGINT) AS nu,
+            CAST(sum(n_conv) AS BIGINT) AS nc FROM a)
+    SELECT a.decile, a.n_users, a.n_conv,
+      """ + exactRound6Sql("a.n_conv", "a.n_users") + """ AS conv_rate,
+      """ + exactRound6Sql("a.n_conv * t.nu", "a.n_users * t.nc") + """
+        AS lift
+    FROM a, t ORDER BY a.decile"""
+
   private def aggChisq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1500,6 +1554,7 @@ object Aggregates {
     streamline.Q("q_agg_mannwhitney", aggMannWhitney _, aggMannWhitneySql),
     streamline.Q("q_agg_hhi", aggHhi _, aggHhiSql),
     streamline.Q("q_agg_transition", aggTransition _, aggTransitionSql),
+    streamline.Q("q_agg_lift", aggLift _, aggLiftSql),
     streamline.Q("q_agg_chisq", aggChisq _, aggChisqSql),
     streamline.Q("q_agg_benford", aggBenford _, aggBenfordSql),
     streamline.Q("q_agg_hist", aggHist _, aggHistSql),

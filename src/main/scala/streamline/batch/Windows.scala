@@ -762,6 +762,72 @@ object Windows {
         AS n_at_peak
     FROM p GROUP BY 1 ORDER BY event_type"""
 
+  /** q_win_pareto — revenue-concentration (Pareto / "80-20") profile
+    * per nation: the smallest number of customers covering ≥ 80% of
+    * order value, plus the top-customer share — the concentration
+    * diagnostic every revenue/usage dashboard carries (and, over
+    * per-source token counts, the corpus-concentration screen of a
+    * data pipeline). Exactness: money is held in CENTS
+    * (round(price·100) BIGINT — the q_agg_hist double→cents
+    * discipline), the curve is a keyed cumsum over the per-customer
+    * spend table on the total (cents DESC, cust ASC) key, the 80%
+    * test is the INTEGER cross-multiplication 5·cum ≥ 4·total (no
+    * percentage float), and the top-1 share is one exactRound6.
+    * Scale: corpus → per-(nation, customer) keyed agg (map-side
+    * combined), windows run nation-keyed over the customer-count-sized
+    * spend table, 25-row broadcast name join. */
+  private def winPareto(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spend = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey", $"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("bigint")).as("cents"))
+    val byNation = Window.partitionBy($"c_nationkey")
+    val ranked = spend.select($"c_nationkey", $"cents",
+      row_number().over(byNation.orderBy($"cents".desc, $"o_custkey".asc))
+        .as("rk"),
+      sum($"cents").over(byNation.orderBy($"cents".desc, $"o_custkey".asc))
+        .as("cum"),
+      sum($"cents").over(byNation).as("tot"),
+      count(lit(1)).over(byNation).as("n_cust"),
+      max($"cents").over(byNation).as("top1"))
+    ranked.where($"cum" * 5 >= $"tot" * 4)
+      .groupBy($"c_nationkey")
+      .agg(min($"rk").cast("long").as("k80"), max($"n_cust").as("n_cust"),
+        max($"tot").as("tot_cents"), max($"top1").as("top1_cents"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), $"n_cust", $"k80", $"tot_cents",
+        Aggregates.exactRound6($"top1_cents", $"tot_cents")
+          .as("top1_share"))
+      .orderBy($"nation")
+  }
+
+  private val winParetoSql = """
+    WITH spend AS (SELECT c.c_nationkey AS nk, o.o_custkey AS cust,
+            CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2),
+    r AS (SELECT nk, cents,
+            row_number() OVER (PARTITION BY nk
+              ORDER BY cents DESC, cust ASC) AS rk,
+            CAST(sum(cents) OVER (PARTITION BY nk
+              ORDER BY cents DESC, cust ASC) AS BIGINT) AS cum,
+            CAST(sum(cents) OVER (PARTITION BY nk) AS BIGINT) AS tot,
+            CAST(count(*) OVER (PARTITION BY nk) AS BIGINT) AS n_cust,
+            CAST(max(cents) OVER (PARTITION BY nk) AS BIGINT) AS top1
+          FROM spend),
+    a AS (SELECT nk, CAST(min(rk) AS BIGINT) AS k80,
+            max(n_cust) AS n_cust, max(tot) AS tot_cents,
+            max(top1) AS top1
+          FROM r WHERE cum * 5 >= tot * 4 GROUP BY 1)
+    SELECT n.n_name AS nation, a.n_cust, a.k80, a.tot_cents,
+      """ + Aggregates.exactRound6Sql("a.top1", "a.tot_cents") + """
+        AS top1_share
+    FROM a JOIN nation n ON a.nk = n.n_nationkey
+    ORDER BY nation"""
+
   /** q_win_ts_match — time-series similarity search (the UCR-suite /
     * matrix-profile primitive, after "Time Series Similarity Search
     * for Streaming Data in Distributed Systems", EDBT 2019): find the
@@ -941,6 +1007,7 @@ object Windows {
     Q("q_win_concurrency", winConcurrency _, winConcurrencySql),
     Q("q_win_streak", winStreak _, winStreakSql),
     Q("q_win_drawdown", winDrawdown _, winDrawdownSql),
+    Q("q_win_pareto", winPareto _, winParetoSql),
     Q("q_win_distinct_sliding", winDistinctSliding _,
       winDistinctSlidingSql),
     Q("q_win_resample", winResample _, winResampleSql),

@@ -136,4 +136,30 @@ class PropertySpec extends SparkSuite {
         Simhash.simhash64(words)) == 0)
     }
   }
+
+  test("property: the exactRound6 formula IS 6-dp HALF_UP on rationals") {
+    // ⌊(2·10⁶·num + den)/(2·den)⌋ — the integer form every r15 ratio
+    // output uses (Aggregates.exactRound6, its DuckDB mirror, and the
+    // spec brute forces) — must equal BigDecimal HALF_UP rounding of
+    // the exact rational num/den for ANY num, den ≥ 1, including exact
+    // x.xxxxxx5 ties (where engine double images straddle).
+    val rnd = new scala.util.Random(7)
+    val cases = Seq.newBuilder[(BigInt, BigInt)]
+    for (_ <- 1 to 2000) {
+      val den = BigInt(rnd.nextLong(1000000000000L) + 1)
+      cases += ((den * rnd.nextInt(1000) / 1000 +
+        BigInt(rnd.nextLong(1000000)), den))
+    }
+    // adversarial exact ties: num/den = k/2·10⁻⁶ with odd k
+    for (k <- Seq(1L, 3L, 999999L, 1999999L); den <- Seq(2000000L, 4000000L))
+      cases += ((BigInt(k) * den / 2000000, BigInt(den)))
+    cases.result().foreach { case (num0, den) =>
+      val num = num0.min(den * 10) // keep within the documented range
+      val scaled = (BigInt(2000000) * num + den) / (2 * den)
+      val ref = (BigDecimal(num) / BigDecimal(den))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(BigDecimal(scaled, 6) == ref,
+        s"num=$num den=$den: formula=${BigDecimal(scaled, 6)} ref=$ref")
+    }
+  }
 }

@@ -48,7 +48,11 @@ class ScalingCurveSpec extends SparkSuite {
     // r15: streak/transition are one user-keyed window + keyed
     // rollups; drawdown/hhi collapse the corpus in one map-side
     // combined count before any window/join — all must read linear
-    "q_win_streak", "q_win_drawdown", "q_agg_hhi", "q_agg_transition")
+    "q_win_streak", "q_win_drawdown", "q_agg_hhi", "q_agg_transition",
+    // r15: pareto's windows run over the per-customer spend table and
+    // lift's ntile over the per-user table — both corpus passes are
+    // one keyed agg; linear, with the aggregate tables growing 16×
+    "q_win_pareto", "q_agg_lift")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
