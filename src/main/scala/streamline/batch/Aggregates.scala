@@ -1450,6 +1450,72 @@ object Aggregates {
         AS lift
     FROM a, t ORDER BY a.decile"""
 
+  /** q_agg_basket — association-rule mining over order baskets (the
+    * market-basket / "frequently bought together" staple; Apriori's
+    * pairwise core): top-20 part pairs by co-occurrence support, with
+    * confidence(p1→p2) = n12/n1 and lift = n12·N/(n1·n2) against the
+    * N-basket base rate. Exactness: counts BIGINT, conf/lift exact
+    * rationals through one [[exactRound6]] each, cross-products
+    * carried in DECIMAL(38)/HUGEINT so n12·N can't overflow a long at
+    * 100 TB basket counts; top-20 on the total (n12 DESC, p1, p2) key.
+    * Scale: ONE corpus shuffle to the per-order distinct part-SET
+    * table (checkpointed — pairs/items/basket-count all read it, and
+    * DAG branches re-execute their lineage, the r15 plan-audit
+    * class); pairs explode map-side as i<j combinations of each
+    * sorted set — bounded by basket size² per order, never a second
+    * corpus join side (a bp-self-join spelling measured 2× slower at
+    * sf0.1); item counts attach to the 20 SELECTED rows, not to the
+    * full pair table. (A 100 TB run would add a min-support prune —
+    * frequent-item semi-join — before pairing; top-k subsumes it.) */
+  private def aggBasket(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // one corpus shuffle to the per-order distinct part-set table;
+    // pairs explode MAP-SIDE from the sorted set (i<j combinations),
+    // so no second corpus-sized join side and no bp self-join shuffle
+    val baskets = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      .select($"ps").localCheckpoint(true)
+    val n = baskets.agg(count(lit(1)).as("baskets"))
+    val item = baskets.select(explode($"ps").as("p"))
+      .groupBy($"p").agg(count(lit(1)).as("n1"))
+    val pairs = baskets
+      .select(explode(flatten(transform($"ps", (x, i) =>
+        transform(slice($"ps", i + 2, size($"ps")),
+          y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
+      .groupBy($"pr.p1".as("p1"), $"pr.p2".as("p2"))
+      .agg(count(lit(1)).as("n12"))
+    val top = pairs
+      .orderBy($"n12".desc, $"p1".asc, $"p2".asc).limit(20)
+    top
+      .join(item.select($"p".as("jp1"), $"n1".as("n_p1")),
+        $"p1" === $"jp1")
+      .join(item.select($"p".as("jp2"), $"n1".as("n_p2")),
+        $"p2" === $"jp2")
+      .crossJoin(broadcast(n))
+      .select($"p1", $"p2", $"n12", $"n_p1", $"n_p2", $"baskets",
+        exactRound6($"n12", $"n_p1").as("conf"),
+        exactRound6($"n12".cast("decimal(19,0)") * $"baskets",
+          $"n_p1".cast("decimal(19,0)") * $"n_p2").as("lift"))
+      .orderBy($"n12".desc, $"p1".asc, $"p2".asc)
+  }
+
+  private val aggBasketSql = """
+    WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS baskets FROM bp),
+    item AS (SELECT p, CAST(count(*) AS BIGINT) AS n1 FROM bp GROUP BY 1),
+    pair AS (SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS n12
+          FROM bp a JOIN bp b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+    top AS (SELECT p1, p2, n12 FROM pair
+          ORDER BY n12 DESC, p1 ASC, p2 ASC LIMIT 20)
+    SELECT t.p1, t.p2, t.n12, i1.n1 AS n_p1, i2.n1 AS n_p2, n.baskets,
+      """ + exactRound6Sql("t.n12", "i1.n1") + """ AS conf,
+      """ + exactRound6Sql("t.n12::HUGEINT * n.baskets",
+        "i1.n1::HUGEINT * i2.n1") + """ AS lift
+    FROM top t JOIN item i1 ON t.p1 = i1.p JOIN item i2 ON t.p2 = i2.p, n
+    ORDER BY t.n12 DESC, t.p1 ASC, t.p2 ASC"""
+
   private def aggChisq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1555,6 +1621,7 @@ object Aggregates {
     streamline.Q("q_agg_hhi", aggHhi _, aggHhiSql),
     streamline.Q("q_agg_transition", aggTransition _, aggTransitionSql),
     streamline.Q("q_agg_lift", aggLift _, aggLiftSql),
+    streamline.Q("q_agg_basket", aggBasket _, aggBasketSql),
     streamline.Q("q_agg_chisq", aggChisq _, aggChisqSql),
     streamline.Q("q_agg_benford", aggBenford _, aggBenfordSql),
     streamline.Q("q_agg_hist", aggHist _, aggHistSql),

@@ -762,6 +762,165 @@ object Windows {
         AS n_at_peak
     FROM p GROUP BY 1 ORDER BY event_type"""
 
+  /** q_win_zscore — rolling z-score anomaly flags: a reading is an
+    * outlier when it sits more than 3σ from the mean of its user's
+    * TRAILING 20 readings (current row excluded — detection against
+    * the prior baseline, the proper anomaly form; warmup rows with a
+    * short window are skipped). Exactness: values scaled to integer
+    * 1e-4 units (the cents discipline), and the 3σ test is the pure
+    * INTEGER cross-multiplication (n·v − s)² > 9·(n·q − s²) — both
+    * sides of the inequality multiplied through by n², so no float
+    * mean, no float variance, no sqrt; every output column is BIGINT
+    * and hash-exact. Scale: one user-keyed shuffle + per-partition
+    * sort; count/sum/sum-of-squares share the single ROWS frame
+    * (O(1) sliding state each); at 100 TB magnitudes the three
+    * moments carry in DECIMAL(38) with the identical inequality. */
+  private def winZscore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts",
+        round($"value" * 10000).cast("bigint").as("v"))
+    val fr = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc).rowsBetween(-20, -1)
+    val w = v.select($"user_id", $"event_id", $"v",
+      count(lit(1)).over(fr).as("n"),
+      sum($"v").over(fr).as("s"),
+      sum($"v" * $"v").over(fr).as("q"))
+    val dev2 = ($"n" * $"v" - $"s") * ($"n" * $"v" - $"s")
+    val var9 = lit(9L) * ($"n" * $"q" - $"s" * $"s")
+    w.where($"n" === 20 && dev2 > var9)
+      .select($"user_id", $"event_id", $"v", $"n", $"s",
+        dev2.as("dev2n2"), var9.as("var9n2"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val winZscoreSql = """
+    WITH v AS (SELECT user_id, event_id, ts,
+        CAST(round(value * 10000) AS BIGINT) AS v
+      FROM events),
+    w AS (SELECT user_id, event_id, v,
+        CAST(count(*) OVER fr AS BIGINT) AS n,
+        CAST(sum(v) OVER fr AS BIGINT) AS s,
+        CAST(sum(v * v) OVER fr AS BIGINT) AS q
+      FROM v
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id, v, n, s,
+      CAST((n*v - s)*(n*v - s) AS BIGINT) AS dev2n2,
+      CAST(9*(n*q - s*s) AS BIGINT) AS var9n2
+    FROM w WHERE n = 20 AND (n*v - s)*(n*v - s) > 9*(n*q - s*s)
+    ORDER BY user_id, event_id"""
+
+  /** q_win_pop — period-over-period growth (the WoW dashboard staple):
+    * weekly event counts per type, each week's delta and growth ratio
+    * against the PREVIOUS OBSERVED week (a gap compares across it —
+    * the "vs last period with data" reading). Exactness: counts
+    * BIGINT, delta signed BIGINT, ratio cur/prev an exact rational
+    * through one [[Aggregates.exactRound6]] (counts are positive so
+    * the scaled-integer HALF_UP never sees a negative); week numbering
+    * floor()s the IEEE-identical micros division (r9 discipline).
+    * Scale: ONE corpus pass to the (type, week) count table — the lag
+    * window runs over that bounded table, keyed by type. */
+  private def winPop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wk = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        floor(unix_micros($"ts").cast("double") / lit(604800000000.0))
+          .cast("long").as("week"))
+      .agg(count(lit(1)).as("c"))
+    val l = wk.withColumn("prev", lag($"c", 1).over(
+      Window.partitionBy($"event_type").orderBy($"week".asc)))
+    l.where($"prev".isNotNull)
+      .select($"event_type", $"week", $"c", $"prev",
+        ($"c" - $"prev").as("delta"),
+        Aggregates.exactRound6($"c", $"prev").as("ratio"))
+      .orderBy($"event_type", $"week")
+  }
+
+  private val winPopSql = """
+    WITH wk AS (SELECT event_type,
+        CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 604800000000.0)
+          AS BIGINT) AS week,
+        CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    l AS (SELECT event_type, week, c,
+        lag(c) OVER (PARTITION BY event_type ORDER BY week) AS prev
+      FROM wk)
+    SELECT event_type, week, c, prev, CAST(c - prev AS BIGINT) AS delta,
+      """ + Aggregates.exactRound6Sql("c", "prev") + """ AS ratio
+    FROM l WHERE prev IS NOT NULL ORDER BY event_type, week"""
+
+  /** q_win_rfm — RFM (recency / frequency / monetary) customer
+    * segmentation, the canonical CRM scoring scheme: per customer,
+    * days since last order, order count, and lifetime spend; each
+    * dimension quintile-scored 1–5 (5 = most recent / most frequent /
+    * highest spend) and the population profiled per (r,f,m) segment.
+    * Exactness: money in CENTS (round(price·100) BIGINT), recency as
+    * an integer day diff from the data-derived anchor (global max
+    * order date — no wall clock), and ntile ties broken by custkey so
+    * every score is a pure function of the sort key; outputs are all
+    * BIGINTs — nothing floats. Scale: corpus → per-(nation, customer)
+    * keyed agg (map-side combined); the three score windows partition
+    * by NATION (within-market quintiles), so no window is a single
+    * global partition — the documented exactness baseline; a 100 TB
+    * deployment with billions of customers per market cuts on
+    * approx_percentile boundaries instead. Anchor is a 1-row broadcast. */
+  private def winRfm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey", $"o_custkey")
+      .agg(max($"o_orderdate").as("last_d"),
+        count(lit(1)).as("freq"),
+        sum(round($"o_totalprice" * 100).cast("bigint")).as("cents"))
+    val anchor = per.agg(max($"last_d").as("mx"))
+    val byN = Window.partitionBy($"c_nationkey")
+    val scored = per.crossJoin(broadcast(anchor))
+      .select(
+        datediff(to_date($"mx"), to_date($"last_d")).cast("long")
+          .as("rec_days"),
+        $"freq", $"cents",
+        ntile(5).over(byN.orderBy($"last_d".desc, $"o_custkey".asc))
+          .cast("long").as("r_score"),
+        ntile(5).over(byN.orderBy($"freq".desc, $"o_custkey".asc))
+          .cast("long").as("f_score"),
+        ntile(5).over(byN.orderBy($"cents".desc, $"o_custkey".asc))
+          .cast("long").as("m_score"))
+    scored.groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_cust"), sum($"cents").as("tot_cents"),
+        min($"rec_days").as("min_rec_days"),
+        max($"freq").cast("long").as("max_freq"))
+      .orderBy($"r_score", $"f_score", $"m_score")
+  }
+
+  private val winRfmSql = """
+    WITH per AS (
+      SELECT c.c_nationkey AS nk, o.o_custkey AS cust,
+        max(o.o_orderdate) AS last_d,
+        CAST(count(*) AS BIGINT) AS freq,
+        CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+          AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    anchor AS (SELECT max(last_d) AS mx FROM per),
+    scored AS (
+      SELECT CAST(datediff('day', CAST(last_d AS DATE),
+          CAST((SELECT mx FROM anchor) AS DATE)) AS BIGINT) AS rec_days,
+        freq, cents,
+        CAST(ntile(5) OVER (PARTITION BY nk
+          ORDER BY last_d DESC, cust ASC) AS BIGINT) AS r_score,
+        CAST(ntile(5) OVER (PARTITION BY nk
+          ORDER BY freq DESC, cust ASC) AS BIGINT) AS f_score,
+        CAST(ntile(5) OVER (PARTITION BY nk
+          ORDER BY cents DESC, cust ASC) AS BIGINT) AS m_score
+      FROM per)
+    SELECT r_score, f_score, m_score,
+      CAST(count(*) AS BIGINT) AS n_cust,
+      CAST(sum(cents) AS BIGINT) AS tot_cents,
+      CAST(min(rec_days) AS BIGINT) AS min_rec_days,
+      CAST(max(freq) AS BIGINT) AS max_freq
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
   /** q_win_pareto — revenue-concentration (Pareto / "80-20") profile
     * per nation: the smallest number of customers covering ≥ 80% of
     * order value, plus the top-customer share — the concentration
@@ -1008,6 +1167,9 @@ object Windows {
     Q("q_win_streak", winStreak _, winStreakSql),
     Q("q_win_drawdown", winDrawdown _, winDrawdownSql),
     Q("q_win_pareto", winPareto _, winParetoSql),
+    Q("q_win_rfm", winRfm _, winRfmSql),
+    Q("q_win_zscore", winZscore _, winZscoreSql),
+    Q("q_win_pop", winPop _, winPopSql),
     Q("q_win_distinct_sliding", winDistinctSliding _,
       winDistinctSlidingSql),
     Q("q_win_resample", winResample _, winResampleSql),

@@ -438,6 +438,71 @@ object Text {
     SELECT rk, doc_id, len, n_hit, score FROM ranked
     WHERE rk <= 10 ORDER BY rk"""
 
+  /** q_llm_heaps — Heaps'-law vocabulary growth curve: cumulative
+    * distinct-vocabulary size vs cumulative token count as the corpus
+    * is consumed in doc_id order, at BOTH gram orders (unigrams and
+    * bigrams) — the corpus-diversity diagnostic (a saturating curve
+    * flags a stale/duplicated crawl; V ≈ K·Nᵝ is the published law).
+    * A token never contains a space (space-split), so gram order =
+    * its space count + 1 and both orders travel one explode.
+    * Exactness: pure integer counting — token cumsum and
+    * first-occurrence ("new vocab") cumsum are BIGINT end to end.
+    * Scale: ONE corpus pass to the (gram, doc) count table
+    * (checkpointed — per-doc totals AND first-doc both read it, and
+    * DAG branches re-execute lineage, the r15 plan-audit class);
+    * first occurrence is a keyed min over grams; the two cumsum
+    * windows run over the DOC-count-sized table partitioned by gram
+    * order. Emitting every doc is the exactness baseline — a 100 TB
+    * run checkpoints at log-spaced doc marks with the same shape. */
+  private def heaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ws = split($"text", " ")
+    val bi = zip_with(
+      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val dg = Tables.documents(spark, dir)
+      .select($"doc_id", explode(concat(ws, bi)).as("gram"))
+      .select($"doc_id", $"gram",
+        size(split($"gram", " ")).cast("long").as("n"))
+    val dw = dg.groupBy($"n", $"gram", $"doc_id")
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val perdoc = dw.groupBy($"n", $"doc_id").agg(sum($"c").as("toks"))
+    val newv = dw.groupBy($"n", $"gram").agg(min($"doc_id").as("fd"))
+      .groupBy($"n", $"fd").agg(count(lit(1)).as("nw"))
+      .select($"n".as("n2"), $"fd", $"nw")
+    val w = Window.partitionBy($"n").orderBy($"doc_id".asc)
+    perdoc.join(newv, $"n" === $"n2" && $"doc_id" === $"fd", "left")
+      .select($"n".as("gram_n"), $"doc_id",
+        sum($"toks").over(w).as("cum_tokens"),
+        sum(coalesce($"nw", lit(0L))).over(w).as("vocab"))
+      .orderBy($"gram_n", $"doc_id")
+  }
+
+  private val heapsSql = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents),
+    dg AS (
+      SELECT doc_id, gram,
+        CAST(len(string_split(gram, ' ')) AS BIGINT) AS n
+      FROM (SELECT doc_id, unnest(ws) AS gram FROM w
+            UNION ALL
+            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+            FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i))),
+    dw AS (SELECT n, gram, doc_id, CAST(count(*) AS BIGINT) AS c
+          FROM dg GROUP BY 1, 2, 3),
+    perdoc AS (SELECT n, doc_id, CAST(sum(c) AS BIGINT) AS toks
+          FROM dw GROUP BY 1, 2),
+    firstd AS (SELECT n, gram, min(doc_id) AS fd FROM dw GROUP BY 1, 2),
+    newv AS (SELECT n, fd, CAST(count(*) AS BIGINT) AS nw
+          FROM firstd GROUP BY 1, 2)
+    SELECT p.n AS gram_n, p.doc_id,
+      CAST(sum(p.toks) OVER pw AS BIGINT) AS cum_tokens,
+      CAST(sum(coalesce(v.nw, 0)) OVER pw AS BIGINT) AS vocab
+    FROM perdoc p LEFT JOIN newv v ON p.n = v.n AND p.doc_id = v.fd
+    WINDOW pw AS (PARTITION BY p.n ORDER BY p.doc_id)
+    ORDER BY gram_n, p.doc_id"""
+
   /** q_llm_rarity — token-rarity quality scoring (the rank-based
     * counterpart of an LM-perplexity filter, CCNet-style, without the
     * cross-engine hazard of libm `ln`): every token gets its corpus
@@ -1053,6 +1118,7 @@ object Text {
     Q("q_llm_chunk", chunk _, chunkSql),
     Q("q_llm_selfrepeat", selfRepeat _, selfRepeatSql),
     Q("q_llm_rarity", rarity _, raritySql),
+    Q("q_llm_heaps", heaps _, heapsSql),
     Q("q_llm_zipf", zipf _, zipfSql),
     Q("q_llm_novelty", novelty _, noveltySql),
     Q("q_llm_tfidf", tfidf _, tfidfSql),

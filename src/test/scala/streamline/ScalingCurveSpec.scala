@@ -52,7 +52,16 @@ class ScalingCurveSpec extends SparkSuite {
     // r15: pareto's windows run over the per-customer spend table and
     // lift's ntile over the per-user table — both corpus passes are
     // one keyed agg; linear, with the aggregate tables growing 16×
-    "q_win_pareto", "q_agg_lift")
+    "q_win_pareto", "q_agg_lift",
+    // r15: rfm's three quintile windows are nation-keyed over the
+    // per-customer aggregate; the only corpus pass is one map-side
+    // combined (nation, customer) agg — must read linear
+    "q_win_rfm",
+    // r15: basket's pair self-join is the classic quadratic risk
+    // (bounded by basket size² per order, never cross-order); heaps
+    // re-reads its checkpointed gram table from two branches; zscore
+    // is one keyed O(1)-state frame; pop one keyed count — all linear
+    "q_agg_basket", "q_llm_heaps", "q_win_zscore", "q_win_pop")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
