@@ -553,6 +553,96 @@ object Stateful {
     FROM e WHERE tsu <= (SELECT w FROM wm)
     ORDER BY user_id, event_id"""
 
+  case class ZsRow(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                   value: Double) {
+    def tsUs: Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+  }
+  /** Above-watermark suffix + the last ≤20 sealed scaled values
+    * (oldest first) — the trailing baseline ring. */
+  case class ZsBuf(buf: List[(Long, Long, Double)], ring: List[Long])
+  case class ZsOut(user_id: Long, event_id: Long, v: Long, n: Long,
+                   s: Long, dev2n2: Long, var9n2: Long)
+
+  /** Streaming twin of q_win_zscore (batch Windows.scala) — per-key
+    * event-time rolling 3σ anomaly flags on the unbounded stream: the
+    * q_stream_over buffer-and-replay shape (arrivals buffered until
+    * the watermark seals them, then replayed in (ts, id) order), with
+    * the O(1) accumulator replaced by a 20-slot ring of the trailing
+    * sealed values. Each sealed reading is tested against the ring
+    * BEFORE joining it (current row excluded — the prior-baseline
+    * form), with the identical pure-INTEGER cross-multiplication
+    * (n·v − s)² > 9·(n·q − s²) as the batch twin, so the emitted rows
+    * are exactly the batch query's on the sealed prefix. State is the
+    * watermark-bounded buffer + 20 longs per key — O(1) per key. */
+  private[streamline] def updateZscore(uid: Long, rows: Iterator[ZsRow],
+      state: GroupState[ZsBuf]): Iterator[ZsOut] = {
+    val prev = state.getOption.getOrElse(ZsBuf(Nil, Nil))
+    val wmMs = try state.getCurrentWatermarkMs()
+    catch { case _: UnsupportedOperationException => 0L }
+    val wmUs = wmMs * 1000L
+    val all = (prev.buf ++ rows.map(r => (r.tsUs, r.event_id, r.value)))
+      .sortBy { case (t, id, _) => (t, id) }
+    val (ready, future) = all.partition(_._1 <= wmUs)
+    var ring = prev.ring
+    val out = ready.flatMap { case (_, id, value) =>
+      val v = math.round(value * 10000)
+      val res =
+        if (ring.length == 20) {
+          val s = ring.sum
+          val q = ring.map(x => x * x).sum
+          val dev2 = (20L * v - s) * (20L * v - s)
+          val var9 = 9L * (20L * q - s * s)
+          if (dev2 > var9) Some(ZsOut(uid, id, v, 20L, s, dev2, var9))
+          else None
+        } else None
+      ring = (ring :+ v).takeRight(20)
+      res
+    }
+    state.update(ZsBuf(future, ring))
+    future.headOption.foreach { case (t, _, _) =>
+      state.setTimeoutTimestamp(math.max(t / 1000L + 1L, wmMs + 1L))
+    }
+    out.iterator
+  }
+
+  private def streamZscore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val updates = Streams.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .as[ZsRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(updateZscore)
+      .toDF()
+    Streams.runToTable(spark, "zscore", "append", updates)
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Oracle: the batch trailing-20 window restricted to
+    * watermark-sealed rows — sound because every row in a sealed
+    * row's trailing window sorts before it, hence is sealed too. */
+  private val streamZscoreSql = """
+    WITH e AS (SELECT user_id, event_id,
+        date_trunc('microseconds', ts) AS tsu,
+        CAST(round(value * 10000) AS BIGINT) AS v FROM events),
+    wm AS (SELECT date_trunc('millisecond', max(tsu))
+             - INTERVAL 10 MINUTE AS w FROM e),
+    sealed AS (SELECT * FROM e WHERE tsu <= (SELECT w FROM wm)),
+    f AS (SELECT user_id, event_id, v,
+        CAST(count(*) OVER fr AS BIGINT) AS n,
+        CAST(sum(v) OVER fr AS BIGINT) AS s,
+        CAST(sum(v * v) OVER fr AS BIGINT) AS q
+      FROM sealed
+      WINDOW fr AS (PARTITION BY user_id ORDER BY tsu, event_id
+        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id, v, n, s,
+      CAST((n*v - s)*(n*v - s) AS BIGINT) AS dev2n2,
+      CAST(9*(n*q - s*s) AS BIGINT) AS var9n2
+    FROM f WHERE n = 20 AND (n*v - s)*(n*v - s) > 9*(n*q - s*s)
+    ORDER BY user_id, event_id"""
+
   case class DlRow(user_id: Long, event_id: Long,
                    ts: java.sql.Timestamp, event_type: String, value: Double)
   case class DlState(event_id: Long, tsUs: Long,
@@ -1023,6 +1113,7 @@ object Stateful {
     Q("q_stream_dedup_last", streamDedupLast _, streamDedupLastSql),
     Q("q_stream_stateful", streamStateful _, streamStatefulSql),
     Q("q_stream_over", streamOver _, streamOverSql),
+    Q("q_stream_zscore", streamZscore _, streamZscoreSql),
     Q("q_stream_count_window", streamCountWindow _, streamCountWindowSql),
     Q("q_stream_funnel", streamFunnel _, streamFunnelSql),
     Q("q_stream_timeout", streamTimeout _, streamTimeoutSql),

@@ -49,7 +49,13 @@ class StreamScalingSpec extends SparkSuite {
     // bound; the streaming dedup drain is stateless (foreachBatch
     // probe), so its witness here is the wall-clock bar over the 16×
     // corpus staging + probe lifecycle.
-    "q_stream_drift", "q_stream_dedup_incremental")
+    "q_stream_drift", "q_stream_dedup_incremental",
+    // r15: the rolling-zscore twin keeps a watermark-bounded buffer +
+    // a 20-slot ring per user; the blowup multiplies users at the
+    // same timestamps, so state rows (≈ live keys) and wall clock
+    // must both scale linearly — a ring that accretes history or a
+    // buffer that misses eviction reads super-linear here
+    "q_stream_zscore")
 
   /** Runs the query under a progress listener; returns (seconds, max
     * numRowsTotal across all stateful operators and micro-batches). */
