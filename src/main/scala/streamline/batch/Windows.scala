@@ -762,6 +762,65 @@ object Windows {
         AS n_at_peak
     FROM p GROUP BY 1 ORDER BY event_type"""
 
+  /** q_win_attrib — last-touch attribution (the marketing-analytics
+    * staple): each purchase attributes to its user's most recent
+    * PRECEDING click within a 7-day lookback; the rollup reports, per
+    * purchase day, how many purchases were click-attributed and the
+    * attributed share. Exactness: the lookback test is pure integer
+    * microsecond arithmetic (no float durations), counts BIGINT, the
+    * share one [[Aggregates.exactRound6]]; day numbering floor()s the
+    * IEEE-identical micros division (r9 discipline); the carried
+    * "latest prior click" is a running max over a total (ts,
+    * event_id) order, so an equal-timestamp click counts iff its
+    * event_id sorts before the purchase — deterministic both engines.
+    * Scale: one user-keyed shuffle + sort (running-frame max is O(1)
+    * state), then one map-side-combined day rollup — the corpus never
+    * joins itself (the naive purchase×click as-of self-join is the
+    * shape this window replaces). */
+  private def winAttrib(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lc = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .withColumn("last_click",
+        max(when($"event_type" === "click", unix_micros($"ts"))).over(w))
+    val p = lc.where($"event_type" === "purchase")
+      .select(
+        floor(unix_micros($"ts").cast("double") / lit(86400000000.0))
+          .cast("long").as("day"),
+        when($"last_click".isNotNull &&
+          unix_micros($"ts") - $"last_click" <= 604800000000L, 1L)
+          .otherwise(0L).as("attr"))
+    p.groupBy($"day")
+      .agg(count(lit(1)).as("n_purch"), sum($"attr").as("n_attr"))
+      .select($"day", $"n_purch", $"n_attr",
+        Aggregates.exactRound6($"n_attr", $"n_purch").as("share"))
+      .orderBy($"day")
+  }
+
+  private val winAttribSql = """
+    WITH e AS (SELECT user_id, event_id, event_type,
+        date_trunc('microseconds', ts) AS tsu FROM events),
+    lc AS (SELECT user_id, event_id, event_type, tsu,
+        max(CASE WHEN event_type = 'click' THEN epoch_us(tsu) END)
+          OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS last_click
+      FROM e),
+    p AS (SELECT CAST(floor(CAST(epoch_us(tsu) AS DOUBLE)
+            / 86400000000.0) AS BIGINT) AS day,
+        CASE WHEN last_click IS NOT NULL
+          AND epoch_us(tsu) - last_click <= 604800000000 THEN 1
+          ELSE 0 END AS attr
+      FROM lc WHERE event_type = 'purchase'),
+    a AS (SELECT day, CAST(count(*) AS BIGINT) AS n_purch,
+        CAST(sum(attr) AS BIGINT) AS n_attr FROM p GROUP BY 1)
+    SELECT day, n_purch, n_attr,
+      """ + Aggregates.exactRound6Sql("n_attr", "n_purch") + """ AS share
+    FROM a ORDER BY day"""
+
   /** q_win_zscore — rolling z-score anomaly flags: a reading is an
     * outlier when it sits more than 3σ from the mean of its user's
     * TRAILING 20 readings (current row excluded — detection against
@@ -1169,6 +1228,7 @@ object Windows {
     Q("q_win_pareto", winPareto _, winParetoSql),
     Q("q_win_rfm", winRfm _, winRfmSql),
     Q("q_win_zscore", winZscore _, winZscoreSql),
+    Q("q_win_attrib", winAttrib _, winAttribSql),
     Q("q_win_pop", winPop _, winPopSql),
     Q("q_win_distinct_sliding", winDistinctSliding _,
       winDistinctSlidingSql),

@@ -503,6 +503,62 @@ object Text {
     WINDOW pw AS (PARTITION BY p.n ORDER BY p.doc_id)
     ORDER BY gram_n, p.doc_id"""
 
+  /** q_llm_vocab_overlap — cross-slice vocabulary overlap matrix: the
+    * bigram-vocabulary Jaccard between every language pair — the
+    * corpus-comparison diagnostic (near-1 overlap between slices that
+    * claim to be different languages flags mislabeled or templated
+    * data; it is also the redundancy screen between crawl snapshots).
+    * Bigram vocab, not unigram — the unigram vocabulary saturates and
+    * degenerates to 1.0 (the q_llm_heaps observation). Exactness:
+    * set sizes BIGINT, |union| = n1+n2−|inter| in integers, Jaccard
+    * one [[streamline.batch.Aggregates.exactRound6]]. Scale: ONE
+    * corpus pass to the distinct (lang, gram) table (checkpointed —
+    * per-lang sizes and the intersection join both read it); the
+    * intersection self-join is keyed on gram over the VOCAB-sized
+    * table (≪ corpus), output ≤ langs² rows. */
+  private def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ws = split($"text", " ")
+    val bi = zip_with(
+      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val dg = Tables.documents(spark, dir)
+      .select($"lang", explode(bi).as("gram"))
+      .distinct().localCheckpoint(true)
+    val v = dg.groupBy($"lang").agg(count(lit(1)).as("nv"))
+    val inter = dg.select($"lang".as("l1"), $"gram")
+      .join(dg.select($"lang".as("l2"), $"gram".as("g2")),
+        $"gram" === $"g2" && $"l1" < $"l2")
+      .groupBy($"l1", $"l2").agg(count(lit(1)).as("ni"))
+    inter
+      .join(broadcast(v.select($"lang".as("vl1"), $"nv".as("n1"))),
+        $"l1" === $"vl1")
+      .join(broadcast(v.select($"lang".as("vl2"), $"nv".as("n2"))),
+        $"l2" === $"vl2")
+      .select($"l1", $"l2", $"n1", $"n2", $"ni",
+        ($"n1" + $"n2" - $"ni").as("nu"),
+        streamline.batch.Aggregates.exactRound6($"ni",
+          $"n1" + $"n2" - $"ni").as("jaccard"))
+      .orderBy($"l1", $"l2")
+  }
+
+  private val vocabOverlapSql = """
+    WITH w AS (SELECT lang, string_split(text, ' ') AS ws
+          FROM documents),
+    dg AS (SELECT DISTINCT lang, ws[i] || ' ' || ws[i+1] AS gram
+      FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+    v AS (SELECT lang, CAST(count(*) AS BIGINT) AS nv FROM dg GROUP BY 1),
+    inter AS (SELECT a.lang AS l1, b.lang AS l2,
+        CAST(count(*) AS BIGINT) AS ni
+      FROM dg a JOIN dg b ON a.gram = b.gram AND a.lang < b.lang
+      GROUP BY 1, 2)
+    SELECT i.l1, i.l2, v1.nv AS n1, v2.nv AS n2, i.ni,
+      CAST(v1.nv + v2.nv - i.ni AS BIGINT) AS nu,
+      """ + streamline.batch.Aggregates.exactRound6Sql(
+        "i.ni", "v1.nv + v2.nv - i.ni") + """ AS jaccard
+    FROM inter i JOIN v v1 ON i.l1 = v1.lang JOIN v v2 ON i.l2 = v2.lang
+    ORDER BY i.l1, i.l2"""
+
   /** q_llm_rarity — token-rarity quality scoring (the rank-based
     * counterpart of an LM-perplexity filter, CCNet-style, without the
     * cross-engine hazard of libm `ln`): every token gets its corpus
@@ -1119,6 +1175,7 @@ object Text {
     Q("q_llm_selfrepeat", selfRepeat _, selfRepeatSql),
     Q("q_llm_rarity", rarity _, raritySql),
     Q("q_llm_heaps", heaps _, heapsSql),
+    Q("q_llm_vocab_overlap", vocabOverlap _, vocabOverlapSql),
     Q("q_llm_zipf", zipf _, zipfSql),
     Q("q_llm_novelty", novelty _, noveltySql),
     Q("q_llm_tfidf", tfidf _, tfidfSql),

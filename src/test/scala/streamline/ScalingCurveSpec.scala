@@ -61,7 +61,14 @@ class ScalingCurveSpec extends SparkSuite {
     // (bounded by basket size² per order, never cross-order); heaps
     // re-reads its checkpointed gram table from two branches; zscore
     // is one keyed O(1)-state frame; pop one keyed count — all linear
-    "q_agg_basket", "q_llm_heaps", "q_win_zscore", "q_win_pop")
+    "q_agg_basket", "q_llm_heaps", "q_win_zscore", "q_win_pop",
+    // r15: attribution is one user-keyed O(1) running frame + a
+    // map-side day rollup — the corpus never self-joins; linear
+    "q_win_attrib",
+    // r15: the overlap intersection self-joins the VOCAB-sized gram
+    // table on gram — the quadratic risk is bounded by langs per
+    // gram, and the corpus contributes one distinct pass; linear
+    "q_llm_vocab_overlap")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
