@@ -1516,6 +1516,48 @@ object Aggregates {
     FROM top t JOIN item i1 ON t.p1 = i1.p JOIN item i2 ON t.p2 = i2.p, n
     ORDER BY t.n12 DESC, t.p1 ASC, t.p2 ASC"""
 
+  /** q_agg_seasonality — day-of-week seasonality profile per event
+    * type: each weekday's event count, share of the type's total, and
+    * signed deviation from the uniform-week expectation — the weekly
+    * traffic-shape diagnostic of every ops dashboard (and, per
+    * source, the crawl-cadence screen of a data pipeline). Exactness:
+    * dow = (epoch_day + 4) % 7 in pure integers (0 = Sunday; no
+    * engine dayofweek() convention in the path), counts BIGINT,
+    * share one [[exactRound6]], deviation as the INTEGER
+    * cross-multiplication 7·c − n (no 1/7 float). Scale: ONE
+    * map-side-combined corpus pass to the (type, dow) count table;
+    * the type total is a window over that ≤ types×7 table — never a
+    * second corpus branch (the r15 plan-audit class). */
+  private def aggSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val day = floor(unix_micros($"ts").cast("double") / lit(86400000000.0))
+      .cast("long")
+    val c = Tables.events(spark, dir)
+      .groupBy($"event_type", ((day + 4) % 7).as("dow"))
+      .agg(count(lit(1)).as("c"))
+    val n = sum($"c").over(Window.partitionBy($"event_type"))
+    c.select($"event_type", $"dow", $"c", n.as("n"),
+        exactRound6($"c", n).as("share"),
+        (lit(7L) * $"c" - n).as("dev7"))
+      .orderBy($"event_type", $"dow")
+  }
+
+  private val aggSeasonalitySql = """
+    WITH e AS (SELECT event_type,
+        CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+          AS BIGINT) AS day
+      FROM events),
+    c AS (SELECT event_type, (day + 4) % 7 AS dow,
+        CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+    t AS (SELECT event_type, dow, c,
+        CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM c)
+    SELECT event_type, dow, c, n,
+      """ + exactRound6Sql("c", "n") + """ AS share,
+      CAST(7 * c - n AS BIGINT) AS dev7
+    FROM t ORDER BY event_type, dow"""
+
   private def aggChisq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1622,6 +1664,7 @@ object Aggregates {
     streamline.Q("q_agg_transition", aggTransition _, aggTransitionSql),
     streamline.Q("q_agg_lift", aggLift _, aggLiftSql),
     streamline.Q("q_agg_basket", aggBasket _, aggBasketSql),
+    streamline.Q("q_agg_seasonality", aggSeasonality _, aggSeasonalitySql),
     streamline.Q("q_agg_chisq", aggChisq _, aggChisqSql),
     streamline.Q("q_agg_benford", aggBenford _, aggBenfordSql),
     streamline.Q("q_agg_hist", aggHist _, aggHistSql),

@@ -762,6 +762,57 @@ object Windows {
         AS n_at_peak
     FROM p GROUP BY 1 ORDER BY event_type"""
 
+  /** q_win_gap_stats — inter-arrival profile per user: exact DISCRETE
+    * order statistics (min / median / p90 / max) of the gaps between
+    * a user's consecutive events — the behavioral-cadence feature of
+    * churn models and the burstiness screen of ops monitoring.
+    * Exactness: gaps are integer MICROSECONDS from a lag over the
+    * total (ts, event_id) order; percentiles are DISCRETE selections
+    * arr[⌈q·n⌉] from the sorted gap array (ceil via the integer
+    * (9n+9)÷10 — no float interpolation, which engines round
+    * differently), so every output is a BIGINT that actually occurs
+    * in the data. Scale: one user-keyed shuffle for the lag, one
+    * keyed collect of a BOUNDED per-user history (the q_win_ema
+    * precedent) — no global sort, no corpus-wide percentile. */
+  private def winGapStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+    val g = e.select($"user_id",
+      ($"us" - lag($"us", 1).over(Window.partitionBy($"user_id")
+        .orderBy($"us".asc, $"event_id".asc))).as("gap"))
+    val a = g.where($"gap".isNotNull)
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list($"gap")).as("arr"),
+        count(lit(1)).as("n"))
+    def at(idx: org.apache.spark.sql.Column) =
+      element_at($"arr", idx.cast("int"))
+    a.select($"user_id", $"n",
+        at(lit(1L)).as("min_gap"),
+        at(call_function("div", $"n" + lit(1L), lit(2L))).as("med_gap"),
+        at(call_function("div", lit(9L) * $"n" + lit(9L), lit(10L)))
+          .as("p90_gap"),
+        at($"n").as("max_gap"))
+      .orderBy($"user_id")
+  }
+
+  private val winGapStatsSql = """
+    WITH e AS (SELECT user_id, event_id,
+        epoch_us(date_trunc('microseconds', ts)) AS us FROM events),
+    g AS (SELECT user_id,
+        us - lag(us) OVER (PARTITION BY user_id
+          ORDER BY us, event_id) AS gap
+      FROM e),
+    a AS (SELECT user_id, list(gap ORDER BY gap) AS arr,
+        CAST(count(gap) AS BIGINT) AS n
+      FROM g WHERE gap IS NOT NULL GROUP BY 1)
+    SELECT user_id, n,
+      arr[1] AS min_gap,
+      arr[CAST((n+1)//2 AS INT)] AS med_gap,
+      arr[CAST((9*n+9)//10 AS INT)] AS p90_gap,
+      arr[CAST(n AS INT)] AS max_gap
+    FROM a ORDER BY user_id"""
+
   /** q_win_attrib — last-touch attribution (the marketing-analytics
     * staple): each purchase attributes to its user's most recent
     * PRECEDING click within a 7-day lookback; the rollup reports, per
@@ -1229,6 +1280,7 @@ object Windows {
     Q("q_win_rfm", winRfm _, winRfmSql),
     Q("q_win_zscore", winZscore _, winZscoreSql),
     Q("q_win_attrib", winAttrib _, winAttribSql),
+    Q("q_win_gap_stats", winGapStats _, winGapStatsSql),
     Q("q_win_pop", winPop _, winPopSql),
     Q("q_win_distinct_sliding", winDistinctSliding _,
       winDistinctSlidingSql),

@@ -68,7 +68,11 @@ class ScalingCurveSpec extends SparkSuite {
     // r15: the overlap intersection self-joins the VOCAB-sized gram
     // table on gram — the quadratic risk is bounded by langs per
     // gram, and the corpus contributes one distinct pass; linear
-    "q_llm_vocab_overlap")
+    "q_llm_vocab_overlap",
+    // r15: seasonality is one map-side-combined pass; gap_stats is a
+    // keyed lag + keyed collect of bounded per-user history — the
+    // collect is the risk if histories grew super-linearly; linear
+    "q_agg_seasonality", "q_win_gap_stats")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
