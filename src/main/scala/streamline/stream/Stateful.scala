@@ -643,6 +643,92 @@ object Stateful {
     FROM f WHERE n = 20 AND (n*v - s)*(n*v - s) > 9*(n*q - s*s)
     ORDER BY user_id, event_id"""
 
+  case class AtRow(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                   event_type: String) {
+    def tsUs: Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+  }
+  /** Above-watermark suffix + the latest SEALED click's µs (MinValue
+    * when the user has no sealed click yet). */
+  case class AtBuf(buf: List[(Long, Long, String)], lastClickUs: Long)
+  case class AtOut(user_id: Long, event_id: Long, day: Long, attr: Long)
+
+  /** Streaming twin of q_win_attrib's per-purchase attribution step —
+    * last-touch attribution on the live stream: the q_stream_over
+    * buffer-and-replay shape with the accumulator replaced by ONE
+    * long per key (the latest sealed click's µs). Each sealed
+    * purchase emits its day and whether a click preceded it within
+    * the 7-day lookback — BEFORE the row itself can update state
+    * (purchases don't attribute to themselves), clicks update the
+    * carried µs after emission, identical to the batch window's
+    * 1-PRECEDING frame. Emitted rows are exactly the batch
+    * attribution rows on the sealed prefix; the day rollup stays a
+    * downstream batch agg (foreachBatch upsert in production). */
+  private[streamline] def updateAttrib(uid: Long, rows: Iterator[AtRow],
+      state: GroupState[AtBuf]): Iterator[AtOut] = {
+    val prev = state.getOption.getOrElse(AtBuf(Nil, Long.MinValue))
+    val wmMs = try state.getCurrentWatermarkMs()
+    catch { case _: UnsupportedOperationException => 0L }
+    val wmUs = wmMs * 1000L
+    val all = (prev.buf ++ rows.map(r => (r.tsUs, r.event_id, r.event_type)))
+      .sortBy { case (t, id, _) => (t, id) }
+    val (ready, future) = all.partition(_._1 <= wmUs)
+    var lastClick = prev.lastClickUs
+    val out = ready.flatMap { case (us, id, typ) =>
+      val res = if (typ == "purchase") {
+        val attr = lastClick != Long.MinValue && us - lastClick <= 604800000000L
+        Some(AtOut(uid, id,
+          math.floor(us.toDouble / 86400000000.0).toLong,
+          if (attr) 1L else 0L))
+      } else None
+      if (typ == "click") lastClick = us
+      res
+    }
+    state.update(AtBuf(future, lastClick))
+    future.headOption.foreach { case (t, _, _) =>
+      state.setTimeoutTimestamp(math.max(t / 1000L + 1L, wmMs + 1L))
+    }
+    out.iterator
+  }
+
+  private def streamAttrib(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val updates = Streams.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .as[AtRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(updateAttrib)
+      .toDF()
+    Streams.runToTable(spark, "attrib", "append", updates)
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Oracle: the batch attribution restricted to watermark-sealed
+    * rows — sound because a sealed purchase's candidate clicks all
+    * sort before it, hence are sealed too. */
+  private val streamAttribSql = """
+    WITH e AS (SELECT user_id, event_id, event_type,
+        date_trunc('microseconds', ts) AS tsu FROM events),
+    wm AS (SELECT date_trunc('millisecond', max(tsu))
+             - INTERVAL 10 MINUTE AS w FROM e),
+    sealed AS (SELECT * FROM e WHERE tsu <= (SELECT w FROM wm)),
+    lc AS (SELECT user_id, event_id, event_type, tsu,
+        max(CASE WHEN event_type = 'click' THEN epoch_us(tsu) END)
+          OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS last_click
+      FROM sealed)
+    SELECT user_id, event_id,
+      CAST(floor(CAST(epoch_us(tsu) AS DOUBLE) / 86400000000.0)
+        AS BIGINT) AS day,
+      CAST(CASE WHEN last_click IS NOT NULL
+        AND epoch_us(tsu) - last_click <= 604800000000 THEN 1
+        ELSE 0 END AS BIGINT) AS attr
+    FROM lc WHERE event_type = 'purchase'
+    ORDER BY user_id, event_id"""
+
   case class DlRow(user_id: Long, event_id: Long,
                    ts: java.sql.Timestamp, event_type: String, value: Double)
   case class DlState(event_id: Long, tsUs: Long,
@@ -1114,6 +1200,7 @@ object Stateful {
     Q("q_stream_stateful", streamStateful _, streamStatefulSql),
     Q("q_stream_over", streamOver _, streamOverSql),
     Q("q_stream_zscore", streamZscore _, streamZscoreSql),
+    Q("q_stream_attrib", streamAttrib _, streamAttribSql),
     Q("q_stream_count_window", streamCountWindow _, streamCountWindowSql),
     Q("q_stream_funnel", streamFunnel _, streamFunnelSql),
     Q("q_stream_timeout", streamTimeout _, streamTimeoutSql),

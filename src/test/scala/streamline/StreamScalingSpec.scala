@@ -55,7 +55,10 @@ class StreamScalingSpec extends SparkSuite {
     // same timestamps, so state rows (≈ live keys) and wall clock
     // must both scale linearly — a ring that accretes history or a
     // buffer that misses eviction reads super-linear here
-    "q_stream_zscore")
+    "q_stream_zscore",
+    // r15: attribution state is the watermark-bounded buffer + one
+    // long per user — rows ≈ live keys, must scale linearly
+    "q_stream_attrib")
 
   /** Runs the query under a progress listener; returns (seconds, max
     * numRowsTotal across all stateful operators and micro-batches). */
