@@ -532,6 +532,86 @@ object SqlApi {
     FROM customer GROUP BY c_mktsegment
     ORDER BY c_mktsegment"""
 
+  /** q_sql_variable — SQL session variables (Spark 4 `DECLARE` /
+    * `SET VARIABLE`): a typed scalar declared in the session, set by
+    * a query over the data (the "computed threshold" pattern scripts
+    * use instead of string-splicing), then referenced by name inside
+    * a later query. Oracle inlines the same subquery — the variable
+    * is pure session plumbing, the relational semantics are
+    * identical. */
+  private def sqlVariable(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql(
+      "DECLARE OR REPLACE VARIABLE graft_bal_floor DECIMAL(18,4)")
+    // threshold computed FROM the data: the global mean balance
+    spark.sql("""
+      SET VARIABLE graft_bal_floor =
+        (SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) / count(*)
+         FROM customer)""")
+    spark.sql("""
+      SELECT c_mktsegment, count(*) AS n_above,
+        CAST(min(c_custkey) AS BIGINT) AS first_cust
+      FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,4)) > graft_bal_floor
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
+  private val sqlVariableSql = """
+    WITH t AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) / count(*)
+        AS floor_bal FROM customer)
+    SELECT c_mktsegment, count(*) AS n_above,
+      CAST(min(c_custkey) AS BIGINT) AS first_cust
+    FROM customer, t
+    WHERE CAST(c_acctbal AS DECIMAL(18,4)) > t.floor_bal
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** q_sql_exec_immediate — dynamic SQL with bound parameters (Spark 4
+    * `EXECUTE IMMEDIATE ... USING`): the query TEXT lives in a session
+    * variable and positional `?` markers bind values at execution —
+    * the injection-safe form of generated SQL (vs string splicing).
+    * Oracle is the same statement with literals substituted. */
+  private def sqlExecImmediate(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_dyn_q STRING")
+    spark.sql("""
+      SET VARIABLE graft_dyn_q =
+        'SELECT n.n_name AS nation, count(*) AS n_cust
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE c.c_acctbal BETWEEN ? AND ?
+         GROUP BY n.n_name ORDER BY n.n_name'""")
+    spark.sql("EXECUTE IMMEDIATE graft_dyn_q USING 0.0, 5000.0")
+  }
+
+  private val sqlExecImmediateSql = """
+    SELECT n.n_name AS nation, count(*) AS n_cust
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal BETWEEN 0.0 AND 5000.0
+    GROUP BY n.n_name ORDER BY n.n_name"""
+
+  /** q_sql_identifier — parameterized table/column names via the
+    * `IDENTIFIER()` clause + named parameter markers (Spark 4): the
+    * safe way templated jobs vary the table and the measure column
+    * without string-splicing SQL (names resolve through the parser,
+    * so `'customer; DROP ...'` cannot parse as anything but a name).
+    * Oracle is the resolved static query. */
+  private def sqlIdentifier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql(
+      """SELECT c_mktsegment,
+           CAST(sum(CAST(IDENTIFIER(:col) AS DECIMAL(18,4))) AS DOUBLE)
+             AS total,
+           count(*) AS n
+         FROM IDENTIFIER(:tbl)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+      Map("tbl" -> "customer", "col" -> "c_acctbal"))
+  }
+
+  private val sqlIdentifierSql = """
+    SELECT c_mktsegment,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total,
+      count(*) AS n
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   /** q_sql_udf — a Scala function registered into the SQL namespace and
     * called from SQL TEXT (the lineage's ScalarFunction registration,
     * `tableEnv.registerFunction`): the other half of the UDF surface
@@ -881,6 +961,9 @@ object SqlApi {
     Q("q_sql_exists", sqlExists _, sqlExistsText),
     Q("q_sql_lateral", sqlLateral _, sqlLateralText),
     Q("q_sql_ddl", sqlDdl _, sqlDdlSql),
+    Q("q_sql_variable", sqlVariable _, sqlVariableSql),
+    Q("q_sql_exec_immediate", sqlExecImmediate _, sqlExecImmediateSql),
+    Q("q_sql_identifier", sqlIdentifier _, sqlIdentifierSql),
     Q("q_sql_udf", sqlUdf _, sqlUdfSql),
     Q("q_sql_tpch3", tpch3 _, tpch3Sql),
     Q("q_sql_tpch10", tpch10 _, tpch10Sql),
