@@ -1558,6 +1558,91 @@ object Aggregates {
       CAST(7 * c - n AS BIGINT) AS dev7
     FROM t ORDER BY event_type, dow"""
 
+  /** q_agg_corr_matrix — EXACT pairwise correlation matrix over the
+    * event types' daily-count series: for every type pair, the signed
+    * integer covariance/variance NUMERATORS (n·Σxy − Σx·Σy etc.) and
+    * the squared correlation r² as an exact rational — the
+    * cross-series dependence screen (which metrics co-move), done
+    * without corr()'s sqrt/float accumulation (engines disagree in
+    * the low bits; r² = cov²/(var₁·var₂) needs no square root at
+    * all, and the sign travels as its own ±1 column). Exactness:
+    * counts BIGINT, the r² rational through one [[exactRound6]] with
+    * the cross-products carried in DECIMAL(38)/HUGEINT; the series
+    * are DENSIFIED onto the full day grid (missing day = 0) so both
+    * engines aggregate identical vectors. Scale: ONE map-side-
+    * combined corpus pass to the (type, day) count table
+    * (checkpointed — grid, moments and the pair join all read it);
+    * everything after runs on the types×days grid (bounded), the pair
+    * join keyed on day. At 100 TB daily counts the moments upgrade to
+    * DECIMAL(38) end to end with the identical algebra. */
+  private def aggCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        floor(unix_micros($"ts").cast("double") / lit(86400000000.0))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val grid = e.select($"event_type").distinct()
+      .crossJoin(e.select($"day").distinct())
+      .join(e, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"c", lit(0L)).as("c"))
+    val s = grid.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"c").as("sx"),
+        sum($"c" * $"c").as("sxx"))
+    val xy = grid.select($"event_type".as("t1"), $"day", $"c".as("c1"))
+      .join(grid.select($"event_type".as("t2"), $"day".as("d2"),
+        $"c".as("c2")), $"day" === $"d2" && $"t1" < $"t2")
+      .groupBy($"t1", $"t2")
+      .agg(count(lit(1)).as("n"), sum($"c1" * $"c2").as("sxy"))
+    val j = xy
+      .join(broadcast(s.select($"event_type".as("e1"), $"sx".as("sx1"),
+        $"sxx".as("sxx1"))), $"t1" === $"e1")
+      .join(broadcast(s.select($"event_type".as("e2"), $"sx".as("sx2"),
+        $"sxx".as("sxx2"))), $"t2" === $"e2")
+    val cov = $"n" * $"sxy" - $"sx1" * $"sx2"
+    val v1 = $"n" * $"sxx1" - $"sx1" * $"sx1"
+    val v2 = $"n" * $"sxx2" - $"sx2" * $"sx2"
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    j.select($"t1", $"t2", cov.as("cov_num"),
+        v1.as("var1_num"), v2.as("var2_num"),
+        when(cov < 0, -1L).otherwise(1L).as("sgn"),
+        exactRound6(d38(cov) * d38(cov), d38(v1) * d38(v2)).as("r2"))
+      .orderBy($"t1", $"t2")
+  }
+
+  private val aggCorrMatrixSql = """
+    WITH e AS (SELECT event_type,
+        CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+          AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    days AS (SELECT DISTINCT day FROM e),
+    grid AS (SELECT t.event_type, d.day, coalesce(e.c, 0) AS c
+      FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN days d
+      LEFT JOIN e ON e.event_type = t.event_type AND e.day = d.day),
+    s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(c) AS BIGINT) AS sx, CAST(sum(c*c) AS BIGINT) AS sxx
+      FROM grid GROUP BY 1),
+    xy AS (SELECT a.event_type AS t1, b.event_type AS t2,
+        CAST(count(*) AS BIGINT) AS n, CAST(sum(a.c * b.c) AS BIGINT) AS sxy
+      FROM grid a JOIN grid b ON a.day = b.day
+        AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT xy.t1, xy.t2,
+      CAST(xy.n * xy.sxy - s1.sx * s2.sx AS BIGINT) AS cov_num,
+      CAST(xy.n * s1.sxx - s1.sx * s1.sx AS BIGINT) AS var1_num,
+      CAST(xy.n * s2.sxx - s2.sx * s2.sx AS BIGINT) AS var2_num,
+      CAST(CASE WHEN xy.n * xy.sxy - s1.sx * s2.sx < 0 THEN -1 ELSE 1 END
+        AS BIGINT) AS sgn,
+      """ + exactRound6Sql(
+        "(xy.n*xy.sxy - s1.sx*s2.sx)::HUGEINT * (xy.n*xy.sxy - s1.sx*s2.sx)",
+        "(xy.n*s1.sxx - s1.sx*s1.sx)::HUGEINT * (xy.n*s2.sxx - s2.sx*s2.sx)"
+      ) + """ AS r2
+    FROM xy JOIN s s1 ON xy.t1 = s1.event_type
+      JOIN s s2 ON xy.t2 = s2.event_type
+    ORDER BY t1, t2"""
+
   private def aggChisq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1665,6 +1750,7 @@ object Aggregates {
     streamline.Q("q_agg_lift", aggLift _, aggLiftSql),
     streamline.Q("q_agg_basket", aggBasket _, aggBasketSql),
     streamline.Q("q_agg_seasonality", aggSeasonality _, aggSeasonalitySql),
+    streamline.Q("q_agg_corr_matrix", aggCorrMatrix _, aggCorrMatrixSql),
     streamline.Q("q_agg_chisq", aggChisq _, aggChisqSql),
     streamline.Q("q_agg_benford", aggBenford _, aggBenfordSql),
     streamline.Q("q_agg_hist", aggHist _, aggHistSql),

@@ -762,6 +762,57 @@ object Windows {
         AS n_at_peak
     FROM p GROUP BY 1 ORDER BY event_type"""
 
+  /** q_win_ohlc — OHLC candle resampling: per (event_type, day) the
+    * opening, highest, lowest and closing reading plus the tick count
+    * — the canonical series-to-candles downsample (finance bars;
+    * equally the metric-rollup shape of any monitoring store).
+    * Exactness: values scaled to integer 1e-4 units; open/close are
+    * rank selections on the total (µs, event_id) order — not
+    * arg_min/arg_max on a bare timestamp, which ties would make
+    * engine-dependent; close reuses rn = n (count over the same
+    * partition) so the window needs ONE sort, not an asc and a desc.
+    * Scale: one (type, day)-keyed shuffle + sort, then a
+    * map-side-combined rollup on the identical key — no second
+    * shuffle (the aggregation is partitioning-compatible). */
+  private def winOhlc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byCandle = Window.partitionBy($"event_type", $"day")
+    val e = Tables.events(spark, dir)
+      .select($"event_type",
+        floor(unix_micros($"ts").cast("double") / lit(86400000000.0))
+          .cast("long").as("day"),
+        unix_micros($"ts").as("us"), $"event_id",
+        round($"value" * 10000).cast("bigint").as("v"))
+    val r = e.select($"event_type", $"day", $"v",
+      row_number().over(byCandle.orderBy($"us".asc, $"event_id".asc))
+        .as("rn"),
+      count(lit(1)).over(byCandle).as("n"))
+    r.groupBy($"event_type", $"day")
+      .agg(max($"n").as("n"),
+        max(when($"rn" === 1, $"v")).as("open"),
+        max($"v").as("high"), min($"v").as("low"),
+        max(when($"rn" === $"n", $"v")).as("close"))
+      .orderBy($"event_type", $"day")
+  }
+
+  private val winOhlcSql = """
+    WITH e AS (SELECT event_type,
+        CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+          AS BIGINT) AS day,
+        epoch_us(date_trunc('microseconds', ts)) AS us, event_id,
+        CAST(round(value * 10000) AS BIGINT) AS v
+      FROM events),
+    r AS (SELECT event_type, day, v,
+        row_number() OVER (PARTITION BY event_type, day
+          ORDER BY us, event_id) AS rn,
+        CAST(count(*) OVER (PARTITION BY event_type, day) AS BIGINT) AS n
+      FROM e)
+    SELECT event_type, day, CAST(max(n) AS BIGINT) AS n,
+      CAST(max(CASE WHEN rn = 1 THEN v END) AS BIGINT) AS open,
+      CAST(max(v) AS BIGINT) AS high, CAST(min(v) AS BIGINT) AS low,
+      CAST(max(CASE WHEN rn = n THEN v END) AS BIGINT) AS close
+    FROM r GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** q_win_gap_stats — inter-arrival profile per user: exact DISCRETE
     * order statistics (min / median / p90 / max) of the gaps between
     * a user's consecutive events — the behavioral-cadence feature of
@@ -1281,6 +1332,7 @@ object Windows {
     Q("q_win_zscore", winZscore _, winZscoreSql),
     Q("q_win_attrib", winAttrib _, winAttribSql),
     Q("q_win_gap_stats", winGapStats _, winGapStatsSql),
+    Q("q_win_ohlc", winOhlc _, winOhlcSql),
     Q("q_win_pop", winPop _, winPopSql),
     Q("q_win_distinct_sliding", winDistinctSliding _,
       winDistinctSlidingSql),

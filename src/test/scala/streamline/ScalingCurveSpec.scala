@@ -72,7 +72,11 @@ class ScalingCurveSpec extends SparkSuite {
     // r15: seasonality is one map-side-combined pass; gap_stats is a
     // keyed lag + keyed collect of bounded per-user history — the
     // collect is the risk if histories grew super-linearly; linear
-    "q_agg_seasonality", "q_win_gap_stats")
+    "q_agg_seasonality", "q_win_gap_stats",
+    // r15: ohlc is one (type, day)-keyed window + compatible rollup;
+    // corr_matrix collapses the corpus in one pass then runs on the
+    // bounded day grid — both must read linear
+    "q_win_ohlc", "q_agg_corr_matrix")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
