@@ -1643,6 +1643,72 @@ object Aggregates {
       JOIN s s2 ON xy.t2 = s2.event_type
     ORDER BY t1, t2"""
 
+  /** q_agg_convert_latency — signup→purchase conversion latency per
+    * signup-week cohort: how many of the week's signups ever purchase
+    * (after signing up) and the exact DISCRETE median time-to-convert
+    * — the activation metric of every growth dashboard. Exactness:
+    * first-signup/first-purchase are keyed mins over integer µs,
+    * latency integer µs (negative = purchased before signup = not
+    * converted, by definition), the median a discrete selection
+    * arr[(n+1)÷2] (the q_win_gap_stats discipline; NULL when the
+    * cohort has no converts, guarded on BOTH engines since Spark's
+    * element_at throws on index 0), conversion rate one
+    * [[exactRound6]]; week numbering floor()s the IEEE-identical
+    * micros division. Scale: ONE corpus pass to the per-user
+    * first-event table (map-side combined conditional mins), then
+    * everything runs on the |users| table; the latency collect is
+    * per-cohort-week (bounded by cohort size — at 100 TB the median
+    * upgrades to the same merge-based exact selection or a t-digest,
+    * the documented split). */
+  private def aggConvertLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(min(when($"event_type" === "signup", unix_micros($"ts")))
+          .as("s_us"),
+        min(when($"event_type" === "purchase", unix_micros($"ts")))
+          .as("p_us"))
+    val lat = f.where($"s_us".isNotNull)
+      .select(
+        floor($"s_us".cast("double") / lit(604800000000.0)).cast("long")
+          .as("wk"),
+        ($"p_us" - $"s_us").as("lat_us"))
+    val a = lat.groupBy($"wk")
+      .agg(count(lit(1)).as("n_signup"),
+        count(when($"lat_us" >= 0, lit(1))).as("n_conv"),
+        sort_array(collect_list(when($"lat_us" >= 0, $"lat_us")))
+          .as("arr"))
+    a.select($"wk", $"n_signup", $"n_conv",
+        when($"n_conv" > 0,
+          element_at($"arr",
+            call_function("div", $"n_conv" + lit(1L), lit(2L))
+              .cast("int"))).as("med_lat_us"),
+        exactRound6($"n_conv", $"n_signup").as("conv_rate"))
+      .orderBy($"wk")
+  }
+
+  private val aggConvertLatencySql = """
+    WITH e AS (SELECT user_id, event_type,
+        epoch_us(date_trunc('microseconds', ts)) AS us FROM events),
+    f AS (SELECT user_id,
+        min(CASE WHEN event_type = 'signup' THEN us END) AS s_us,
+        min(CASE WHEN event_type = 'purchase' THEN us END) AS p_us
+      FROM e GROUP BY 1),
+    lat AS (SELECT user_id,
+        CAST(floor(CAST(s_us AS DOUBLE) / 604800000000.0)
+          AS BIGINT) AS wk,
+        p_us - s_us AS lat_us
+      FROM f WHERE s_us IS NOT NULL),
+    a AS (SELECT wk, CAST(count(*) AS BIGINT) AS n_signup,
+        CAST(count(CASE WHEN lat_us >= 0 THEN 1 END) AS BIGINT) AS n_conv,
+        list(lat_us ORDER BY lat_us) FILTER (WHERE lat_us >= 0) AS arr
+      FROM lat GROUP BY 1)
+    SELECT wk, n_signup, n_conv,
+      CASE WHEN n_conv > 0
+        THEN arr[CAST((n_conv+1)//2 AS INT)] END AS med_lat_us,
+      """ + exactRound6Sql("n_conv", "n_signup") + """ AS conv_rate
+    FROM a ORDER BY wk"""
+
   private def aggChisq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1751,6 +1817,8 @@ object Aggregates {
     streamline.Q("q_agg_basket", aggBasket _, aggBasketSql),
     streamline.Q("q_agg_seasonality", aggSeasonality _, aggSeasonalitySql),
     streamline.Q("q_agg_corr_matrix", aggCorrMatrix _, aggCorrMatrixSql),
+    streamline.Q("q_agg_convert_latency", aggConvertLatency _,
+      aggConvertLatencySql),
     streamline.Q("q_agg_chisq", aggChisq _, aggChisqSql),
     streamline.Q("q_agg_benford", aggBenford _, aggBenfordSql),
     streamline.Q("q_agg_hist", aggHist _, aggHistSql),

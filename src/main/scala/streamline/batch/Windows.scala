@@ -813,6 +813,65 @@ object Windows {
       CAST(max(CASE WHEN rn = n THEN v END) AS BIGINT) AS close
     FROM r GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** q_win_twap — time-weighted average per (event_type, day): each
+    * reading holds until the next one, so its weight is the integer
+    * microsecond span to the successor (the finance TWAP; equally the
+    * duty-cycle-correct mean of any sampled gauge, where the plain
+    * mean over-weights bursts). Exactness: values in integer 1e-4
+    * units, weights integer µs from a lead() over the total (µs,
+    * event_id) order, zero-length segments (ties and each day's last
+    * reading) dropped IDENTICALLY on both engines, the weighted mean
+    * one [[Aggregates.exactRound6]] with v·dt products carried in
+    * DECIMAL(38)/HUGEINT (a day of µs × scaled values is ~10¹⁷ —
+    * near the long cliff, so the carry is explicit). Scale: one
+    * (type, day)-keyed shuffle + sort; lead and the day-end max share
+    * the partition; rollup is partitioning-compatible. */
+  private def winTwap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byCandle = Window.partitionBy($"event_type", $"day")
+    val ord = byCandle.orderBy($"us".asc, $"event_id".asc)
+    val e = Tables.events(spark, dir)
+      .select($"event_type",
+        floor(unix_micros($"ts").cast("double") / lit(86400000000.0))
+          .cast("long").as("day"),
+        unix_micros($"ts").as("us"), $"event_id",
+        round($"value" * 10000).cast("bigint").as("v"))
+    val seg = e.select($"event_type", $"day", $"v",
+        (coalesce(lead($"us", 1).over(ord), max($"us").over(byCandle))
+          - $"us").as("dt"))
+      .where($"dt" > 0)
+    seg.groupBy($"event_type", $"day")
+      .agg(sum($"v".cast("decimal(20,0)") * $"dt").as("num"),
+        sum($"dt").as("den"), count(lit(1)).as("n"))
+      .select($"event_type", $"day", $"n", $"den".as("span_us"),
+        Aggregates.exactRound6($"num", $"den").as("twap"))
+      .orderBy($"event_type", $"day")
+  }
+
+  private val winTwapSql = """
+    WITH e AS (SELECT event_type,
+        CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+          AS BIGINT) AS day,
+        epoch_us(date_trunc('microseconds', ts)) AS us, event_id,
+        CAST(round(value * 10000) AS BIGINT) AS v
+      FROM events),
+    w AS (SELECT event_type, day, v, us,
+        lead(us) OVER (PARTITION BY event_type, day
+          ORDER BY us, event_id) AS next_us,
+        CAST(max(us) OVER (PARTITION BY event_type, day)
+          AS BIGINT) AS day_end
+      FROM e),
+    seg AS (SELECT event_type, day, v,
+        coalesce(next_us, day_end) - us AS dt
+      FROM w),
+    a AS (SELECT event_type, day,
+        sum(v::HUGEINT * dt) AS num, CAST(sum(dt) AS BIGINT) AS den,
+        CAST(count(*) AS BIGINT) AS n
+      FROM seg WHERE dt > 0 GROUP BY 1, 2)
+    SELECT event_type, day, n, den AS span_us,
+      """ + Aggregates.exactRound6Sql("num", "den") + """ AS twap
+    FROM a ORDER BY event_type, day"""
+
   /** q_win_gap_stats — inter-arrival profile per user: exact DISCRETE
     * order statistics (min / median / p90 / max) of the gaps between
     * a user's consecutive events — the behavioral-cadence feature of
@@ -1333,6 +1392,7 @@ object Windows {
     Q("q_win_attrib", winAttrib _, winAttribSql),
     Q("q_win_gap_stats", winGapStats _, winGapStatsSql),
     Q("q_win_ohlc", winOhlc _, winOhlcSql),
+    Q("q_win_twap", winTwap _, winTwapSql),
     Q("q_win_pop", winPop _, winPopSql),
     Q("q_win_distinct_sliding", winDistinctSliding _,
       winDistinctSlidingSql),

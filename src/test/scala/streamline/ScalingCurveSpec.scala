@@ -76,7 +76,10 @@ class ScalingCurveSpec extends SparkSuite {
     // r15: ohlc is one (type, day)-keyed window + compatible rollup;
     // corr_matrix collapses the corpus in one pass then runs on the
     // bounded day grid — both must read linear
-    "q_win_ohlc", "q_agg_corr_matrix")
+    "q_win_ohlc", "q_agg_corr_matrix",
+    // r15: twap shares ohlc's keyed-window shape; convert_latency is
+    // one map-side-combined pass + cohort-bounded collects — linear
+    "q_win_twap", "q_agg_convert_latency")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
