@@ -139,6 +139,85 @@ object Text {
            ELSE 'en' END AS guessed
     FROM s ORDER BY doc_id"""
 
+  /** q_llm_lang_confusion — the EVALUATION HARNESS of a heuristic
+    * classifier [C]: run a five-class marker detector over the
+    * labeled corpus and report the (label × guess) confusion matrix
+    * with per-label recall shares and hit flags — the
+    * classifier-quality screen a pipeline runs before trusting any
+    * heuristic filter at 100 TB. On THIS synthetic corpus the
+    * per-language word distributions are statistically
+    * indistinguishable, so the matrix honestly reads ~chance — which
+    * is exactly the verdict the harness exists to deliver (a detector
+    * must EARN its gate). Exactness: marker scores are integer
+    * counts, the five-way argmax a strict CASE precedence chain
+    * (en > de > es > fr > zh on ties — total, engine-identical),
+    * share one [[streamline.batch.Aggregates.exactRound6]]. Scale:
+    * one map-side-combined corpus pass to the ≤ langs² matrix; label
+    * totals are a window over that matrix (never a second corpus
+    * branch). */
+  private def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = words($"text")
+    def score(markers: String*): Column =
+      size(filter(w, x => x.isin(markers.map(lit): _*)))
+    val g = Tables.documents(spark, dir)
+      .select($"lang",
+        score("order", "window", "table").as("sc_en"),
+        score("customer", "hash", "big").as("sc_de"),
+        score("agg", "slow").as("sc_es"),
+        score("query", "scan", "data").as("sc_fr"),
+        score("join", "fast").as("sc_zh"))
+      .withColumn("guessed",
+        when($"sc_de" > $"sc_en" && $"sc_de" >= $"sc_es" &&
+          $"sc_de" >= $"sc_fr" && $"sc_de" >= $"sc_zh", "de")
+          .when($"sc_es" > $"sc_en" && $"sc_es" > $"sc_de" &&
+            $"sc_es" >= $"sc_fr" && $"sc_es" >= $"sc_zh", "es")
+          .when($"sc_fr" > $"sc_en" && $"sc_fr" > $"sc_de" &&
+            $"sc_fr" > $"sc_es" && $"sc_fr" >= $"sc_zh", "fr")
+          .when($"sc_zh" > $"sc_en" && $"sc_zh" > $"sc_de" &&
+            $"sc_zh" > $"sc_es" && $"sc_zh" > $"sc_fr", "zh")
+          .otherwise("en"))
+    val cm = g.groupBy($"lang", $"guessed").agg(count(lit(1)).as("c"))
+    val n = sum($"c").over(Window.partitionBy($"lang"))
+    cm.select($"lang", $"guessed", $"c", n.as("n_label"),
+        streamline.batch.Aggregates.exactRound6($"c", n).as("share"),
+        when($"lang" === $"guessed", 1L).otherwise(0L).as("hit"))
+      .orderBy($"lang", $"guessed")
+  }
+
+  private val langConfusionSql = """
+    WITH d AS (SELECT lang, string_split(text, ' ') AS w
+               FROM documents),
+    s AS (SELECT lang,
+      len(list_filter(w, x -> x IN ('order','window','table'))) AS sc_en,
+      len(list_filter(w, x -> x IN ('customer','hash','big'))) AS sc_de,
+      len(list_filter(w, x -> x IN ('agg','slow'))) AS sc_es,
+      len(list_filter(w, x -> x IN ('query','scan','data'))) AS sc_fr,
+      len(list_filter(w, x -> x IN ('join','fast'))) AS sc_zh
+    FROM d),
+    g AS (SELECT lang,
+      CASE WHEN sc_de > sc_en AND sc_de >= sc_es AND sc_de >= sc_fr
+                AND sc_de >= sc_zh THEN 'de'
+           WHEN sc_es > sc_en AND sc_es > sc_de AND sc_es >= sc_fr
+                AND sc_es >= sc_zh THEN 'es'
+           WHEN sc_fr > sc_en AND sc_fr > sc_de AND sc_fr > sc_es
+                AND sc_fr >= sc_zh THEN 'fr'
+           WHEN sc_zh > sc_en AND sc_zh > sc_de AND sc_zh > sc_es
+                AND sc_zh > sc_fr THEN 'zh'
+           ELSE 'en' END AS guessed
+    FROM s),
+    cm AS (SELECT lang, guessed, CAST(count(*) AS BIGINT) AS c
+           FROM g GROUP BY 1, 2),
+    t AS (SELECT lang, guessed, c,
+        CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n_label
+      FROM cm)
+    SELECT lang, guessed, c, n_label,
+      """ + streamline.batch.Aggregates.exactRound6Sql("c", "n_label") +
+    """ AS share,
+      CAST(CASE WHEN lang = guessed THEN 1 ELSE 0 END AS BIGINT) AS hit
+    FROM t ORDER BY lang, guessed"""
+
   /** q_llm_fingerprint — canonical bag-of-words fingerprint (sorted
     * distinct tokens → sha256): an order-insensitive document signature
     * for shuffled-near-dup detection; n_same counts fingerprint
@@ -1186,5 +1265,6 @@ object Text {
     Q("q_llm_quality", quality _, qualitySql),
     Q("q_llm_lang_profile", langProfile _, langProfileSql),
     Q("q_llm_lang_id", langId _, langIdSql),
+    Q("q_llm_lang_confusion", langConfusion _, langConfusionSql),
     Q("q_llm_fingerprint", fingerprint _, fingerprintSql))
 }

@@ -79,7 +79,10 @@ class ScalingCurveSpec extends SparkSuite {
     "q_win_ohlc", "q_agg_corr_matrix",
     // r15: twap shares ohlc's keyed-window shape; convert_latency is
     // one map-side-combined pass + cohort-bounded collects — linear
-    "q_win_twap", "q_agg_convert_latency")
+    "q_win_twap", "q_agg_convert_latency",
+    // r15: the confusion harness is per-row marker counts + one
+    // map-side-combined matrix rollup — pure map-side, linear
+    "q_llm_lang_confusion")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
