@@ -325,6 +325,86 @@ object Joins {
     FROM j WHERE rn = 1
     ORDER BY user_id, p_id"""
 
+  /** q_join_nearest — NEAREST-neighbor temporal join (pandas
+    * merge_asof `direction='nearest'`; the sensor-fusion align): each
+    * purchase matches the click of the same user with the smallest
+    * absolute time distance, looking BOTH ways — backward as-of joins
+    * under-serve the align-to-closest-reading case. Composition: ONE
+    * keyed sort (ts, kind, id) carries BOTH candidates — the latest
+    * prior click via last(ignoreNulls) over the preceding frame and
+    * the earliest later click via first(ignoreNulls) over the
+    * following frame — then an integer-µs gap comparison picks the
+    * side (tie → backward; equal-ts clicks sort before the purchase,
+    * so they are backward with gap 0). No purchase×click pair table
+    * ever materializes (the naive |Δt| argmin join is per-key
+    * quadratic under skew). Exactness: gaps integer µs; the oracle
+    * keeps the ANSI two-sided row_number formulation so the tiebreak
+    * is bit-identical. One shuffle on user_id, O(n) rows. */
+  private def joinNearest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Window.partitionBy($"user_id")
+      .orderBy($"us".asc, $"kind".asc, $"event_id".asc)
+    val back = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow,
+      Window.unboundedFollowing)
+    val e = Tables.events(spark, dir)
+      .where($"event_type".isin("click", "purchase"))
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        when($"event_type" === "purchase", lit(1)).otherwise(lit(0))
+          .as("kind"),
+        when($"event_type" === "click", unix_micros($"ts")).as("c_us0"),
+        when($"event_type" === "click", $"event_id").as("c_id0"))
+    val cand = e
+      .withColumn("b_us", last($"c_us0", ignoreNulls = true).over(back))
+      .withColumn("b_id", last($"c_id0", ignoreNulls = true).over(back))
+      .withColumn("f_us", first($"c_us0", ignoreNulls = true).over(fwd))
+      .withColumn("f_id", first($"c_id0", ignoreNulls = true).over(fwd))
+      .where($"kind" === 1)
+    val bGap = $"us" - $"b_us"
+    val fGap = $"f_us" - $"us"
+    val pickBack = $"b_us".isNotNull &&
+      ($"f_us".isNull || bGap <= fGap)
+    cand.select($"user_id", $"event_id".as("p_id"),
+        when(pickBack, $"b_id").otherwise($"f_id").as("c_id"),
+        when(pickBack, lit("back"))
+          .when($"f_us".isNotNull, lit("fwd")).as("side"),
+        when(pickBack, bGap)
+          .when($"f_us".isNotNull, fGap).as("gap_us"))
+      .orderBy($"user_id", $"p_id")
+  }
+
+  private val joinNearestSql = """
+    WITH p AS (SELECT event_id AS p_id, user_id,
+            epoch_us(date_trunc('microseconds', ts)) AS p_us
+          FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS c_id, user_id AS c_uid,
+            epoch_us(date_trunc('microseconds', ts)) AS c_us
+          FROM events WHERE event_type = 'click'),
+    b AS (SELECT p.p_id, c.c_id, c.c_us,
+            row_number() OVER (PARTITION BY p.p_id
+              ORDER BY c.c_us DESC, c.c_id DESC) AS rn
+          FROM p JOIN c ON p.user_id = c.c_uid AND c.c_us <= p.p_us),
+    f AS (SELECT p.p_id, c.c_id, c.c_us,
+            row_number() OVER (PARTITION BY p.p_id
+              ORDER BY c.c_us ASC, c.c_id ASC) AS rn
+          FROM p JOIN c ON p.user_id = c.c_uid AND c.c_us > p.p_us)
+    SELECT p.user_id, p.p_id,
+      CASE WHEN b.c_id IS NOT NULL
+             AND (f.c_id IS NULL OR p.p_us - b.c_us <= f.c_us - p.p_us)
+           THEN b.c_id ELSE f.c_id END AS c_id,
+      CASE WHEN b.c_id IS NOT NULL
+             AND (f.c_id IS NULL OR p.p_us - b.c_us <= f.c_us - p.p_us)
+           THEN 'back'
+           WHEN f.c_id IS NOT NULL THEN 'fwd' END AS side,
+      CASE WHEN b.c_id IS NOT NULL
+             AND (f.c_id IS NULL OR p.p_us - b.c_us <= f.c_us - p.p_us)
+           THEN p.p_us - b.c_us
+           WHEN f.c_id IS NOT NULL THEN f.c_us - p.p_us END AS gap_us
+    FROM p LEFT JOIN b ON b.p_id = p.p_id AND b.rn = 1
+      LEFT JOIN f ON f.p_id = p.p_id AND f.rn = 1
+    ORDER BY p.user_id, p.p_id"""
+
   /** q_join_asof_tolerance — as-of join with a MAX-STALENESS bound
     * (the pandas merge_asof `tolerance` semantic, and what a temporal
     * enrichment means operationally: a reference value older than the
@@ -677,5 +757,6 @@ object Joins {
     Q("q_join_interval", joinInterval _, joinIntervalSql),
     Q("q_join_range", joinRange _, joinRangeSql),
     Q("q_join_asof", joinAsof _, joinAsofSql),
+    Q("q_join_nearest", joinNearest _, joinNearestSql),
     Q("q_join_asof_tolerance", joinAsofTolerance _, joinAsofToleranceSql))
 }

@@ -82,7 +82,11 @@ class ScalingCurveSpec extends SparkSuite {
     "q_win_twap", "q_agg_convert_latency",
     // r15: the confusion harness is per-row marker counts + one
     // map-side-combined matrix rollup — pure map-side, linear
-    "q_llm_lang_confusion")
+    "q_llm_lang_confusion",
+    // r15: nearest-join is ONE keyed sort carrying both direction
+    // candidates — the witness that no purchase×click pair table
+    // materializes (that shape would read quadratic here)
+    "q_join_nearest")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
