@@ -248,6 +248,64 @@ object Dedup {
       .orderBy($"doc_id", $"bench_id")
   }
 
+  /** q_llm_coverage — benchmark n-gram coverage, the INVERSE reading
+    * of [[contamination]]: per benchmark document, the fraction of its
+    * distinct 3-gram shingles that occur anywhere in the training
+    * corpus — high coverage near release time is the memorization /
+    * eval-deflation warning even when no single corpus doc crosses
+    * the contamination threshold. Exactness: counts BIGINT, coverage
+    * one [[streamline.batch.Aggregates.exactRound6]]; grams hashed
+    * once (xxhash64, the contamination convention — the oracle stays
+    * on strings and hash-matches). Scale: the benchmark side is tiny
+    * (MMLU-sized) so its vocab BROADCASTS; the corpus gram stream
+    * map-side-joins against it and only the HITS (≤ bench vocab after
+    * the map-side-combined distinct) ever shuffle — no corpus shuffle
+    * at all; the benchmark branch's doc_id filter pushes below the
+    * explode into the parquet scan, so it reads 2% of docs, not a
+    * second full pass. */
+  private def coverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def grams(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Tables.documents(spark, dir)
+        .where(pred($"doc_id"))
+        .select($"doc_id", explode(array_distinct(
+          transform(shingles3($"text"), s => xxhash64(s)))).as("g"))
+    val bench = grams(_ % 50 === 0)
+      .select($"doc_id".as("bench_id"), $"g").localCheckpoint(true)
+    val benchVocab = bench.select($"g").distinct()
+    val covered = grams(_ % 50 =!= 0).select($"g")
+      .join(broadcast(benchVocab), Seq("g"))
+      .distinct()
+    val tot = bench.groupBy($"bench_id").agg(count(lit(1)).as("n_grams"))
+    val cov = bench.join(broadcast(covered), Seq("g"))
+      .groupBy($"bench_id").agg(count(lit(1)).as("n_cov"))
+    tot.join(cov, Seq("bench_id"), "left")
+      .select($"bench_id", $"n_grams",
+        coalesce($"n_cov", lit(0L)).as("n_cov"),
+        streamline.batch.Aggregates.exactRound6(
+          coalesce($"n_cov", lit(0L)), $"n_grams").as("coverage"))
+      .orderBy($"bench_id")
+  }
+
+  private val coverageSql = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' ||
+          ws[i+2] AS g
+      FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+    bench AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 50 = 0),
+    corpus AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 <> 0),
+    tot AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_grams
+          FROM bench GROUP BY 1),
+    cov AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_cov
+          FROM bench SEMI JOIN corpus USING (g) GROUP BY 1)
+    SELECT t.bench_id, t.n_grams,
+      CAST(coalesce(c.n_cov, 0) AS BIGINT) AS n_cov,
+      """ + streamline.batch.Aggregates.exactRound6Sql(
+        "coalesce(c.n_cov, 0)", "t.n_grams") + """ AS coverage
+    FROM tot t LEFT JOIN cov c ON t.bench_id = c.bench_id
+    ORDER BY t.bench_id"""
+
   /** q_llm_bloom — Bloom-filter-pruned decontamination: the 100 TB form
     * of [[contamination]]. Same contract (corpus docs sharing ≥3 shingles
     * with any benchmark doc), different plan: the benchmark shingle set
@@ -652,6 +710,7 @@ object Dedup {
       dedupIncrementalSql),
     Q("q_llm_dedup_cluster", dedupCluster _, dedupClusterSql),
     Q("q_llm_contamination", contamination _, contaminationSql),
+    Q("q_llm_coverage", coverage _, coverageSql),
     // exact-same contract as contamination, bloom-pruned plan — the
     // oracle is legitimately shared.
     Q("q_llm_bloom", bloomContamination _, contaminationSql),

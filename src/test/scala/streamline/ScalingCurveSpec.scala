@@ -86,7 +86,10 @@ class ScalingCurveSpec extends SparkSuite {
     // r15: nearest-join is ONE keyed sort carrying both direction
     // candidates — the witness that no purchase×click pair table
     // materializes (that shape would read quadratic here)
-    "q_join_nearest")
+    "q_join_nearest",
+    // r15: coverage streams corpus grams map-side against the
+    // broadcast bench vocab; only hits shuffle — must read linear
+    "q_llm_coverage")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
