@@ -225,6 +225,60 @@ object Streams {
     HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
     ORDER BY w_start, event_type"""
 
+  /** q_stream_ohlc — streaming twin of q_win_ohlc (batch
+    * Windows.scala): per-day OHLC candles emitted as event-time
+    * tumbling windows CLOSE under the watermark — the live form of
+    * the series-to-candles downsample (a closed candle is final and
+    * never restated; append mode is exactly that contract).
+    * Open/close are min_by/max_by on the TOTAL (µs, event_id) struct
+    * key — unique per row, so distributed partial-aggregate merges
+    * are order-insensitive and cross-engine deterministic (the same
+    * reason the batch twin uses rank selections, expressed as the
+    * streaming-legal aggregate form: rank windows are batch-only).
+    * State = one (n, open, high, low, close) register per open
+    * (type, day) window, evicted at close. */
+  private def streamOhlc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .select($"ts", $"event_type", unix_micros($"ts").as("us"),
+        $"event_id", round($"value" * 10000).cast("bigint").as("v"))
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        min_by($"v", struct($"us", $"event_id")).as("open"),
+        max($"v").as("high"), min($"v").as("low"),
+        max_by($"v", struct($"us", $"event_id")).as("close"))
+      .select(tsOut($"window.start").as("w_start"), $"event_type",
+        $"n", $"open", $"high", $"low", $"close")
+    runToTable(spark, "ohlcs", "append", agg)
+      .orderBy($"w_start", $"event_type")
+  }
+
+  /** Oracle: the batch candle build (q_win_ohlc's row_number form)
+    * restricted to windows closed under the final watermark — the
+    * q_stream_tumble closed-window filter. */
+  private val streamOhlcSql = """
+    WITH wm AS (SELECT date_trunc('millisecond', max(ts))
+                  - INTERVAL 10 MINUTE AS w FROM events),
+    e AS (SELECT event_type,
+        CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+        epoch_us(date_trunc('microseconds', ts)) AS us, event_id,
+        CAST(round(value * 10000) AS BIGINT) AS v
+      FROM events),
+    r AS (SELECT event_type, w_start, v,
+        row_number() OVER (PARTITION BY event_type, w_start
+          ORDER BY us, event_id) AS rn,
+        CAST(count(*) OVER (PARTITION BY event_type, w_start)
+          AS BIGINT) AS n
+      FROM e)
+    SELECT w_start, event_type, CAST(max(n) AS BIGINT) AS n,
+      CAST(max(CASE WHEN rn = 1 THEN v END) AS BIGINT) AS open,
+      CAST(max(v) AS BIGINT) AS high, CAST(min(v) AS BIGINT) AS low,
+      CAST(max(CASE WHEN rn = n THEN v END) AS BIGINT) AS close
+    FROM r GROUP BY 1, 2
+    HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
+    ORDER BY w_start, event_type"""
+
   /** q_stream_drift — windowed distribution-DRIFT monitor: each closed
     * 1-day window's value distribution is compared against the frozen
     * whole-corpus reference via the binned two-sample KS statistic
@@ -2310,6 +2364,7 @@ object Streams {
     Q("q_stream_retract_hist", streamRetractHist _, streamRetractHistSql),
     Q("q_stream_proctime", streamProcTime _, streamProcTimeSql),
     Q("q_stream_tumble", streamTumble _, streamTumbleSql),
+    Q("q_stream_ohlc", streamOhlc _, streamOhlcSql),
     Q("q_stream_drift", streamDrift _, streamDriftSql),
     Q("q_stream_recovery", streamRecovery _, streamRecoverySql),
     Q("q_stream_rescale", streamRescale _, streamRescaleSql),

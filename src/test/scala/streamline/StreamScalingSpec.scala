@@ -58,7 +58,11 @@ class StreamScalingSpec extends SparkSuite {
     "q_stream_zscore",
     // r15: attribution state is the watermark-bounded buffer + one
     // long per user — rows ≈ live keys, must scale linearly
-    "q_stream_attrib")
+    "q_stream_attrib",
+    // r15: candle state is one register per OPEN (type, day) window;
+    // the blowup multiplies users at the same timestamps, so the
+    // window grid — and hence state rows — must read ~flat
+    "q_stream_ohlc")
 
   /** Runs the query under a progress listener; returns (seconds, max
     * numRowsTotal across all stateful operators and micro-batches). */
