@@ -1197,30 +1197,36 @@ object Aggregates {
     (n, pts)
   }
 
-  /** round(num/den, 6) with EXACT HALF_UP tie resolution (num, den ≥ 0
-    * BIGINT columns): the scaled quotient ⌊(2·10⁶·num + den)/(2·den)⌋
-    * in DECIMAL(38,0) integral division — never the double quotient,
-    * whose nearest-double can straddle a x.xxxxxx5 tie differently per
-    * engine (the q_win_cusum divergence class). The integer result is
-    * ≤ 10⁶ when num ≤ den, so exactly representable as a double, and
-    * /10⁶ is ONE correctly-rounded IEEE division — bit-identical on
-    * any engine. DECIMAL(38,0) carry keeps it exact far past BIGINT
-    * group sizes (n₀·n₁ overflows a long at ~2·10⁹ rows per arm). */
+  /** round(num/den, 6) with EXACT HALF_UP (half-away-from-zero — SQL
+    * round) tie resolution for ANY-sign num, den > 0 BIGINT columns:
+    * the scaled magnitude ⌊(2·10⁶·|num| + den)/(2·den)⌋ in
+    * DECIMAL(38,0) integral division, re-signed — never the double
+    * quotient, whose nearest-double can straddle a x.xxxxxx5 tie
+    * differently per engine (the q_win_cusum divergence class), and
+    * never a signed integral division, whose truncate-vs-floor
+    * convention differs between Spark `div` and DuckDB `//` (ADVICE
+    * r15: the sign-split makes both engines see only non-negative
+    * operands). The integer result is ≤ 10⁶ when |num| ≤ den, so
+    * exactly representable as a double, and /10⁶ is ONE correctly-
+    * rounded IEEE division — bit-identical on any engine.
+    * DECIMAL(38,0) carry keeps it exact far past BIGINT group sizes
+    * (n₀·n₁ overflows a long at ~2·10⁹ rows per arm). */
   private[streamline] def exactRound6(
       num: org.apache.spark.sql.Column,
       den: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val n38 = num.cast("decimal(38,0)")
     val d38 = den.cast("decimal(38,0)")
-    call_function("div",
-      lit(2000000L).cast("decimal(38,0)") * n38 + d38,
+    val mag = call_function("div",
+      lit(2000000L).cast("decimal(38,0)") * abs(n38) + d38,
       lit(2L).cast("decimal(38,0)") * d38)
-      .cast("double") / lit(1000000.0)
+    when(n38 < 0, -mag).otherwise(mag).cast("double") / lit(1000000.0)
   }
 
   /** The DuckDB mirror of [[exactRound6]] — HUGEINT carry, `//`
-    * integral division. */
+    * integral division on the |num| magnitude, re-signed. */
   private[streamline] def exactRound6Sql(num: String, den: String): String =
-    s"CAST((2000000::HUGEINT * ($num) + ($den)) // " +
+    s"(CASE WHEN ($num) < 0 THEN -1 ELSE 1 END) * " +
+      s"CAST((2000000::HUGEINT * abs($num) + ($den)) // " +
       s"(2::HUGEINT * ($den)) AS DOUBLE) / 1000000.0"
 
   private def aggKs(spark: SparkSession, dir: String): DataFrame = {
@@ -1230,9 +1236,13 @@ object Aggregates {
     val w = Window.partitionBy($"event_type").orderBy($"value")
     val cum = pts.select($"event_type",
       sum($"c0").over(w).as("k0"), sum($"c1").over(w).as("k1"))
+    // n₁·k₀ in DECIMAL(38) BEFORE the subtraction — the cross-products
+    // overflow long at ~3·10⁹ rows per arm (ADVICE r15); d_num itself
+    // is therefore DECIMAL(38,0) on both engines
     val d = cum.join(broadcast(n), "event_type")
       .groupBy($"event_type")
-      .agg(max(abs($"n1" * $"k0" - $"n0" * $"k1")).as("d_num"))
+      .agg(max(abs($"n1".cast("decimal(38,0)") * $"k0"
+        - $"n0".cast("decimal(38,0)") * $"k1")).as("d_num"))
     d.join(broadcast(n), "event_type")
       .select($"event_type", $"n0", $"n1", $"d_num",
         exactRound6($"d_num", $"n0".cast("decimal(19,0)")
@@ -1259,11 +1269,11 @@ object Aggregates {
               sum(c1) OVER (PARTITION BY event_type ORDER BY value) AS k1
             FROM pts),
     d AS (SELECT c.event_type,
-            max(abs(n.n1 * CAST(c.k0 AS BIGINT)
-                    - n.n0 * CAST(c.k1 AS BIGINT))) AS d_num
+            max(abs(n.n1::HUGEINT * CAST(c.k0 AS BIGINT)
+                    - n.n0::HUGEINT * CAST(c.k1 AS BIGINT))) AS d_num
           FROM cum c JOIN n ON c.event_type = n.event_type
           GROUP BY 1)
-    SELECT d.event_type, n.n0, n.n1, CAST(d.d_num AS BIGINT) AS d_num,
+    SELECT d.event_type, n.n0, n.n1, CAST(d.d_num AS DECIMAL(38,0)) AS d_num,
       """ + exactRound6Sql("d.d_num", "n.n0::HUGEINT * n.n1") + """ AS d
     FROM d JOIN n ON d.event_type = n.event_type
     ORDER BY d.event_type"""
@@ -1429,7 +1439,10 @@ object Aggregates {
     a.crossJoin(broadcast(t))
       .select($"decile", $"n_users", $"n_conv",
         exactRound6($"n_conv", $"n_users").as("conv_rate"),
-        exactRound6($"n_conv" * $"nu", $"n_users" * $"nc").as("lift"))
+        // factors to DECIMAL(38) BEFORE multiplying — n_conv·N in long
+        // overflows at ~3·10⁹ users (ADVICE r15; q_agg_basket discipline)
+        exactRound6($"n_conv".cast("decimal(19,0)") * $"nu",
+          $"n_users".cast("decimal(19,0)") * $"nc").as("lift"))
       .orderBy($"decile")
   }
 
@@ -1446,7 +1459,8 @@ object Aggregates {
             CAST(sum(n_conv) AS BIGINT) AS nc FROM a)
     SELECT a.decile, a.n_users, a.n_conv,
       """ + exactRound6Sql("a.n_conv", "a.n_users") + """ AS conv_rate,
-      """ + exactRound6Sql("a.n_conv * t.nu", "a.n_users * t.nc") + """
+      """ + exactRound6Sql("a.n_conv::HUGEINT * t.nu",
+        "a.n_users::HUGEINT * t.nc") + """
         AS lift
     FROM a, t ORDER BY a.decile"""
 
@@ -1573,8 +1587,8 @@ object Aggregates {
     * combined corpus pass to the (type, day) count table
     * (checkpointed — grid, moments and the pair join all read it);
     * everything after runs on the types×days grid (bounded), the pair
-    * join keyed on day. At 100 TB daily counts the moments upgrade to
-    * DECIMAL(38) end to end with the identical algebra. */
+    * join keyed on day; the moments ARE DECIMAL(38) end to end (c²
+    * and n·Σxy − Σx·Σx overflow long at ~10¹² daily counts). */
   private def aggCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.events(spark, dir)
@@ -1587,23 +1601,26 @@ object Aggregates {
       .crossJoin(e.select($"day").distinct())
       .join(e, Seq("event_type", "day"), "left")
       .select($"event_type", $"day", coalesce($"c", lit(0L)).as("c"))
+    // c² and the moment cross-products in DECIMAL(38) BEFORE any
+    // multiply — daily counts hit ~10¹² at 100 TB, where c² and
+    // n·Σxy − Σx·Σx overflow long (ADVICE r15; q_agg_basket discipline)
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val s = grid.groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"c").as("sx"),
-        sum($"c" * $"c").as("sxx"))
+        sum(d38($"c") * $"c").as("sxx"))
     val xy = grid.select($"event_type".as("t1"), $"day", $"c".as("c1"))
       .join(grid.select($"event_type".as("t2"), $"day".as("d2"),
         $"c".as("c2")), $"day" === $"d2" && $"t1" < $"t2")
       .groupBy($"t1", $"t2")
-      .agg(count(lit(1)).as("n"), sum($"c1" * $"c2").as("sxy"))
+      .agg(count(lit(1)).as("n"), sum(d38($"c1") * $"c2").as("sxy"))
     val j = xy
       .join(broadcast(s.select($"event_type".as("e1"), $"sx".as("sx1"),
         $"sxx".as("sxx1"))), $"t1" === $"e1")
       .join(broadcast(s.select($"event_type".as("e2"), $"sx".as("sx2"),
         $"sxx".as("sxx2"))), $"t2" === $"e2")
-    val cov = $"n" * $"sxy" - $"sx1" * $"sx2"
-    val v1 = $"n" * $"sxx1" - $"sx1" * $"sx1"
-    val v2 = $"n" * $"sxx2" - $"sx2" * $"sx2"
-    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val cov = d38($"n") * $"sxy" - d38($"sx1") * $"sx2"
+    val v1 = d38($"n") * $"sxx1" - d38($"sx1") * $"sx1"
+    val v2 = d38($"n") * $"sxx2" - d38($"sx2") * $"sx2"
     j.select($"t1", $"t2", cov.as("cov_num"),
         v1.as("var1_num"), v2.as("var2_num"),
         when(cov < 0, -1L).otherwise(1L).as("sgn"),
@@ -1622,19 +1639,22 @@ object Aggregates {
       FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN days d
       LEFT JOIN e ON e.event_type = t.event_type AND e.day = d.day),
     s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(c) AS BIGINT) AS sx, CAST(sum(c*c) AS BIGINT) AS sxx
+        CAST(sum(c) AS BIGINT) AS sx, sum(c::HUGEINT * c) AS sxx
       FROM grid GROUP BY 1),
     xy AS (SELECT a.event_type AS t1, b.event_type AS t2,
-        CAST(count(*) AS BIGINT) AS n, CAST(sum(a.c * b.c) AS BIGINT) AS sxy
+        CAST(count(*) AS BIGINT) AS n, sum(a.c::HUGEINT * b.c) AS sxy
       FROM grid a JOIN grid b ON a.day = b.day
         AND a.event_type < b.event_type
       GROUP BY 1, 2)
     SELECT xy.t1, xy.t2,
-      CAST(xy.n * xy.sxy - s1.sx * s2.sx AS BIGINT) AS cov_num,
-      CAST(xy.n * s1.sxx - s1.sx * s1.sx AS BIGINT) AS var1_num,
-      CAST(xy.n * s2.sxx - s2.sx * s2.sx AS BIGINT) AS var2_num,
-      CAST(CASE WHEN xy.n * xy.sxy - s1.sx * s2.sx < 0 THEN -1 ELSE 1 END
-        AS BIGINT) AS sgn,
+      CAST(xy.n::HUGEINT * xy.sxy - s1.sx::HUGEINT * s2.sx
+        AS DECIMAL(38,0)) AS cov_num,
+      CAST(xy.n::HUGEINT * s1.sxx - s1.sx::HUGEINT * s1.sx
+        AS DECIMAL(38,0)) AS var1_num,
+      CAST(xy.n::HUGEINT * s2.sxx - s2.sx::HUGEINT * s2.sx
+        AS DECIMAL(38,0)) AS var2_num,
+      CAST(CASE WHEN xy.n::HUGEINT * xy.sxy - s1.sx::HUGEINT * s2.sx < 0
+        THEN -1 ELSE 1 END AS BIGINT) AS sgn,
       """ + exactRound6Sql(
         "(xy.n*xy.sxy - s1.sx*s2.sx)::HUGEINT * (xy.n*xy.sxy - s1.sx*s2.sx)",
         "(xy.n*s1.sxx - s1.sx*s1.sx)::HUGEINT * (xy.n*s2.sxx - s2.sx*s2.sx)"

@@ -533,35 +533,43 @@ object SqlApi {
     ORDER BY c_mktsegment"""
 
   /** q_sql_variable — SQL session variables (Spark 4 `DECLARE` /
-    * `SET VARIABLE`): a typed scalar declared in the session, set by
+    * `SET VARIABLE`): typed scalars declared in the session, set by
     * a query over the data (the "computed threshold" pattern scripts
     * use instead of string-splicing), then referenced by name inside
-    * a later query. Oracle inlines the same subquery — the variable
-    * is pure session plumbing, the relational semantics are
-    * identical. */
+    * a later query. The threshold (the global mean balance) travels
+    * as its EXACT (Σcents, n) integer pair and the filter is the
+    * integer cross-multiplication cents·n > Σ — a stored
+    * DECIMAL(18,4) mean rounds the quotient on assignment, and a
+    * balance landing within 5e-5 of a grid point would then flip
+    * rows between engines (ADVICE r15); the multiply carries in
+    * DECIMAL(38)/HUGEINT past the ~10¹²-customer long cliff. Oracle
+    * inlines the same subquery — the variables are pure session
+    * plumbing, the relational semantics are identical. */
   private def sqlVariable(spark: SparkSession, dir: String): DataFrame = {
     Tables.customer(spark, dir).createOrReplaceTempView("customer")
-    spark.sql(
-      "DECLARE OR REPLACE VARIABLE graft_bal_floor DECIMAL(18,4)")
-    // threshold computed FROM the data: the global mean balance
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_bal_sum_cents BIGINT")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_bal_n BIGINT")
     spark.sql("""
-      SET VARIABLE graft_bal_floor =
-        (SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) / count(*)
+      SET VARIABLE (graft_bal_sum_cents, graft_bal_n) =
+        (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)), count(*)
          FROM customer)""")
     spark.sql("""
       SELECT c_mktsegment, count(*) AS n_above,
         CAST(min(c_custkey) AS BIGINT) AS first_cust
-      FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,4)) > graft_bal_floor
+      FROM customer
+      WHERE CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DECIMAL(38,0))
+          * graft_bal_n > graft_bal_sum_cents
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   }
 
   private val sqlVariableSql = """
-    WITH t AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) / count(*)
-        AS floor_bal FROM customer)
+    WITH t AS (SELECT
+        CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+        CAST(count(*) AS BIGINT) AS n FROM customer)
     SELECT c_mktsegment, count(*) AS n_above,
       CAST(min(c_custkey) AS BIGINT) AS first_cust
     FROM customer, t
-    WHERE CAST(c_acctbal AS DECIMAL(18,4)) > t.floor_bal
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT)::HUGEINT * t.n > t.s
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
   /** q_sql_exec_immediate — dynamic SQL with bound parameters (Spark 4

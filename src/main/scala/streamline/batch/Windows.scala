@@ -823,7 +823,10 @@ object Windows {
     * reading) dropped IDENTICALLY on both engines, the weighted mean
     * one [[Aggregates.exactRound6]] with v·dt products carried in
     * DECIMAL(38)/HUGEINT (a day of µs × scaled values is ~10¹⁷ —
-    * near the long cliff, so the carry is explicit). Scale: one
+    * near the long cliff, so the carry is explicit); negative
+    * readings are safe — exactRound6 sign-splits, so Σv·dt < 0
+    * rounds half-away-from-zero identically on both engines
+    * (ADVICE r15). Scale: one
     * (type, day)-keyed shuffle + sort; lead and the day-end max share
     * the partition; rollup is partitioning-compatible. */
   private def winTwap(spark: SparkSession, dir: String): DataFrame = {

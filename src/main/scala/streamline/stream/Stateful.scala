@@ -586,7 +586,11 @@ object Stateful {
     val (ready, future) = all.partition(_._1 <= wmUs)
     var ring = prev.ring
     val out = ready.flatMap { case (_, id, value) =>
-      val v = math.round(value * 10000)
+      // HALF_UP (away from zero), matching SQL round() and the batch
+      // twin q_win_zscore — Scala math.round is half-toward-+∞, which
+      // diverges on negative exact .00005 ties (ADVICE r15)
+      val v = BigDecimal(value * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
       val res =
         if (ring.length == 20) {
           val s = ring.sum

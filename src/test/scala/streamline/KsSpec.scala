@@ -21,10 +21,12 @@ class KsSpec extends SparkSuite {
       val (n0, n1) = (a0.length.toLong, a1.length.toLong)
       // evaluate |n1*F0 - n0*F1| (common-denominator form) at every
       // distinct observed value across BOTH samples
+      // BigInt like the query's DECIMAL(38) carry (r16: the cross-
+      // products overflow long at ~3·10⁹ rows per arm)
       val dNum = (a0 ++ a1).distinct.map { v =>
         val k0 = a0.count(_ <= v).toLong
         val k1 = a1.count(_ <= v).toLong
-        math.abs(n1 * k0 - n0 * k1)
+        (BigInt(n1) * k0 - BigInt(n0) * k1).abs
       }.max
       // the query's exact integer HALF_UP: ⌊(2·10⁶·num + den)/(2·den)⌋
       // (BigInt / truncates toward zero = floor for positives), then
@@ -35,7 +37,8 @@ class KsSpec extends SparkSuite {
     }
     val got = SparkEntry.queries("q_agg_ks")(spark, sfDir).collect()
       .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+        ((r.getLong(1), r.getLong(2),
+          BigInt(r.getDecimal(3).toBigInteger), r.getDouble(4)))).toMap
     assert(got === expected)
     // the statistic must discriminate: not all groups identical D
     assert(got.values.map(_._3).toSet.size > 1)

@@ -51,15 +51,21 @@ class OhlcCorrSpec extends SparkSuite {
       (t1, t2) = (types(i), types(j))
       (a, b) = (series(t1), series(t2))
       sx1 = a.sum; sx2 = b.sum
-      sxx1 = a.map(x => x * x).sum; sxx2 = b.map(x => x * x).sum
-      sxy = a.zip(b).map { case (x, y) => x * y }.sum
-      cov = n * sxy - sx1 * sx2
-      v1 = n * sxx1 - sx1 * sx1; v2 = n * sxx2 - sx2 * sx2
+      // BigInt like the query's DECIMAL(38) moments (r16: c² and
+      // n·Σxy − Σx·Σx overflow long at ~10¹² daily counts)
+      sxx1 = a.map(x => BigInt(x) * x).sum; sxx2 = b.map(x => BigInt(x) * x).sum
+      sxy = a.zip(b).map { case (x, y) => BigInt(x) * y }.sum
+      cov = BigInt(n) * sxy - BigInt(sx1) * sx2
+      v1 = BigInt(n) * sxx1 - BigInt(sx1) * sx1
+      v2 = BigInt(n) * sxx2 - BigInt(sx2) * sx2
     } yield (t1, t2, cov, v1, v2, if (cov < 0) -1L else 1L,
-      r6(BigInt(cov) * cov, BigInt(v1) * v2))).sortBy(x => (x._1, x._2))
+      r6(cov * cov, v1 * v2))).sortBy(x => (x._1, x._2))
     val got = SparkEntry.queries("q_agg_corr_matrix")(spark, sfDir)
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+      .collect().map(r => (r.getString(0), r.getString(1),
+        BigInt(r.getDecimal(2).toBigInteger),
+        BigInt(r.getDecimal(3).toBigInteger),
+        BigInt(r.getDecimal(4).toBigInteger),
+        r.getLong(5), r.getDouble(6))).toSeq
     assert(got === expected)
     // the matrix is non-trivial: both signs occur and r2 < 1
     assert(got.exists(_._6 == 1L) && got.exists(_._6 == -1L))

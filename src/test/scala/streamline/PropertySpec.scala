@@ -160,6 +160,16 @@ class PropertySpec extends SparkSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP)
       assert(BigDecimal(scaled, 6) == ref,
         s"num=$num den=$den: formula=${BigDecimal(scaled, 6)} ref=$ref")
+      // the r16 sign-split: sgn(num)·⌊(2·10⁶·|num|+den)/(2·den)⌋ must
+      // be HALF_UP (half-AWAY-from-zero, SQL round) for negative num
+      // too — including exact -x.xxxxxx5 ties, where a truncating or
+      // flooring signed division would disagree between engines
+      val neg = -num
+      val negScaled = -((BigInt(2000000) * neg.abs + den) / (2 * den))
+      val negRef = (BigDecimal(neg) / BigDecimal(den))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(BigDecimal(negScaled, 6) == negRef,
+        s"num=$neg den=$den: formula=${BigDecimal(negScaled, 6)} ref=$negRef")
     }
   }
 }

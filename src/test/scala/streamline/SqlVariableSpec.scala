@@ -8,18 +8,20 @@ import graft.{SparkEntry, SparkSuite}
   * through the parser so a name cannot smuggle SQL. */
 class SqlVariableSpec extends SparkSuite {
 
-  test("the session variable gates the result (re-SET changes rows)") {
+  test("the session variables gate the result (re-SET changes rows)") {
     SparkEntry.queries("q_sql_variable")(spark, sfDir).collect()
+    val pred = "CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS " +
+      "DECIMAL(38,0)) * graft_bal_n > graft_bal_sum_cents"
     val atMean = spark
-      .sql("SELECT count(*) FROM customer WHERE CAST(c_acctbal AS " +
-        "DECIMAL(18,4)) > graft_bal_floor").head().getLong(0)
-    spark.sql("SET VARIABLE graft_bal_floor = CAST(-999999 AS DECIMAL(18,4))")
+      .sql(s"SELECT count(*) FROM customer WHERE $pred").head().getLong(0)
+    // re-SET to a floor below every balance: cents·n > -∞·n holds ∀rows
+    spark.sql("SET VARIABLE graft_bal_sum_cents = -99999999")
+    spark.sql("SET VARIABLE graft_bal_n = 1")
     val all = spark
-      .sql("SELECT count(*) FROM customer WHERE CAST(c_acctbal AS " +
-        "DECIMAL(18,4)) > graft_bal_floor").head().getLong(0)
+      .sql(s"SELECT count(*) FROM customer WHERE $pred").head().getLong(0)
     val total = spark.table("customer").count()
-    assert(atMean < total && all == total,
-      "the mean-balance floor must exclude rows; the -inf floor none")
+    assert(atMean < total && atMean > 0 && all == total,
+      "the mean-balance floor must exclude some rows; the -inf floor none")
   }
 
   test("EXECUTE IMMEDIATE binds ? markers positionally") {
