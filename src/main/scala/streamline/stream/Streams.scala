@@ -393,9 +393,31 @@ object Streams {
     * oracle match (duplicated or wrong window rows). The time-ordered
     * split guarantees no restart row is late: wm₁ = max(early)−10min <
     * cut ≤ every late ts. */
-  private def streamRecovery(spark: SparkSession, dir: String): DataFrame = {
+  private def streamRecovery(spark: SparkSession, dir: String): DataFrame =
+    recoveryDrain(spark, dir, "recov", providerClass = None)
+
+  /** q_stream_rocksdb — the identical stop→restart recovery drain run
+    * under `RocksDBStateStoreProvider` (rocksdbjni ships with Spark):
+    * the keyed-state backend a 100 TB deployment actually runs, where
+    * keyed state outgrows the default provider's in-heap map
+    * (SURVEY §1.1 names RocksDB as the lineage's state backend). Same
+    * watermarked daily aggregate, same checkpoint stop/restart, same
+    * closed-window oracle — so the row proves snapshot upload,
+    * restore-from-checkpoint and watermark carry-over work end to end
+    * on the RocksDB path, not just that the provider loads.
+    * RocksdbWitnessSpec additionally pins the provider from the query
+    * progress (rocksdb* custom metrics) and frame-equality against
+    * the default-provider run. */
+  private def streamRocksdb(spark: SparkSession, dir: String): DataFrame =
+    recoveryDrain(spark, dir, "rocksdb", providerClass = Some(
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider"))
+
+  private[streamline] def recoveryDrain(spark: SparkSession, dir: String,
+      tag: String, providerClass: Option[String]): DataFrame = {
     import spark.implicits._
-    val root = streamline.util.Scratch.dir("recov", dir)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val root = streamline.util.Scratch.dir(tag, dir)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(rootPath, true)
@@ -406,8 +428,16 @@ object Streams {
     val cut = new java.sql.Timestamp(
       (b.getTimestamp(0).getTime + b.getTimestamp(1).getTime) / 2)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = spark.conf.getOption(providerKey)
+    val prevCk = spark.conf.getOption(checksumKey)
     spark.conf.set("spark.sql.shuffle.partitions",
       streamline.util.Knobs.statePartitions(spark).toString)
+    providerClass.foreach { p =>
+      spark.conf.set(providerKey, p)
+      // RocksDB snapshot zips starve the shared checksum pool
+      // (checksumKey scaladoc) — same discipline as withStreamConfs
+      spark.conf.set(checksumKey, "false")
+    }
     def drain(): Unit = {
       val q = spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", "1") // several micro-batches/run
@@ -434,7 +464,19 @@ object Streams {
       events.where($"ts" >= lit(cut)).repartition(2)
         .write.mode("append").parquet(stage)
       drain() // run 2: RESTART from the same checkpoint, drain the rest
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      if (providerClass.isDefined) {
+        prevProvider match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None    => spark.conf.unset(providerKey)
+        }
+        prevCk match {
+          case Some(v) => spark.conf.set(checksumKey, v)
+          case None    => spark.conf.unset(checksumKey)
+        }
+      }
+    }
     spark.read.parquet(out)
       .select($"w_start", $"event_type", $"sum_val", $"n")
       .orderBy($"w_start", $"event_type")
@@ -2367,6 +2409,7 @@ object Streams {
     Q("q_stream_ohlc", streamOhlc _, streamOhlcSql),
     Q("q_stream_drift", streamDrift _, streamDriftSql),
     Q("q_stream_recovery", streamRecovery _, streamRecoverySql),
+    Q("q_stream_rocksdb", streamRocksdb _, streamRecoverySql),
     Q("q_stream_rescale", streamRescale _, streamRescaleSql),
     Q("q_stream_state_rewrite", streamStateRewrite _, streamStateRewriteSql),
     Q("q_stream_state_evolve", streamStateEvolve _, streamStateEvolveSql),
