@@ -37,6 +37,92 @@ trait MediaDecoder extends Serializable {
   def decode(payload: Array[Byte]): Array[Byte]
 }
 
+/** A REAL public-format image decoder for the seam: Netpbm PPM
+  * ("portable pixmap" — the format is fully specified publicly and
+  * decodable with zero native deps, which is why it's the first
+  * non-stub codec here). Handles both the binary `P6` and ASCII `P3`
+  * forms, `#` comments in the header, and the full 1..65535 maxval
+  * range (16-bit samples are big-endian per the spec). Output is the
+  * CANONICAL 8-bit interleaved RGB buffer — 3·w·h bytes, row-major,
+  * top-to-bottom — so P3 and P6 encodings of one image decode
+  * bit-identically, and non-255 maxvals rescale each sample by the
+  * exact integer HALF_UP of v·255/maxval (real per-pixel math, not a
+  * pass-through). Malformed payloads throw — a corrupt image must
+  * surface, not silently fingerprint as its own garbage bytes.
+  * Register with `spark.conf.set("graft.mm.decoder",
+  * "streamline.llm.PpmDecoder")`; the identity stub stays the session
+  * default. Pinned bit-exact (P3≡P6, 16-bit scaling, staged-frame
+  * plumbing, malformed rejection) in MediaDecoderSpec. */
+class PpmDecoder extends MediaDecoder {
+  def decode(payload: Array[Byte]): Array[Byte] = {
+    var pos = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"PPM: $msg at byte $pos")
+    def isWs(b: Byte): Boolean = b == ' ' || b == '\t' || b == '\r' ||
+      b == '\n' || b == 0x0b || b == 0x0c
+    if (payload.length < 2 || payload(0) != 'P') fail("not a PPM payload")
+    val form = payload(1).toChar
+    if (form != '6' && form != '3') fail(s"unsupported form P$form")
+    pos = 2
+    def skipWs(): Unit = {
+      var more = true
+      while (more && pos < payload.length) {
+        if (payload(pos) == '#')
+          while (pos < payload.length && payload(pos) != '\n') pos += 1
+        else if (isWs(payload(pos))) pos += 1
+        else more = false
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      if (pos >= payload.length || payload(pos) < '0' || payload(pos) > '9')
+        fail("expected integer")
+      var v = 0
+      while (pos < payload.length &&
+        payload(pos) >= '0' && payload(pos) <= '9') {
+        v = v * 10 + (payload(pos) - '0')
+        if (v > 0xffffff) fail("integer out of range")
+        pos += 1
+      }
+      v
+    }
+    val w = int(); val h = int(); val maxval = int()
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 65535)
+      fail(s"bad header ${w}x$h maxval $maxval")
+    if (w.toLong * h > 0x7fffffffL / 3) fail("image too large")
+    val n = 3 * w * h
+    val out = new Array[Byte](n)
+    // exact integer HALF_UP of v·255/maxval (no float: 2·65535·255
+    // fits an Int, and both engines of this repo never see it anyway —
+    // the decode runs in one JVM; the discipline is determinism)
+    def scaled(v: Int): Byte = {
+      if (v > maxval) fail(s"sample $v > maxval $maxval")
+      ((2 * v * 255 + maxval) / (2 * maxval)).toByte
+    }
+    if (form == '3') {
+      var i = 0
+      while (i < n) { out(i) = scaled(int()); i += 1 }
+    } else {
+      // P6: exactly ONE whitespace byte separates maxval from raster
+      if (pos >= payload.length || !isWs(payload(pos)))
+        fail("missing raster separator")
+      pos += 1
+      val bytesPer = if (maxval < 256) 1 else 2
+      if (payload.length - pos < n.toLong * bytesPer) fail("truncated raster")
+      var i = 0
+      while (i < n) {
+        val v =
+          if (bytesPer == 1) payload(pos) & 0xff
+          else ((payload(pos) & 0xff) << 8) | (payload(pos + 1) & 0xff)
+        pos += bytesPer
+        out(i) = if (maxval == 255) v.toByte else scaled(v)
+        i += 1
+      }
+    }
+    out
+  }
+}
+
 object MediaDecoder {
 
   /** The default: payloads pass through untouched (the honest stub

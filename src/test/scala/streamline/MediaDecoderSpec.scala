@@ -66,6 +66,76 @@ class MediaDecoderSpec extends SparkSuite {
       case None    => spark.conf.unset("graft.mm.decoder")
     }
   }
+
+  // ---- PpmDecoder: the first REAL (non-stub) codec on the seam ----
+
+  /** 2×2 test image (R, G, B, gray) as raw 8-bit RGB. */
+  private val pix8: Array[Byte] = Array(
+    255, 0, 0, 0, 255, 0, 0, 0, 255, 128, 128, 128).map(_.toByte)
+
+  private def p6(maxval: Int, samples: Array[Int]): Array[Byte] = {
+    val header = s"P6\n# staged fixture\n2 2\n$maxval\n".getBytes("US-ASCII")
+    val raster =
+      if (maxval < 256) samples.map(_.toByte)
+      else samples.flatMap(v => Array((v >> 8).toByte, v.toByte))
+    header ++ raster
+  }
+
+  test("PpmDecoder: P6 and P3 encodings of one image decode bit-identically") {
+    val d = new llm.PpmDecoder
+    val fromP6 = d.decode(p6(255, pix8.map(_ & 0xff)))
+    val p3 = ("P3 # ascii twin\n2 2 255\n" +
+      pix8.map(_ & 0xff).mkString(" ")).getBytes("US-ASCII")
+    val fromP3 = d.decode(p3)
+    assert(fromP6.toSeq == pix8.toSeq, "P6 raster must pass through exactly")
+    assert(fromP3.toSeq == pix8.toSeq, "P3 must parse to the same buffer")
+  }
+
+  test("PpmDecoder: 16-bit samples rescale by exact integer HALF_UP") {
+    val d = new llm.PpmDecoder
+    // maxval 65535, big-endian 2-byte samples; expected = HALF_UP of
+    // v·255/65535, computed independently via BigDecimal
+    val samples = Array(0, 1, 32768, 65535, 257, 65278, 12345,
+      54321, 100, 60000, 7, 40000)
+    val got = d.decode(p6(65535, samples))
+    val want = samples.map { v =>
+      (BigDecimal(v) * 255 / 65535)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt.toByte
+    }
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("PpmDecoder: flows through the mapPartitions seam over a staged frame") {
+    val s = spark
+    import s.implicits._
+    val prev = spark.conf.getOption("graft.mm.decoder")
+    spark.conf.set("graft.mm.decoder", classOf[llm.PpmDecoder].getName)
+    try {
+      val staged = Seq((1L, p6(255, pix8.map(_ & 0xff))),
+        (2L, p6(65535, pix8.map(v => (v & 0xff) * 257))))
+        .toDF("doc_id", "payload")
+      val out = llm.MediaDecoder.decoded(spark, staged)
+        .as[(Long, Array[Byte])].collect().toMap
+      // maxval-65535 with v·257 samples scales back to the same 8-bit
+      // image: HALF_UP(v·257·255/65535) = v exactly
+      assert(out(1L).toSeq == pix8.toSeq && out(2L).toSeq == pix8.toSeq)
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.mm.decoder", v)
+      case None    => spark.conf.unset("graft.mm.decoder")
+    }
+  }
+
+  test("PpmDecoder: malformed payloads are rejected, not passed through") {
+    val d = new llm.PpmDecoder
+    Seq(
+      "not an image".getBytes("US-ASCII"),
+      "P5 2 2 255 ".getBytes("US-ASCII"), // PGM: wrong form
+      "P6 2 2 999999\n".getBytes("US-ASCII"), // maxval out of range
+      p6(255, pix8.map(_ & 0xff)).dropRight(1) // truncated raster
+    ).foreach { bad =>
+      intercept[IllegalArgumentException](d.decode(bad))
+    }
+  }
 }
 
 /** Toy codec for the spec: reverses the payload — cheap, bijective,
