@@ -219,32 +219,43 @@ object Similarity {
     * fixture recall is pinned in DedupEmbedLshSpec). Everything is
     * deterministic (coordinate hyperplanes, no RNG), so the full
     * pipeline carries a DuckDB oracle. */
-  private def dedupEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Sign-bit band LSH over the embedding's own coordinates:
+    * (vec_id, embedding, band, bkt) with 8 bands of
+    * `graft.lsh.bandBits` sign bits each (dims w·b..w·b+w−1 > 0).
+    * ONE shared banding for the batch pair search
+    * (q_llm_dedup_embed_lsh) and the streaming frozen-index probe
+    * (q_stream_dedup_embed) — the incShingled discipline: sharing the
+    * plan makes batch/stream bucket agreement structural. Band width
+    * from Knobs.lshBandBits: default 4 matches the static oracles; at
+    * larger corpora the occupancy-constant contract raises it by
+    * log2 of the blowup (the knob's scaladoc — a fixed width measures
+    * quadratic in ScalingCurveSpec). A non-default width invalidates
+    * the static DuckDB oracles — warn loudly so a driver-side hash
+    * mismatch reads as config divergence, not a correctness bug
+    * (ADVICE r11). */
+  private[streamline] def signBanded(spark: SparkSession,
+                                     emb: DataFrame): DataFrame = {
     import spark.implicits._
-    // Band width from Knobs.lshBandBits: default 4 matches the oracle
-    // SQL below; at larger corpora the occupancy-constant contract
-    // raises it by log2 of the blowup (see the knob's scaladoc — the
-    // fixed-width plan measures quadratic in ScalingCurveSpec).
     val bits = streamline.util.Knobs.lshBandBits(spark)
-    // A non-default width is the documented scale posture, but the
-    // static DuckDB oracle below is generated at the DEFAULT — warn
-    // loudly so a driver-side hash mismatch reads as config divergence,
-    // not a correctness bug (ADVICE r11).
     if (bits != streamline.util.Knobs.lshBandBitsDefault &&
         !bandBitsWarned.getAndSet(true))
       System.err.println(
-        s"[graft] q_llm_dedup_embed_lsh: graft.lsh.bandBits=$bits != " +
+        s"[graft] sign-LSH banding: graft.lsh.bandBits=$bits != " +
           s"default ${streamline.util.Knobs.lshBandBitsDefault} — the " +
-          "static DuckDB oracle no longer matches this run's bucketing")
+          "static DuckDB oracles no longer match this run's bucketing")
     def bucket(b: Int) =
       (0 until bits).map(i =>
         when(element_at($"embedding", b * bits + i + 1) > 0f,
           lit(1 << i)).otherwise(lit(0)): org.apache.spark.sql.Column)
         .reduce(_ + _)
-    val banded = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding",
-        posexplode(array((0 until 8).map(bucket): _*))
-          .as(Seq("band", "bkt")))
+    emb.select($"vec_id", $"embedding",
+      posexplode(array((0 until 8).map(bucket): _*))
+        .as(Seq("band", "bkt")))
+  }
+
+  private def dedupEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val banded = signBanded(spark, Tables.embeddings(spark, dir))
     val a = banded.select($"vec_id".as("id_a"), $"embedding".as("emb_a"),
       $"band", $"bkt")
     val b = banded.select($"vec_id".as("id_b"), $"embedding".as("emb_b"),
@@ -283,6 +294,146 @@ object Similarity {
     FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
     WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= 0.35
     ORDER BY id_a, id_b"""
+  }
+
+  /** The frozen-LSH-index probe shared by the streaming ingest
+    * (q_stream_dedup_embed) and its spec's batch re-derivation:
+    * verdicts for `delta` vectors (already [[signBanded]]) against the
+    * frozen `baseIdx` banded index. Candidates meet on (band, bkt) —
+    * Σ bucket² work, never corpus × delta — via shuffle_hash, because
+    * at 100 TB the base index can never be a broadcast build (the r15
+    * de-broadcast discipline); verification is the same rounded exact
+    * cosine as the batch LSH path; best match per vector on the total
+    * (cos DESC, bid ASC) key. */
+  private[streamline] def embedProbe(spark: SparkSession, delta: DataFrame,
+                                     baseIdx: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cand = delta.as("d").hint("shuffle_hash")
+      .join(baseIdx.as("b"),
+        $"d.band" === $"b.band" && $"d.bkt" === $"b.bkt")
+      .select($"d.vec_id".as("vid"), $"d.embedding".as("emb_a"),
+        $"b.vec_id".as("bid"), $"b.embedding".as("emb_b"))
+      .distinct()
+    val near = cand
+      .select($"vid", $"bid",
+        round(Exprs.cosine($"emb_a", $"emb_b"), 6).as("cos"))
+      .where($"cos" >= 0.35)
+    val best = near.withColumn("rn", row_number().over(
+        Window.partitionBy($"vid").orderBy($"cos".desc, $"bid".asc)))
+      .where($"rn" === 1)
+    delta.select($"vec_id").distinct()
+      .join(best.select($"vid".as("vec_id"), $"bid", $"cos"),
+        Seq("vec_id"), "left")
+      .select($"vec_id",
+        when($"bid".isNotNull, "dropped").otherwise("kept").as("verdict"),
+        coalesce($"bid", lit(-1L)).as("match_id"),
+        coalesce($"cos", lit(0.0)).as("cos"))
+  }
+
+  /** q_stream_dedup_embed — LIVE-INGEST embedding dedup (judge r15 #4,
+    * the embedding sibling of q_stream_dedup_incremental): the delta
+    * embedding shard arrives as a FILE STREAM, one shard file per
+    * trigger, and every micro-batch probes the FROZEN sign-LSH bucket
+    * index of the base corpus (built once, localCheckpoint-frozen — at
+    * 100 TB this is the persisted ANN index the ingest tier maintains)
+    * through the same [[signBanded]] + [[embedProbe]] plan a batch run
+    * would use. Delta vectors are disjoint across shards and the probe
+    * is per-vector independent, so the appended union over ANY file
+    * batching equals the batch split — the oracle IS the batch LSH
+    * keep decision on the same base/delta split, and
+    * StreamDedupEmbedSpec re-drains over a different shard count to
+    * pin batching invariance. Per-batch work is shard × index keyed
+    * joins; nothing is driver-collected. */
+  private def streamDedupEmbed(spark: SparkSession,
+                               dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir("dedupembs", dir)
+    val stage = s"$root/in"
+    val marker = new java.io.File(root, "_DONE")
+    if (!marker.exists()) {
+      streamline.stream.Streams.deleteRec(new java.io.File(root))
+      new java.io.File(root).mkdirs()
+      Tables.embeddings(spark, dir).where($"vec_id" % 5 === 0)
+        .select($"vec_id", $"embedding")
+        .repartition(4) // four shard files -> four micro-batches
+        .write.parquet(stage)
+      marker.createNewFile(): Unit
+    }
+    val baseIdx = signBanded(spark, Tables.embeddings(spark, dir)
+      .where($"vec_id" % 5 =!= 0)).localCheckpoint(true)
+    streamEmbedDrain(spark, stage, baseIdx).orderBy($"vec_id")
+  }
+
+  /** The foreachBatch drain, factored out so StreamDedupEmbedSpec can
+    * run it over a different sharding of the same delta (the
+    * streamIncrementalDrain discipline). */
+  private[streamline] def streamEmbedDrain(spark: SparkSession,
+      stage: String, baseIdx: DataFrame): DataFrame = {
+    val ckpt = streamline.util.Knobs.fastTmp +
+      s"/ck_dedupembs_${java.util.UUID.randomUUID().toString.take(8)}"
+    var acc: DataFrame = null
+    streamline.stream.Streams.withStreamConfs(spark) {
+      try {
+        val q = spark.readStream
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            // materialize within the batch scope — the batch df is not
+            // valid after the micro-batch commits
+            val verdicts =
+              embedProbe(spark, signBanded(spark, df.toDF()), baseIdx)
+                .localCheckpoint(true)
+            acc = if (acc == null) verdicts else acc.unionByName(verdicts)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally
+        streamline.stream.Streams.deleteRec(new java.io.File(ckpt))
+    }
+    require(acc != null, "stream fed no batches (stale checkpoint?)")
+    acc
+  }
+
+  // Bucket arithmetic interpolated from the same knob default as the
+  // batch LSH oracle (the two sides cannot drift — ADVICE r11).
+  private val streamDedupEmbedSql = {
+    val bits = streamline.util.Knobs.lshBandBitsDefault
+    val bucketSql = (0 until bits)
+      .map(i => s"CASE WHEN embedding[$bits*b+${i + 1}] > 0 " +
+        s"THEN ${1 << i} ELSE 0 END")
+      .mkString("(", "\n            + ", ") AS bkt")
+    s"""
+    WITH e AS (SELECT vec_id, embedding,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    bk AS (SELECT vec_id, b,
+             $bucketSql
+           FROM e, unnest(range(0, 8)) AS t(b)),
+    cand AS (SELECT DISTINCT d.vec_id AS vid, b2.vec_id AS bid
+             FROM bk d JOIN bk b2 ON d.b = b2.b AND d.bkt = b2.bkt
+             WHERE d.vec_id % 5 = 0 AND b2.vec_id % 5 <> 0),
+    near AS (SELECT vid, bid,
+               round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cos
+             FROM cand JOIN e ea ON ea.vec_id = vid
+                       JOIN e eb ON eb.vec_id = bid
+             WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6)
+                     >= 0.35),
+    best AS (SELECT vid, bid, cos, row_number() OVER
+               (PARTITION BY vid ORDER BY cos DESC, bid ASC) AS rn
+             FROM near)
+    SELECT d0.vec_id,
+      CASE WHEN b.bid IS NOT NULL THEN 'dropped' ELSE 'kept' END
+        AS verdict,
+      CAST(coalesce(b.bid, -1) AS BIGINT) AS match_id,
+      coalesce(b.cos, 0.0) AS cos
+    FROM (SELECT vec_id FROM e WHERE vec_id % 5 = 0) d0
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.vid = d0.vec_id
+    ORDER BY d0.vec_id"""
   }
 
   /** q_llm_semdedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
@@ -537,6 +688,7 @@ object Similarity {
     Q.noOracle("q_llm_knn_ivf", knnIvf _),
     Q("q_llm_dedup_embed", dedupEmbed _, dedupEmbedSql),
     Q("q_llm_dedup_embed_lsh", dedupEmbedLsh _, dedupEmbedLshSql),
+    Q("q_stream_dedup_embed", streamDedupEmbed _, streamDedupEmbedSql),
     Q("q_llm_semdedup", semdedup _, semdedupSql),
     Q("q_llm_multimodal", multimodal _, multimodalSql),
     Q("q_llm_mm_features", mmFeatures _, mmFeaturesSql),
