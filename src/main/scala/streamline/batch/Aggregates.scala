@@ -1325,6 +1325,197 @@ object Aggregates {
     FROM r JOIN n ON r.event_type = n.event_type
     ORDER BY r.event_type"""
 
+  /** q_agg_auc — ROC AUC per experiment arm (user_id % 4, the
+    * engine-portable bucketing of q_agg_abtest): how well the event's
+    * `value` separates purchases from non-purchases — THE binary-
+    * classifier evaluation staple (model scoring, feature screening;
+    * in a data pipeline: does this quality signal actually rank the
+    * labeled subset?). AUC = P(score⁺ > score⁻) + ½·P(=), which is
+    * exactly the Mann–Whitney U divided by n⁺·n⁻ — computed by the
+    * same doubled tie-average rank-sum algebra as q_agg_mannwhitney
+    * (shared discipline, different population split: a real label
+    * here, the random parity arm there). Exactness: counts BIGINT,
+    * the rank-sum moments carried in DECIMAL(38) from the first
+    * multiply (the r16 overflow discipline — r1×2 is Θ(n²)), AUC one
+    * [[exactRound6]]. Scale: ONE map-side-combined corpus pass to the
+    * (arm, value) point table (checkpointed — arm totals and the rank
+    * window both read it), window over the point table, arm-count-
+    * sized broadcast. */
+  private def aggAuc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val s = Tables.events(spark, dir)
+      .select(($"user_id" % 4).as("arm"), $"value",
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("pos"))
+    val pts = s.groupBy($"arm", $"value")
+      .agg(sum(lit(1L) - $"pos").as("c0"), sum($"pos").as("c1"))
+      .localCheckpoint(true) // totals and the rank window both read it
+    val n = pts.groupBy($"arm").agg(sum($"c0").as("n0"),
+      sum($"c1").as("n1"))
+    val w = Window.partitionBy($"arm").orderBy($"value")
+    val ranked = pts.withColumn("cb",
+      sum($"c0" + $"c1").over(w) - ($"c0" + $"c1"))
+    val r1 = ranked.groupBy($"arm").agg(
+      sum(d38($"c1") * (lit(2) * $"cb" + $"c0" + $"c1" + lit(1)))
+        .as("r1_x2"))
+    r1.join(broadcast(n), "arm")
+      .withColumn("u1_x2", $"r1_x2" - d38($"n1") * ($"n1" + lit(1)))
+      .select($"arm", $"n0", $"n1", $"u1_x2",
+        exactRound6($"u1_x2", lit(2L).cast("decimal(19,0)")
+          * $"n0".cast("decimal(19,0)") * $"n1".cast("decimal(19,0)"))
+          .as("auc"))
+      .orderBy($"arm")
+  }
+
+  private val aggAucSql = """
+    WITH s AS (SELECT user_id % 4 AS arm, value,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS pos FROM events),
+    n AS (SELECT arm,
+            CAST(count(*) FILTER (WHERE pos = 0) AS BIGINT) AS n0,
+            CAST(count(*) FILTER (WHERE pos = 1) AS BIGINT) AS n1
+          FROM s GROUP BY 1),
+    pts AS (SELECT arm, value,
+              CAST(count(*) FILTER (WHERE pos = 0) AS BIGINT) AS c0,
+              CAST(count(*) FILTER (WHERE pos = 1) AS BIGINT) AS c1
+            FROM s GROUP BY 1, 2),
+    ranked AS (SELECT arm, c0, c1,
+                 CAST(sum(c0 + c1) OVER (PARTITION BY arm
+                   ORDER BY value) AS BIGINT) - (c0 + c1) AS cb
+               FROM pts),
+    r AS (SELECT arm,
+            sum(c1::HUGEINT * (2 * cb + c0 + c1 + 1)) AS r1_x2
+          FROM ranked GROUP BY 1)
+    SELECT r.arm, n.n0, n.n1,
+      CAST(r.r1_x2 - n.n1::HUGEINT * (n.n1 + 1) AS DECIMAL(38,0))
+        AS u1_x2,
+      """ + exactRound6Sql("r.r1_x2 - n.n1::HUGEINT * (n.n1 + 1)",
+        "2::HUGEINT * n.n0 * n.n1") + """ AS auc
+    FROM r JOIN n ON r.arm = n.arm
+    ORDER BY r.arm"""
+
+  /** q_agg_mad — median absolute deviation of `value` per event_type:
+    * the ROBUST dispersion statistic (outlier-insensitive spread — the
+    * monitoring/data-quality twin of stddev; MAD-based z-scores are
+    * the robust-anomaly staple). Exactness: values in integer 1e-4
+    * units, the median a DISCRETE selection at rank (n+1)÷2 of the
+    * sorted values (the q_win_gap_stats discipline — no float
+    * interpolation, which engines round differently), MAD the same
+    * selection over |v − med| — every output a BIGINT that occurs in
+    * the data. Genuinely TWO-PASS (the deviations need the median
+    * first — the honest shape, cusum's-μ class). Scale: each pass is
+    * one (type)-keyed distributed sort + rank selection — never a
+    * per-group array collect; at 100 TB the selection cuts on
+    * approx_percentile boundaries instead (the q_agg_lift exactness-
+    * baseline split). */
+  private def aggMad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .select($"event_type", round($"value" * 10000).cast("bigint").as("v4"))
+      .localCheckpoint(true) // the deviation pass re-reads it
+    def medianOf(df: DataFrame, colName: String): DataFrame = {
+      val w = Window.partitionBy($"event_type").orderBy(col(colName).asc)
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy($"event_type")))
+        .where($"rn" === call_function("div", $"n" + lit(1L), lit(2L)))
+        .select($"event_type", col(colName).as("m"), $"n")
+    }
+    val med = medianOf(e, "v4")
+    val dev = e.join(broadcast(med.select($"event_type", $"m")),
+        "event_type")
+      .select($"event_type", abs($"v4" - $"m").as("d"))
+    val mad = medianOf(dev, "d")
+    med.select($"event_type", $"n", $"m".as("med4"))
+      .join(mad.select($"event_type", $"m".as("mad4")), "event_type")
+      .orderBy($"event_type")
+  }
+
+  private val aggMadSql = """
+    WITH e AS (SELECT event_type,
+                 CAST(round(value * 10000) AS BIGINT) AS v4 FROM events),
+    med AS (SELECT event_type, CAST(cnt AS BIGINT) AS n,
+              v4s[(len(v4s)+1)//2] AS med
+            FROM (SELECT event_type, list_sort(list(v4)) AS v4s,
+                    count(*) AS cnt FROM e GROUP BY 1) t),
+    dev AS (SELECT e.event_type, abs(e.v4 - m.med) AS d
+            FROM e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, ds[(len(ds)+1)//2] AS mad
+            FROM (SELECT event_type, list_sort(list(d)) AS ds
+                  FROM dev GROUP BY 1) t)
+    SELECT med.event_type, med.n, CAST(med.med AS BIGINT) AS med4,
+      CAST(mad.mad AS BIGINT) AS mad4
+    FROM med JOIN mad USING (event_type)
+    ORDER BY event_type"""
+
+  /** q_agg_entropy — Shannon entropy (in bits) of each user's
+    * event-type mix: the behavioral-diversity feature (churn models,
+    * bot screens — a one-action user scores 0, a uniform-mix user
+    * log₂ k; the same statistic over per-source document shares is a
+    * corpus-diversity screen). The per-row transcendental is the
+    * classic cross-engine hazard (the q_llm_bm25 class), so ln runs
+    * ONCE per DISTINCT INTEGER on a tiny side table — the distinct
+    * per-user-type counts and user totals, ≤ a few dozen values —
+    * rounded THERE to the integer L₄(v) = round(ln(v)·10⁴) (each
+    * fixture value ≥ 2·10⁻³ from its rounding boundary, pinned in
+    * EntropyAucMadSpec, so any conforming libm rounds identically);
+    * everything after is exact integer algebra: the numerator
+    * Σ c·(L₄(n) − L₄(c)) is an exact BIGINT sum (partition-order
+    * independent), ln 2 enters as the literal 6931, and
+    * entropy = num₄ / (n·6931) is one [[exactRound6]]. Scale: ONE
+    * map-side-combined corpus pass to the (user, type) count table
+    * (checkpointed — totals, the distinct-value table and the join
+    * all read it); the L table is value-distinct-sized and
+    * broadcast. */
+  private def aggEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ct = Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // totals + distinct values + join read it
+    val tot = ct.groupBy($"user_id")
+      .agg(sum($"c").as("n"), count(lit(1)).as("k"))
+      .localCheckpoint(true) // distinct values + two joins read it
+    val vals = ct.select($"c".as("v")).distinct()
+      .union(tot.select($"n".as("v"))).distinct()
+    val l = vals.select($"v",
+      round(log($"v") * 10000).cast("long").as("l4"))
+    val num = ct
+      .join(broadcast(l.select($"v".as("c"), $"l4".as("lc"))), "c")
+      .join(tot.select($"user_id", $"n"), "user_id")
+      .join(broadcast(l.select($"v".as("n"), $"l4".as("ln4"))), "n")
+      .groupBy($"user_id")
+      .agg(sum($"c" * ($"ln4" - $"lc")).as("num4"))
+    tot.join(num, "user_id")
+      .select($"user_id", $"n".as("n_events"), $"k".as("n_types"),
+        $"num4",
+        exactRound6($"num4",
+          $"n".cast("decimal(19,0)") * lit(6931L)).as("entropy_bits"))
+      .orderBy($"user_id")
+  }
+
+  private val aggEntropySql = """
+    WITH ct AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+    tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS k FROM ct GROUP BY 1),
+    vals AS (SELECT DISTINCT c AS v FROM ct
+             UNION SELECT DISTINCT n FROM tot),
+    l AS (SELECT v, CAST(round(ln(v) * 10000) AS BIGINT) AS l4
+          FROM vals),
+    num AS (SELECT ct.user_id,
+              CAST(sum(ct.c * (ln_n.l4 - ln_c.l4)) AS BIGINT) AS num4
+            FROM ct JOIN tot USING (user_id)
+                    JOIN l ln_c ON ln_c.v = ct.c
+                    JOIN l ln_n ON ln_n.v = tot.n
+            GROUP BY 1)
+    SELECT t.user_id, t.n AS n_events, t.k AS n_types, num.num4,
+      """ + exactRound6Sql("num.num4", "t.n::HUGEINT * 6931") + """
+        AS entropy_bits
+    FROM tot t JOIN num USING (user_id)
+    ORDER BY t.user_id"""
+
   /** q_agg_hhi — Herfindahl–Hirschman concentration index per nation:
     * Σᵢ shareᵢ² over each nation's customers' order-count shares — the
     * standard market-concentration / data-source-diversity screen (a
@@ -1831,6 +2022,9 @@ object Aggregates {
   val all: Seq[streamline.Q] = Seq(
     streamline.Q("q_agg_ks", aggKs _, aggKsSql),
     streamline.Q("q_agg_mannwhitney", aggMannWhitney _, aggMannWhitneySql),
+    streamline.Q("q_agg_auc", aggAuc _, aggAucSql),
+    streamline.Q("q_agg_mad", aggMad _, aggMadSql),
+    streamline.Q("q_agg_entropy", aggEntropy _, aggEntropySql),
     streamline.Q("q_agg_hhi", aggHhi _, aggHhiSql),
     streamline.Q("q_agg_transition", aggTransition _, aggTransitionSql),
     streamline.Q("q_agg_lift", aggLift _, aggLiftSql),

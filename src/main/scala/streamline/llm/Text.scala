@@ -1129,6 +1129,54 @@ object Text {
     FROM t JOIN v USING (word)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  /** q_llm_fertility — tokenizer FERTILITY per language: BPE tokens
+    * per word, by `documents.lang` — the standard multilingual-
+    * tokenizer diagnostic (a tokenizer trained on one language
+    * fragments the others into more pieces; fertility per language is
+    * how that bias is measured and how per-language token budgets are
+    * costed). Reuses the [[trainBpe]] merge table: every corpus word
+    * is in the training vocabulary by construction, so scoring is the
+    * same vocabulary-sized broadcast lookup as q_llm_bpe_encode, here
+    * rolled up per LANGUAGE instead of per doc. Exactness: counts
+    * BIGINT, fertility = Σtokens / Σwords one
+    * [[streamline.batch.Aggregates.exactRound6]] (≥ 1 — the scaled
+    * integer stays double-exact far past any real fertility). Scale:
+    * one corpus shuffle inside training (word frequencies), one
+    * map-side-combined (lang) rollup — the lang column rides the
+    * same scan as the words, no extra join. */
+  private def fertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = trainBpe(spark, dir)._2
+      .select($"word",
+        size(split(regexp_replace($"seq", "^\\[|\\]$", ""), "\\]\\["))
+          .cast("long").as("n_sym"))
+    Tables.documents(spark, dir)
+      .select($"lang", explode(split($"text", " ")).as("word"))
+      .join(broadcast(vocab), "word")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"), sum($"n_sym").as("n_bpe"))
+      .select($"lang", $"n_words", $"n_bpe",
+        streamline.batch.Aggregates.exactRound6(
+          $"n_bpe".cast("decimal(19,0)"),
+          $"n_words".cast("decimal(19,0)")).as("fertility"))
+      .orderBy($"lang")
+  }
+
+  private val fertilitySql: String = s"""$bpeChainSql,
+    v AS (SELECT word,
+            CAST(len(string_split(trim(seq, '[]'), '][')) AS BIGINT)
+              AS n_sym
+          FROM seq$BPE_MERGES),
+    t AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+          FROM documents),
+    a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum(n_sym) AS BIGINT) AS n_bpe
+          FROM t JOIN v USING (word) GROUP BY 1)
+    SELECT lang, n_words, n_bpe,
+      ${streamline.batch.Aggregates.exactRound6Sql("n_bpe", "n_words")}
+        AS fertility
+    FROM a ORDER BY lang"""
+
   private def bpePairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -1248,6 +1296,7 @@ object Text {
     Q("q_llm_bpe_pairs", bpePairs _, bpePairsSql),
     Q("q_llm_bpe_train", bpeTrain _, bpeTrainSql),
     Q("q_llm_bpe_encode", bpeEncode _, bpeEncodeSql),
+    Q("q_llm_fertility", fertility _, fertilitySql),
     Q("q_llm_bigram_lm", bigramLm _, bigramLmSql),
     Q("q_llm_gopher", gopher _, gopherSql),
     Q("q_llm_chunk", chunk _, chunkSql),
