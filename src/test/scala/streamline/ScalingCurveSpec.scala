@@ -89,7 +89,13 @@ class ScalingCurveSpec extends SparkSuite {
     "q_join_nearest",
     // r15: coverage streams corpus grams map-side against the
     // broadcast bench vocab; only hits shuffle — must read linear
-    "q_llm_coverage")
+    "q_llm_coverage",
+    // r16: auc runs its rank window over the (arm, value) point table
+    // (the ks/mannwhitney shape); entropy over the (user, type) count
+    // table with a value-distinct broadcast; mad is two keyed
+    // distributed sorts + rank selections; fertility one training
+    // shuffle + a lang rollup — all must read linear
+    "q_agg_auc", "q_agg_entropy", "q_agg_mad", "q_llm_fertility")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 

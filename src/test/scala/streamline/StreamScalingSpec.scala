@@ -62,7 +62,17 @@ class StreamScalingSpec extends SparkSuite {
     // r15: candle state is one register per OPEN (type, day) window;
     // the blowup multiplies users at the same timestamps, so the
     // window grid — and hence state rows — must read ~flat
-    "q_stream_ohlc")
+    "q_stream_ohlc",
+    // r16: the RocksDB-provider recovery drain — same watermarked
+    // daily aggregate as q_stream_recovery, state rows = open windows
+    // (~flat grid under the user blowup); the witness here is that the
+    // RocksDB path's snapshot/restore lifecycle also scales in wall
+    // clock, not just the default provider's
+    "q_stream_rocksdb",
+    // r16: the embedding-ingest dedup drain is stateless (foreachBatch
+    // probe of a frozen LSH index, the dedup_incremental precedent) —
+    // its witness is the wall-clock bar over the 16× staging + probe
+    "q_stream_dedup_embed")
 
   /** Runs the query under a progress listener; returns (seconds, max
     * numRowsTotal across all stateful operators and micro-batches). */
