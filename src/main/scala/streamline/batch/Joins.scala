@@ -737,8 +737,61 @@ object Joins {
     WHERE s_nationkey < 5
     GROUP BY s_nationkey ORDER BY s_nationkey"""
 
+  /** q_join_fuzzy — fuzzy (approximate-string) self-join over the part
+    * NAME DICTIONARY: name pairs within Levenshtein distance 3 that
+    * share at least one token, with each name's row count attached —
+    * the entity-resolution / catalog-canonicalization staple ("are
+    * 'blue bolt' and 'old bolt' the same product family?"). The key
+    * scale insight this operator encodes: fuzzy matching joins the
+    * DISTINCT-VALUE dictionary, never the corpus — the corpus
+    * contributes exactly ONE map-side-combined distinct count, and
+    * everything after (token index, candidate self-join, edit-distance
+    * verify, count attach) runs on the vocabulary-sized name table,
+    * which stays dictionary-sized at 100 TB. Candidates share a token
+    * (a complete generator for short multi-word names at k=3 — a
+    * 2-word name within distance 3 cannot have BOTH words rewritten);
+    * verification is `levenshtein`, the identical integer DP on both
+    * engines — hash-exact with no float anywhere. */
+  private def joinFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val names = Tables.part(spark, dir)
+      .groupBy($"p_name").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // token index + two count attaches read it
+    val w = names.select($"p_name", explode(split($"p_name", " "))
+      .as("word"))
+    val cand = w.as("a").join(w.as("b"),
+        $"a.word" === $"b.word" && $"a.p_name" < $"b.p_name")
+      .select($"a.p_name".as("na"), $"b.p_name".as("nb")).distinct()
+    cand.where(levenshtein($"na", $"nb") <= 3)
+      .select($"na", $"nb", levenshtein($"na", $"nb").cast("long")
+        .as("dist"))
+      .join(broadcast(names.select($"p_name".as("na"), $"n".as("n_a"))),
+        "na")
+      .join(broadcast(names.select($"p_name".as("nb"), $"n".as("n_b"))),
+        "nb")
+      .select($"na".as("name_a"), $"nb".as("name_b"), $"dist",
+        $"n_a", $"n_b")
+      .orderBy($"name_a", $"name_b")
+  }
+
+  private val joinFuzzySql = """
+    WITH names AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n
+                   FROM part GROUP BY 1),
+    w AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS word
+          FROM names),
+    cand AS (SELECT DISTINCT a.p_name AS na, b.p_name AS nb
+             FROM w a JOIN w b
+               ON a.word = b.word AND a.p_name < b.p_name),
+    m AS (SELECT na, nb, CAST(levenshtein(na, nb) AS BIGINT) AS dist
+          FROM cand WHERE levenshtein(na, nb) <= 3)
+    SELECT m.na AS name_a, m.nb AS name_b, m.dist, x.n AS n_a, y.n AS n_b
+    FROM m JOIN names x ON x.p_name = m.na
+           JOIN names y ON y.p_name = m.nb
+    ORDER BY name_a, name_b"""
+
   val all: Seq[Q] = Seq(
     Q("q_join_dpp", joinDpp _, joinDppSql),
+    Q("q_join_fuzzy", joinFuzzy _, joinFuzzySql),
     Q("q_join_bloom_runtime", joinBloomRuntime _, joinBloomRuntimeSql),
     Q("q_join_null_safe", joinNullSafe _, joinNullSafeSql),
     Q("q_join_hash", joinHash _, joinHashSql),

@@ -875,6 +875,60 @@ object Windows {
       """ + Aggregates.exactRound6Sql("num", "den") + """ AS twap
     FROM a ORDER BY event_type, day"""
 
+  /** q_win_hampel — Hampel filter per user: a reading is an outlier
+    * when it sits more than 3 scaled MADs from the MEDIAN of its
+    * centered 21-reading window — the ROBUST sibling of q_win_zscore
+    * (a mean/σ detector is dragged by the very outliers it hunts; the
+    * rolling-median form is the signal-cleaning staple of sensor and
+    * metric pipelines). Exactness: values in integer 1e-4 units; the
+    * window median and the MAD are DISCRETE selections (element 11 of
+    * the sorted 21-array — no interpolation), and the decision is the
+    * pure INTEGER cross-multiplication 10⁴·|v − med| > 44478·MAD
+    * (3·1.4826 = 4.4478 enters as the scaled literal — no float at
+    * query time); edge rows without a full window are skipped
+    * IDENTICALLY on both engines (len = 21). Every output a BIGINT.
+    * Scale: ONE user-keyed shuffle + sort; the frame is O(1)-bounded
+    * (21 longs), so per-row work is constant and the plan is the same
+    * keyed-window shape at any corpus size; outliers-only output
+    * keeps the result anomaly-sized. At 100 TB magnitudes the
+    * cross-multiplication upgrades to DECIMAL(38) unchanged. */
+  private def winHampel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        round($"value" * 10000).cast("bigint").as("v4"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"us".asc, $"event_id".asc).rowsBetween(-10, 10)
+    e.withColumn("win", collect_list($"v4").over(w))
+      .where(size($"win") === 21)
+      .withColumn("s", array_sort($"win"))
+      .withColumn("med4", element_at($"s", 11))
+      .withColumn("mad4", element_at(
+        array_sort(transform($"s", x => abs(x - element_at($"s", 11)))),
+        11))
+      .where(abs($"v4" - $"med4") * lit(10000L) > $"mad4" * lit(44478L))
+      .select($"user_id", $"event_id", $"v4", $"med4", $"mad4")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val winHampelSql = """
+    WITH e AS (SELECT user_id, event_id,
+        epoch_us(date_trunc('microseconds', ts)) AS us,
+        CAST(round(value * 10000) AS BIGINT) AS v4 FROM events),
+    w AS (SELECT user_id, event_id, v4,
+        list(v4) OVER (PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING) AS win
+      FROM e),
+    m AS (SELECT user_id, event_id, v4, list_sort(win) AS s
+          FROM w WHERE len(win) = 21),
+    h AS (SELECT user_id, event_id, v4, s[11] AS med4,
+            list_sort(list_transform(s, x -> abs(x - s[11])))[11] AS mad4
+          FROM m)
+    SELECT user_id, event_id, v4, CAST(med4 AS BIGINT) AS med4,
+      CAST(mad4 AS BIGINT) AS mad4
+    FROM h WHERE 10000 * abs(v4 - med4) > 44478 * mad4
+    ORDER BY user_id, event_id"""
+
   /** q_win_gap_stats — inter-arrival profile per user: exact DISCRETE
     * order statistics (min / median / p90 / max) of the gaps between
     * a user's consecutive events — the behavioral-cadence feature of
@@ -1385,6 +1439,7 @@ object Windows {
     FROM a ORDER BY event_id"""
 
   val all: Seq[Q] = Seq(
+    Q("q_win_hampel", winHampel _, winHampelSql),
     Q("q_win_cusum", winCusum _, winCusumSql),
     Q("q_win_concurrency", winConcurrency _, winConcurrencySql),
     Q("q_win_streak", winStreak _, winStreakSql),

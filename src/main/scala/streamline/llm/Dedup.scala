@@ -402,7 +402,10 @@ object Dedup {
     FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
     ORDER BY doc_id"""
 
-  private val dedupJaccardSql = """
+  /** The oracle-side twin of [[jaccardPairs]] (prelude shared by the
+    * pair listing and the r16 cross-source matrix so the two oracles
+    * cannot desynchronize): `near` = (id_a < id_b, 6-dp jac ≥ 0.6). */
+  private val jaccardPairsCte = """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh AS (SELECT doc_id, list_sort(list_distinct(
              list_transform(generate_series(1, len(w) - 2),
@@ -419,9 +422,55 @@ object Dedup {
             CAST(len(sa.sh) + len(sb.sh)
                  - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jac
           FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
-                    JOIN sh sb ON sb.doc_id = cand.id_b)
-    SELECT id_a, id_b, round(jac, 6) AS jac FROM j
-    WHERE jac >= 0.6 ORDER BY id_a, id_b"""
+                    JOIN sh sb ON sb.doc_id = cand.id_b),
+    near AS (SELECT id_a, id_b, round(jac, 6) AS jac FROM j
+             WHERE jac >= 0.6)"""
+
+  private val dedupJaccardSql = jaccardPairsCte + """
+    SELECT id_a, id_b, jac FROM near ORDER BY id_a, id_b"""
+
+  /** q_llm_dedup_matrix — CROSS-SOURCE near-duplication matrix: the
+    * τ=0.6 Jaccard pair graph of [[jaccardPairs]] rolled up per
+    * unordered source pair (least/greatest — upper-triangular), with
+    * pair count and the strongest overlap — the corpus-curation view
+    * ("which crawls duplicate each other, and how badly") that decides
+    * which source to drop or down-weight before training. Exactness:
+    * jac is the same 6-dp rounded ratio the pair listing emits,
+    * carried as the integer j6 = round(jac·10⁶) so max() is integer;
+    * counts BIGINT. Scale: pair generation is the prefix-filtered
+    * keyed join (never all-pairs); the source attach shuffle-hashes
+    * the corpus-sized (doc_id, source) table on doc id — the r15
+    * de-broadcast discipline — and the matrix itself is ≤ sources²
+    * rows. */
+  private def dedupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // (doc_id, source) materialized ONCE: both attach sides read it, and
+    // DAG branches re-execute lineage otherwise (two corpus scans — the
+    // r15 derived-stats class, confirmed in the Explain audit)
+    val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+      .localCheckpoint(true)
+    val pairs = jaccardPairs(spark, dir)
+      .withColumn("j6", round($"jac" * 1000000).cast("long"))
+    pairs.hint("shuffle_hash")
+      .join(src.as("s1"), $"s1.doc_id" === $"id_a")
+      .hint("shuffle_hash")
+      .join(src.as("s2"), $"s2.doc_id" === $"id_b")
+      .select(least($"s1.source", $"s2.source").as("src_a"),
+        greatest($"s1.source", $"s2.source").as("src_b"), $"j6")
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_pairs"), max($"j6").as("max_j6"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  private val dedupMatrixSql = jaccardPairsCte + """,
+    p AS (SELECT least(da.source, db.source) AS src_a,
+            greatest(da.source, db.source) AS src_b,
+            CAST(round(n.jac * 1000000) AS BIGINT) AS j6
+          FROM near n JOIN documents da ON da.doc_id = n.id_a
+                      JOIN documents db ON db.doc_id = n.id_b)
+    SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(max(j6) AS BIGINT) AS max_j6
+    FROM p GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** q_llm_dedup_incremental — dedup an incoming shard against the
     * FROZEN existing corpus (the incremental-ingest shape a production
@@ -703,6 +752,7 @@ object Dedup {
     Q("q_llm_dedup_exact", dedupExact _, dedupExactSql),
     Q.noOracle("q_llm_dedup_near", dedupNear _),
     Q("q_llm_dedup_jaccard", dedupJaccard _, dedupJaccardSql),
+    Q("q_llm_dedup_matrix", dedupMatrix _, dedupMatrixSql),
     Q("q_llm_dedup_incremental", dedupIncremental _, dedupIncrementalSql),
     // batching cannot change per-doc verdicts ⇒ the oracle IS the
     // batch oracle (the q_stream_iterate contract)
