@@ -1516,6 +1516,120 @@ object Aggregates {
     FROM tot t JOIN num USING (user_id)
     ORDER BY t.user_id"""
 
+  /** q_agg_psi — Population Stability Index per event_type between the
+    * time-early and time-late halves of the corpus: THE industry
+    * feature-drift metric (model monitoring, training-vs-serving skew;
+    * in a data pipeline: did this source's value distribution move
+    * between crawls?). Distributions are 10 fixed integer value-decile
+    * buckets, Laplace-smoothed (c+1, n+10 — so empty buckets are
+    * well-defined without an epsilon convention), and
+    * PSI = Σ (p−q)·ln(p/q). Exactness: the transcendental factors
+    * through the DISTINCT-INTEGER side table (the q_agg_entropy / bm25
+    * discipline — ln once per distinct smoothed count/total, rounded
+    * THERE to integer L₄; boundary distances pinned in PsiSpec) and
+    * ln(p/q) decomposes to L₄(c_a+1) − L₄(n_a+10) − L₄(c_b+1) +
+    * L₄(n_b+10); each term's (p−q) rides the common denominator
+    * (n_a+10)(n_b+10) as the INTEGER cross-difference, so the sum is
+    * exact DECIMAL(38) and PSI is ONE signed [[exactRound6]] (the r16
+    * sign-split: rounded L₄ can push a tiny PSI negative). The period
+    * split is the integer test 2·us < min+max — engine-identical.
+    * Scale: ONE map-side-combined corpus pass to the checkpointed
+    * (type, bucket, period) count grid; everything after runs on
+    * ≤ types×10 rows with value-distinct broadcasts. */
+  private def aggPsi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val e = Tables.events(spark, dir)
+      .select($"event_type", unix_micros($"ts").as("us"),
+        least(call_function("div",
+          round($"value" * 10000).cast("bigint"), lit(1000000L)), lit(9L))
+          .as("bkt"))
+    val bounds = e.agg((min($"us") + max($"us")).as("mm"))
+    val c0 = e.crossJoin(broadcast(bounds))
+      .select($"event_type", $"bkt",
+        when($"us" * 2 < $"mm", 0L).otherwise(1L).as("period"))
+      .groupBy($"event_type", $"bkt")
+      .agg(sum(when($"period" === 0L, 1L).otherwise(0L)).as("ca"),
+        sum(when($"period" === 1L, 1L).otherwise(0L)).as("cb"))
+    val grid = c0.select($"event_type").distinct()
+      .crossJoin(spark.range(10).select($"id".as("bkt")))
+    val c = grid.join(c0, Seq("event_type", "bkt"), "left")
+      .select($"event_type", $"bkt",
+        coalesce($"ca", lit(0L)).as("ca"),
+        coalesce($"cb", lit(0L)).as("cb"))
+      .localCheckpoint(true) // totals, side-table values, terms read it
+    val n = c.groupBy($"event_type")
+      .agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+      .localCheckpoint(true)
+    val l = c.select(($"ca" + 1).as("v"))
+      .union(c.select(($"cb" + 1).as("v")))
+      .union(n.select(($"na" + 10).as("v")))
+      .union(n.select(($"nb" + 10).as("v"))).distinct()
+      .select($"v", round(log($"v") * 10000).cast("long").as("l4"))
+      .localCheckpoint(true) // four broadcast branches read it
+    val terms = c.join(broadcast(n), "event_type")
+      .join(broadcast(l.select($"v".as("vca"), $"l4".as("la"))),
+        $"vca" === $"ca" + 1)
+      .join(broadcast(l.select($"v".as("vcb"), $"l4".as("lb"))),
+        $"vcb" === $"cb" + 1)
+      .join(broadcast(l.select($"v".as("vna"), $"l4".as("lna"))),
+        $"vna" === $"na" + 10)
+      .join(broadcast(l.select($"v".as("vnb"), $"l4".as("lnb"))),
+        $"vnb" === $"nb" + 10)
+      .select($"event_type",
+        ((d38($"ca" + 1) * ($"nb" + 10) - d38($"cb" + 1) * ($"na" + 10))
+          * ($"la" - $"lna" - $"lb" + $"lnb")).as("num_t"))
+    terms.groupBy($"event_type").agg(sum($"num_t").as("num"))
+      .join(broadcast(n), "event_type")
+      .select($"event_type", $"na", $"nb",
+        exactRound6($"num",
+          d38($"na" + 10) * ($"nb" + 10) * lit(10000L)).as("psi"))
+      .orderBy($"event_type")
+  }
+
+  private val aggPsiSql = """
+    WITH b AS (SELECT event_type,
+        CASE WHEN epoch_us(date_trunc('microseconds', ts)) * 2 <
+          (SELECT min(epoch_us(date_trunc('microseconds', ts)))
+             + max(epoch_us(date_trunc('microseconds', ts))) FROM events)
+          THEN 0 ELSE 1 END AS period,
+        least(CAST(round(value * 10000) AS BIGINT) // 1000000, 9) AS bkt
+      FROM events),
+    grid AS (SELECT s.event_type, t.bkt
+             FROM (SELECT DISTINCT event_type FROM b) s,
+                  unnest(range(0, 10)) AS t(bkt)),
+    c AS (SELECT g.event_type, g.bkt,
+            CAST(coalesce(sum(CASE WHEN period = 0 THEN 1 END), 0)
+              AS BIGINT) AS ca,
+            CAST(coalesce(sum(CASE WHEN period = 1 THEN 1 END), 0)
+              AS BIGINT) AS cb
+          FROM grid g LEFT JOIN b
+            ON b.event_type = g.event_type AND b.bkt = g.bkt
+          GROUP BY 1, 2),
+    n AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+            CAST(sum(cb) AS BIGINT) AS nb FROM c GROUP BY 1),
+    vals AS (SELECT DISTINCT ca + 1 AS v FROM c
+             UNION SELECT DISTINCT cb + 1 FROM c
+             UNION SELECT DISTINCT na + 10 FROM n
+             UNION SELECT DISTINCT nb + 10 FROM n),
+    l AS (SELECT v, CAST(round(ln(v) * 10000) AS BIGINT) AS l4
+          FROM vals),
+    terms AS (SELECT c.event_type,
+                ((c.ca+1)::HUGEINT * (n.nb+10)
+                  - (c.cb+1)::HUGEINT * (n.na+10))
+                  * (la.l4 - lna.l4 - lb.l4 + lnb.l4) AS num_t
+              FROM c JOIN n USING (event_type)
+                JOIN l la ON la.v = c.ca + 1
+                JOIN l lb ON lb.v = c.cb + 1
+                JOIN l lna ON lna.v = n.na + 10
+                JOIN l lnb ON lnb.v = n.nb + 10),
+    s AS (SELECT event_type, sum(num_t) AS num FROM terms GROUP BY 1)
+    SELECT s.event_type, n.na, n.nb,
+      """ + exactRound6Sql("s.num",
+        "(n.na+10)::HUGEINT * (n.nb+10) * 10000") + """ AS psi
+    FROM s JOIN n USING (event_type)
+    ORDER BY s.event_type"""
+
   /** q_agg_hhi — Herfindahl–Hirschman concentration index per nation:
     * Σᵢ shareᵢ² over each nation's customers' order-count shares — the
     * standard market-concentration / data-source-diversity screen (a
@@ -2025,6 +2139,7 @@ object Aggregates {
     streamline.Q("q_agg_auc", aggAuc _, aggAucSql),
     streamline.Q("q_agg_mad", aggMad _, aggMadSql),
     streamline.Q("q_agg_entropy", aggEntropy _, aggEntropySql),
+    streamline.Q("q_agg_psi", aggPsi _, aggPsiSql),
     streamline.Q("q_agg_hhi", aggHhi _, aggHhiSql),
     streamline.Q("q_agg_transition", aggTransition _, aggTransitionSql),
     streamline.Q("q_agg_lift", aggLift _, aggLiftSql),

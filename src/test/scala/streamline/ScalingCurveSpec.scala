@@ -95,7 +95,13 @@ class ScalingCurveSpec extends SparkSuite {
     // table with a value-distinct broadcast; mad is two keyed
     // distributed sorts + rank selections; fertility one training
     // shuffle + a lang rollup — all must read linear
-    "q_agg_auc", "q_agg_entropy", "q_agg_mad", "q_llm_fertility")
+    "q_agg_auc", "q_agg_entropy", "q_agg_mad", "q_llm_fertility",
+    // r16: psi is one map-side-combined corpus pass to the dense
+    // (type, bucket) grid; hampel one user-keyed O(1)-frame window;
+    // fuzzy joins the dictionary (corpus contributes one distinct
+    // count); dedup_matrix shares jaccardPairs' prefix-filtered plan
+    // plus a keyed source attach — all must read linear
+    "q_agg_psi", "q_win_hampel", "q_join_fuzzy", "q_llm_dedup_matrix")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
