@@ -929,6 +929,105 @@ object Windows {
     FROM h WHERE 10000 * abs(v4 - med4) > 44478 * mad4
     ORDER BY user_id, event_id"""
 
+  /** q_win_interp — LINEAR-INTERPOLATION resample of each user's value
+    * series onto a fixed 6-hour grid: the gauge-alignment primitive of
+    * time-series pipelines (join-ready regular grids from irregular
+    * readings; q_win_resample's last-value fill is the step-function
+    * sibling — this is the continuous one). Exactness: readings
+    * deduped per (user, µs) on the total (event_id) order; the
+    * interpolated value at grid t between brackets (tₐ,vₐ),(t_b,v_b)
+    * is the exact rational (vₐ·(t_b−t) + v_b·(t−tₐ)) / (t_b−tₐ) in
+    * integer 1e-4-scaled units — numerator carried in DECIMAL(38)
+    * (µs-gap × scaled value ≈ 10¹⁷, the q_win_twap cliff) through ONE
+    * signed [[Aggregates.exactRound6]]. Bracketing is the
+    * q_join_nearest both-ways single-sort: grid points and readings
+    * union into one keyed (pt, kind) order, last-prior/first-later
+    * readings ride ignoreNulls frames — the corpus never self-joins
+    * and no grid×readings pair table exists. Scale: ONE user-keyed
+    * shuffle + sort over readings+grid; grid size is span-bounded. */
+  private def winInterp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val step = 21600000000L // 6 h in µs
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val e0 = Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("us"),
+        round($"value" * 10000).cast("bigint").as("v4"), $"event_id")
+    val byUserUs = Window.partitionBy($"user_id", $"us")
+      .orderBy($"event_id".asc)
+    val e = e0.withColumn("rn", row_number().over(byUserUs))
+      .where($"rn" === 1).select($"user_id", $"us", $"v4")
+    val b = e.groupBy($"user_id").agg(
+      ceil(min($"us").cast("double") / lit(step.toDouble)).cast("long")
+        .as("h0"),
+      floor(max($"us").cast("double") / lit(step.toDouble)).cast("long")
+        .as("h1"))
+    val grid = b.select($"user_id",
+      explode(sequence($"h0", $"h1")).as("h"))
+      .select($"user_id", ($"h" * step).as("pt"))
+    val u = e.select($"user_id", $"us".as("pt"), $"v4", lit(0).as("kind"))
+      .unionByName(grid.select($"user_id", $"pt",
+        lit(null).cast("bigint").as("v4"), lit(1).as("kind")))
+    val ord = Window.partitionBy($"user_id").orderBy($"pt".asc, $"kind".asc)
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rdPt = when($"kind" === 0, $"pt")
+    val w = u
+      .withColumn("ta", max(rdPt).over(back))
+      .withColumn("va", last(when($"kind" === 0, $"v4"), ignoreNulls = true)
+        .over(back))
+      .withColumn("tb", min(rdPt).over(fwd))
+      .withColumn("vb", first(when($"kind" === 0, $"v4"),
+        ignoreNulls = true).over(fwd))
+    w.where($"kind" === 1 && $"ta".isNotNull && $"tb".isNotNull)
+      .select($"user_id", $"pt".as("t"),
+        Aggregates.exactRound6(
+          d38($"va") * ($"tb" - $"pt") + d38($"vb") * ($"pt" - $"ta"),
+          $"tb" - $"ta").as("v4_interp"))
+      .orderBy($"user_id", $"t")
+  }
+
+  private val winInterpSql = """
+    WITH e0 AS (SELECT user_id,
+        epoch_us(date_trunc('microseconds', ts)) AS us,
+        CAST(round(value * 10000) AS BIGINT) AS v4, event_id
+      FROM events),
+    e AS (SELECT user_id, us, v4 FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, us
+              ORDER BY event_id) AS rn FROM e0)
+          WHERE rn = 1),
+    b AS (SELECT user_id,
+            CAST(ceil(CAST(min(us) AS DOUBLE) / 21600000000.0)
+              AS BIGINT) AS h0,
+            CAST(floor(CAST(max(us) AS DOUBLE) / 21600000000.0)
+              AS BIGINT) AS h1
+          FROM e GROUP BY 1),
+    grid AS (SELECT user_id, 21600000000 * h AS pt
+             FROM b, unnest(generate_series(h0, h1)) AS g(h)),
+    u AS (SELECT user_id, us AS pt, v4, 0 AS kind FROM e
+          UNION ALL
+          SELECT user_id, pt, NULL::BIGINT, 1 AS kind FROM grid),
+    w AS (SELECT user_id, pt, kind,
+            max(CASE WHEN kind = 0 THEN pt END) OVER
+              (PARTITION BY user_id ORDER BY pt, kind
+               ROWS UNBOUNDED PRECEDING) AS ta,
+            last_value(CASE WHEN kind = 0 THEN v4 END IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY pt, kind
+               ROWS UNBOUNDED PRECEDING) AS va,
+            min(CASE WHEN kind = 0 THEN pt END) OVER
+              (PARTITION BY user_id ORDER BY pt, kind
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tb,
+            first_value(CASE WHEN kind = 0 THEN v4 END IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY pt, kind
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vb
+          FROM u)
+    SELECT user_id, pt AS t,
+      """ + Aggregates.exactRound6Sql(
+        "va::HUGEINT * (tb - pt) + vb::HUGEINT * (pt - ta)",
+        "tb - ta") + """ AS v4_interp
+    FROM w
+    WHERE kind = 1 AND ta IS NOT NULL AND tb IS NOT NULL
+    ORDER BY user_id, t"""
+
   /** q_win_gap_stats — inter-arrival profile per user: exact DISCRETE
     * order statistics (min / median / p90 / max) of the gaps between
     * a user's consecutive events — the behavioral-cadence feature of
@@ -1440,6 +1539,7 @@ object Windows {
 
   val all: Seq[Q] = Seq(
     Q("q_win_hampel", winHampel _, winHampelSql),
+    Q("q_win_interp", winInterp _, winInterpSql),
     Q("q_win_cusum", winCusum _, winCusumSql),
     Q("q_win_concurrency", winConcurrency _, winConcurrencySql),
     Q("q_win_streak", winStreak _, winStreakSql),

@@ -497,9 +497,55 @@ object Streams {
     * 100 TB: inspect or bulk-export keyed state without replaying the
     * stream. */
   private def streamStateReader(spark: SparkSession,
-                                dir: String): DataFrame = {
+                                dir: String): DataFrame =
+    stateReaderDrain(spark, dir, "statereader", providerClass = None)
+
+  /** q_stream_rocksdb_reader — OFFLINE STATE INSPECTION of a RocksDB
+    * checkpoint: the q_stream_state_reader witness with the drain run
+    * under `RocksDBStateStoreProvider`, then read back through the
+    * same `format("statestore")` batch source. At 100 TB this is the
+    * pair that matters operationally: keyed state lives in RocksDB,
+    * and state debugging/auditing/bulk-export must read THOSE
+    * snapshots offline — a reader verified only against the default
+    * provider's .delta files proves nothing about the backend
+    * production runs. Same open-windows oracle; provider restore is
+    * exception-safe; RocksdbWitnessSpec's sibling artifact pin lives
+    * in the shared drain. */
+  private def streamRocksdbReader(spark: SparkSession,
+                                  dir: String): DataFrame =
+    stateReaderDrain(spark, dir, "rocksreader", providerClass = Some(
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider"))
+
+  private def stateReaderDrain(spark: SparkSession, dir: String,
+      tag: String, providerClass: Option[String]): DataFrame = {
     import spark.implicits._
-    val root = streamline.util.Scratch.dir("statereader", dir)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    val prevCk = spark.conf.getOption(checksumKey)
+    providerClass.foreach { p =>
+      spark.conf.set(providerKey, p)
+      // RocksDB snapshot zips starve the shared checksum pool
+      // (checksumKey scaladoc) — the withStreamConfs discipline
+      spark.conf.set(checksumKey, "false")
+    }
+    try stateReaderBody(spark, dir, tag)
+    finally if (providerClass.isDefined) {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+      prevCk match {
+        case Some(v) => spark.conf.set(checksumKey, v)
+        case None    => spark.conf.unset(checksumKey)
+      }
+    }
+  }
+
+  private def stateReaderBody(spark: SparkSession, dir: String,
+                              tag: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir(tag, dir)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(rootPath, true)
@@ -2414,6 +2460,8 @@ object Streams {
     Q("q_stream_state_rewrite", streamStateRewrite _, streamStateRewriteSql),
     Q("q_stream_state_evolve", streamStateEvolve _, streamStateEvolveSql),
     Q("q_stream_state_reader", streamStateReader _, streamStateReaderSql),
+    Q("q_stream_rocksdb_reader", streamRocksdbReader _,
+      streamStateReaderSql),
     Q("q_stream_late_metric", streamLateMetric _, streamLateMetricSql),
     Q("q_stream_update", streamUpdate _, streamUpdateSql),
     Q("q_stream_complete", streamComplete _, streamCompleteSql),

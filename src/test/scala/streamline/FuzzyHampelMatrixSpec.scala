@@ -55,8 +55,13 @@ class FuzzyHampelMatrixSpec extends SparkSuite {
   test("hampel flags match a literal rolling-window walk") {
     val rows = Tables.events(spark, sfDir)
       .select("user_id", "event_id", "ts", "value").collect()
-      .map(r => (r.getLong(0), r.getLong(1),
-        r.getTimestamp(2).getTime * 1000, math.round(r.getDouble(3) * 10000)))
+      .map { r =>
+        val ts = r.getTimestamp(2)
+        // exact µs (getTime truncates to ms — r16 InterpSpec lesson):
+        // the window ORDER is (µs, event_id), so sub-ms order matters
+        val us = (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
+        (r.getLong(0), r.getLong(1), us, math.round(r.getDouble(3) * 10000))
+      }
     val expected = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
       val ord = rs.sortBy(x => (x._3, x._2))
       ord.indices.collect {

@@ -12,8 +12,13 @@ class PsiSpec extends SparkSuite {
   test("PSI matches a literal re-derivation; L4 inputs boundary-safe") {
     val rows = Tables.events(spark, sfDir)
       .select("event_type", "ts", "value").collect()
-      .map(r => (r.getString(0), r.getTimestamp(1).getTime * 1000,
-        math.round(r.getDouble(2) * 10000)))
+      .map { r =>
+        val ts = r.getTimestamp(1)
+        // exact µs (getTime truncates to ms — r16 InterpSpec lesson):
+        // a borderline event could flip periods on truncated time
+        val us = (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
+        (r.getString(0), us, math.round(r.getDouble(2) * 10000))
+      }
     val mm = rows.map(_._2).min + rows.map(_._2).max
     val binned = rows.map { case (et, us, v4) =>
       (et, if (2 * us < mm) 0 else 1, math.min(v4 / 1000000, 9))

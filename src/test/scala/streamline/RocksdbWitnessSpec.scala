@@ -46,4 +46,22 @@ class RocksdbWitnessSpec extends SparkSuite {
     assert(spark.conf.getOption(providerKey) == before,
       "provider override leaked out of the drain")
   }
+
+  test("offline state reader over a RocksDB checkpoint: equality + artifacts") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(providerKey)
+    val hdfs = SparkEntry.queries("q_stream_state_reader")(spark, sfDir)
+      .collect().toSeq
+    val rocks = SparkEntry.queries("q_stream_rocksdb_reader")(spark, sfDir)
+      .collect().toSeq
+    assert(rocks.nonEmpty && rocks == hdfs,
+      "statestore read of a RocksDB checkpoint must surface the " +
+        "identical open windows")
+    val rockFiles = stateFileNames("rocksreader")
+    assert(rockFiles.exists(_.endsWith(".zip")) &&
+      !rockFiles.exists(_.endsWith(".delta")),
+      s"expected RocksDB zip snapshots, got: $rockFiles")
+    assert(spark.conf.getOption(providerKey) == before,
+      "provider override leaked out of the reader drain")
+  }
 }

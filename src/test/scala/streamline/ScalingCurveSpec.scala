@@ -101,7 +101,11 @@ class ScalingCurveSpec extends SparkSuite {
     // fuzzy joins the dictionary (corpus contributes one distinct
     // count); dedup_matrix shares jaccardPairs' prefix-filtered plan
     // plus a keyed source attach — all must read linear
-    "q_agg_psi", "q_win_hampel", "q_join_fuzzy", "q_llm_dedup_matrix")
+    "q_agg_psi", "q_win_hampel", "q_join_fuzzy", "q_llm_dedup_matrix",
+    // r16: interp is one user-keyed sort over readings ∪ a span-bounded
+    // grid — the blowup multiplies users, so rows (and grid points)
+    // scale linearly
+    "q_win_interp")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 

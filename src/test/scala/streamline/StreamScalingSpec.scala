@@ -72,7 +72,11 @@ class StreamScalingSpec extends SparkSuite {
     // r16: the embedding-ingest dedup drain is stateless (foreachBatch
     // probe of a frozen LSH index, the dedup_incremental precedent) —
     // its witness is the wall-clock bar over the 16× staging + probe
-    "q_stream_dedup_embed")
+    "q_stream_dedup_embed",
+    // r16: the RocksDB offline reader — drain state ~open-window grid
+    // (flat under the user blowup), then a batch statestore read; the
+    // wall-clock bar covers the snapshot+read lifecycle
+    "q_stream_rocksdb_reader")
 
   /** Runs the query under a progress listener; returns (seconds, max
     * numRowsTotal across all stateful operators and micro-batches). */
