@@ -572,6 +572,56 @@ object SqlApi {
     WHERE CAST(round(c_acctbal * 100) AS BIGINT)::HUGEINT * t.n > t.s
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** q_sql_script — SQL SCRIPTING (Spark 4.1 compound statements,
+    * SQL/PSM): a BEGIN…END block with local variables and a
+    * DATA-DRIVEN `WHILE` loop — the stored-procedure-style control
+    * flow migration scripts and threshold searches use without
+    * leaving SQL. The script doubles a balance floor until fewer than
+    * a quarter of customers sit above it (each iteration re-queries
+    * the data), then reports the surviving segment counts. Exactness:
+    * the floor walks exact powers of two (double·2 is exact) and the
+    * loop's count predicate is integer, so the terminating floor is a
+    * pure function of the data; the oracle replays the loop in CLOSED
+    * FORM (min power of two with count < limit over a 21-power spine
+    * — valid because the count is monotone non-increasing in the
+    * floor). Scale: each iteration is one map-side-combined count;
+    * iterations ≤ log₂(max balance) ≈ 14 — control flow is
+    * metadata-scale, data passes stay declarative. The scripting conf
+    * is enabled for the block and restored exception-safe. */
+  private def sqlScript(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    val key = "spark.sql.scripting.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try spark.sql("""
+      BEGIN
+        DECLARE floor_bal DOUBLE DEFAULT 1.0;
+        DECLARE lim BIGINT;
+        SET lim = (SELECT CAST(count(*) / 4 AS BIGINT) FROM customer);
+        WHILE (SELECT count(*) FROM customer WHERE c_acctbal > floor_bal)
+              >= lim DO
+          SET floor_bal = floor_bal * 2;
+        END WHILE;
+        SELECT c_mktsegment, count(*) AS n_above, floor_bal AS floor_bal
+        FROM customer WHERE c_acctbal > floor_bal
+        GROUP BY c_mktsegment ORDER BY c_mktsegment;
+      END""")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  private val sqlScriptSql = """
+    WITH n AS (SELECT CAST(count(*) // 4 AS BIGINT) AS lim FROM customer),
+    p AS (SELECT power(2, k) AS f FROM generate_series(0, 20) AS t(k)),
+    pick AS (SELECT min(f) AS floor_bal FROM p, n
+             WHERE (SELECT count(*) FROM customer c
+                    WHERE c.c_acctbal > p.f) < n.lim)
+    SELECT c_mktsegment, count(*) AS n_above, pick.floor_bal
+    FROM customer, pick WHERE c_acctbal > pick.floor_bal
+    GROUP BY 1, 3 ORDER BY 1"""
+
   /** q_sql_exec_immediate — dynamic SQL with bound parameters (Spark 4
     * `EXECUTE IMMEDIATE ... USING`): the query TEXT lives in a session
     * variable and positional `?` markers bind values at execution —
@@ -971,6 +1021,7 @@ object SqlApi {
     Q("q_sql_ddl", sqlDdl _, sqlDdlSql),
     Q("q_sql_variable", sqlVariable _, sqlVariableSql),
     Q("q_sql_exec_immediate", sqlExecImmediate _, sqlExecImmediateSql),
+    Q("q_sql_script", sqlScript _, sqlScriptSql),
     Q("q_sql_identifier", sqlIdentifier _, sqlIdentifierSql),
     Q("q_sql_udf", sqlUdf _, sqlUdfSql),
     Q("q_sql_tpch3", tpch3 _, tpch3Sql),

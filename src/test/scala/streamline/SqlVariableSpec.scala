@@ -42,6 +42,27 @@ class SqlVariableSpec extends SparkSuite {
     assert(e.getMessage != null)
   }
 
+  test("SQL scripting: the WHILE loop is data-driven and conf-hygienic") {
+    val key = "spark.sql.scripting.enabled"
+    val before = spark.conf.getOption(key)
+    val rows = SparkEntry.queries("q_sql_script")(spark, sfDir).collect()
+    assert(spark.conf.getOption(key) == before,
+      "scripting conf leaked out of the block")
+    // the loop must have actually iterated: floor 2^k with k >= 1,
+    // and the closed-form termination property holds — count above
+    // floor < n/4 <= count above floor/2
+    val floor = rows.head.getDouble(2)
+    assert(floor > 1.0 && (math.log(floor) / math.log(2)).isWhole,
+      s"floor $floor is not a power of two > 1")
+    val total = spark.table("customer").count()
+    val above = rows.map(_.getLong(1)).sum
+    import org.apache.spark.sql.functions.col
+    val aboveHalf = spark.table("customer")
+      .where(col("c_acctbal") > floor / 2).count()
+    assert(above < total / 4 && aboveHalf >= total / 4,
+      "floor is not the FIRST power of two below the quarter threshold")
+  }
+
   test("IDENTIFIER() varies the measure column for real") {
     val byBal = SparkEntry.queries("q_sql_identifier")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
