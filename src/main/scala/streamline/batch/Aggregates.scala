@@ -1362,8 +1362,13 @@ object Aggregates {
     r1.join(broadcast(n), "arm")
       .withColumn("u1_x2", $"r1_x2" - d38($"n1") * ($"n1" + lit(1)))
       .select($"arm", $"n0", $"n1", $"u1_x2",
-        exactRound6($"u1_x2", lit(2L).cast("decimal(19,0)")
-          * $"n0".cast("decimal(19,0)") * $"n1".cast("decimal(19,0)"))
+        // single-label arm (n⁺ or n⁻ = 0): AUC is undefined — NULL on
+        // BOTH engines, never a divide-by-zero (Spark ANSI throws,
+        // DuckDB HUGEINT // raises — r16 review)
+        when($"n0" === 0L || $"n1" === 0L, lit(null).cast("double"))
+          .otherwise(
+            exactRound6($"u1_x2", lit(2L).cast("decimal(19,0)")
+              * $"n0".cast("decimal(19,0)") * $"n1".cast("decimal(19,0)")))
           .as("auc"))
       .orderBy($"arm")
   }
@@ -1390,8 +1395,9 @@ object Aggregates {
     SELECT r.arm, n.n0, n.n1,
       CAST(r.r1_x2 - n.n1::HUGEINT * (n.n1 + 1) AS DECIMAL(38,0))
         AS u1_x2,
-      """ + exactRound6Sql("r.r1_x2 - n.n1::HUGEINT * (n.n1 + 1)",
-        "2::HUGEINT * n.n0 * n.n1") + """ AS auc
+      CASE WHEN n.n0 = 0 OR n.n1 = 0 THEN NULL
+           ELSE """ + exactRound6Sql("r.r1_x2 - n.n1::HUGEINT * (n.n1 + 1)",
+        "2::HUGEINT * n.n0 * n.n1") + """ END AS auc
     FROM r JOIN n ON r.arm = n.arm
     ORDER BY r.arm"""
 

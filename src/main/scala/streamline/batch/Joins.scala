@@ -748,10 +748,14 @@ object Joins {
     * everything after (token index, candidate self-join, edit-distance
     * verify, count attach) runs on the vocabulary-sized name table,
     * which stays dictionary-sized at 100 TB. Candidates share a token
-    * (a complete generator for short multi-word names at k=3 — a
-    * 2-word name within distance 3 cannot have BOTH words rewritten);
-    * verification is `levenshtein`, the identical integer DP on both
-    * engines — hash-exact with no float anywhere. */
+    * — a standard BLOCKER, not a complete generator in general (two
+    * short words can each absorb one edit and share nothing);
+    * FuzzyHampelMatrixSpec proves empirically that on THIS dictionary
+    * no lev≤3 pair is lost, and a production deployment blocks on
+    * q-grams sized to its k. Verification is `levenshtein`, the
+    * identical integer DP on both engines — hash-exact with no float
+    * anywhere, computed ONCE per candidate (the filter reads the
+    * projected column). */
   private def joinFuzzy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val names = Tables.part(spark, dir)
@@ -762,9 +766,8 @@ object Joins {
     val cand = w.as("a").join(w.as("b"),
         $"a.word" === $"b.word" && $"a.p_name" < $"b.p_name")
       .select($"a.p_name".as("na"), $"b.p_name".as("nb")).distinct()
-    cand.where(levenshtein($"na", $"nb") <= 3)
-      .select($"na", $"nb", levenshtein($"na", $"nb").cast("long")
-        .as("dist"))
+    cand.withColumn("dist", levenshtein($"na", $"nb").cast("long"))
+      .where($"dist" <= 3)
       .join(broadcast(names.select($"p_name".as("na"), $"n".as("n_a"))),
         "na")
       .join(broadcast(names.select($"p_name".as("nb"), $"n".as("n_b"))),

@@ -597,7 +597,10 @@ object SqlApi {
       BEGIN
         DECLARE floor_bal DOUBLE DEFAULT 1.0;
         DECLARE lim BIGINT;
-        SET lim = (SELECT CAST(count(*) / 4 AS BIGINT) FROM customer);
+        -- lim >= 1: with lim = 0 (under 4 customers) count >= 0 holds
+        -- forever and the loop would never terminate (r16 review)
+        SET lim = (SELECT greatest(CAST(count(*) / 4 AS BIGINT), 1)
+                   FROM customer);
         WHILE (SELECT count(*) FROM customer WHERE c_acctbal > floor_bal)
               >= lim DO
           SET floor_bal = floor_bal * 2;
@@ -613,7 +616,8 @@ object SqlApi {
   }
 
   private val sqlScriptSql = """
-    WITH n AS (SELECT CAST(count(*) // 4 AS BIGINT) AS lim FROM customer),
+    WITH n AS (SELECT greatest(CAST(count(*) // 4 AS BIGINT), 1) AS lim
+               FROM customer),
     p AS (SELECT power(2, k) AS f FROM generate_series(0, 20) AS t(k)),
     pick AS (SELECT min(f) AS floor_bal FROM p, n
              WHERE (SELECT count(*) FROM customer c

@@ -943,7 +943,12 @@ object Windows {
     * q_join_nearest both-ways single-sort: grid points and readings
     * union into one keyed (pt, kind) order, last-prior/first-later
     * readings ride ignoreNulls frames — the corpus never self-joins
-    * and no grid×readings pair table exists. Scale: ONE user-keyed
+    * and no grid×readings pair table exists. Edge contract (engine-
+    * identical, mirrored in the oracle and InterpSpec): a grid point
+    * coinciding exactly with a user's FIRST reading emits (the
+    * formula degenerates to vₐ), while one coinciding with the LAST
+    * reading is dropped — the same-µs reading sorts before the grid
+    * row, so the forward frame sees no bracket. Scale: ONE user-keyed
     * shuffle + sort over readings+grid; grid size is span-bounded. */
   private def winInterp(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -413,10 +413,31 @@ object Streams {
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider"))
 
+  /** The provider override set shared by the RocksDB witnesses: the
+    * backend class plus checksum-manager-off (RocksDB snapshot zips
+    * starve the shared checksum pool — checksumKey scaladoc, the
+    * withStreamConfs discipline). ONE definition so the drains cannot
+    * drift (r16 review: three hand-rolled copies of the same
+    * save/set/restore block), applied through SkewJoin.withConfs'
+    * exception-safe restore. */
+  private def providerConfs(providerClass: Option[String])
+      : Seq[(String, String)] =
+    providerClass.toSeq.flatMap(p => Seq(
+      "spark.sql.streaming.stateStore.providerClass" -> p,
+      checksumKey -> "false"))
+
   private[streamline] def recoveryDrain(spark: SparkSession, dir: String,
-      tag: String, providerClass: Option[String]): DataFrame = {
+      tag: String, providerClass: Option[String]): DataFrame =
+    streamline.batch.SkewJoin.withConfs(spark,
+      Seq("spark.sql.shuffle.partitions" ->
+        streamline.util.Knobs.statePartitions(spark).toString) ++
+        providerConfs(providerClass)) {
+      recoveryBody(spark, dir, tag)
+    }
+
+  private def recoveryBody(spark: SparkSession, dir: String,
+                           tag: String): DataFrame = {
     import spark.implicits._
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val root = streamline.util.Scratch.dir(tag, dir)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -427,17 +448,6 @@ object Streams {
     val b = events.agg(min($"ts"), max($"ts")).head()
     val cut = new java.sql.Timestamp(
       (b.getTimestamp(0).getTime + b.getTimestamp(1).getTime) / 2)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevProvider = spark.conf.getOption(providerKey)
-    val prevCk = spark.conf.getOption(checksumKey)
-    spark.conf.set("spark.sql.shuffle.partitions",
-      streamline.util.Knobs.statePartitions(spark).toString)
-    providerClass.foreach { p =>
-      spark.conf.set(providerKey, p)
-      // RocksDB snapshot zips starve the shared checksum pool
-      // (checksumKey scaladoc) — same discipline as withStreamConfs
-      spark.conf.set(checksumKey, "false")
-    }
     def drain(): Unit = {
       val q = spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", "1") // several micro-batches/run
@@ -458,25 +468,11 @@ object Streams {
         .start()
       q.awaitTermination()
     }
-    try {
-      events.where($"ts" < lit(cut)).repartition(2).write.parquet(stage)
-      drain() // run 1: early half only, then STOP
-      events.where($"ts" >= lit(cut)).repartition(2)
-        .write.mode("append").parquet(stage)
-      drain() // run 2: RESTART from the same checkpoint, drain the rest
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      if (providerClass.isDefined) {
-        prevProvider match {
-          case Some(v) => spark.conf.set(providerKey, v)
-          case None    => spark.conf.unset(providerKey)
-        }
-        prevCk match {
-          case Some(v) => spark.conf.set(checksumKey, v)
-          case None    => spark.conf.unset(checksumKey)
-        }
-      }
-    }
+    events.where($"ts" < lit(cut)).repartition(2).write.parquet(stage)
+    drain() // run 1: early half only, then STOP
+    events.where($"ts" >= lit(cut)).repartition(2)
+      .write.mode("append").parquet(stage)
+    drain() // run 2: RESTART from the same checkpoint, drain the rest
     spark.read.parquet(out)
       .select($"w_start", $"event_type", $"sum_val", $"n")
       .orderBy($"w_start", $"event_type")
@@ -518,29 +514,11 @@ object Streams {
         "RocksDBStateStoreProvider"))
 
   private def stateReaderDrain(spark: SparkSession, dir: String,
-      tag: String, providerClass: Option[String]): DataFrame = {
-    import spark.implicits._
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = spark.conf.getOption(providerKey)
-    val prevCk = spark.conf.getOption(checksumKey)
-    providerClass.foreach { p =>
-      spark.conf.set(providerKey, p)
-      // RocksDB snapshot zips starve the shared checksum pool
-      // (checksumKey scaladoc) — the withStreamConfs discipline
-      spark.conf.set(checksumKey, "false")
+      tag: String, providerClass: Option[String]): DataFrame =
+    streamline.batch.SkewJoin.withConfs(spark,
+      providerConfs(providerClass)) {
+      stateReaderBody(spark, dir, tag)
     }
-    try stateReaderBody(spark, dir, tag)
-    finally if (providerClass.isDefined) {
-      prevProvider match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None    => spark.conf.unset(providerKey)
-      }
-      prevCk match {
-        case Some(v) => spark.conf.set(checksumKey, v)
-        case None    => spark.conf.unset(checksumKey)
-      }
-    }
-  }
 
   private def stateReaderBody(spark: SparkSession, dir: String,
                               tag: String): DataFrame = {

@@ -84,8 +84,12 @@ class EntropyAucMadSpec extends SparkSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
         r.getLong(3), r.getDouble(4)))).toMap
     assert(got === expected)
-    // diversity is real: entropy spread across users, all in [0, log2 5]
-    assert(got.values.forall(x => x._4 >= 0.0 && x._4 <= 2.3219281))
+    // diversity is real: entropy spread across users, bounded by the
+    // QUERY'S log2(5) image — ln(5)·10⁴/6931 ≈ 2.32217, slightly above
+    // exact log2(5) because the 4-dp ln2 literal 6931 under-reads
+    // 0.69315 (r16 review: the exact bound 2.3219281 could reject a
+    // bit-correct uniform-mix user)
+    assert(got.values.forall(x => x._4 >= 0.0 && x._4 <= 2.32222))
     assert(got.values.map(_._4).toSet.size > 1)
   }
 
