@@ -311,6 +311,84 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** Stop-fingerprint df cap for [[winnowPairs]], interpolated into
+    * BOTH the Spark plan and the DuckDB oracle (the bpeChainSql
+    * anti-drift pattern): fingerprints in more documents than this are
+    * template/boilerplate, and at 100 TB they are also the join-skew
+    * hot keys — pruning them is standard winnowing practice AND the
+    * scale guard (per-fingerprint join fan-out ≤ cap²). */
+  private val WINNOW_MAX_DF = 50
+
+  /** q_llm_winnow_pairs — cross-document PARTIAL-overlap detection:
+    * doc pairs sharing ≥ 3 winnowing fingerprints of their WORD
+    * 3-gram sequence — the substring-duplication signal (Lee et al.
+    * 2022's exact-substring dedup, approximated the way MOSS does it:
+    * winnow the k-gram hash sequence, match fingerprints) that
+    * whole-document Jaccard misses when only a paragraph is copied
+    * [C]. Word 3-grams (not q_llm_winnow's char 5-grams — the
+    * fixture's small character vocabulary saturates those) hashed to
+    * md5 STRINGS in sequence order, window-min over 4 (lexicographic
+    * min is a valid winnowing order on any engine — no numeric hash
+    * to port), distinct per doc. Exactness: md5 and the lexicographic
+    * min are identical on both engines; counts BIGINT. Scale: ONE
+    * corpus pass to the checkpointed exploded fingerprint table (df
+    * count + both join sides read it); stop-fingerprints
+    * (df > WINNOW_MAX_DF) anti-joined away BEFORE the keyed self-join
+    * on fingerprint — the hot-key guard — so candidate fan-out per
+    * fingerprint is cap-bounded; ReuseExchange collapses the two
+    * identical fp shuffles. */
+  private def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def shifted(arr: Column, j: Int, width: Column): Column =
+      slice(arr, lit(1 + j), width)
+    val words = split($"text", " ")
+    val gw = greatest(size(words) - 2, lit(0))
+    val grams = zip_with(
+      zip_with(shifted(words, 0, gw), shifted(words, 1, gw),
+        (a, b) => concat(a, lit(" "), b)),
+      shifted(words, 2, gw),
+      (ab, c) => md5(concat(ab, lit(" "), c)))
+    val staged = Tables.documents(spark, dir)
+      .select($"doc_id", grams.as("hs"))
+    val fw = greatest(size($"hs") - 3, lit(0))
+    val fps = array_distinct((1 until 4).foldLeft(
+      shifted($"hs", 0, fw)) { (acc, j) =>
+      zip_with(acc, shifted($"hs", j, fw), (a, b) => least(a, b))
+    })
+    val f = staged.select($"doc_id", explode(fps).as("fp"))
+      .localCheckpoint(true) // df count + both join sides read it
+    val hot = f.groupBy($"fp").agg(count(lit(1)).as("nd"))
+      .where($"nd" > WINNOW_MAX_DF).select($"fp")
+    val kept = f.join(hot, Seq("fp"), "left_anti")
+    kept.as("a").hint("shuffle_hash").join(kept.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where($"n_shared" >= 3)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val winnowPairsSql = s"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+    g AS (SELECT doc_id,
+            list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+              i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS hs
+          FROM w),
+    f AS (SELECT doc_id, unnest(list_distinct(
+            list_transform(generate_series(1, greatest(len(hs) - 3, 0)),
+              x -> list_min(hs[x : x + 3])))) AS fp
+          FROM g),
+    df AS (SELECT fp, count(*) AS nd FROM f GROUP BY 1),
+    kept AS (SELECT f.doc_id, f.fp FROM f JOIN df USING (fp)
+             WHERE df.nd <= $WINNOW_MAX_DF),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(count(*) AS BIGINT) AS n_shared
+          FROM kept a JOIN kept b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT * FROM p WHERE n_shared >= 3 ORDER BY id_a, id_b"""
+
   private val winnowSql = """
     WITH h AS (SELECT doc_id,
       list_transform(generate_series(1, greatest(length(text) - 4, 0)),
@@ -1311,6 +1389,7 @@ object Text {
     Q("q_llm_text_stats", textStats _, textStatsSql),
     Q("q_llm_tokenize", tokenize _, tokenizeSql),
     Q("q_llm_winnow", winnow _, winnowSql),
+    Q("q_llm_winnow_pairs", winnowPairs _, winnowPairsSql),
     Q("q_llm_quality", quality _, qualitySql),
     Q("q_llm_lang_profile", langProfile _, langProfileSql),
     Q("q_llm_lang_id", langId _, langIdSql),

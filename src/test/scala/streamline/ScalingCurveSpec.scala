@@ -105,7 +105,12 @@ class ScalingCurveSpec extends SparkSuite {
     // r16: interp is one user-keyed sort over readings ∪ a span-bounded
     // grid — the blowup multiplies users, so rows (and grid points)
     // scale linearly
-    "q_win_interp")
+    "q_win_interp",
+    // r16: winnow_pairs joins the exploded fingerprint table on fp
+    // with the df > 50 hot keys pruned first — fan-out is cap-bounded,
+    // and blowup copies are near-dup-disjoint, so pairs (and the join)
+    // must read linear
+    "q_llm_winnow_pairs")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
