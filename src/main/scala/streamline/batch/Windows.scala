@@ -1033,6 +1033,50 @@ object Windows {
     WHERE kind = 1 AND ta IS NOT NULL AND tb IS NOT NULL
     ORDER BY user_id, t"""
 
+  /** q_win_peaks — local-maxima PEAK PICKING per user with an integer
+    * prominence floor: a reading is a peak when it strictly exceeds
+    * BOTH neighbors and rises ≥ 0.2 units above the higher of them —
+    * the signal-processing primitive behind spike detection, event
+    * extraction and series summarization (scipy find_peaks' core
+    * semantics, on the prior/next-neighbor prominence). Exactness:
+    * values integer 1e-4 units; the peak test and prominence
+    * v₄ − max(prev, next) are pure integer comparisons on the total
+    * (µs, event_id) order; edge rows (no neighbor) are excluded
+    * identically on both engines. Scale: ONE user-keyed shuffle +
+    * sort; lag and lead share the window; peaks-only output keeps the
+    * result event-sparse. */
+  private def winPeaks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Window.partitionBy($"user_id")
+      .orderBy($"us".asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        round($"value" * 10000).cast("bigint").as("v4"))
+      .withColumn("pv", lag($"v4", 1).over(ord))
+      .withColumn("nv", lead($"v4", 1).over(ord))
+      .where($"pv".isNotNull && $"nv".isNotNull &&
+        $"v4" > $"pv" && $"v4" > $"nv" &&
+        $"v4" - greatest($"pv", $"nv") >= 2000L)
+      .select($"user_id", $"event_id", $"v4",
+        ($"v4" - greatest($"pv", $"nv")).as("prom4"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val winPeaksSql = """
+    WITH e AS (SELECT user_id, event_id,
+        epoch_us(date_trunc('microseconds', ts)) AS us,
+        CAST(round(value * 10000) AS BIGINT) AS v4 FROM events),
+    w AS (SELECT user_id, event_id, v4,
+        lag(v4) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pv,
+        lead(v4) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nv
+      FROM e)
+    SELECT user_id, event_id, v4,
+      CAST(v4 - greatest(pv, nv) AS BIGINT) AS prom4
+    FROM w
+    WHERE pv IS NOT NULL AND nv IS NOT NULL
+      AND v4 > pv AND v4 > nv AND v4 - greatest(pv, nv) >= 2000
+    ORDER BY user_id, event_id"""
+
   /** q_win_gap_stats — inter-arrival profile per user: exact DISCRETE
     * order statistics (min / median / p90 / max) of the gaps between
     * a user's consecutive events — the behavioral-cadence feature of
@@ -1545,6 +1589,7 @@ object Windows {
   val all: Seq[Q] = Seq(
     Q("q_win_hampel", winHampel _, winHampelSql),
     Q("q_win_interp", winInterp _, winInterpSql),
+    Q("q_win_peaks", winPeaks _, winPeaksSql),
     Q("q_win_cusum", winCusum _, winCusumSql),
     Q("q_win_concurrency", winConcurrency _, winConcurrencySql),
     Q("q_win_streak", winStreak _, winStreakSql),

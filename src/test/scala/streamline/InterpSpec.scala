@@ -56,4 +56,29 @@ class InterpSpec extends SparkSuite {
     val raw = rows.map(_._4.toDouble).toSet
     assert(got.exists(x => !raw.contains(x._3)))
   }
+
+  test("peaks match a literal three-point walk") {
+    val rows = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map { r =>
+        val ts = r.getTimestamp(2)
+        val us = (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
+        (r.getLong(0), r.getLong(1), us, math.round(r.getDouble(3) * 10000))
+      }
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      val ord = rs.sortBy(x => (x._3, x._2))
+      (1 until ord.length - 1).flatMap { i =>
+        val (pv, v, nv) = (ord(i - 1)._4, ord(i)._4, ord(i + 1)._4)
+        val prom = v - math.max(pv, nv)
+        if (v > pv && v > nv && prom >= 2000L)
+          Some((u, ord(i)._2, v, prom))
+        else None
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = SparkEntry.queries("q_win_peaks")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && got.forall(_._4 >= 2000L))
+  }
 }

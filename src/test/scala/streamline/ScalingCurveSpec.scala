@@ -110,7 +110,9 @@ class ScalingCurveSpec extends SparkSuite {
     // with the df > 50 hot keys pruned first — fan-out is cap-bounded,
     // and blowup copies are near-dup-disjoint, so pairs (and the join)
     // must read linear
-    "q_llm_winnow_pairs")
+    "q_llm_winnow_pairs",
+    // r16: peaks is one user-keyed lag/lead window — linear
+    "q_win_peaks")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
