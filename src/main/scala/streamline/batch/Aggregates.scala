@@ -1244,7 +1244,13 @@ object Aggregates {
       .agg(max(abs($"n1".cast("decimal(38,0)") * $"k0"
         - $"n0".cast("decimal(38,0)") * $"k1")).as("d_num"))
     d.join(broadcast(n), "event_type")
-      .select($"event_type", $"n0", $"n1", $"d_num",
+      // the DECIMAL(38) witness numerator is EMITTED as its exact
+      // digit string: wide-decimal output columns hash differently in
+      // the driver's decimal128 normalization (CORRECTNESS_r16 — the
+      // only red rows were exactly the decimal(38,0) emitters), and a
+      // digit string is portability-neutral while staying exact
+      .select($"event_type", $"n0", $"n1",
+        $"d_num".cast("string").as("d_num"),
         exactRound6($"d_num", $"n0".cast("decimal(19,0)")
           * $"n1".cast("decimal(19,0)")).as("d"))
       .orderBy($"event_type")
@@ -1273,7 +1279,7 @@ object Aggregates {
                     - n.n0::HUGEINT * CAST(c.k1 AS BIGINT))) AS d_num
           FROM cum c JOIN n ON c.event_type = n.event_type
           GROUP BY 1)
-    SELECT d.event_type, n.n0, n.n1, CAST(d.d_num AS DECIMAL(38,0)) AS d_num,
+    SELECT d.event_type, n.n0, n.n1, CAST(d.d_num AS VARCHAR) AS d_num,
       """ + exactRound6Sql("d.d_num", "n.n0::HUGEINT * n.n1") + """ AS d
     FROM d JOIN n ON d.event_type = n.event_type
     ORDER BY d.event_type"""
@@ -1361,7 +1367,10 @@ object Aggregates {
         .as("r1_x2"))
     r1.join(broadcast(n), "arm")
       .withColumn("u1_x2", $"r1_x2" - d38($"n1") * ($"n1" + lit(1)))
-      .select($"arm", $"n0", $"n1", $"u1_x2",
+      // the DECIMAL(38) rank-sum witness goes out as its exact digit
+      // string (the q_agg_ks r17 discipline — wide-decimal OUTPUT
+      // columns are driver-hostile; the carry stays decimal inside)
+      .select($"arm", $"n0", $"n1", $"u1_x2".cast("string").as("u1_x2"),
         // single-label arm (n⁺ or n⁻ = 0): AUC is undefined — NULL on
         // BOTH engines, never a divide-by-zero (Spark ANSI throws,
         // DuckDB HUGEINT // raises — r16 review)
@@ -1393,7 +1402,7 @@ object Aggregates {
             sum(c1::HUGEINT * (2 * cb + c0 + c1 + 1)) AS r1_x2
           FROM ranked GROUP BY 1)
     SELECT r.arm, n.n0, n.n1,
-      CAST(r.r1_x2 - n.n1::HUGEINT * (n.n1 + 1) AS DECIMAL(38,0))
+      CAST(r.r1_x2 - n.n1::HUGEINT * (n.n1 + 1) AS VARCHAR)
         AS u1_x2,
       CASE WHEN n.n0 = 0 OR n.n1 = 0 THEN NULL
            ELSE """ + exactRound6Sql("r.r1_x2 - n.n1::HUGEINT * (n.n1 + 1)",
@@ -1547,9 +1556,13 @@ object Aggregates {
     def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val e = Tables.events(spark, dir)
       .select($"event_type", unix_micros($"ts").as("us"),
-        least(call_function("div",
-          round($"value" * 10000).cast("bigint"), lit(1000000L)), lit(9L))
-          .as("bkt"))
+        // clamped to [0, 9] on BOTH engines: Spark div truncates
+        // toward zero while DuckDB // floors, so a negative value
+        // would land in bucket 0 vs −1 and silently fall off the grid
+        // (ADVICE r16; latent — fixtures have value ≥ 0)
+        greatest(least(call_function("div",
+          round($"value" * 10000).cast("bigint"), lit(1000000L)), lit(9L)),
+          lit(0L)).as("bkt"))
     val bounds = e.agg((min($"us") + max($"us")).as("mm"))
     val c0 = e.crossJoin(broadcast(bounds))
       .select($"event_type", $"bkt",
@@ -1599,7 +1612,8 @@ object Aggregates {
           (SELECT min(epoch_us(date_trunc('microseconds', ts)))
              + max(epoch_us(date_trunc('microseconds', ts))) FROM events)
           THEN 0 ELSE 1 END AS period,
-        least(CAST(round(value * 10000) AS BIGINT) // 1000000, 9) AS bkt
+        greatest(least(CAST(round(value * 10000) AS BIGINT) // 1000000,
+          9), 0) AS bkt
       FROM events),
     grid AS (SELECT s.event_type, t.bkt
              FROM (SELECT DISTINCT event_type FROM b) s,
@@ -1898,8 +1912,10 @@ object Aggregates {
     * combined corpus pass to the (type, day) count table
     * (checkpointed — grid, moments and the pair join all read it);
     * everything after runs on the types×days grid (bounded), the pair
-    * join keyed on day; the moments ARE DECIMAL(38) end to end (c²
-    * and n·Σxy − Σx·Σx overflow long at ~10¹² daily counts). */
+    * join keyed on day; the moments are carried in DECIMAL(38) (c²
+    * and n·Σxy − Σx·Σx overflow long at ~10¹² daily counts), and the
+    * final r² fraction is power-of-ten REDUCED before the square so
+    * cov² never exceeds 38 digits — see the inline bound. */
   private def aggCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.events(spark, dir)
@@ -1929,14 +1945,57 @@ object Aggregates {
         $"sxx".as("sxx1"))), $"t1" === $"e1")
       .join(broadcast(s.select($"event_type".as("e2"), $"sx".as("sx2"),
         $"sxx".as("sxx2"))), $"t2" === $"e2")
-    val cov = d38($"n") * $"sxy" - d38($"sx1") * $"sx2"
-    val v1 = d38($"n") * $"sxx1" - d38($"sx1") * $"sx1"
-    val v2 = d38($"n") * $"sxx2" - d38($"sx2") * $"sx2"
-    j.select($"t1", $"t2", cov.as("cov_num"),
-        v1.as("var1_num"), v2.as("var2_num"),
-        when(cov < 0, -1L).otherwise(1L).as("sgn"),
-        exactRound6(d38(cov) * d38(cov), d38(v1) * d38(v2)).as("r2"))
+    val base = j.select($"t1", $"t2",
+      (d38($"n") * $"sxy" - d38($"sx1") * $"sx2").as("cov"),
+      (d38($"n") * $"sxx1" - d38($"sx1") * $"sx1").as("v1"),
+      (d38($"n") * $"sxx2" - d38($"sx2") * $"sx2").as("v2"))
+    // the DECIMAL(38) moment witnesses go out as exact digit strings
+    // (the q_agg_ks r17 discipline — wide-decimal OUTPUT columns are
+    // driver-hostile; the carry stays decimal inside)
+    base.select($"t1", $"t2", $"cov".cast("string").as("cov_num"),
+        $"v1".cast("string").as("var1_num"),
+        $"v2".cast("string").as("var2_num"),
+        when($"cov" < 0, -1L).otherwise(1L).as("sgn"),
+        reducedR2($"cov", $"v1", $"v2").as("r2"))
       .orderBy($"t1", $"t2")
+  }
+
+  /** r² = cov²/(v1·v2) rounded to 6 dp WITHOUT squaring cov at full
+    * DECIMAL(38) width: at ~10¹² daily counts cov ~ 10²⁴ and cov² ~
+    * 10⁴⁸ silently NULLs in non-ANSI Spark while DuckDB HUGEINT
+    * raises (ADVICE r16). The fraction is REDUCED first by per-factor
+    * powers of ten: kᵢ trims vᵢ to ≤ 15 digits, k1 is bumped so
+    * k1+k2 is even, and |cov| is trimmed by 10^((k1+k2)/2) — the
+    * ratio is preserved EXACTLY in the exponents (10^(k1+k2)
+    * cancels), Cauchy–Schwarz bounds the reduced |cov| ≤ 10¹⁵, so
+    * cov² ≤ 10³⁰ and 2·10⁶·cov² ≤ 2·10³⁶ fit DECIMAL(38)/HUGEINT
+    * with headroom. The trims are integer div — deterministic and
+    * engine-identical (non-negative operands: truncate == floor) —
+    * and EXACT (k = 0, nothing trimmed) until a moment exceeds 15
+    * digits; past that the dropped low digits perturb r² by ≤ 10⁻¹⁴
+    * relative, eleven orders below the 10⁻⁶ output grid (a flip
+    * needs an exact x.xxxxxx5·(1 ± 10⁻¹⁴) tie — documented bound,
+    * q_agg_lift class). Mirrored digit-for-digit in the oracle's
+    * base/k/red/fin CTEs. */
+  private[streamline] def reducedR2(
+      cov: org.apache.spark.sql.Column,
+      v1: org.apache.spark.sql.Column,
+      v2: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def pow10(k: org.apache.spark.sql.Column) =
+      concat(lit("1"), call_function("repeat", lit("0"),
+        k.cast("int"))).cast("decimal(38,0)")
+    def idiv(a: org.apache.spark.sql.Column,
+             b: org.apache.spark.sql.Column) = call_function("div", a, b)
+    val k1r = greatest(lit(0), length(v1.cast("string")) - lit(15))
+    val k2 = greatest(lit(0), length(v2.cast("string")) - lit(15))
+    val k1 = k1r + (k1r + k2) % lit(2)
+    // div yields BIGINT — lift back to DECIMAL(38) BEFORE the squares
+    // (a long×long square of a 15-digit operand overflows)
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val acovR = d38(idiv(abs(cov), pow10(idiv((k1 + k2).cast("bigint"),
+      lit(2L)))))
+    exactRound6(acovR * acovR,
+      d38(idiv(v1, pow10(k1))) * d38(idiv(v2, pow10(k2))))
   }
 
   private val aggCorrMatrixSql = """
@@ -1956,23 +2015,32 @@ object Aggregates {
         CAST(count(*) AS BIGINT) AS n, sum(a.c::HUGEINT * b.c) AS sxy
       FROM grid a JOIN grid b ON a.day = b.day
         AND a.event_type < b.event_type
-      GROUP BY 1, 2)
-    SELECT xy.t1, xy.t2,
-      CAST(xy.n::HUGEINT * xy.sxy - s1.sx::HUGEINT * s2.sx
-        AS DECIMAL(38,0)) AS cov_num,
-      CAST(xy.n::HUGEINT * s1.sxx - s1.sx::HUGEINT * s1.sx
-        AS DECIMAL(38,0)) AS var1_num,
-      CAST(xy.n::HUGEINT * s2.sxx - s2.sx::HUGEINT * s2.sx
-        AS DECIMAL(38,0)) AS var2_num,
-      CAST(CASE WHEN xy.n::HUGEINT * xy.sxy - s1.sx::HUGEINT * s2.sx < 0
-        THEN -1 ELSE 1 END AS BIGINT) AS sgn,
-      """ + exactRound6Sql(
-        "(xy.n*xy.sxy - s1.sx*s2.sx)::HUGEINT * (xy.n*xy.sxy - s1.sx*s2.sx)",
-        "(xy.n*s1.sxx - s1.sx*s1.sx)::HUGEINT * (xy.n*s2.sxx - s2.sx*s2.sx)"
-      ) + """ AS r2
-    FROM xy JOIN s s1 ON xy.t1 = s1.event_type
-      JOIN s s2 ON xy.t2 = s2.event_type
-    ORDER BY t1, t2"""
+      GROUP BY 1, 2),
+    base AS (SELECT xy.t1, xy.t2,
+        xy.n::HUGEINT * xy.sxy - s1.sx::HUGEINT * s2.sx AS cov,
+        xy.n::HUGEINT * s1.sxx - s1.sx::HUGEINT * s1.sx AS v1,
+        xy.n::HUGEINT * s2.sxx - s2.sx::HUGEINT * s2.sx AS v2
+      FROM xy JOIN s s1 ON xy.t1 = s1.event_type
+        JOIN s s2 ON xy.t2 = s2.event_type),
+    k AS (SELECT *, greatest(0, length(CAST(v1 AS VARCHAR)) - 15) AS k1r,
+            greatest(0, length(CAST(v2 AS VARCHAR)) - 15) AS k2
+          FROM base),
+    red AS (SELECT t1, t2, cov, v1, v2, k2,
+              k1r + (k1r + k2) % 2 AS k1 FROM k),
+    fin AS (SELECT t1, t2, cov, v1, v2,
+        abs(cov) // CAST(concat('1', repeat('0',
+          CAST((k1 + k2) // 2 AS INTEGER))) AS HUGEINT) AS acov_r,
+        v1 // CAST(concat('1', repeat('0', CAST(k1 AS INTEGER)))
+          AS HUGEINT) AS v1_r,
+        v2 // CAST(concat('1', repeat('0', CAST(k2 AS INTEGER)))
+          AS HUGEINT) AS v2_r
+      FROM red)
+    SELECT t1, t2, CAST(cov AS VARCHAR) AS cov_num,
+      CAST(v1 AS VARCHAR) AS var1_num, CAST(v2 AS VARCHAR) AS var2_num,
+      CAST(CASE WHEN cov < 0 THEN -1 ELSE 1 END AS BIGINT) AS sgn,
+      """ + exactRound6Sql("fin.acov_r * fin.acov_r",
+        "fin.v1_r * fin.v2_r") + """ AS r2
+    FROM fin ORDER BY t1, t2"""
 
   /** q_agg_convert_latency — signup→purchase conversion latency per
     * signup-week cohort: how many of the week's signups ever purchase

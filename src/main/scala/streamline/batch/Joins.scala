@@ -752,19 +752,36 @@ object Joins {
     * short words can each absorb one edit and share nothing);
     * FuzzyHampelMatrixSpec proves empirically that on THIS dictionary
     * no lev≤3 pair is lost, and a production deployment blocks on
-    * q-grams sized to its k. Verification is `levenshtein`, the
+    * q-grams sized to its k. Blocker cost is Σ_token df², so HOT
+    * tokens (df > FUZZY_MAX_DF — the q_llm_winnow_pairs guard) are
+    * anti-joined OUT of the index before the self-join: pairs whose
+    * EVERY shared token is stop-hot are out of blocking scope (the
+    * entity-resolution stop-word convention; no fixture token comes
+    * near the cap — df ≈ 1.1 k at sf0.1 — so results are unchanged,
+    * and ADVICE r16's quadratic blow-up on TPC-H's closed 92-word
+    * vocabulary is capped; a corpus where EVERY token outgrows the
+    * cap needs the PassJoin segment-signature blocker instead, the
+    * documented split). The join condition also carries the FREE
+    * |length(a)−length(b)| ≤ 3 band — a lev≤3 pair cannot differ by
+    * more than 3 characters, so the band prunes candidates BEFORE the
+    * distinct and the DP. Verification is `levenshtein`, the
     * identical integer DP on both engines — hash-exact with no float
     * anywhere, computed ONCE per candidate (the filter reads the
     * projected column). */
+  private val FUZZY_MAX_DF = 5000L
   private def joinFuzzy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val names = Tables.part(spark, dir)
       .groupBy($"p_name").agg(count(lit(1)).as("n"))
       .localCheckpoint(true) // token index + two count attaches read it
-    val w = names.select($"p_name", explode(split($"p_name", " "))
+    val w0 = names.select($"p_name", explode(split($"p_name", " "))
       .as("word"))
+    val hot = w0.groupBy($"word").agg(count(lit(1)).as("df"))
+      .where($"df" > FUZZY_MAX_DF).select($"word")
+    val w = w0.join(broadcast(hot), Seq("word"), "left_anti")
     val cand = w.as("a").join(w.as("b"),
-        $"a.word" === $"b.word" && $"a.p_name" < $"b.p_name")
+        $"a.word" === $"b.word" && $"a.p_name" < $"b.p_name"
+          && abs(length($"a.p_name") - length($"b.p_name")) <= 3)
       .select($"a.p_name".as("na"), $"b.p_name".as("nb")).distinct()
     cand.withColumn("dist", levenshtein($"na", $"nb").cast("long"))
       .where($"dist" <= 3)
@@ -780,11 +797,15 @@ object Joins {
   private val joinFuzzySql = """
     WITH names AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n
                    FROM part GROUP BY 1),
-    w AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS word
-          FROM names),
+    w0 AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS word
+           FROM names),
+    w AS (SELECT p_name, word FROM w0
+          WHERE word NOT IN (SELECT word FROM w0
+                             GROUP BY 1 HAVING count(*) > 5000)),
     cand AS (SELECT DISTINCT a.p_name AS na, b.p_name AS nb
              FROM w a JOIN w b
-               ON a.word = b.word AND a.p_name < b.p_name),
+               ON a.word = b.word AND a.p_name < b.p_name
+               AND abs(length(a.p_name) - length(b.p_name)) <= 3),
     m AS (SELECT na, nb, CAST(levenshtein(na, nb) AS BIGINT) AS dist
           FROM cand WHERE levenshtein(na, nb) <= 3)
     SELECT m.na AS name_a, m.nb AS name_b, m.dist, x.n AS n_a, y.n AS n_b

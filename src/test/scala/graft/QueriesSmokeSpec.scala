@@ -35,6 +35,20 @@ class QueriesSmokeSpec extends SparkSuite {
       }
       assert(nonScalar.isEmpty,
         s"non-scalar declared output column(s): ${nonScalar.mkString(", ")}")
+      // No wide-decimal declared output either: the driver's
+      // decimal128 hash normalization diverges from DuckDB's past
+      // precision 18 (CORRECTNESS_r16 — q_agg_ks/auc/corr_matrix were
+      // red on exactly their DECIMAL(38,0) columns). DECIMAL(38)
+      // carries stay INTERNAL; witnesses cross the boundary as digit
+      // strings or rounded doubles.
+      import org.apache.spark.sql.types.DecimalType
+      val wideDec = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[DecimalType] &&
+          f.dataType.asInstanceOf[DecimalType].precision > 18 =>
+          s"${f.name}: ${f.dataType.simpleString}"
+      }
+      assert(wideDec.isEmpty,
+        s"decimal precision > 18 in declared output: ${wideDec.mkString(", ")}")
       df.count() // force full execution
     }
   }

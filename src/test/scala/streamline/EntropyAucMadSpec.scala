@@ -37,7 +37,7 @@ class EntropyAucMadSpec extends SparkSuite {
     }
     val got = SparkEntry.queries("q_agg_auc")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
-        BigInt(r.getDecimal(3).toBigInteger), r.getDouble(4)))).toMap
+        BigInt(r.getString(3)), r.getDouble(4)))).toMap
     assert(got === expected)
     assert(got.size == 4)
   }

@@ -38,7 +38,7 @@ class KsSpec extends SparkSuite {
     val got = SparkEntry.queries("q_agg_ks")(spark, sfDir).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2),
-          BigInt(r.getDecimal(3).toBigInteger), r.getDouble(4)))).toMap
+          BigInt(r.getString(3)), r.getDouble(4)))).toMap
     assert(got === expected)
     // the statistic must discriminate: not all groups identical D
     assert(got.values.map(_._3).toSet.size > 1)

@@ -62,13 +62,49 @@ class OhlcCorrSpec extends SparkSuite {
       r6(cov * cov, v1 * v2))).sortBy(x => (x._1, x._2))
     val got = SparkEntry.queries("q_agg_corr_matrix")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getString(1),
-        BigInt(r.getDecimal(2).toBigInteger),
-        BigInt(r.getDecimal(3).toBigInteger),
-        BigInt(r.getDecimal(4).toBigInteger),
+        BigInt(r.getString(2)), BigInt(r.getString(3)),
+        BigInt(r.getString(4)),
         r.getLong(5), r.getDouble(6))).toSeq
     assert(got === expected)
     // the matrix is non-trivial: both signs occur and r2 < 1
     assert(got.exists(_._6 == 1L) && got.exists(_._6 == -1L))
     assert(got.forall(x => x._7 >= 0.0 && x._7 < 1.0))
+  }
+
+  /** Pins [[streamline.batch.Aggregates.reducedR2]] at the magnitudes
+    * the r17 reduction exists for: moments ~ 10²⁴, where the naive
+    * cov² has ~48 digits and silently NULLs in DECIMAL(38) (the
+    * ADVICE-r16 overflow). The expectation replicates the trim in
+    * BigInt; a second small-moment case asserts the reduction is the
+    * IDENTITY (k = 0) below 15 digits. */
+  test("reducedR2 survives 10²⁴-scale moments and is exact below them") {
+    import org.apache.spark.sql.functions.{col, expr}
+    def run(cov: BigInt, v1: BigInt, v2: BigInt): Double =
+      spark.sql(
+        s"""SELECT CAST('$cov' AS DECIMAL(38,0)) AS cov,
+            CAST('$v1' AS DECIMAL(38,0)) AS v1,
+            CAST('$v2' AS DECIMAL(38,0)) AS v2""")
+        .select(streamline.batch.Aggregates
+          .reducedR2(col("cov"), col("v1"), col("v2")).as("r2"))
+        .collect().head.getDouble(0)
+    def trimmed(cov: BigInt, v1: BigInt, v2: BigInt): Double = {
+      def k(v: BigInt) = math.max(0, v.toString.length - 15)
+      val (k1r, k2) = (k(v1), k(v2))
+      val k1 = k1r + (k1r + k2) % 2
+      val a = cov.abs / BigInt(10).pow((k1 + k2) / 2)
+      r6(a * a, (v1 / BigInt(10).pow(k1)) * (v2 / BigInt(10).pow(k2)))
+    }
+    val (cov, v1, v2) = (BigInt("-500000000000000000000042"),
+      BigInt("1000000000000000123456789"),
+      BigInt("700000000000000987654321"))
+    val got = run(cov, v1, v2)
+    assert(got === trimmed(cov, v1, v2))
+    // trimming error stays far inside the 1e-6 grid vs the true ratio
+    val truth = (BigDecimal(cov) * BigDecimal(cov) /
+      (BigDecimal(v1) * BigDecimal(v2))).toDouble
+    assert(math.abs(got - truth) < 1e-6)
+    // below 15 digits the reduction is a no-op: exact r6 equality
+    val (c0, w1, w2) = (BigInt(-123456), BigInt(9876543), BigInt(7654321))
+    assert(run(c0, w1, w2) === r6(c0 * c0, w1 * w2))
   }
 }
