@@ -2207,7 +2207,438 @@ object Aggregates {
     FROM spine LEFT JOIN cnt USING (digit), tot
     ORDER BY digit"""
 
+  /** q_agg_trend — exact OLS slope of each event type's daily-count
+    * series (the drift DIRECTION next to the drift tests: is this
+    * metric growing or decaying, and how fast?). The series is
+    * densified onto the shared day grid (missing day = 0, the
+    * q_agg_corr_matrix discipline), x re-based to day − min(day) so
+    * the moments stay small, and slope = (n·Σxy − Σx·Σy)/(n·Σx² −
+    * (Σx)²) — regr_slope without regr_slope's float accumulation:
+    * both sides of the fraction are INTEGER moments carried in
+    * DECIMAL(38)/HUGEINT, emitted as exact digit strings (the r17
+    * witness discipline), the 6-dp slope and mean level each ONE
+    * [[exactRound6]]. Scale: one map-side-combined corpus pass to the
+    * checkpointed (type, day) count table; everything after runs on
+    * the types×days grid (bounded). x ≤ days and c ≤ 10¹² daily keep
+    * n·Σxy ≤ 10²⁰ — inside the DECIMAL(38) carry with 18 digits of
+    * headroom. */
+  private def aggTrend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val e = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        floor(unix_micros($"ts").cast("double") / lit(86400000000.0))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // min-day, grid and the join all read it
+    val d0 = e.agg(min($"day").as("d0"))
+    val days = e.select($"day").distinct()
+      .crossJoin(broadcast(d0)).select($"day", ($"day" - $"d0").as("x"))
+    val grid = e.select($"event_type").distinct().crossJoin(days)
+      .join(e, Seq("event_type", "day"), "left")
+      .select($"event_type", $"x", coalesce($"c", lit(0L)).as("c"))
+    val s = grid.groupBy($"event_type").agg(count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"c").as("sy"),
+      sum(d38($"x") * $"x").as("sxx"), sum(d38($"x") * $"c").as("sxy"))
+    s.select($"event_type", $"n",
+        (d38($"n") * $"sxy" - d38($"sx") * $"sy").cast("string")
+          .as("slope_num"),
+        (d38($"n") * $"sxx" - d38($"sx") * $"sx").cast("string")
+          .as("slope_den"),
+        exactRound6(d38($"n") * $"sxy" - d38($"sx") * $"sy",
+          d38($"n") * $"sxx" - d38($"sx") * $"sx").as("slope"),
+        exactRound6($"sy", $"n").as("ybar"))
+      .orderBy($"event_type")
+  }
+
+  private val aggTrendSql = """
+    WITH e AS (SELECT event_type,
+        CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+          AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+    days AS (SELECT day, CAST(day - (SELECT min(day) FROM e) AS BIGINT)
+               AS x FROM (SELECT DISTINCT day FROM e)),
+    grid AS (SELECT t.event_type, d.x, coalesce(e.c, 0) AS c
+      FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN days d
+      LEFT JOIN e ON e.event_type = t.event_type AND e.day = d.day),
+    s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+        sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * c) AS sxy
+      FROM grid GROUP BY 1)
+    SELECT event_type, n,
+      CAST(n::HUGEINT * sxy - sx::HUGEINT * sy AS VARCHAR) AS slope_num,
+      CAST(n::HUGEINT * sxx - sx::HUGEINT * sx AS VARCHAR) AS slope_den,
+      """ + exactRound6Sql("n::HUGEINT * sxy - sx::HUGEINT * sy",
+        "n::HUGEINT * sxx - sx::HUGEINT * sx") + """ AS slope,
+      """ + exactRound6Sql("sy", "n") + """ AS ybar
+    FROM s ORDER BY event_type"""
+
+  /** q_agg_winsor — winsorized mean of `value` per event_type: clamp
+    * at the DISCRETE p10/p90 order statistics, then average — the
+    * robust location estimate between the mean (outlier-hostage) and
+    * the median (throws all magnitude away); the standard metric-
+    * hardening step for monitoring feeds. Exactness: values in
+    * integer 1e-4 units, the cut points DISCRETE rank selections at
+    * ⌈n/10⌉ and n+1−⌈n/10⌉ of the per-group sort (the q_agg_mad
+    * selection discipline — no float interpolation; ties inside the
+    * sort are position-irrelevant because selection reads the VALUE
+    * at a rank of the multiset order), the clamp integer
+    * greatest/least, the mean ONE [[exactRound6]] over the clamped
+    * integer sum (in 1e-4 units, like mad4). Scale: the selection
+    * pass is one (type)-keyed distributed sort + rank filter (never a
+    * per-group collect); the clamp pass re-reads the checkpointed
+    * scaled table with a group-count-sized broadcast of the cuts — at
+    * 100 TB the cuts move to approx_percentile boundaries (the
+    * q_agg_lift exactness-baseline split). */
+  private def aggWinsor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .select($"event_type", round($"value" * 10000).cast("bigint")
+        .as("v4"))
+      .localCheckpoint(true) // the clamp pass re-reads it
+    val ranked = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"v4".asc)))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy($"event_type")))
+    val kLo = call_function("div", $"n" + lit(9L), lit(10L))
+    val cuts = ranked.groupBy($"event_type").agg(max($"n").as("n"),
+      min(when($"rn" === kLo, $"v4")).as("lo"),
+      min(when($"rn" === $"n" + lit(1L) - kLo, $"v4")).as("hi"))
+    e.join(broadcast(cuts), "event_type")
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"), max($"lo").as("lo"), max($"hi").as("hi"),
+        sum(greatest(least($"v4", $"hi"), $"lo")).as("sum4"))
+      .select($"event_type", $"n", $"lo", $"hi", $"sum4",
+        exactRound6($"sum4", $"n").as("winsor_mean4"))
+      .orderBy($"event_type")
+  }
+
+  private val aggWinsorSql = """
+    WITH e AS (SELECT event_type,
+        CAST(round(value * 10000) AS BIGINT) AS v4 FROM events),
+    b AS (SELECT event_type, list_sort(list(v4)) AS vs,
+            CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+    cuts AS (SELECT event_type, n,
+               vs[CAST((n + 9) // 10 AS INTEGER)] AS lo,
+               vs[CAST(n + 1 - (n + 9) // 10 AS INTEGER)] AS hi FROM b),
+    w AS (SELECT e.event_type, greatest(least(e.v4, c.hi), c.lo) AS wv
+          FROM e JOIN cuts c USING (event_type))
+    SELECT c.event_type, c.n, c.lo, c.hi,
+      CAST(sum(w.wv) AS BIGINT) AS sum4,
+      """ + exactRound6Sql("CAST(sum(w.wv) AS BIGINT)", "c.n") + """
+        AS winsor_mean4
+    FROM w JOIN cuts c USING (event_type)
+    GROUP BY 1, 2, 3, 4 ORDER BY 1"""
+
+  /** q_agg_bootstrap — deterministic Poisson bootstrap of each event
+    * type's mean value: B = 20 replicate (count, sum, mean) rows per
+    * type, each row re-weighting every event by a Poisson(1)-
+    * approximating multiplicity — THE distributed bootstrap (one pass,
+    * no resampled copies of the data; the per-replicate weight is all
+    * that travels). Determinism: the multiplicity is a PURE INTEGER
+    * function of (event_id, replicate) — h = ((id mod 1000003) ·
+    * 2654435761 + b·40503) mod 1000 cut at the Poisson(1) cdf
+    * thresholds 368/736/920/981/996 — identical arithmetic on both
+    * engines, no RNG state, no float; the pre-mod keeps the product
+    * ≤ 2.7·10¹⁵ (long-safe at ANY event_id). Replicate sums ride
+    * DECIMAL(38) and are emitted as digit strings (the r17 witness
+    * discipline); the replicate mean is ONE [[exactRound6]]. Scale:
+    * the ×B fan-out is a BroadcastNestedLoopJoin against the 20-row
+    * replicate spine — map-side, no corpus shuffle — and the
+    * aggregation is one map-side-combined (type, b) groupBy with
+    * types×B groups. */
+  private def aggBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val reps = spark.range(20).select($"id".as("b"))
+    val e = Tables.events(spark, dir)
+      .select($"event_type", $"event_id",
+        round($"value" * 10000).cast("bigint").as("v4"))
+    val h = (($"event_id" % lit(1000003L)) * lit(2654435761L)
+      + $"b" * lit(40503L)) % lit(1000L)
+    val m = when(h < 368, 0L).when(h < 736, 1L).when(h < 920, 2L)
+      .when(h < 981, 3L).when(h < 996, 4L).otherwise(5L)
+    e.crossJoin(broadcast(reps))
+      .select($"event_type", $"b", m.as("m"), $"v4")
+      .groupBy($"event_type", $"b")
+      .agg(sum($"m").as("n_b"),
+        sum(($"m" * $"v4").cast("decimal(20,0)")).as("sum4_b"))
+      .select($"event_type", $"b", $"n_b",
+        $"sum4_b".cast("string").as("sum4_b"),
+        exactRound6($"sum4_b", $"n_b").as("mean4_b"))
+      .orderBy($"event_type", $"b")
+  }
+
+  private val aggBootstrapSql = """
+    WITH reps AS (SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS b),
+    w AS (SELECT e.event_type, r.b,
+        CAST(round(e.value * 10000) AS BIGINT) AS v4,
+        ((e.event_id % 1000003) * 2654435761 + r.b * 40503) % 1000 AS h
+      FROM events e CROSS JOIN reps r),
+    d AS (SELECT event_type, b, v4,
+        CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1 WHEN h < 920 THEN 2
+             WHEN h < 981 THEN 3 WHEN h < 996 THEN 4 ELSE 5 END AS m
+      FROM w)
+    SELECT event_type, b, CAST(sum(m) AS BIGINT) AS n_b,
+      CAST(sum(m::HUGEINT * v4) AS VARCHAR) AS sum4_b,
+      """ + exactRound6Sql("sum(m::HUGEINT * v4)",
+        "CAST(sum(m) AS BIGINT)") + """ AS mean4_b
+    FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** q_agg_rank_migration — user-engagement decile transition matrix
+    * between the time-early and time-late halves of the corpus: rank
+    * users by event count within each half, cut into deciles, and
+    * count users per (early decile, late decile) cell — the rank-
+    * churn screen behind retention dashboards ("are my top-decile
+    * users still top-decile?"), the RANK-based complement of
+    * q_agg_transition's type-mix matrix. Determinism: the half split
+    * is the integer test 2·us < min+max (the q_agg_psi discipline),
+    * ntile ties broken on the total (count DESC, user_id ASC) key —
+    * identical cells on both engines; users active in only one half
+    * are out of matrix scope by definition (inner join). Scale: one
+    * map-side-combined corpus pass to the (user, half) count table;
+    * the per-half ntile sort is the documented exactness baseline —
+    * at 100 TB the cut moves to approx_percentile count boundaries
+    * (the q_agg_lift split); the self-join is |users|-sized on
+    * user_id. */
+  private def aggRankMigration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("us"))
+    val mm = e.agg((min($"us") + max($"us")).as("s"))
+    val u = e.crossJoin(broadcast(mm))
+      .select($"user_id", when($"us" * 2 < $"s", 0L).otherwise(1L)
+        .as("half"))
+      .groupBy($"user_id", $"half").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // both matrix sides read it
+    val d = u.withColumn("dec", ntile(10).over(Window.partitionBy($"half")
+      .orderBy($"c".desc, $"user_id".asc)).cast("long"))
+    d.where($"half" === 0L)
+      .select($"user_id", $"dec".as("dec_early"))
+      .join(d.where($"half" === 1L)
+        .select($"user_id", $"dec".as("dec_late")), "user_id")
+      .groupBy($"dec_early", $"dec_late")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"dec_early", $"dec_late")
+  }
+
+  private val aggRankMigrationSql = """
+    WITH e AS (SELECT user_id,
+        epoch_us(date_trunc('microseconds', ts)) AS us FROM events),
+    h AS (SELECT user_id, CASE WHEN us * 2 <
+            (SELECT min(us) + max(us) FROM e) THEN 0 ELSE 1 END AS half
+          FROM e),
+    u AS (SELECT user_id, half, CAST(count(*) AS BIGINT) AS c
+          FROM h GROUP BY 1, 2),
+    d AS (SELECT user_id, half, CAST(ntile(10) OVER (PARTITION BY half
+            ORDER BY c DESC, user_id ASC) AS BIGINT) AS dec FROM u)
+    SELECT a.dec AS dec_early, b.dec AS dec_late,
+      CAST(count(*) AS BIGINT) AS n_users
+    FROM d a JOIN d b ON a.user_id = b.user_id
+      AND a.half = 0 AND b.half = 1
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** q_agg_theil — Theil T inequality index per nation over its
+    * customers' order counts: T = Σ xᵢ·ln(xᵢ·n/Σx) / Σx — the
+    * DECOMPOSABLE inequality measure next to q_agg_gini (Theil sums
+    * across subgroups; Gini does not), the concentration screen of
+    * market and workload analysis. Exactness: the transcendental
+    * factors through the DISTINCT-INTEGER side table (the
+    * q_agg_entropy / q_agg_psi discipline — ln computed once per
+    * distinct xᵢ·n and per group total, rounded THERE to integer L₄),
+    * so the numerator Σ xᵢ·(L₄(xᵢn) − L₄(Σx)) is exact BIGINT (x·L₄
+    * diff ≤ 10⁶-scaled — documented ~5·10¹⁷ bound at 10¹² orders, the
+    * entropy class) and T is ONE [[exactRound6]] over (num₄,
+    * Σx·10⁴). Customers with zero orders are out of scope (inner
+    * join; ln(0) undefined — the population is order-writers).
+    * Scale: one orders→customer keyed join (dimension broadcast), one
+    * map-side-combined (nation, customer) count, then everything runs
+    * on the |customers| table with value-distinct broadcasts. */
+  private def aggTheil(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val x = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nk"), $"o_custkey")
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true) // totals, side-table values, num read it
+    val s = x.groupBy($"nk").agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+      .localCheckpoint(true)
+    val l = x.join(broadcast(s.select($"nk".as("nk2"), $"n")),
+        $"nk" === $"nk2")
+      .select(($"x" * $"n").as("v"))
+      .union(s.select($"sx".as("v"))).distinct()
+      .select($"v", round(log($"v") * 10000).cast("long").as("l4"))
+      .localCheckpoint(true) // two broadcast branches read it
+    val num = x.join(broadcast(s), "nk")
+      .join(broadcast(l.select($"v".as("vxn"), $"l4".as("lxn"))),
+        $"vxn" === $"x" * $"n")
+      .join(broadcast(l.select($"v".as("vsx"), $"l4".as("lsx"))),
+        $"vsx" === $"sx")
+      .groupBy($"nk")
+      .agg(sum($"x" * ($"lxn" - $"lsx")).as("num4"))
+    s.join(num, "nk")
+      .select($"nk".cast("long").as("nationkey"), $"n",
+        $"sx".as("n_orders"), $"num4",
+        exactRound6($"num4", d38($"sx") * lit(10000L)).as("theil"))
+      .orderBy($"nationkey")
+  }
+
+  private val aggTheilSql = """
+    WITH x AS (SELECT c.c_nationkey AS nk, o.o_custkey,
+        CAST(count(*) AS BIGINT) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    s AS (SELECT nk, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x) AS BIGINT) AS sx FROM x GROUP BY 1),
+    vals AS (SELECT DISTINCT x.x * s.n AS v FROM x JOIN s USING (nk)
+             UNION SELECT DISTINCT sx FROM s),
+    l AS (SELECT v, CAST(round(ln(v) * 10000) AS BIGINT) AS l4
+          FROM vals),
+    num AS (SELECT x.nk,
+        CAST(sum(x.x * (ln_xn.l4 - ln_sx.l4)) AS BIGINT) AS num4
+      FROM x JOIN s USING (nk)
+        JOIN l ln_xn ON ln_xn.v = x.x * s.n
+        JOIN l ln_sx ON ln_sx.v = s.sx
+      GROUP BY 1)
+    SELECT CAST(s.nk AS BIGINT) AS nationkey, s.n, s.sx AS n_orders,
+      num.num4,
+      """ + exactRound6Sql("num.num4", "s.sx::HUGEINT * 10000") + """
+        AS theil
+    FROM s JOIN num USING (nk) ORDER BY nationkey"""
+
+  /** q_agg_hazard — discrete-time weekly hazard of first purchase
+    * after signup: for week k since signup, h(k) = P(first purchase
+    * in week k | no purchase before k, week k observed) — the
+    * Kaplan–Meier ingredient table (at-risk counts, events, hazard)
+    * with honest RIGHT-CENSORING at the corpus end, next to
+    * q_agg_convert_latency's median (which ignores censoring).
+    * Exactness: signup/purchase firsts are keyed integer-µs mins, the
+    * week index an integral div, censoring the integer span test
+    * k ≤ (end−s) div wk, hazard ONE [[exactRound6]] — no float
+    * anywhere; a user's event counts only when inside their observed
+    * span (ew ≤ sw by construction). Scale: ONE corpus pass to the
+    * per-user first-event table (map-side-combined conditional mins)
+    * + a 1-row observation-end broadcast; the at-risk spine explodes
+    * each user over their observed weeks — |users| × corpus-span
+    * weeks, the honest life-table cost (a 100 TB run caps the table
+    * at a max follow-up horizon, the standard actuarial cut). */
+  private def aggHazard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val WK = 604800000000L
+    val f = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(min(when($"event_type" === "signup", unix_micros($"ts")))
+          .as("s_us"),
+        min(when($"event_type" === "purchase", unix_micros($"ts")))
+          .as("p_us"),
+        max(unix_micros($"ts")).as("m_us"))
+      .localCheckpoint(true) // the end-probe and the spine read it
+    val end = f.agg(max($"m_us").as("end_us"))
+    val u = f.where($"s_us".isNotNull).crossJoin(broadcast(end))
+      .select(
+        when($"p_us" >= $"s_us",
+          call_function("div", $"p_us" - $"s_us", lit(WK))).as("ew"),
+        call_function("div", $"end_us" - $"s_us", lit(WK)).as("sw"))
+    u.select(explode(sequence(lit(0L), $"sw")).as("k"), $"ew")
+      .groupBy($"k")
+      .agg(count(when($"ew".isNull || $"ew" >= $"k", lit(1)))
+          .as("at_risk"),
+        count(when($"ew" === $"k", lit(1))).as("n_events"))
+      .where($"at_risk" > 0)
+      .select($"k".as("wk"), $"at_risk", $"n_events",
+        exactRound6($"n_events", $"at_risk").as("hazard"))
+      .orderBy($"wk")
+  }
+
+  private val aggHazardSql = """
+    WITH f AS (SELECT user_id,
+        min(CASE WHEN event_type = 'signup'
+          THEN epoch_us(date_trunc('microseconds', ts)) END) AS s_us,
+        min(CASE WHEN event_type = 'purchase'
+          THEN epoch_us(date_trunc('microseconds', ts)) END) AS p_us,
+        max(epoch_us(date_trunc('microseconds', ts))) AS m_us
+      FROM events GROUP BY 1),
+    obs AS (SELECT max(m_us) AS end_us FROM f),
+    u AS (SELECT CASE WHEN p_us >= s_us
+            THEN (p_us - s_us) // 604800000000 END AS ew,
+          (o.end_us - s_us) // 604800000000 AS sw
+          FROM f, obs o WHERE s_us IS NOT NULL),
+    sp AS (SELECT t.k, u.ew
+           FROM u, unnest(range(0, sw + 1)) AS t(k)),
+    haz AS (SELECT k,
+        CAST(count(*) FILTER (WHERE ew IS NULL OR ew >= k) AS BIGINT)
+          AS at_risk,
+        CAST(count(*) FILTER (WHERE ew = k) AS BIGINT) AS n_events
+      FROM sp GROUP BY 1)
+    SELECT CAST(k AS BIGINT) AS wk, at_risk, n_events,
+      """ + exactRound6Sql("n_events", "at_risk") + """ AS hazard
+    FROM haz WHERE at_risk > 0 ORDER BY wk"""
+
+  /** q_agg_new_returning — weekly new-vs-returning decomposition per
+    * event type: how many of the week's events come from users doing
+    * that TYPE for the first time — the acquisition-vs-retention
+    * split of every growth dashboard, computed per activity type so
+    * a feature launch's adoption curve is visible. Exactness: week =
+    * integral µs division, "new" = the week equals the user's keyed
+    * min week for the type (pure integer equality), share ONE
+    * [[exactRound6]]. Scale: ONE map-side-combined corpus pass to
+    * the (type, user, week) count table (checkpointed — the first-
+    * week rollup and the classify join both read it); everything
+    * after runs on that point table with a keyed join on (type,
+    * user) — no second corpus scan, no broadcast of a corpus-sized
+    * side. */
+  private def aggNewReturning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.events(spark, dir)
+      .groupBy($"event_type", $"user_id",
+        call_function("div", unix_micros($"ts"), lit(604800000000L))
+          .as("wk"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // first-week rollup + classify read it
+    val fw = c.groupBy($"event_type", $"user_id")
+      .agg(min($"wk").as("fw"))
+    c.join(fw.hint("shuffle_hash"), Seq("event_type", "user_id"))
+      .groupBy($"event_type", $"wk")
+      .agg(sum($"c").as("n_events"),
+        sum(when($"wk" === $"fw", $"c").otherwise(0L)).as("n_new"))
+      .select($"event_type", $"wk", $"n_events", $"n_new",
+        ($"n_events" - $"n_new").as("n_returning"),
+        exactRound6($"n_new", $"n_events").as("new_share"))
+      .orderBy($"event_type", $"wk")
+  }
+
+  private val aggNewReturningSql = """
+    WITH c AS (SELECT event_type, user_id,
+        epoch_us(date_trunc('microseconds', ts)) // 604800000000 AS wk,
+        CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3),
+    fw AS (SELECT event_type, user_id, CAST(min(wk) AS BIGINT) AS fw
+           FROM c GROUP BY 1, 2),
+    g AS (SELECT c.event_type, c.wk, CAST(sum(c.c) AS BIGINT)
+            AS n_events,
+          CAST(coalesce(sum(CASE WHEN c.wk = fw.fw THEN c.c END), 0)
+            AS BIGINT) AS n_new
+          FROM c JOIN fw USING (event_type, user_id) GROUP BY 1, 2)
+    SELECT event_type, CAST(wk AS BIGINT) AS wk, n_events, n_new,
+      n_events - n_new AS n_returning,
+      """ + exactRound6Sql("n_new", "n_events") + """ AS new_share
+    FROM g ORDER BY event_type, wk"""
+
   val all: Seq[streamline.Q] = Seq(
+    streamline.Q("q_agg_theil", aggTheil _, aggTheilSql),
+    streamline.Q("q_agg_hazard", aggHazard _, aggHazardSql),
+    streamline.Q("q_agg_new_returning", aggNewReturning _,
+      aggNewReturningSql),
+    streamline.Q("q_agg_trend", aggTrend _, aggTrendSql),
+    streamline.Q("q_agg_winsor", aggWinsor _, aggWinsorSql),
+    streamline.Q("q_agg_bootstrap", aggBootstrap _, aggBootstrapSql),
+    streamline.Q("q_agg_rank_migration", aggRankMigration _,
+      aggRankMigrationSql),
     streamline.Q("q_agg_ks", aggKs _, aggKsSql),
     streamline.Q("q_agg_mannwhitney", aggMannWhitney _, aggMannWhitneySql),
     streamline.Q("q_agg_auc", aggAuc _, aggAucSql),

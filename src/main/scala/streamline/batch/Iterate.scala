@@ -1187,7 +1187,101 @@ object Iterate {
   // the answer, so the oracle IS the batch oracle.
   private val streamIterateSql = iterCcSql
 
+  /** q_iter_hits — HITS hub/authority scores (Kleinberg) on the
+    * 1997-03 customer→supplier bipartite purchase graph (the
+    * q_iter_pagerank fixture, kept DIRECTED: customers are hubs,
+    * suppliers authorities — "who are the broad buyers, who the
+    * widely-bought suppliers"). 8 supersteps of the mutual
+    * reinforcement a = Aᵀh, h = A·a in FIXED-POINT integer
+    * arithmetic: scores are bigint 1e-12 units and each half-step
+    * L1-NORMALIZES to Σ = SCALE via one integral division — L1
+    * instead of the textbook L2 because it needs no square root,
+    * preserves the eigenvector direction the iteration converges to,
+    * and keeps every operation exact integer math (the pagerank
+    * fixed-point trick; bit-identical on any partitioning, any
+    * engine). Raw sums and the ×SCALE products ride DECIMAL(38)/
+    * HUGEINT (deg·SCALE·SCALE ~ 10³⁰ at dictionary degree — far past
+    * long). Each superstep: two keyed joins (state ⋈ edges) + two
+    * keyed sums + two 1-row total broadcasts; state linear in
+    * vertices, lineage truncated per half-step. */
+  private def iterHits(spark: SparkSession, dir: String): DataFrame =
+    withIterConfs(spark)(iterHitsImpl(spark, dir))
+
+  private def iterHitsImpl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val SCALE = 1000000000000L
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val month = Tables.orders(spark, dir)
+      .where($"o_orderdate" >= lit("1997-03-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-04-01").cast("timestamp"))
+    val edges = month
+      .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("src"),
+        ($"l_suppkey" + lit(1000000L)).as("dst"))
+      .distinct().persist()
+    val hubs = edges.select($"src".as("v")).distinct()
+    var h = hubs.crossJoin(broadcast(hubs.agg(count(lit(1)).as("nh"))))
+      .select($"v", call_function("div", lit(SCALE), $"nh").as("s"))
+      .localCheckpoint(true)
+    var a: DataFrame = h // placeholder; overwritten in superstep 1
+    for (_ <- 1 to 8) {
+      // raw tables are checkpointed BEFORE their total probes: the
+      // normalize step reads each twice (rows + 1-row total), and
+      // un-checkpointed DAG branches would re-run the edge join
+      // (the derived-stats re-execution class)
+      val araw = edges.join(stateSide(h), $"v" === $"src")
+        .groupBy($"dst").agg(sum(d38($"s")).as("raw"))
+        .select($"dst".as("v"), $"raw")
+        .localCheckpoint(true)
+      a = araw.crossJoin(broadcast(araw.agg(sum($"raw").as("tot"))))
+        .select($"v",
+          call_function("div", $"raw" * lit(SCALE), $"tot").as("s"))
+      val hraw = edges.join(stateSide(a), $"v" === $"dst")
+        .groupBy($"src").agg(sum(d38($"s")).as("raw"))
+        .select($"src".as("v"), $"raw")
+        .localCheckpoint(true)
+      h = hraw.crossJoin(broadcast(hraw.agg(sum($"raw").as("tot"))))
+        .select($"v",
+          call_function("div", $"raw" * lit(SCALE), $"tot").as("s"))
+    }
+    edges.unpersist()
+    a.select(lit("auth").as("side"), $"v", $"s".as("score_fp"))
+      .union(h.select(lit("hub").as("side"), $"v", $"s".as("score_fp")))
+      .orderBy($"side", $"score_fp".desc, $"v")
+  }
+
+  /** Oracle: the same 8 integer L1-normalized rounds as chained CTEs.
+    * Each round references its predecessor exactly ONCE (the
+    * normalizing total is a window sum, not a scalar subquery — a
+    * second reference would double the CTE tree per round: 4⁸
+    * expansion, the q_iter_pagerank single-reference discipline). */
+  private val iterHitsSql = {
+    val rounds = (1 to 8).map { i =>
+      val prev = if (i == 1) "h0" else s"h${i - 1}"
+      s"""a$i AS (SELECT v, CAST((raw * 1000000000000::HUGEINT)
+         |    // sum(raw) OVER () AS BIGINT) AS s
+         |  FROM (SELECT e.dst AS v, sum(p.s)::HUGEINT AS raw
+         |        FROM e JOIN $prev p ON p.v = e.src GROUP BY 1)),
+         |h$i AS (SELECT v, CAST((raw * 1000000000000::HUGEINT)
+         |    // sum(raw) OVER () AS BIGINT) AS s
+         |  FROM (SELECT e.src AS v, sum(q.s)::HUGEINT AS raw
+         |        FROM e JOIN a$i q ON q.v = e.dst GROUP BY 1))""".stripMargin
+    }.mkString(",\n")
+    s"""
+    WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'),
+    h0 AS (SELECT v, 1000000000000 // count(*) OVER () AS s
+           FROM (SELECT DISTINCT src AS v FROM e)),
+    $rounds
+    SELECT 'auth' AS side, v, s AS score_fp FROM a8
+    UNION ALL SELECT 'hub', v, s FROM h8
+    ORDER BY side, score_fp DESC, v"""
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_iter_hits", iterHits _, iterHitsSql),
     Q("q_stream_iterate", streamIterate _, streamIterateSql),
     Q("q_iter_lpa", iterLpa _, iterLpaSql),
     Q("q_iter_kcore", iterKcore _, iterKcoreSql),

@@ -1586,7 +1586,130 @@ object Windows {
       CAST((a * 200 + n) // (2 * n) AS DOUBLE) / 1000000.0 AS cusum
     FROM a ORDER BY event_id"""
 
+  /** q_win_ma_cross — moving-average crossover detection on each
+    * event type's daily-count series (the "golden/death cross" signal
+    * of every monitoring and trading stack): a fast 3-day trailing
+    * sum crossing a slow 10-day one, detected WITHOUT ever dividing —
+    * s₃/3 vs s₁₀/10 is compared as the integer cross-product 10·s₃
+    * vs 3·s₁₀, so no float enters and no engine can disagree on a
+    * boundary day. The series is densified onto the shared day grid
+    * (missing day = 0, the q_agg_corr_matrix discipline); days
+    * without a full slow window (row_number < 10) are out of signal
+    * scope; a crossing is a strict sign flip between consecutive
+    * in-scope days (touch-zero days end no signal — documented).
+    * Emits the crossing day with before/after signs and both sums.
+    * Scale: everything after the ONE map-side-combined corpus count
+    * runs on the types×days grid — the windows and lag share one
+    * (type)-keyed sort; 10·s₃ at 10¹² daily counts is ~10¹³,
+    * long-safe by five orders. */
+  private def winMaCross(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        floor(unix_micros($"ts").cast("double") / lit(86400000000.0))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // grid spine branches re-read it
+    val grid = e.select($"event_type").distinct()
+      .crossJoin(e.select($"day").distinct())
+      .join(e, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"c", lit(0L)).as("c"))
+    val ord = Window.partitionBy($"event_type").orderBy($"day")
+    val m = grid.select($"event_type", $"day",
+      sum($"c").over(ord.rowsBetween(-2, 0)).as("s3"),
+      sum($"c").over(ord.rowsBetween(-9, 0)).as("s10"),
+      row_number().over(ord).as("rn"))
+    val sg = m.where($"rn" >= 10).select($"event_type", $"day", $"s3",
+      $"s10",
+      when(lit(10L) * $"s3" > lit(3L) * $"s10", 1L)
+        .when(lit(10L) * $"s3" < lit(3L) * $"s10", -1L)
+        .otherwise(0L).as("sgn"))
+    sg.withColumn("prev", lag($"sgn", 1).over(ord))
+      .where($"prev".isNotNull && $"sgn" =!= $"prev"
+        && $"sgn" =!= 0L && $"prev" =!= 0L)
+      .select($"event_type", $"day", $"prev".as("sgn_before"),
+        $"sgn".as("sgn_after"), $"s3", $"s10")
+      .orderBy($"event_type", $"day")
+  }
+
+  private val winMaCrossSql = """
+    WITH e AS (SELECT event_type,
+        CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+          AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+    grid AS (SELECT t.event_type, d.day, coalesce(e.c, 0) AS c
+      FROM (SELECT DISTINCT event_type FROM e) t
+      CROSS JOIN (SELECT DISTINCT day FROM e) d
+      LEFT JOIN e ON e.event_type = t.event_type AND e.day = d.day),
+    m AS (SELECT event_type, day,
+        CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS s3,
+        CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS s10,
+        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM grid),
+    sg AS (SELECT event_type, day, s3, s10,
+        CAST(CASE WHEN 10 * s3 > 3 * s10 THEN 1
+                  WHEN 10 * s3 < 3 * s10 THEN -1
+                  ELSE 0 END AS BIGINT) AS sgn
+      FROM m WHERE rn >= 10),
+    x AS (SELECT event_type, day, s3, s10, sgn,
+        lag(sgn) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      FROM sg)
+    SELECT event_type, day, prev AS sgn_before, sgn AS sgn_after,
+      s3, s10
+    FROM x
+    WHERE prev IS NOT NULL AND sgn <> prev AND sgn <> 0 AND prev <> 0
+    ORDER BY event_type, day"""
+
+  /** q_win_vwap — volume-weighted average price per ship week over
+    * lineitem: Σ discounted-revenue / Σ quantity — the QUANTITY-
+    * weighted price level (the finance VWAP; equally the cost-per-
+    * unit of any metered pipeline), complementing q_win_twap's TIME
+    * weighting. Exactness: price in integer cents, discount in
+    * integer percent, quantity integral by TPC-H construction — the
+    * per-row revenue p₂·(100−d₂) is an exact 1e-4-dollar integer;
+    * the revenue sum rides DECIMAL(38)/HUGEINT (row revenue ~10⁹ ×
+    * 10¹² rows at 100 TB overflows long) and is EMITTED as its digit
+    * string (the r17 witness discipline); the VWAP is ONE
+    * [[Aggregates.exactRound6]] over (Σrev, Σqty·10⁴). Scale: one
+    * map-side-combined groupBy on the week key — no window, no
+    * join; week flooring is the IEEE-identical micros division. */
+  private def winVwap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir).select(
+      floor(unix_micros($"l_shipdate").cast("double")
+        / lit(604800000000.0)).cast("long").as("wk"),
+      round($"l_extendedprice" * 100).cast("bigint").as("p2"),
+      round($"l_discount" * 100).cast("bigint").as("d2"),
+      round($"l_quantity").cast("bigint").as("q0"))
+    l.groupBy($"wk")
+      .agg(count(lit(1)).as("n"), sum($"q0").as("qty"),
+        sum(($"p2" * (lit(100L) - $"d2")).cast("decimal(20,0)"))
+          .as("rev4"))
+      .select($"wk", $"n", $"qty", $"rev4".cast("string").as("rev4"),
+        Aggregates.exactRound6($"rev4",
+          $"qty".cast("decimal(19,0)") * lit(10000L)).as("vwap"))
+      .orderBy($"wk")
+  }
+
+  private val winVwapSql = """
+    WITH l AS (SELECT
+        CAST(floor(CAST(epoch_us(l_shipdate) AS DOUBLE)
+          / 604800000000.0) AS BIGINT) AS wk,
+        CAST(round(l_extendedprice * 100) AS BIGINT) AS p2,
+        CAST(round(l_discount * 100) AS BIGINT) AS d2,
+        CAST(round(l_quantity) AS BIGINT) AS q0 FROM lineitem)
+    SELECT wk, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(q0) AS BIGINT) AS qty,
+      CAST(sum(p2::HUGEINT * (100 - d2)) AS VARCHAR) AS rev4,
+      """ + Aggregates.exactRound6Sql("sum(p2::HUGEINT * (100 - d2))",
+        "CAST(sum(q0) AS BIGINT)::HUGEINT * 10000") + """ AS vwap
+    FROM l GROUP BY 1 ORDER BY 1"""
+
   val all: Seq[Q] = Seq(
+    Q("q_win_ma_cross", winMaCross _, winMaCrossSql),
+    Q("q_win_vwap", winVwap _, winVwapSql),
     Q("q_win_hampel", winHampel _, winHampelSql),
     Q("q_win_interp", winInterp _, winInterpSql),
     Q("q_win_peaks", winPeaks _, winPeaksSql),

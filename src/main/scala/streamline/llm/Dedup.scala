@@ -747,7 +747,62 @@ object Dedup {
     SELECT min(doc_id) AS keep_id, canon, count(*) AS n_variants
     FROM c GROUP BY canon ORDER BY keep_id"""
 
+  /** q_llm_dedup_weight — SoftDeDup-style duplication-aware document
+    * weights: instead of DROPPING near-duplicate text (the dedup_*
+    * family), every document keeps a sampling weight = its fraction of
+    * corpus-UNIQUE 5-word shingles, so boilerplate-heavy documents
+    * are down-weighted in the training mix rather than discarded
+    * (the soft-dedup / SlimPajama-style reweighting a data pipeline
+    * applies when hard dedup would lose coverage). Shingles are the
+    * literal 5-word windows (string keys — engine-identical; a
+    * production run hashes them to 64-bit first, the documented
+    * split), df counted corpus-wide, weight = ONE
+    * [[streamline.batch.Aggregates.exactRound6]](#df=1 shingles,
+    * #shingles). Documents under 5 words have no shingles and are out
+    * of scope on both engines. Scale: explode → ONE map-side-combined
+    * df count → ONE shuffled join back on the shingle key (corpus-
+    * linear, the dedup_jaccard posture — never a broadcast of the
+    * corpus-sized df table); the shingle table is checkpointed so the
+    * df branch and the join don't re-explode the corpus. */
+  private def dedupWeight(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .where(size($"ws") >= 5)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(ws) - 4)," +
+          " i -> concat_ws(' ', slice(ws, i, 5)))")).as("shingle"))
+      .localCheckpoint(true) // df branch + join both read it
+    val df = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    sh.join(df.hint("shuffle_hash"), "shingle")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"df" === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .select($"doc_id", $"n_shingles", $"n_unique",
+        streamline.batch.Aggregates.exactRound6($"n_unique",
+          $"n_shingles").as("weight"))
+      .orderBy($"doc_id")
+  }
+
+  private val dedupWeightSql = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    sh AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle
+           FROM w, unnest(range(1, len(ws) - 3)) AS t(i)
+           WHERE len(ws) >= 5),
+    df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+           FROM sh GROUP BY 1),
+    d AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+            CAST(coalesce(sum(CASE WHEN df.df = 1 THEN 1 END), 0)
+              AS BIGINT) AS n_unique
+          FROM sh s JOIN df ON df.shingle = s.shingle GROUP BY 1)
+    SELECT doc_id, n_shingles, n_unique,
+      """ + streamline.batch.Aggregates.exactRound6Sql("n_unique",
+        "n_shingles") + """ AS weight
+    FROM d ORDER BY doc_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_llm_dedup_weight", dedupWeight _, dedupWeightSql),
     Q("q_llm_dedup_url", dedupUrl _, dedupUrlSql),
     Q("q_llm_dedup_exact", dedupExact _, dedupExactSql),
     Q.noOracle("q_llm_dedup_near", dedupNear _),

@@ -1368,7 +1368,120 @@ object Text {
         AS entropy
     FROM a ORDER BY doc_id"""
 
+  /** q_llm_template_prefix — boilerplate-template detection by shared
+    * document OPENINGS: documents that start with the same 3-word
+    * prefix across the corpus are template instances (the crawl-
+    * pipeline screen for SEO stubs, license headers, and generated
+    * pages — CCNet-style boilerplate operates per-line; this fixture's
+    * documents are single-line, so the opening n-gram IS the template
+    * key). Emits each prefix shared by ≥ 2 documents with its doc
+    * count and how many distinct sources it spans (a multi-source
+    * template is crawler boilerplate; a single-source one is a site
+    * template). Pure integer/string ops — no float anywhere; total
+    * order on (n_docs DESC, prefix) since prefixes are unique keys.
+    * Scale: one map-side projection to the 3-word prefix + one
+    * map-side-combined (prefix) count with a distinct-source count —
+    * a single corpus shuffle on a short-string key; the output is
+    * template-dictionary-sized. */
+  private def templatePrefix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"source",
+        concat_ws(" ", slice(split($"text", " "), 1, 3)).as("prefix"))
+      .groupBy($"prefix")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"))
+      .where($"n_docs" >= 2)
+      .orderBy($"n_docs".desc, $"prefix".asc)
+  }
+
+  private val templatePrefixSql = """
+    WITH p AS (SELECT source,
+        array_to_string((string_split(text, ' '))[1:3], ' ') AS prefix
+      FROM documents),
+    g AS (SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+          FROM p GROUP BY 1)
+    SELECT prefix, n_docs, n_sources FROM g
+    WHERE n_docs >= 2 ORDER BY n_docs DESC, prefix"""
+
+  /** q_llm_ngram_entropy_rate — conditional bigram entropy per
+    * language: H(w₂|w₁) = Σ c(w₁w₂)·(ln c(w₁·) − ln c(w₁w₂)) / N —
+    * the ENTROPY RATE of the corpus under a bigram model, the
+    * predictability/repetitiveness signal a data pipeline tracks per
+    * slice (templated or machine-generated text scores LOW; it
+    * complements q_llm_entropy's per-doc unigram entropy and
+    * q_llm_bigram_lm's probability table with a corpus-level rate).
+    * Exactness: the transcendental factors through the
+    * DISTINCT-INTEGER side table (ln once per distinct bigram /
+    * context count, rounded THERE to L₄ — the entropy/psi/theil
+    * discipline), the numerator exact BIGINT, the rate ONE
+    * [[streamline.batch.Aggregates.exactRound6]] over (num₄, N·10⁴).
+    * Scale: one explode → map-side-combined (lang, w₁, w₂) count
+    * (checkpointed — contexts, totals, side-table values and the
+    * term join all read it); everything after runs on the bigram-
+    * VOCABULARY table with a keyed (lang, w₁) context join and
+    * value-distinct broadcasts — the corpus is scanned once. */
+  private def ngramEntropyRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cb = Tables.documents(spark, dir)
+      .select($"lang", split($"text", " ").as("ws"))
+      .where(size($"ws") >= 2)
+      .select($"lang", explode(expr(
+        "transform(sequence(1, size(ws) - 1)," +
+          " i -> struct(element_at(ws, i) AS w1," +
+          " element_at(ws, i + 1) AS w2))")).as("p"))
+      .groupBy($"lang", $"p.w1".as("w1"), $"p.w2".as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // contexts/totals/values/terms read it
+    val cu = cb.groupBy($"lang", $"w1").agg(sum($"c").as("cw"))
+    val n = cb.groupBy($"lang").agg(sum($"c").as("n"))
+    val l = cb.select($"c".as("v")).union(cu.select($"cw".as("v")))
+      .distinct()
+      .select($"v", round(log($"v") * 10000).cast("long").as("l4"))
+      .localCheckpoint(true) // two broadcast branches read it
+    val num = cb.join(cu.hint("shuffle_hash"), Seq("lang", "w1"))
+      .join(broadcast(l.select($"v".as("vc"), $"l4".as("lc"))),
+        $"vc" === $"c")
+      .join(broadcast(l.select($"v".as("vcw"), $"l4".as("lcw"))),
+        $"vcw" === $"cw")
+      .groupBy($"lang")
+      .agg(sum($"c" * ($"lcw" - $"lc")).as("num4"))
+    n.join(num, "lang")
+      .select($"lang", $"n".as("n_bigrams"), $"num4",
+        streamline.batch.Aggregates.exactRound6($"num4",
+          $"n".cast("decimal(19,0)") * lit(10000L)).as("cond_entropy"))
+      .orderBy($"lang")
+  }
+
+  private val ngramEntropyRateSql = """
+    WITH w AS (SELECT lang, string_split(text, ' ') AS ws
+               FROM documents),
+    bg AS (SELECT lang, ws[i] AS w1, ws[i+1] AS w2
+           FROM w, unnest(range(1, len(ws))) AS t(i)
+           WHERE len(ws) >= 2),
+    cb AS (SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c
+           FROM bg GROUP BY 1, 2, 3),
+    cu AS (SELECT lang, w1, CAST(sum(c) AS BIGINT) AS cw
+           FROM cb GROUP BY 1, 2),
+    n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM cb GROUP BY 1),
+    vals AS (SELECT DISTINCT c AS v FROM cb
+             UNION SELECT DISTINCT cw FROM cu),
+    l AS (SELECT v, CAST(round(ln(v) * 10000) AS BIGINT) AS l4
+          FROM vals),
+    num AS (SELECT cb.lang,
+        CAST(sum(cb.c * (lcw.l4 - lc.l4)) AS BIGINT) AS num4
+      FROM cb JOIN cu ON cu.lang = cb.lang AND cu.w1 = cb.w1
+        JOIN l lc ON lc.v = cb.c JOIN l lcw ON lcw.v = cu.cw
+      GROUP BY 1)
+    SELECT n.lang, n.n AS n_bigrams, num.num4,
+      """ + streamline.batch.Aggregates.exactRound6Sql("num.num4",
+        "n.n::HUGEINT * 10000") + """ AS cond_entropy
+    FROM n JOIN num USING (lang) ORDER BY lang"""
+
   val all: Seq[Q] = Seq(
+    Q("q_llm_ngram_entropy_rate", ngramEntropyRate _, ngramEntropyRateSql),
+    Q("q_llm_template_prefix", templatePrefix _, templatePrefixSql),
     Q("q_llm_entropy", entropy _, entropySql),
     Q("q_llm_inverted_index", invertedIndex _, invertedIndexSql),
     Q("q_llm_bpe_pairs", bpePairs _, bpePairsSql),
