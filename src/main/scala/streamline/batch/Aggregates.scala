@@ -2629,7 +2629,89 @@ object Aggregates {
       """ + exactRound6Sql("n_new", "n_events") + """ AS new_share
     FROM g ORDER BY event_type, wk"""
 
+  /** q_agg_cuped — CUPED variance-reduced A/B readout (Deng et al.
+    * 2013, the industry-standard experiment sensitivity boost): per
+    * arm (user_id % 2), the covariate-adjusted post-period mean
+    * Ȳ_a − θ·(X̄_a − X̄), where X is each user's PRE-period event
+    * count, Y the post count (periods split by the integer
+    * 2·us < min+max test), and θ = cov(X,Y)/var(X) is the POOLED
+    * regression coefficient. Exactness: all moments integer,
+    * θ's fraction the usual DECIMAL(38) cross-products, and the
+    * adjusted mean ONE exact rational over the common denominator —
+    * NUM_a = ΣY_a·tden·n − tnum·(ΣX_a·n − ΣX·n_a), DEN_a =
+    * n_a·tden·n — emitted as digit-string witnesses (r17 discipline)
+    * plus one [[exactRound6]] each; no nested rounding anywhere.
+    * The DECIMAL(38) bound: tden ≲ n·ΣX² and the triple products
+    * ≲ 10³⁸ hold to ~10¹⁰ users × 10³ events each — past that the
+    * witnesses reduce like [[reducedR2]] (documented split). Scale:
+    * ONE corpus pass to per-user conditional counts (map-side
+    * combined, 1-row min+max broadcast), then everything runs on the
+    * |users| table; pooled moments are a 1-row broadcast back over
+    * the 2-row arm table. */
+  private def aggCuped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val e = Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("us"))
+    val mm = e.agg((min($"us") + max($"us")).as("s"))
+    val u = e.crossJoin(broadcast(mm))
+      .groupBy($"user_id")
+      .agg(sum(when($"us" * 2 < $"s", 1L).otherwise(0L)).as("x"),
+        sum(when($"us" * 2 >= $"s", 1L).otherwise(0L)).as("y"))
+      .select(($"user_id" % 2).as("arm"), $"x", $"y")
+      .localCheckpoint(true) // pooled moments + arm sums both read it
+    val th = u.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum(d38($"x") * $"x").as("sxx"),
+        sum(d38($"x") * $"y").as("sxy"))
+      .select($"n", $"sx",
+        (d38($"n") * $"sxy" - d38($"sx") * $"sy").as("tnum"),
+        (d38($"n") * $"sxx" - d38($"sx") * $"sx").as("tden"))
+    val adjNum = d38($"sy_a") * $"tden" * $"n" -
+      $"tnum" * (d38($"sx_a") * $"n" - d38($"sx") * $"n_a")
+    u.groupBy($"arm").agg(count(lit(1)).as("n_a"),
+        sum($"x").as("sx_a"), sum($"y").as("sy_a"))
+      .crossJoin(broadcast(th))
+      .select($"arm", $"n_a", $"sx_a", $"sy_a",
+        exactRound6($"tnum", $"tden").as("theta"),
+        adjNum.cast("string").as("adj_num"),
+        (d38($"n_a") * $"tden" * $"n").cast("string").as("adj_den"),
+        exactRound6(adjNum, d38($"n_a") * $"tden" * $"n").as("adj_mean"))
+      .orderBy($"arm")
+  }
+
+  private val aggCupedSql = """
+    WITH e AS (SELECT user_id,
+        epoch_us(date_trunc('microseconds', ts)) AS us FROM events),
+    u AS (SELECT user_id % 2 AS arm,
+        CAST(count(*) FILTER (WHERE us * 2 <
+          (SELECT min(us) + max(us) FROM e)) AS BIGINT) AS x,
+        CAST(count(*) FILTER (WHERE us * 2 >=
+          (SELECT min(us) + max(us) FROM e)) AS BIGINT) AS y
+      FROM e GROUP BY user_id),
+    th AS (SELECT n, sx,
+        n::HUGEINT * sxy - sx::HUGEINT * sy AS tnum,
+        n::HUGEINT * sxx - sx::HUGEINT * sx AS tden
+      FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy
+        FROM u)),
+    a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_a,
+        CAST(sum(x) AS BIGINT) AS sx_a, CAST(sum(y) AS BIGINT) AS sy_a
+      FROM u GROUP BY 1)
+    SELECT a.arm, a.n_a, a.sx_a, a.sy_a,
+      """ + exactRound6Sql("th.tnum", "th.tden") + """ AS theta,
+      CAST(a.sy_a::HUGEINT * th.tden * th.n
+        - th.tnum * (a.sx_a::HUGEINT * th.n - th.sx::HUGEINT * a.n_a)
+        AS VARCHAR) AS adj_num,
+      CAST(a.n_a::HUGEINT * th.tden * th.n AS VARCHAR) AS adj_den,
+      """ + exactRound6Sql(
+        "a.sy_a::HUGEINT * th.tden * th.n - th.tnum * " +
+          "(a.sx_a::HUGEINT * th.n - th.sx::HUGEINT * a.n_a)",
+        "a.n_a::HUGEINT * th.tden * th.n") + """ AS adj_mean
+    FROM a, th ORDER BY a.arm"""
+
   val all: Seq[streamline.Q] = Seq(
+    streamline.Q("q_agg_cuped", aggCuped _, aggCupedSql),
     streamline.Q("q_agg_theil", aggTheil _, aggTheilSql),
     streamline.Q("q_agg_hazard", aggHazard _, aggHazardSql),
     streamline.Q("q_agg_new_returning", aggNewReturning _,

@@ -1707,7 +1707,76 @@ object Windows {
         "CAST(sum(q0) AS BIGINT)::HUGEINT * 10000") + """ AS vwap
     FROM l GROUP BY 1 ORDER BY 1"""
 
+  /** q_win_rsi — 14-day Relative Strength Index on each event type's
+    * daily-count series: RSI = 100·G/(G+L) where G/L are the trailing
+    * sums of daily gains/losses — the bounded momentum oscillator
+    * (overbought/oversold screening) next to q_win_ma_cross's
+    * crossover signal; on an ops series it reads "is this metric's
+    * recent movement mostly up or mostly down". Exactness: the series
+    * is densified (corr_matrix discipline), diffs/gains/losses pure
+    * integers, the ratio ONE [[Aggregates.exactRound6]](100·G, G+L);
+    * a flat 14-day window (G+L = 0) yields NULL on BOTH engines
+    * (never a divide-by-zero); warm-up rows (rn < 15 — the first
+    * diff is NULL and 14 full diffs must exist) are out of scope.
+    * Scale: grid-sized lag + two frame sums share one (type)-keyed
+    * sort; 100·G at 10¹² daily counts is ~10¹⁶, long-safe. */
+  private def winRsi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        floor(unix_micros($"ts").cast("double") / lit(86400000000.0))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // grid spine branches re-read it
+    val grid = e.select($"event_type").distinct()
+      .crossJoin(e.select($"day").distinct())
+      .join(e, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"c", lit(0L)).as("c"))
+    val ord = Window.partitionBy($"event_type").orderBy($"day")
+    val df = grid.select($"event_type", $"day",
+      ($"c" - lag($"c", 1).over(ord)).as("d"),
+      row_number().over(ord).as("rn"))
+    val frame = ord.rowsBetween(-13, 0)
+    df.select($"event_type", $"day", $"rn",
+        sum(greatest($"d", lit(0L))).over(frame).as("g"),
+        sum(greatest(-$"d", lit(0L))).over(frame).as("l"))
+      .where($"rn" >= 15)
+      .select($"event_type", $"day", $"g", $"l",
+        when($"g" + $"l" === 0L, lit(null).cast("double"))
+          .otherwise(Aggregates.exactRound6(lit(100L) * $"g",
+            $"g" + $"l")).as("rsi"))
+      .orderBy($"event_type", $"day")
+  }
+
+  private val winRsiSql = """
+    WITH e AS (SELECT event_type,
+        CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+          AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+    grid AS (SELECT t.event_type, d.day, coalesce(e.c, 0) AS c
+      FROM (SELECT DISTINCT event_type FROM e) t
+      CROSS JOIN (SELECT DISTINCT day FROM e) d
+      LEFT JOIN e ON e.event_type = t.event_type AND e.day = d.day),
+    df AS (SELECT event_type, day,
+        c - lag(c) OVER (PARTITION BY event_type ORDER BY day) AS d,
+        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM grid),
+    m AS (SELECT event_type, day, rn,
+        CAST(sum(greatest(d, 0)) OVER (PARTITION BY event_type
+          ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS g,
+        CAST(sum(greatest(-d, 0)) OVER (PARTITION BY event_type
+          ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS l
+      FROM df)
+    SELECT event_type, day, g, l,
+      CASE WHEN g + l = 0 THEN NULL
+           ELSE """ + Aggregates.exactRound6Sql("100 * g", "g + l") + """
+      END AS rsi
+    FROM m WHERE rn >= 15 ORDER BY event_type, day"""
+
   val all: Seq[Q] = Seq(
+    Q("q_win_rsi", winRsi _, winRsiSql),
     Q("q_win_ma_cross", winMaCross _, winMaCrossSql),
     Q("q_win_vwap", winVwap _, winVwapSql),
     Q("q_win_hampel", winHampel _, winHampelSql),

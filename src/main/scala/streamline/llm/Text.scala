@@ -1479,7 +1479,139 @@ object Text {
         "n.n::HUGEINT * 10000") + """ AS cond_entropy
     FROM n JOIN num USING (lang) ORDER BY lang"""
 
+  /** q_llm_backoff_lm — held-out stupid-backoff bigram scoring
+    * (Brants et al. 2007): a bigram model built from the EVEN doc_ids
+    * scores the ODD docs' bigrams, per language. Unlike
+    * q_llm_bigram_lm (in-corpus: every bigram is seen by
+    * construction), the held-out split exercises the BACKOFF path —
+    * score = c₁₂/c₁· if the bigram is in the model, else λ·c(w₂)/N
+    * (unigram backoff, λ = 0.4), else λ²/N — the quality-vs-novelty
+    * signal a pipeline tracks per slice, and the smoke test of any
+    * n-gram LM build. Exactness: log-scores through the
+    * DISTINCT-INTEGER ln side table (entropy/psi discipline), λ as
+    * the PINNED integer constant L₄(0.4) = −9163 on both engines
+    * (never computed — an engine's own ln(0.4) could round the
+    * boundary differently), the per-language total exact BIGINT, the
+    * mean ONE [[streamline.batch.Aggregates.exactRound6]]. Scale:
+    * model tables are vocabulary-sized and BROADCAST over the test
+    * stream (the bigram_lm posture — the scoring pass never
+    * shuffles); one map-side-combined shuffle each builds c₁₂ and
+    * the unigram table. */
+  private def backoffLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val L_LAMBDA = -9163L // round(ln(0.4)·1e4), pinned on both engines
+    val w = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", split($"text", " ").as("ws"))
+      .localCheckpoint(true) // train bigrams/unigrams + test read it
+    def bigrams(df: DataFrame) = df.where(size($"ws") >= 2)
+      .select($"lang", explode(expr(
+        "transform(sequence(1, size(ws) - 1)," +
+          " i -> struct(element_at(ws, i) AS w1," +
+          " element_at(ws, i + 1) AS w2))")).as("p"))
+      .select($"lang", $"p.w1".as("w1"), $"p.w2".as("w2"))
+    val c12 = bigrams(w.where($"doc_id" % 2 === 0))
+      .groupBy($"lang", $"w1", $"w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true) // contexts + the probe + values read it
+    val c1 = c12.groupBy($"lang", $"w1").agg(sum($"c12").as("c1"))
+    val cu = w.where($"doc_id" % 2 === 0)
+      .select($"lang", explode($"ws").as("wd"))
+      .groupBy($"lang", $"wd").agg(count(lit(1)).as("cu"))
+      .localCheckpoint(true) // totals + the probe + values read it
+    val nn = cu.groupBy($"lang").agg(sum($"cu").as("n"))
+    val l = c12.select($"c12".as("v")).union(c1.select($"c1".as("v")))
+      .union(cu.select($"cu".as("v"))).union(nn.select($"n".as("v")))
+      .distinct()
+      .select($"v", round(log($"v") * 10000).cast("long").as("l4"))
+      .localCheckpoint(true) // four broadcast branches read it
+    def l4of(vCol: String, as: String) =
+      broadcast(l.select($"v".as(vCol), $"l4".as(as)))
+    val te = bigrams(w.where($"doc_id" % 2 === 1))
+    val sc = te
+      .join(broadcast(c12), Seq("lang", "w1", "w2"), "left")
+      .join(broadcast(c1), Seq("lang", "w1"), "left")
+      .join(broadcast(cu.select($"lang", $"wd".as("w2"), $"cu")),
+        Seq("lang", "w2"), "left")
+      .join(broadcast(nn), "lang")
+      .join(l4of("vb", "lb"), $"vb" === $"c12", "left")
+      .join(l4of("vc1", "lc1"), $"vc1" === $"c1", "left")
+      .join(l4of("vu", "lu"), $"vu" === $"cu", "left")
+      .join(l4of("vn", "ln2"), $"vn" === $"n")
+      .select($"lang",
+        when($"c12".isNotNull, lit("seen"))
+          .when($"cu".isNotNull, lit("backoff"))
+          .otherwise(lit("oov")).as("cls"),
+        when($"c12".isNotNull, $"lb" - $"lc1")
+          .when($"cu".isNotNull, lit(L_LAMBDA) + $"lu" - $"ln2")
+          .otherwise(lit(2 * L_LAMBDA) - $"ln2").as("s4"))
+    sc.groupBy($"lang")
+      .agg(count(lit(1)).as("n_test"),
+        count(when($"cls" === "seen", 1)).as("n_seen"),
+        count(when($"cls" === "backoff", 1)).as("n_backoff"),
+        count(when($"cls" === "oov", 1)).as("n_oov"),
+        sum($"s4").as("score4"))
+      .select($"lang", $"n_test", $"n_seen", $"n_backoff", $"n_oov",
+        $"score4",
+        streamline.batch.Aggregates.exactRound6($"score4",
+          $"n_test".cast("decimal(19,0)") * lit(10000L))
+          .as("avg_logscore"))
+      .orderBy($"lang")
+  }
+
+  private val backoffLmSql = """
+    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+               FROM documents),
+    trbg AS (SELECT lang, ws[i] AS w1, ws[i+1] AS w2
+             FROM w, unnest(range(1, len(ws))) AS t(i)
+             WHERE doc_id % 2 = 0 AND len(ws) >= 2),
+    c12 AS (SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM trbg GROUP BY 1, 2, 3),
+    c1 AS (SELECT lang, w1, CAST(sum(c12) AS BIGINT) AS c1
+           FROM c12 GROUP BY 1, 2),
+    tru AS (SELECT lang, ws[i] AS wd
+            FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+            WHERE doc_id % 2 = 0),
+    cu AS (SELECT lang, wd, CAST(count(*) AS BIGINT) AS cu
+           FROM tru GROUP BY 1, 2),
+    nn AS (SELECT lang, CAST(sum(cu) AS BIGINT) AS n FROM cu GROUP BY 1),
+    tebg AS (SELECT lang, ws[i] AS w1, ws[i+1] AS w2
+             FROM w, unnest(range(1, len(ws))) AS t(i)
+             WHERE doc_id % 2 = 1 AND len(ws) >= 2),
+    vals AS (SELECT DISTINCT c12 AS v FROM c12
+             UNION SELECT DISTINCT c1 FROM c1
+             UNION SELECT DISTINCT cu FROM cu
+             UNION SELECT DISTINCT n FROM nn),
+    l AS (SELECT v, CAST(round(ln(v) * 10000) AS BIGINT) AS l4
+          FROM vals),
+    sc AS (SELECT t.lang,
+        CASE WHEN b.c12 IS NOT NULL THEN 'seen'
+             WHEN u.cu IS NOT NULL THEN 'backoff'
+             ELSE 'oov' END AS cls,
+        CASE WHEN b.c12 IS NOT NULL THEN lb.l4 - lc1.l4
+             WHEN u.cu IS NOT NULL THEN -9163 + lu.l4 - ln2.l4
+             ELSE -18326 - ln2.l4 END AS s4
+      FROM tebg t
+      LEFT JOIN c12 b ON b.lang = t.lang AND b.w1 = t.w1
+        AND b.w2 = t.w2
+      LEFT JOIN c1 ON c1.lang = t.lang AND c1.w1 = t.w1
+      LEFT JOIN cu u ON u.lang = t.lang AND u.wd = t.w2
+      JOIN nn ON nn.lang = t.lang
+      LEFT JOIN l lb ON lb.v = b.c12
+      LEFT JOIN l lc1 ON lc1.v = c1.c1
+      LEFT JOIN l lu ON lu.v = u.cu
+      JOIN l ln2 ON ln2.v = nn.n)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_test,
+      CAST(count(*) FILTER (WHERE cls = 'seen') AS BIGINT) AS n_seen,
+      CAST(count(*) FILTER (WHERE cls = 'backoff') AS BIGINT)
+        AS n_backoff,
+      CAST(count(*) FILTER (WHERE cls = 'oov') AS BIGINT) AS n_oov,
+      CAST(sum(s4) AS BIGINT) AS score4,
+      """ + streamline.batch.Aggregates.exactRound6Sql(
+        "CAST(sum(s4) AS BIGINT)",
+        "CAST(count(*) AS BIGINT) * 10000") + """ AS avg_logscore
+    FROM sc GROUP BY 1 ORDER BY 1"""
+
   val all: Seq[Q] = Seq(
+    Q("q_llm_backoff_lm", backoffLm _, backoffLmSql),
     Q("q_llm_ngram_entropy_rate", ngramEntropyRate _, ngramEntropyRateSql),
     Q("q_llm_template_prefix", templatePrefix _, templatePrefixSql),
     Q("q_llm_entropy", entropy _, entropySql),

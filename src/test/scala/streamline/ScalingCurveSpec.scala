@@ -112,7 +112,29 @@ class ScalingCurveSpec extends SparkSuite {
     // must read linear
     "q_llm_winnow_pairs",
     // r16: peaks is one user-keyed lag/lead window — linear
-    "q_win_peaks")
+    "q_win_peaks",
+    // r17: the grid-collapse family (trend / ma_cross / rsi) runs one
+    // map-side-combined corpus count then lives on the bounded
+    // types×days grid — denser counts, same grid; must read linear
+    "q_agg_trend", "q_win_ma_cross", "q_win_rsi",
+    // r17: winsor is two keyed sorts + rank selections (the mad
+    // shape); bootstrap a ×20 map-side fan-out + keyed agg (constant
+    // factor, no shuffle growth); rank_migration / cuped / hazard /
+    // new_returning collapse the corpus to per-user tables first
+    "q_agg_winsor", "q_agg_bootstrap", "q_agg_rank_migration",
+    "q_agg_cuped", "q_agg_hazard", "q_agg_new_returning",
+    // r17: vwap is ONE map-side-combined week groupBy over lineitem
+    "q_win_vwap",
+    // r17: dedup_weight's df join is keyed on shingles — blowup
+    // copies are vocabulary-disjoint (suffixed words) so df stays
+    // bounded and the join linear; template_prefix / entropy_rate /
+    // backoff_lm run on suffix-disjoint prefix/bigram vocabularies
+    // (backoff's broadcast model tables grow 16×, the honest cost)
+    // — q_agg_theil is NOT witnessable here: the blowup shifts
+    // o_custkey but leaves customer unshifted, so copy orders drop
+    // out of its inner join and the curve would be trivially flat
+    "q_llm_dedup_weight", "q_llm_template_prefix",
+    "q_llm_ngram_entropy_rate", "q_llm_backoff_lm")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
