@@ -2219,9 +2219,10 @@ object Aggregates {
     * witness discipline), the 6-dp slope and mean level each ONE
     * [[exactRound6]]. Scale: one map-side-combined corpus pass to the
     * checkpointed (type, day) count table; everything after runs on
-    * the types×days grid (bounded). x ≤ days and c ≤ 10¹² daily keep
-    * n·Σxy ≤ 10²⁰ — inside the DECIMAL(38) carry with 18 digits of
-    * headroom. */
+    * the types×days grid (bounded). x ≤ days ≈ 4·10³ (a decade) and
+    * c ≤ 10¹² daily keep n·Σxy ≤ ~10²³, and exactRound6's 2·10⁶
+    * scaling tops out near 10²⁹ — inside the DECIMAL(38) carry with
+    * nine digits of headroom. */
   private def aggTrend(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
@@ -2641,9 +2642,9 @@ object Aggregates {
     * NUM_a = ΣY_a·tden·n − tnum·(ΣX_a·n − ΣX·n_a), DEN_a =
     * n_a·tden·n — emitted as digit-string witnesses (r17 discipline)
     * plus one [[exactRound6]] each; no nested rounding anywhere.
-    * The DECIMAL(38) bound: tden ≲ n·ΣX² and the triple products
-    * ≲ 10³⁸ hold to ~10¹⁰ users × 10³ events each — past that the
-    * witnesses reduce like [[reducedR2]] (documented split). Scale:
+    * The DECIMAL(38) bound: the triple product n_a·tden·n ≤ n⁴·x̄²
+    * stays under 10³⁸ to ~10⁸ users at ~10³ events each — past that
+    * the witnesses reduce like [[reducedR2]] (documented split). Scale:
     * ONE corpus pass to per-user conditional counts (map-side
     * combined, 1-row min+max broadcast), then everything runs on the
     * |users| table; pooled moments are a 1-row broadcast back over

@@ -123,6 +123,112 @@ class PpmDecoder extends MediaDecoder {
   }
 }
 
+/** A REAL public-format audio decoder for the seam: RIFF/WAVE PCM
+  * (the container is fully specified publicly — Microsoft/IBM 1991 —
+  * and decodable with zero native deps, the audio twin of
+  * [[PpmDecoder]]). Walks the chunk list properly (unknown chunks are
+  * SKIPPED by their declared size, as the spec requires — a `LIST` or
+  * `fact` chunk between `fmt ` and `data` must not break the parse),
+  * validates the fmt contract (PCM format tag 1, 16-bit samples,
+  * 1..2 channels, declared block align / byte rate consistent), and
+  * returns the CANONICAL little-endian int16 sample stream (the data
+  * chunk, length-checked against its declared size). Malformed
+  * payloads throw — a corrupt recording must surface, not silently
+  * fingerprint as garbage (the PpmDecoder contract).
+  * [[WavDecoder.parse]] additionally exposes the header fields
+  * (sample rate, channels, sample count) for audio-aware operators
+  * (q_llm_mm_audio). Pinned in WavDecoderSpec (round-trip vs a
+  * literal byte walk, chunk skipping, malformed rejection). */
+class WavDecoder extends MediaDecoder {
+  def decode(payload: Array[Byte]): Array[Byte] =
+    WavDecoder.parse(payload).data
+}
+
+object WavDecoder {
+  final case class Wav(sampleRate: Int, channels: Int,
+                       data: Array[Byte]) {
+    def nFrames: Int = data.length / (2 * channels)
+    /** Sample i of channel c as a signed 16-bit value. */
+    def sample(i: Int, c: Int = 0): Int = {
+      val off = (i * channels + c) * 2
+      ((data(off + 1) << 8) | (data(off) & 0xff)).toShort.toInt
+    }
+  }
+
+  def parse(payload: Array[Byte]): Wav = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"WAV: $msg")
+    def le16(p: Int): Int =
+      ((payload(p + 1) & 0xff) << 8) | (payload(p) & 0xff)
+    def le32(p: Int): Long =
+      ((payload(p + 3) & 0xffL) << 24) | ((payload(p + 2) & 0xffL) << 16) |
+        ((payload(p + 1) & 0xffL) << 8) | (payload(p) & 0xffL)
+    def tag(p: Int): String =
+      new String(payload, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (payload.length < 44) fail("payload shorter than a WAV header")
+    if (tag(0) != "RIFF") fail("missing RIFF magic")
+    if (le32(4) != payload.length - 8)
+      fail(s"RIFF size ${le32(4)} != payload ${payload.length - 8}")
+    if (tag(8) != "WAVE") fail("missing WAVE form type")
+    var pos = 12
+    var rate = -1; var channels = -1; var fmtSeen = false
+    var data: Array[Byte] = null
+    while (pos + 8 <= payload.length && data == null) {
+      val id = tag(pos); val size = le32(pos + 4)
+      if (size < 0 || pos + 8 + size > payload.length)
+        fail(s"chunk $id size $size overruns payload")
+      id match {
+        case "fmt " =>
+          if (size < 16) fail(s"fmt chunk too small ($size)")
+          val fmtTag = le16(pos + 8)
+          if (fmtTag != 1) fail(s"not PCM (format tag $fmtTag)")
+          channels = le16(pos + 10)
+          if (channels < 1 || channels > 2)
+            fail(s"unsupported channel count $channels")
+          rate = le32(pos + 12).toInt
+          if (rate <= 0) fail(s"bad sample rate $rate")
+          val bits = le16(pos + 22)
+          if (bits != 16) fail(s"unsupported bits/sample $bits")
+          if (le16(pos + 20) != 2 * channels)
+            fail(s"block align ${le16(pos + 20)} != ${2 * channels}")
+          if (le32(pos + 16) != rate.toLong * 2 * channels)
+            fail(s"byte rate ${le32(pos + 16)} inconsistent")
+          fmtSeen = true
+        case "data" =>
+          if (!fmtSeen) fail("data chunk before fmt")
+          if (size % (2 * channels) != 0)
+            fail(s"data size $size not frame-aligned")
+          data = java.util.Arrays.copyOfRange(payload, pos + 8,
+            pos + 8 + size.toInt)
+        case _ => // unknown chunk (LIST, fact, …): skip by declared size
+      }
+      // chunks are word-aligned: odd sizes carry one pad byte
+      pos += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (!fmtSeen) fail("no fmt chunk")
+    if (data == null) fail("no data chunk")
+    Wav(rate, channels, data)
+  }
+
+  /** Assemble a minimal PCM WAV (the inverse of [[parse]] for the
+    * synthesis side of q_llm_mm_audio and the spec's round-trips). */
+  def assemble(rate: Int, channels: Int,
+               samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * 2 * channels).putShort((2 * channels).toShort)
+      .putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+}
+
 object MediaDecoder {
 
   /** The default: payloads pass through untouched (the honest stub

@@ -681,7 +681,72 @@ object Similarity {
                        AS INT) END), ',') AS q_csv
     FROM m ORDER BY vec_id"""
 
+  /** q_llm_mm_audio — audio-modality feature extraction through a
+    * REAL codec: each document carries a deterministic PCM WAV
+    * payload (RIFF container assembled from (doc_id)-derived
+    * parameters — rate ∈ {8, 12, 16} kHz, 160..200 samples, sample
+    * sᵢ = ((id·31 + i·17) mod 2¹⁶) − 2¹⁵), the pipeline DECODES it
+    * with [[WavDecoder]] (full chunk-walk header parse — not a
+    * pass-through) and emits the audio features a training pipeline
+    * indexes on: sample rate, frame count, 6-dp duration, peak
+    * amplitude, and mean-square energy (the square of RMS — exact
+    * integers, no sqrt). The oracle re-derives every feature from the
+    * SYNTHESIS closed form, never touching bytes (the q_llm_dedup_url
+    * independence pattern) — so an assembler/parser bug cannot cancel
+    * out. Exactness: samples are exact integers end to end, duration
+    * and mean-square ONE
+    * [[streamline.batch.Aggregates.exactRound6]] each. Scale: the
+    * synth+decode+extract stage is typed mapPartitions over the doc
+    * table — map-only, shuffle-free, one codec instance per partition
+    * (the mm_* posture); at 100 TB the payload column comes from
+    * storage instead of the synthesizer and nothing else changes. */
+  private def mmAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = Tables.documents(spark, dir).select($"doc_id")
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val rate = 8000 + (id % 3).toInt * 4000
+        val n = 160 + (id % 41).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((id * 31 + i * 17) % 65536) - 32768).toShort)
+        val wav = WavDecoder.parse(
+          WavDecoder.assemble(rate, 1, samples))
+        val peak = (0 until wav.nFrames)
+          .foldLeft(0L)((m, i) => math.max(m, math.abs(wav.sample(i))))
+        val ssq = (0 until wav.nFrames)
+          .foldLeft(0L)((s, i) =>
+            s + wav.sample(i).toLong * wav.sample(i))
+        (id, wav.sampleRate.toLong, wav.nFrames.toLong, peak, ssq)
+      })
+      .toDF("doc_id", "sample_rate", "n_frames", "peak", "ssq")
+    feats.select($"doc_id", $"sample_rate", $"n_frames", $"peak", $"ssq",
+        streamline.batch.Aggregates.exactRound6(
+          $"n_frames" * lit(1000L), $"sample_rate").as("duration_ms"),
+        streamline.batch.Aggregates.exactRound6($"ssq", $"n_frames")
+          .as("mean_square"))
+      .orderBy($"doc_id")
+  }
+
+  private val mmAudioSql = """
+    WITH p AS (SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS rate,
+        160 + (doc_id % 41) AS n FROM documents),
+    s AS (SELECT p.doc_id, p.rate, p.n,
+        ((p.doc_id * 31 + t.i * 17) % 65536) - 32768 AS smp
+      FROM p, unnest(range(0, p.n)) AS t(i)),
+    f AS (SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+        CAST(n AS BIGINT) AS n_frames,
+        CAST(max(abs(smp)) AS BIGINT) AS peak,
+        CAST(sum(smp * smp) AS BIGINT) AS ssq
+      FROM s GROUP BY 1, 2, 3)
+    SELECT doc_id, sample_rate, n_frames, peak, ssq,
+      """ + streamline.batch.Aggregates.exactRound6Sql(
+        "n_frames * 1000", "sample_rate") + """ AS duration_ms,
+      """ + streamline.batch.Aggregates.exactRound6Sql(
+        "ssq", "n_frames") + """ AS mean_square
+    FROM f ORDER BY doc_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_llm_mm_audio", mmAudio _, mmAudioSql),
     Q("q_llm_quantize", quantize _, quantizeSql),
     Q("q_llm_knn", knn _, knnSql),
     Q.noOracle("q_llm_knn_lsh", knnLsh _),

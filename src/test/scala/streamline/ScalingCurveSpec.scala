@@ -134,7 +134,10 @@ class ScalingCurveSpec extends SparkSuite {
     // o_custkey but leaves customer unshifted, so copy orders drop
     // out of its inner join and the curve would be trivially flat
     "q_llm_dedup_weight", "q_llm_template_prefix",
-    "q_llm_ngram_entropy_rate", "q_llm_backoff_lm")
+    "q_llm_ngram_entropy_rate", "q_llm_backoff_lm",
+    // r17: mm_audio is synth+decode+extract in one typed
+    // mapPartitions — map-only, must read linear in documents
+    "q_llm_mm_audio")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
