@@ -229,6 +229,46 @@ object WavDecoder {
   }
 }
 
+/** A REAL mainstream-format image decoder for the seam: JPEG / PNG /
+  * GIF / BMP through the JDK's own `javax.imageio` (ships in every
+  * JRE — zero new jars, and headless-safe: `ImageIO.read` needs no
+  * display). Output is the SAME canonical 8-bit interleaved RGB
+  * buffer as [[PpmDecoder]] (3·w·h bytes, row-major, alpha dropped
+  * via the sRGB int-pixel view), so a PNG and a PPM encoding of one
+  * image decode BIT-IDENTICALLY — the property that makes downstream
+  * fingerprints format-independent, pinned in ImageIoDecoderSpec
+  * (PNG≡PPM equality, JPEG determinism). Unrecognized or corrupt
+  * payloads throw (`ImageIO.read` returns null for unknown formats —
+  * surfaced, never silently fingerprinted; the PpmDecoder contract).
+  * Register with `spark.conf.set("graft.mm.decoder",
+  * "streamline.llm.ImageIoDecoder")`. */
+class ImageIoDecoder extends MediaDecoder {
+  def decode(payload: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    if (img == null)
+      throw new IllegalArgumentException(
+        "ImageIO: unrecognized or corrupt image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w.toLong * h > 0x7fffffffL / 3)
+      throw new IllegalArgumentException(s"ImageIO: image too large ${w}x$h")
+    val out = new Array[Byte](3 * w * h)
+    var i = 0; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y) // sRGB-converted int pixel
+        out(i) = ((rgb >> 16) & 0xff).toByte
+        out(i + 1) = ((rgb >> 8) & 0xff).toByte
+        out(i + 2) = (rgb & 0xff).toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}
+
 object MediaDecoder {
 
   /** The default: payloads pass through untouched (the honest stub
