@@ -2711,7 +2711,69 @@ object Aggregates {
         "a.n_a::HUGEINT * th.tden * th.n") + """ AS adj_mean
     FROM a, th ORDER BY a.arm"""
 
+  /** q_agg_iqr — interquartile range + Tukey-fence outlier table per
+    * event_type: q1/q3 as DISCRETE rank selections, IQR, and the
+    * counts beyond the 1.5·IQR fences — the ROBUST outlier rule (the
+    * boxplot convention) next to q_agg_outliers' 3σ rule (which an
+    * outlier can inflate away) and q_agg_winsor's clamp. Exactness:
+    * values in integer 1e-4 units, the quartiles the q_agg_mad/
+    * winsor discipline (values AT multiset ranks ⌈n/4⌉ and
+    * n+1−⌈n/4⌉ — no float interpolation), the fences tested as the
+    * INTEGER cross-multiplication 2·v ≷ 2·q ± 3·IQR (no fractional
+    * 1.5 anywhere), the rate one [[exactRound6]]. Scale: one keyed
+    * sort + rank filter for the cuts, a group-count-sized cuts
+    * broadcast for the fence pass over the checkpointed scaled table
+    * — the winsor plan with a different reducer (100 TB:
+    * approx_percentile boundaries, the q_agg_lift split). */
+  private def aggIqr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .select($"event_type", round($"value" * 10000).cast("bigint")
+        .as("v4"))
+      .localCheckpoint(true) // the fence pass re-reads it
+    val ranked = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"v4".asc)))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy($"event_type")))
+    val kQ = call_function("div", $"n" + lit(3L), lit(4L))
+    val cuts = ranked.groupBy($"event_type").agg(max($"n").as("n"),
+      min(when($"rn" === kQ, $"v4")).as("q1"),
+      min(when($"rn" === $"n" + lit(1L) - kQ, $"v4")).as("q3"))
+    e.join(broadcast(cuts), "event_type")
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"), max($"q1").as("q1"), max($"q3").as("q3"),
+        sum(when(lit(2L) * $"v4" < lit(2L) * $"q1"
+          - lit(3L) * ($"q3" - $"q1"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(lit(2L) * $"v4" > lit(2L) * $"q3"
+          + lit(3L) * ($"q3" - $"q1"), 1L).otherwise(0L)).as("n_high"))
+      .select($"event_type", $"n", $"q1", $"q3",
+        ($"q3" - $"q1").as("iqr"), $"n_low", $"n_high",
+        exactRound6($"n_low" + $"n_high", $"n").as("outlier_rate"))
+      .orderBy($"event_type")
+  }
+
+  private val aggIqrSql = """
+    WITH e AS (SELECT event_type,
+        CAST(round(value * 10000) AS BIGINT) AS v4 FROM events),
+    b AS (SELECT event_type, list_sort(list(v4)) AS vs,
+            CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+    cuts AS (SELECT event_type, n,
+               vs[CAST((n + 3) // 4 AS INTEGER)] AS q1,
+               vs[CAST(n + 1 - (n + 3) // 4 AS INTEGER)] AS q3 FROM b),
+    o AS (SELECT c.event_type, c.n, c.q1, c.q3, c.q3 - c.q1 AS iqr,
+            CAST(coalesce(sum(CASE WHEN 2*e.v4 < 2*c.q1 - 3*(c.q3-c.q1)
+              THEN 1 END), 0) AS BIGINT) AS n_low,
+            CAST(coalesce(sum(CASE WHEN 2*e.v4 > 2*c.q3 + 3*(c.q3-c.q1)
+              THEN 1 END), 0) AS BIGINT) AS n_high
+          FROM e JOIN cuts c USING (event_type) GROUP BY 1, 2, 3, 4, 5)
+    SELECT event_type, n, q1, q3, iqr, n_low, n_high,
+      """ + exactRound6Sql("n_low + n_high", "n") + """ AS outlier_rate
+    FROM o ORDER BY event_type"""
+
   val all: Seq[streamline.Q] = Seq(
+    streamline.Q("q_agg_iqr", aggIqr _, aggIqrSql),
     streamline.Q("q_agg_cuped", aggCuped _, aggCupedSql),
     streamline.Q("q_agg_theil", aggTheil _, aggTheilSql),
     streamline.Q("q_agg_hazard", aggHazard _, aggHazardSql),

@@ -121,7 +121,8 @@ class ScalingCurveSpec extends SparkSuite {
     // shape); bootstrap a ×20 map-side fan-out + keyed agg (constant
     // factor, no shuffle growth); rank_migration / cuped / hazard /
     // new_returning collapse the corpus to per-user tables first
-    "q_agg_winsor", "q_agg_bootstrap", "q_agg_rank_migration",
+    "q_agg_winsor", "q_agg_iqr", "q_agg_bootstrap",
+    "q_agg_rank_migration",
     "q_agg_cuped", "q_agg_hazard", "q_agg_new_returning",
     // r17: vwap is ONE map-side-combined week groupBy over lineitem
     "q_win_vwap",

@@ -72,6 +72,28 @@ class TrendWinsorSpec extends SparkSuite {
     assert(got.forall(x => x._3 < x._4))
   }
 
+  test("IQR/Tukey fences match literal sort-select-count") {
+    val rows = events()
+    val expected = rows.groupBy(_._1).toSeq.map { case (t, xs) =>
+      val v4 = xs.map(x => math.round(x._5 * 10000)).sorted
+      val n = v4.length
+      val k = (n + 3) / 4
+      val (q1, q3) = (v4(k - 1), v4(n - k))
+      val iqr = q3 - q1
+      val nLow = v4.count(v => 2 * v < 2 * q1 - 3 * iqr).toLong
+      val nHigh = v4.count(v => 2 * v > 2 * q3 + 3 * iqr).toLong
+      (t, n.toLong, q1, q3, iqr, nLow, nHigh,
+        r6(BigInt(nLow + nHigh), BigInt(n)))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_agg_iqr")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7))).toSeq
+    assert(got === expected)
+    // the fences bite on the heavy-tailed fixture
+    assert(got.exists(x => x._6 + x._7 > 0))
+  }
+
   test("bootstrap replicates match a literal multiplicity replay") {
     val rows = events()
     def mult(id: Long, b: Long): Long = {
