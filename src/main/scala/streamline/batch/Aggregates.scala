@@ -2274,6 +2274,165 @@ object Aggregates {
       """ + exactRound6Sql("sy", "n") + """ AS ybar
     FROM s ORDER BY event_type"""
 
+  /** q_agg_growth_accounting — daily purchaser growth accounting:
+    * every user purchasing on a day classified NEW (first-ever
+    * purchase day), RETAINED (also purchased the day before) or
+    * RESURRECTED (returning after a gap), plus CHURNED (purchased
+    * yesterday, absent today) and the quick ratio
+    * (new + resurrected)/churned — the standard growth-accounting
+    * decomposition behind DAU dashboards (daily grain on the purchase
+    * stream, where activity is genuinely sparse — a weekly all-events
+    * grain saturates to 100% retention and witnesses nothing); the
+    * GLOBAL complement of q_agg_new_returning's per-type split and
+    * q_agg_cohort's fixed-origin retention. Exactness:
+    * classification pure integer set logic (first day = keyed min;
+    * prev-day presence = self-join on day−1), churn the integer
+    * difference active(d−1) − retained(d), the quick ratio ONE
+    * [[exactRound6]] — NULL for the first observed day (no prior
+    * day) and for churned = 0 on BOTH engines. Scale: ONE corpus
+    * pass to the distinct (user, day) activity table (checkpointed —
+    * firsts, the prev-day probe and the daily rollup all read it);
+    * everything after shuffles on user_id at |users|·|days| scale;
+    * the daily table is days-sized and its prev-active attach is a
+    * checkpointed self-join on day−1. */
+  private def aggGrowthAccounting(spark: SparkSession,
+                                  dir: String): DataFrame = {
+    import spark.implicits._
+    val act = Tables.events(spark, dir)
+      .where($"event_type" === "purchase")
+      .select($"user_id",
+        floor(unix_micros($"ts").cast("double") / lit(86400000000.0))
+          .cast("long").as("wk"))
+      .distinct()
+      .localCheckpoint(true) // firsts, prev probe, rollup all read it
+    val firsts = act.groupBy($"user_id").agg(min($"wk").as("f"))
+    val prev = act.select($"user_id", ($"wk" + lit(1L)).as("wk"),
+      lit(1L).as("was_prev"))
+    val cls = act.join(prev, Seq("user_id", "wk"), "left")
+      .join(firsts, "user_id")
+      .groupBy($"wk")
+      .agg(count(lit(1)).as("active"),
+        sum(when($"f" === $"wk", 1L).otherwise(0L)).as("new_users"),
+        sum(when($"f" < $"wk" && $"was_prev".isNotNull, 1L)
+          .otherwise(0L)).as("retained"),
+        sum(when($"f" < $"wk" && $"was_prev".isNull, 1L)
+          .otherwise(0L)).as("resurrected"))
+      .localCheckpoint(true) // the prev-active attach reads it twice
+    cls.join(cls.select(($"wk" + lit(1L)).as("wk"),
+        $"active".as("prev_active")), Seq("wk"), "left")
+      .select($"wk".as("day"), $"active", $"new_users", $"retained",
+        $"resurrected",
+        ($"prev_active" - $"retained").as("churned"),
+        when($"prev_active".isNull ||
+            $"prev_active" - $"retained" === 0L,
+          lit(null).cast("double"))
+          .otherwise(exactRound6($"new_users" + $"resurrected",
+            $"prev_active" - $"retained")).as("quick_ratio"))
+      .orderBy($"wk")
+  }
+
+  private val aggGrowthAccountingSql = """
+    WITH act AS (SELECT DISTINCT user_id,
+        CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+          AS BIGINT) AS wk FROM events WHERE event_type = 'purchase'),
+    firsts AS (SELECT user_id, min(wk) AS f FROM act GROUP BY 1),
+    cls AS (SELECT a.wk, CAST(count(*) AS BIGINT) AS active,
+        CAST(coalesce(sum(CASE WHEN fi.f = a.wk THEN 1 END), 0)
+          AS BIGINT) AS new_users,
+        CAST(coalesce(sum(CASE WHEN fi.f < a.wk
+          AND p.user_id IS NOT NULL THEN 1 END), 0) AS BIGINT)
+          AS retained,
+        CAST(coalesce(sum(CASE WHEN fi.f < a.wk
+          AND p.user_id IS NULL THEN 1 END), 0) AS BIGINT)
+          AS resurrected
+      FROM act a
+      LEFT JOIN act p ON p.user_id = a.user_id AND p.wk = a.wk - 1
+      JOIN firsts fi ON fi.user_id = a.user_id
+      GROUP BY 1)
+    SELECT c.wk AS day, c.active, c.new_users, c.retained,
+      c.resurrected,
+      pc.active - c.retained AS churned,
+      CASE WHEN pc.active IS NULL OR pc.active - c.retained = 0
+        THEN NULL
+        ELSE """ + exactRound6Sql("c.new_users + c.resurrected",
+          "pc.active - c.retained") + """
+      END AS quick_ratio
+    FROM cls c LEFT JOIN cls pc ON pc.wk = c.wk - 1
+    ORDER BY c.wk"""
+
+  /** q_agg_forecast_baseline — naive-forecast backtest of each event
+    * type's daily-count series: the MAE of the lag-1 naive forecast
+    * and of the lag-7 seasonal-naive forecast, plus their ratio (the
+    * MASE shape scaled to the seasonal baseline) — the forecast-
+    * QUALITY floor every real forecasting rollout is judged against,
+    * and the weekly-structure screen next to q_win_acf (a ratio < 1
+    * means yesterday beats last-week-same-day; > 1 means the weekly
+    * echo dominates). Exactness: the grid is densified (corr_matrix
+    * discipline), the absolute errors pure integers, each MAE and the
+    * ratio ONE [[exactRound6]]; the ratio is NULL on BOTH engines
+    * when the seasonal errors sum to zero; warm-up rows (rn < 8 — a
+    * full lag-7 history must exist) are out of scope. Scale: the two
+    * lags share one (type)-keyed grid sort; Σ|e| at 10¹² daily counts
+    * over a decade is ≤ 4·10¹⁵ — long-safe, DECIMAL(38) inside
+    * exactRound6. */
+  private def aggForecastBaseline(spark: SparkSession,
+                                  dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        floor(unix_micros($"ts").cast("double") / lit(86400000000.0))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // grid spine branches re-read it
+    val grid = e.select($"event_type").distinct()
+      .crossJoin(e.select($"day").distinct())
+      .join(e, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"c", lit(0L)).as("c"))
+    val ord = Window.partitionBy($"event_type").orderBy($"day")
+    grid.select($"event_type", $"c",
+        lag($"c", 1).over(ord).as("l1"),
+        lag($"c", 7).over(ord).as("l7"),
+        row_number().over(ord).as("rn"))
+      .where($"rn" >= 8)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(abs($"c" - $"l1")).as("sae1"),
+        sum(abs($"c" - $"l7")).as("sae7"))
+      .select($"event_type", $"n", $"sae1", $"sae7",
+        exactRound6($"sae1", $"n").as("mae_naive"),
+        exactRound6($"sae7", $"n").as("mae_seasonal"),
+        when($"sae7" === 0L, lit(null).cast("double"))
+          .otherwise(exactRound6($"sae1", $"sae7")).as("mase"))
+      .orderBy($"event_type")
+  }
+
+  private val aggForecastBaselineSql = """
+    WITH e AS (SELECT event_type,
+        CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+          AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+    grid AS (SELECT t.event_type, d.day, coalesce(e.c, 0) AS c
+      FROM (SELECT DISTINCT event_type FROM e) t
+      CROSS JOIN (SELECT DISTINCT day FROM e) d
+      LEFT JOIN e ON e.event_type = t.event_type AND e.day = d.day),
+    l AS (SELECT event_type, c,
+        lag(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        lag(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7,
+        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM grid),
+    s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(abs(c - l1)) AS BIGINT) AS sae1,
+        CAST(sum(abs(c - l7)) AS BIGINT) AS sae7
+      FROM l WHERE rn >= 8 GROUP BY 1)
+    SELECT event_type, n, sae1, sae7,
+      """ + exactRound6Sql("sae1", "n") + """ AS mae_naive,
+      """ + exactRound6Sql("sae7", "n") + """ AS mae_seasonal,
+      CASE WHEN sae7 = 0 THEN NULL
+        ELSE """ + exactRound6Sql("sae1", "sae7") + """
+      END AS mase
+    FROM s ORDER BY event_type"""
+
   /** q_agg_winsor — winsorized mean of `value` per event_type: clamp
     * at the DISCRETE p10/p90 order statistics, then average — the
     * robust location estimate between the mean (outlier-hostage) and
@@ -2773,6 +2932,10 @@ object Aggregates {
     FROM o ORDER BY event_type"""
 
   val all: Seq[streamline.Q] = Seq(
+    streamline.Q("q_agg_growth_accounting", aggGrowthAccounting _,
+      aggGrowthAccountingSql),
+    streamline.Q("q_agg_forecast_baseline", aggForecastBaseline _,
+      aggForecastBaselineSql),
     streamline.Q("q_agg_iqr", aggIqr _, aggIqrSql),
     streamline.Q("q_agg_cuped", aggCuped _, aggCupedSql),
     streamline.Q("q_agg_theil", aggTheil _, aggTheilSql),

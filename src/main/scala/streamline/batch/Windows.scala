@@ -1775,7 +1775,189 @@ object Windows {
       END AS rsi
     FROM m WHERE rn >= 15 ORDER BY event_type, day"""
 
+  /** q_win_acf — lag-k autocorrelation (k = 1..7) of each event type's
+    * daily-count series: the correlogram that tells a monitoring feed
+    * whether a metric has day-over-day persistence or a weekly echo —
+    * the structure DIAGNOSTIC next to q_agg_trend (direction),
+    * q_win_rsi (momentum) and q_agg_seasonality (one fixed period;
+    * ACF screens all lags at once). Exactness: the series is densified
+    * (corr_matrix discipline) and mean-centered WITHOUT division — the
+    * deviation is carried n-scaled as cp = n·c − Σc (pure integer in
+    * DECIMAL(38)), so r_k = Σ_{t≤n−k} cp_t·cp_{t+k} / Σ_t cp_t² with
+    * the n² scale cancelling exactly; both moments are emitted as
+    * exact digit strings (r17 witness discipline) and the 6-dp acf is
+    * ONE [[Aggregates.exactRound6]] over the fraction REDUCED by a
+    * shared power of ten (den trimmed to ≤ 15 digits, |num| by the
+    * same power — Cauchy–Schwarz gives |num| ≤ den so the trimmed
+    * numerator stays long-safe; exact until den exceeds 15 digits,
+    * ≤ 10⁻¹⁴ relative past that — the reducedR2/q_agg_lift documented
+    * class). An all-flat series (den = 0) yields NULL acf on BOTH
+    * engines. Scale: one map-side-combined corpus pass to the
+    * checkpointed (type, day) count table; the deviation table, the
+    * den rollup and the 7-lag self-join (keyed on type, rn+k) all run
+    * on the bounded types×days grid. */
+  private def winAcf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val e = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        floor(unix_micros($"ts").cast("double") / lit(86400000000.0))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // grid spine branches re-read it
+    val grid = e.select($"event_type").distinct()
+      .crossJoin(e.select($"day").distinct())
+      .join(e, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"c", lit(0L)).as("c"))
+    val st = grid.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"c").as("s"))
+    val ord = Window.partitionBy($"event_type").orderBy($"day")
+    // deviations materialized ONCE: the den rollup and BOTH self-join
+    // sides read this table (grid-sized — a tiny checkpoint)
+    val dev = grid.join(broadcast(st), "event_type")
+      .select($"event_type", $"day", (d38($"n") * $"c" - $"s").as("cp"))
+      .withColumn("rn", row_number().over(ord))
+      .drop("day")
+      .localCheckpoint(true)
+    val den = dev.groupBy($"event_type").agg(sum($"cp" * $"cp").as("den"))
+    val ks = spark.range(1, 8).select($"id".as("k"))
+    val b = dev.select($"event_type".as("et_b"), $"rn".as("rn_b"),
+      $"cp".as("cp_b"))
+    val num = dev.crossJoin(broadcast(ks))
+      .join(b, $"et_b" === $"event_type" && $"rn_b" === $"rn" + $"k")
+      .groupBy($"event_type", $"k")
+      .agg(sum($"cp" * $"cp_b").as("num"))
+    def pow10(kc: org.apache.spark.sql.Column) =
+      concat(lit("1"), call_function("repeat", lit("0"),
+        kc.cast("int"))).cast("decimal(38,0)")
+    val j = greatest(lit(0), length($"den".cast("string")) - lit(15))
+    val numMagR = d38(call_function("div", abs($"num"), pow10(j)))
+    val numR = when($"num" < 0, -numMagR).otherwise(numMagR)
+    val denR = d38(call_function("div", $"den", pow10(j)))
+    num.join(broadcast(den), "event_type")
+      .select($"event_type", $"k",
+        $"num".cast("string").as("acf_num"),
+        $"den".cast("string").as("acf_den"),
+        when($"den" === 0, lit(null).cast("double"))
+          .otherwise(Aggregates.exactRound6(numR, denR)).as("acf"))
+      .orderBy($"event_type", $"k")
+  }
+
+  private val winAcfSql = """
+    WITH e AS (SELECT event_type,
+        CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+          AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+    grid AS (SELECT t.event_type, d.day, coalesce(e.c, 0) AS c
+      FROM (SELECT DISTINCT event_type FROM e) t
+      CROSS JOIN (SELECT DISTINCT day FROM e) d
+      LEFT JOIN e ON e.event_type = t.event_type AND e.day = d.day),
+    st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(c) AS BIGINT) AS s FROM grid GROUP BY 1),
+    dev AS (SELECT g.event_type,
+        g.c::HUGEINT * st.n - st.s AS cp,
+        row_number() OVER (PARTITION BY g.event_type ORDER BY g.day)
+          AS rn
+      FROM grid g JOIN st ON st.event_type = g.event_type),
+    den AS (SELECT event_type, sum(cp * cp) AS den
+      FROM dev GROUP BY 1),
+    num AS (SELECT a.event_type, k.k, sum(a.cp * b.cp) AS num
+      FROM dev a CROSS JOIN (SELECT CAST(unnest(generate_series(1, 7))
+        AS BIGINT) AS k) k
+      JOIN dev b ON b.event_type = a.event_type AND b.rn = a.rn + k.k
+      GROUP BY 1, 2),
+    red AS (SELECT n.event_type, n.k, n.num, d.den,
+        CAST(concat('1', repeat('0', CAST(greatest(0,
+          length(CAST(d.den AS VARCHAR)) - 15) AS INTEGER)))
+          AS HUGEINT) AS p
+      FROM num n JOIN den d ON d.event_type = n.event_type)
+    SELECT event_type, k, CAST(num AS VARCHAR) AS acf_num,
+      CAST(den AS VARCHAR) AS acf_den,
+      CASE WHEN den = 0 THEN NULL
+        ELSE """ + Aggregates.exactRound6Sql(
+          "(CASE WHEN num < 0 THEN -1 ELSE 1 END) * (abs(num) // p)",
+          "den // p") + """
+      END AS acf
+    FROM red ORDER BY event_type, k"""
+
+  /** q_win_bollinger — 20-day Bollinger-band breach detection on each
+    * event type's daily-count series: is today's value outside the
+    * trailing mean ± 2σ envelope — the adaptive-threshold anomaly
+    * screen next to q_win_zscore's fixed population z and
+    * q_win_hampel's median rule (Bollinger adapts the band to the
+    * local level AND local volatility). Exactness: NO division or
+    * sqrt anywhere — |c − μ| > 2σ over the 20-day frame is tested as
+    * the INTEGER cross-multiplication (20·c − S)² > 4·(20·Q − S²)
+    * (multiply through by 20²; S = ΣC, Q = Σc² over the frame), all
+    * carried in DECIMAL(38)/HUGEINT; warm-up rows (rn < 20) are out
+    * of scope; Q crosses the output boundary as its exact digit
+    * string (r17 witness discipline). A flat window (variance 0)
+    * breaches only on a strict deviation — the same strict-inequality
+    * contract both engines share. Scale: grid-sized window sums share
+    * one (type)-keyed sort; at 10¹² daily counts 20·Q ≤ 8·10²⁷ and
+    * dev² ≤ 4·10²⁶ — inside DECIMAL(38) with ten digits of
+    * headroom. */
+  private def winBollinger(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val e = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        floor(unix_micros($"ts").cast("double") / lit(86400000000.0))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // grid spine branches re-read it
+    val grid = e.select($"event_type").distinct()
+      .crossJoin(e.select($"day").distinct())
+      .join(e, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"c", lit(0L)).as("c"))
+    val ord = Window.partitionBy($"event_type").orderBy($"day")
+    val frame = ord.rowsBetween(-19, 0)
+    val m = grid.select($"event_type", $"day", $"c",
+        row_number().over(ord).as("rn"),
+        sum($"c").over(frame).as("s20"),
+        sum(d38($"c") * $"c").over(frame).as("q20"))
+      .where($"rn" >= 20)
+    val dev = d38(lit(20L)) * $"c" - $"s20"
+    val varn = d38(lit(20L)) * $"q20" - d38($"s20") * $"s20"
+    m.select($"event_type", $"day", $"c", $"s20",
+        $"q20".cast("string").as("q20"),
+        when(dev > 0 && dev * dev > varn * lit(4), 1L).otherwise(0L)
+          .as("breach_hi"),
+        when(dev < 0 && dev * dev > varn * lit(4), 1L).otherwise(0L)
+          .as("breach_lo"))
+      .orderBy($"event_type", $"day")
+  }
+
+  private val winBollingerSql = """
+    WITH e AS (SELECT event_type,
+        CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+          AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+    grid AS (SELECT t.event_type, d.day, coalesce(e.c, 0) AS c
+      FROM (SELECT DISTINCT event_type FROM e) t
+      CROSS JOIN (SELECT DISTINCT day FROM e) d
+      LEFT JOIN e ON e.event_type = t.event_type AND e.day = d.day),
+    m AS (SELECT event_type, day, c,
+        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+        CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT) AS s20,
+        sum(c::HUGEINT * c) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS q20
+      FROM grid),
+    t AS (SELECT event_type, day, c, s20, q20,
+        20::HUGEINT * c - s20 AS dev,
+        20::HUGEINT * q20 - s20::HUGEINT * s20 AS varn
+      FROM m WHERE rn >= 20)
+    SELECT event_type, day, c, s20, CAST(q20 AS VARCHAR) AS q20,
+      CAST(CASE WHEN dev > 0 AND dev * dev > varn * 4
+        THEN 1 ELSE 0 END AS BIGINT) AS breach_hi,
+      CAST(CASE WHEN dev < 0 AND dev * dev > varn * 4
+        THEN 1 ELSE 0 END AS BIGINT) AS breach_lo
+    FROM t ORDER BY event_type, day"""
+
   val all: Seq[Q] = Seq(
+    Q("q_win_acf", winAcf _, winAcfSql),
+    Q("q_win_bollinger", winBollinger _, winBollingerSql),
     Q("q_win_rsi", winRsi _, winRsiSql),
     Q("q_win_ma_cross", winMaCross _, winMaCrossSql),
     Q("q_win_vwap", winVwap _, winVwapSql),

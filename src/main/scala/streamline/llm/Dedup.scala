@@ -190,6 +190,113 @@ object Dedup {
     jaccardPairs(spark, dir).orderBy($"id_a", $"id_b")
   }
 
+  /** Hot-shingle cap for [[containment]]'s candidate index: shingles
+    * with corpus df above this are anti-joined out of candidate
+    * generation (the q_llm_winnow_pairs WINNOW_MAX_DF / q_join_fuzzy
+    * guard — candidate cost is Σ_s df_pref(s)·df(s), and one
+    * boilerplate shingle shared by 10⁶ docs would otherwise fan out
+    * 10¹² candidate rows). Ordered pairs whose EVERY shared prefix
+    * witness is hotter than the cap are documented out of blocking
+    * scope; ContainmentSpec pins that the cap is non-binding on the
+    * fixture (max df 7 at sf0.01), so the sf-scale listing is exact. */
+  private[streamline] val ContMaxDf = 100L
+
+  /** q_llm_containment — ASYMMETRIC near-duplication: ordered pairs
+    * (a, b) with |Sa ∩ Sb| ≥ 0.7·|Sa| over hashed 3-shingle sets — the
+    * containment screen that catches a short document EMBEDDED in a
+    * longer one (quote, mirror-with-banner, excerpt), which symmetric
+    * Jaccard structurally misses (|∩|/|∪| is dragged down by the big
+    * doc's size; CCNet/The-Pile-style curation dedups on containment
+    * for exactly this reason). Candidate generation is prefix-
+    * filtered on the CONTAINED side only (containment bounds nothing
+    * about b's side): if |Sa∩Sb| ≥ ⌈0.7·|Sa|⌉ then one of a's first
+    * ⌊0.3·|Sa|⌋+1 sorted shingles must hit Sb (≤ ⌊0.3·|Sa|⌋ elements
+    * of Sa miss Sb — pigeonhole), so candidates come from a-prefix ⋈
+    * b-full-posting keyed on the shingle hash, never all-pairs. Two
+    * further SOUND filters ride the join condition for free (measured
+    * 2.5× fewer candidates on the small-vocabulary fixture, where
+    * shingles alone block weakly): the size band 10·|Sb| ≥ 7·|Sa|
+    * (inter ≤ |Sb|) and the PPJoin positional filter — the FIRST
+    * common element at 1-based positions (pa, pb) bounds inter ≤
+    * 1 + min(|Sa|−pa, |Sb|−pb), so every true pair keeps at least its
+    * first-match posting. df-hot shingles are anti-joined out of BOTH
+    * index sides ([[ContMaxDf]]). Verification is the exact integer
+    * test 10·|∩| ≥ 7·|Sa| on the full hashed sets; containment is one
+    * [[streamline.batch.Aggregates.exactRound6]]. Scale: the shingle
+    * table is materialized once and feeds the prefix index, the
+    * posting index and both verify sides; all joins are keyed
+    * shuffle-hash joins (the jaccardPairs r15 posture — a corpus-
+    * sized broadcast is the plan that dies first at 100 TB). */
+  private def containment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", array_sort(array_distinct(
+        transform(shingles3($"text"), s => xxhash64(s)))).as("sh"))
+      .localCheckpoint(true)
+    // pos is 0-indexed; prefix = positions 0..⌊0.3n⌋ (size ⌊0.3n⌋+1)
+    val ex = sh.select($"doc_id", size($"sh").as("n"),
+      posexplode($"sh").as(Seq("pos", "p")))
+    val hot = ex.groupBy($"p").agg(count(lit(1)).as("df"))
+      .where($"df" > lit(ContMaxDf)).select($"p")
+    val exCold = ex.join(broadcast(hot), Seq("p"), "left_anti")
+    val pref = exCold.where(lit(10) * $"pos" <= lit(3) * $"n")
+    val cand = pref.as("a").hint("shuffle_hash").join(exCold.as("b"),
+        $"a.p" === $"b.p" && $"a.doc_id" =!= $"b.doc_id" &&
+          lit(10) * $"b.n" >= lit(7) * $"a.n" &&
+          lit(10) * (least($"a.n" - $"a.pos" - 1,
+            $"b.n" - $"b.pos" - 1) + 1) >= lit(7) * $"a.n")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+    val inter = size(array_intersect($"sa.sh", $"sb.sh"))
+    cand.hint("shuffle_hash").join(sh.as("sa"), $"sa.doc_id" === $"id_a")
+      .hint("shuffle_hash").join(sh.as("sb"), $"sb.doc_id" === $"id_b")
+      .where(inter * lit(10) >= size($"sa.sh") * lit(7))
+      .select($"id_a", $"id_b", inter.cast("long").as("inter"),
+        size($"sa.sh").cast("long").as("size_a"),
+        size($"sb.sh").cast("long").as("size_b"),
+        streamline.batch.Aggregates.exactRound6(
+          inter.cast("long"), size($"sa.sh").cast("long"))
+          .as("containment"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Oracle mirror of [[containment]] — same prefix/positional/df-cap
+    * blocking on literal shingle strings (hashing changes nothing: any
+    * fixed total order works for the prefix filter, and the blocking
+    * filters are SOUND — they only shrink the candidate set the exact
+    * verify then re-tests; AcfGrowthSpec pins the hashed listing
+    * against a literal all-pairs walk). generate_subscripts is
+    * 1-based. */
+  private val containmentSql = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, list_sort(list_distinct(
+             list_transform(generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+           FROM w),
+    ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS p,
+             generate_subscripts(sh, 1) AS pos FROM sh),
+    hot AS (SELECT p FROM (SELECT p, count(*) AS df FROM ex GROUP BY 1)
+            WHERE df > 100),
+    excold AS (SELECT doc_id, n, p, pos FROM ex ANTI JOIN hot USING (p)),
+    pref AS (SELECT doc_id, n, p, pos FROM excold
+             WHERE 10 * (pos - 1) <= 3 * n),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM pref a JOIN excold b ON a.p = b.p
+               AND a.doc_id != b.doc_id
+               AND 10 * b.n >= 7 * a.n
+               AND 10 * (least(a.n - a.pos, b.n - b.pos) + 1)
+                 >= 7 * a.n),
+    v AS (SELECT id_a, id_b,
+            CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+            CAST(len(sa.sh) AS BIGINT) AS size_a,
+            CAST(len(sb.sh) AS BIGINT) AS size_b
+          FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+                    JOIN sh sb ON sb.doc_id = cand.id_b)
+    SELECT id_a, id_b, inter, size_a, size_b,
+      """ + streamline.batch.Aggregates.exactRound6Sql(
+        "inter", "size_a") + """ AS containment
+    FROM v WHERE 10 * inter >= 7 * size_a ORDER BY id_a, id_b"""
+
   /** q_llm_dedup_cluster — the end-to-end near-dup dedup decision: the
     * pairwise τ-similarity graph is only half the operator a corpus
     * pipeline needs, because near-duplication is transitive in practice
@@ -807,6 +914,7 @@ object Dedup {
     Q("q_llm_dedup_exact", dedupExact _, dedupExactSql),
     Q.noOracle("q_llm_dedup_near", dedupNear _),
     Q("q_llm_dedup_jaccard", dedupJaccard _, dedupJaccardSql),
+    Q("q_llm_containment", containment _, containmentSql),
     Q("q_llm_dedup_matrix", dedupMatrix _, dedupMatrixSql),
     Q("q_llm_dedup_incremental", dedupIncremental _, dedupIncrementalSql),
     // batching cannot change per-doc verdicts ⇒ the oracle IS the

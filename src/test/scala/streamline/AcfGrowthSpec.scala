@@ -1,0 +1,172 @@
+package streamline
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Pins the r17 late-round additions against INDEPENDENT in-JVM brute
+  * forces over the collected sf0.001 fixtures: a literal centered
+  * lag-product walk (q_win_acf), a literal 20-day window walk with the
+  * integer band test (q_win_bollinger), a literal lag-1/lag-7 error
+  * walk (q_agg_forecast_baseline), a literal per-day purchaser set
+  * classification (q_agg_growth_accounting), and a literal ALL-PAIRS
+  * shingle containment (q_llm_containment — also pinning that the
+  * hot-shingle df cap is non-binding on the fixture, so the
+  * prefix-blocked listing is the complete one). A slipped grid zero,
+  * an off-by-one frame, a wrong churn difference or a lost candidate
+  * cannot cancel against the DuckDB oracle, which shares SQL shape
+  * with the queries. */
+class AcfGrowthSpec extends SparkSuite {
+
+  private def r6(num: BigInt, den: BigInt): Double = {
+    val mag = (BigInt(2000000) * num.abs + den) / (2 * den)
+    (if (num < 0) -mag else mag).toDouble / 1e6
+  }
+
+  private def us(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def events() = Tables.events(spark, sfDir)
+    .select("event_type", "ts", "user_id").collect()
+    .map(r => (r.getString(0), us(r.getTimestamp(1)), r.getLong(2)))
+
+  private def day(u: Long): Long =
+    math.floor(u.toDouble / 86400000000.0).toLong
+
+  /** Densified per-type daily-count series over the shared day grid. */
+  private def series(): (Seq[Long], Map[String, Seq[Long]]) = {
+    val rows = events()
+    val counts = rows.groupBy(x => (x._1, day(x._2)))
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val days = counts.keys.map(_._2).toSeq.distinct.sorted
+    val types = counts.keys.map(_._1).toSeq.distinct.sorted
+    (days, types.map(t =>
+      t -> days.map(d => counts.getOrElse((t, d), 0L))).toMap)
+  }
+
+  test("acf matches a literal centered lag-product walk") {
+    val (_, byType) = series()
+    val expected = byType.toSeq.sortBy(_._1).flatMap { case (t, xs) =>
+      val n = BigInt(xs.length)
+      val s = xs.map(BigInt(_)).sum
+      val cp = xs.map(x => n * x - s)
+      val den = cp.map(c => c * c).sum
+      (1 to 7).map { k =>
+        val num = (0 until xs.length - k)
+          .map(i => cp(i) * cp(i + k)).sum
+        val j = math.max(0, den.toString.length - 15)
+        val p = BigInt(10).pow(j)
+        val numR = if (num < 0) -(num.abs / p) else num.abs / p
+        (t, k.toLong, num.toString, den.toString, r6(numR, den / p))
+      }
+    }
+    val got = SparkEntry.queries("q_win_acf")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getDouble(4))).toSeq
+    assert(got === expected)
+    // the correlogram is non-trivial: both signs occur
+    assert(got.exists(_._5 > 0) && got.exists(_._5 < 0))
+  }
+
+  test("bollinger matches a literal 20-day window walk") {
+    val (days, byType) = series()
+    val expected = byType.toSeq.sortBy(_._1).flatMap { case (t, xs) =>
+      (19 until xs.length).map { i =>
+        val w = xs.slice(i - 19, i + 1)
+        val s20 = w.sum
+        val q20 = w.map(x => BigInt(x) * x).sum
+        val dev = BigInt(20) * xs(i) - s20
+        val varn = BigInt(20) * q20 - BigInt(s20) * s20
+        val out = dev * dev > varn * 4
+        (t, days(i), xs(i), s20, q20.toString,
+          if (out && dev > 0) 1L else 0L,
+          if (out && dev < 0) 1L else 0L)
+      }
+    }
+    val got = SparkEntry.queries("q_win_bollinger")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expected)
+    // warm-up excluded: exactly |days|-19 rows per type
+    assert(got.size == byType.size * (days.length - 19))
+  }
+
+  test("forecast baseline matches a literal lag-error walk") {
+    val (_, byType) = series()
+    val expected = byType.toSeq.sortBy(_._1).map { case (t, xs) =>
+      val idx = 7 until xs.length
+      val sae1 = idx.map(i => math.abs(xs(i) - xs(i - 1))).sum
+      val sae7 = idx.map(i => math.abs(xs(i) - xs(i - 7))).sum
+      val n = idx.length.toLong
+      (t, n, sae1, sae7, r6(BigInt(sae1), BigInt(n)),
+        r6(BigInt(sae7), BigInt(n)),
+        if (sae7 == 0) None else Some(r6(BigInt(sae1), BigInt(sae7))))
+    }
+    val got = SparkEntry.queries("q_agg_forecast_baseline")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toSeq
+    assert(got === expected)
+    // the backtest discriminates: not all MASE ratios equal
+    assert(got.flatMap(_._7).distinct.size > 1)
+  }
+
+  test("growth accounting matches a literal per-day set replay") {
+    val act = events().filter(_._1 == "purchase")
+      .map(x => (x._3, day(x._2))).toSet
+    val firsts = act.groupBy(_._1).map { case (u, s) =>
+      u -> s.map(_._2).min }
+    val days = act.map(_._2).toSeq.sorted
+    val activeOn = act.groupBy(_._2)
+      .map { case (d, s) => d -> s.map(_._1) }
+    val expected = days.map { d =>
+      val a = activeOn(d)
+      val newU = a.count(firsts(_) == d).toLong
+      val ret = a.count(u => firsts(u) < d && act((u, d - 1))).toLong
+      val res = a.count(u => firsts(u) < d && !act((u, d - 1))).toLong
+      val prev = activeOn.get(d - 1).map(_.size.toLong)
+      val churned = prev.map(_ - ret)
+      val qr = churned.filter(_ != 0)
+        .map(c => r6(BigInt(newU + res), BigInt(c)))
+      (d, a.size.toLong, newU, ret, res, churned, qr)
+    }
+    val got = SparkEntry.queries("q_agg_growth_accounting")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toSeq
+    assert(got === expected)
+    // daily purchase grain is sparse enough that every class fires
+    assert(got.exists(_._4 > 0) && got.exists(_._5 > 0) &&
+      got.exists(_._6.exists(_ > 0)))
+  }
+
+  test("containment matches literal all-pairs; df cap is non-binding") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet)
+    // cap non-binding on the fixture ⇒ the prefix-blocked listing is
+    // the COMPLETE containment listing (the q_join_fuzzy scoping move)
+    val maxDf = docs.flatMap(_._2).groupBy(identity)
+      .values.map(_.length).max
+    assert(maxDf <= streamline.llm.Dedup.ContMaxDf)
+    val expected = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs
+      if ia != ib
+      inter = (sa & sb).size
+      if 10 * inter >= 7 * sa.size && sa.nonEmpty
+    } yield (ia, ib, inter.toLong, sa.size.toLong, sb.size.toLong,
+      r6(BigInt(inter), BigInt(sa.size))))
+      .toSeq.sortBy(p => (p._1, p._2))
+    val got = SparkEntry.queries("q_llm_containment")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === expected)
+    // the measure is genuinely directional: some pair's two sides have
+    // different set sizes, so containment(a→b) ≠ containment(b→a)
+    // (at sf0.001 both directions happen to clear τ=0.7; the metric
+    // values still differ per direction)
+    assert(got.nonEmpty)
+    assert(got.exists(p => p._4 != p._5))
+  }
+}
