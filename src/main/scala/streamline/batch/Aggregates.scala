@@ -2360,6 +2360,88 @@ object Aggregates {
     FROM cls c LEFT JOIN cls pc ON pc.wk = c.wk - 1
     ORDER BY c.wk"""
 
+  /** q_agg_spearman — Spearman rank correlation between per-user
+    * activity counts of every event-type pair: the ROBUST monotone-
+    * association screen next to q_agg_corr's Pearson (which an
+    * outlier user dominates) and q_agg_corr_matrix's level
+    * correlation — "do heavy clickers also purchase heavily",
+    * measured on ranks so one whale cannot manufacture the signal.
+    * Exactness: the per-user count grid is densified over users ×
+    * types (a user missing a type counts 0); ranks are tie-AVERAGED
+    * midranks carried DOUBLED so they stay integer (dr = 2·minrank +
+    * ties − 1 — the standard (2a+n−1)/2 midrank times two); all five
+    * moments are exact DECIMAL(38) integer sums converted once to
+    * double, and rho is the IDENTICAL IEEE expression tree on both
+    * engines (±,×,/,sqrt are all correctly rounded ⇒ bit-identical —
+    * the q_agg_corr discipline). Scale: ONE corpus pass to the
+    * checkpointed (user, type) count table; ranks are one
+    * (type)-keyed distributed sort over the |users|·|types| grid; the
+    * pair moments are a user-keyed self-join of the rank table —
+    * grid-sized, never corpus-sized. */
+  private def aggSpearman(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val u = Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // spines + grid all read it
+    val grid = u.select($"user_id").distinct()
+      .crossJoin(u.select($"event_type").distinct())
+      .join(u, Seq("user_id", "event_type"), "left")
+      .select($"user_id", $"event_type", coalesce($"c", lit(0L)).as("c"))
+    val w = Window.partitionBy($"event_type").orderBy($"c")
+    val wt = Window.partitionBy($"event_type", $"c")
+    // doubled midrank: integer, tie-order-free, Σdr = n(n+1) per type
+    val r = grid.select($"user_id", $"event_type",
+        (lit(2L) * rank().over(w) + count(lit(1)).over(wt) - lit(1L))
+          .as("dr"))
+      .localCheckpoint(true) // both self-join sides read it
+    val pairs = r.as("a").join(r.as("b"),
+        $"a.user_id" === $"b.user_id" &&
+          $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("t1"), $"b.event_type".as("t2"))
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(d38($"a.dr"))).as("sx"),
+        asDouble(sum(d38($"b.dr"))).as("sy"),
+        asDouble(sum(d38($"a.dr") * $"b.dr")).as("sxy"),
+        asDouble(sum(d38($"a.dr") * $"a.dr")).as("sx2"),
+        asDouble(sum(d38($"b.dr") * $"b.dr")).as("sy2"))
+    val dn = $"n".cast("double")
+    pairs.select($"t1", $"t2", $"n",
+        ((dn * $"sxy" - $"sx" * $"sy") /
+          (sqrt(dn * $"sx2" - $"sx" * $"sx")
+            * sqrt(dn * $"sy2" - $"sy" * $"sy"))).as("rho"))
+      .orderBy($"t1", $"t2")
+  }
+
+  private val aggSpearmanSql = """
+    WITH u AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    grid AS (SELECT s.user_id, t.event_type, coalesce(u.c, 0) AS c
+      FROM (SELECT DISTINCT user_id FROM u) s
+      CROSS JOIN (SELECT DISTINCT event_type FROM u) t
+      LEFT JOIN u ON u.user_id = s.user_id
+        AND u.event_type = t.event_type),
+    r AS (SELECT user_id, event_type,
+        2 * rank() OVER (PARTITION BY event_type ORDER BY c)
+          + count(*) OVER (PARTITION BY event_type, c) - 1 AS dr
+      FROM grid),
+    p AS (SELECT a.event_type AS t1, b.event_type AS t2,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(a.dr::HUGEINT) AS DOUBLE) AS sx,
+        CAST(sum(b.dr::HUGEINT) AS DOUBLE) AS sy,
+        CAST(sum(a.dr::HUGEINT * b.dr) AS DOUBLE) AS sxy,
+        CAST(sum(a.dr::HUGEINT * a.dr) AS DOUBLE) AS sx2,
+        CAST(sum(b.dr::HUGEINT * b.dr) AS DOUBLE) AS sy2
+      FROM r a JOIN r b ON a.user_id = b.user_id
+        AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT t1, t2, n,
+      (CAST(n AS DOUBLE) * sxy - sx * sy)
+        / (sqrt(CAST(n AS DOUBLE) * sx2 - sx * sx)
+           * sqrt(CAST(n AS DOUBLE) * sy2 - sy * sy)) AS rho
+    FROM p ORDER BY t1, t2"""
+
   /** q_agg_forecast_baseline — naive-forecast backtest of each event
     * type's daily-count series: the MAE of the lag-1 naive forecast
     * and of the lag-7 seasonal-naive forecast, plus their ratio (the
@@ -2936,6 +3018,7 @@ object Aggregates {
       aggGrowthAccountingSql),
     streamline.Q("q_agg_forecast_baseline", aggForecastBaseline _,
       aggForecastBaselineSql),
+    streamline.Q("q_agg_spearman", aggSpearman _, aggSpearmanSql),
     streamline.Q("q_agg_iqr", aggIqr _, aggIqrSql),
     streamline.Q("q_agg_cuped", aggCuped _, aggCupedSql),
     streamline.Q("q_agg_theil", aggTheil _, aggTheilSql),

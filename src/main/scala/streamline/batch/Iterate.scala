@@ -1280,7 +1280,87 @@ object Iterate {
     ORDER BY side, score_fp DESC, v"""
   }
 
+  /** q_iter_katz — Katz centrality on the directed 1997-03
+    * customer→supplier purchase graph: x = Σ_k α^k·(Aᵀ)^k·1 — the
+    * ATTENUATED-path-count centrality next to q_iter_pagerank's
+    * random walk (no normalization pressure) and q_iter_hits' mutual
+    * reinforcement (no bipartite split): every vertex starts with
+    * β = 1 and receives α times its in-neighbors' scores, so long
+    * chains still count, just geometrically less. α is set
+    * DATA-DEPENDENTLY to 1/(2·d_max) (d_max = max in-degree), which
+    * guarantees α·λ_max ≤ ½ < 1 — convergence without knowing the
+    * spectrum — and keeps every step EXACT integer: scores in 1e-6
+    * fixed point are bounded by β/(1−½) = 2·10⁶, so sums stay
+    * long-safe at any scale, and the α-attenuation is ONE integral
+    * division by 2·d_max (non-negative ⇒ truncate == floor on both
+    * engines). 8 supersteps; each is one keyed state⋈edges join +
+    * keyed sum + a 1-row d_max broadcast; state linear in vertices,
+    * lineage truncated per step. */
+  private def iterKatz(spark: SparkSession, dir: String): DataFrame =
+    withIterConfs(spark)(iterKatzImpl(spark, dir))
+
+  private def iterKatzImpl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val SCALE = 1000000L
+    val month = Tables.orders(spark, dir)
+      .where($"o_orderdate" >= lit("1997-03-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-04-01").cast("timestamp"))
+    val edges = month
+      .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("src"),
+        ($"l_suppkey" + lit(1000000L)).as("dst"))
+      .distinct().persist()
+    val dmax = edges.groupBy($"dst").agg(count(lit(1)).as("d"))
+      .agg(max($"d").as("dmax"))
+    val verts = edges.select($"src".as("v"))
+      .union(edges.select($"dst".as("v"))).distinct()
+      .localCheckpoint(true) // every superstep's left join reads it
+    var x = verts.select($"v", lit(SCALE).as("s")).localCheckpoint(true)
+    for (_ <- 1 to 8) {
+      val contrib = edges.join(stateSide(x), $"v" === $"src")
+        .groupBy($"dst").agg(sum($"s").as("raw"))
+        .select($"dst".as("v"), $"raw")
+      x = verts.join(contrib, Seq("v"), "left")
+        .crossJoin(broadcast(dmax))
+        .select($"v", (lit(SCALE) + call_function("div",
+          coalesce($"raw", lit(0L)), lit(2L) * $"dmax")).as("s"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist()
+    x.select($"v", $"s".as("katz_fp")).orderBy($"katz_fp".desc, $"v")
+  }
+
+  /** Oracle: the same 8 integer supersteps as chained CTEs, each
+    * referencing its predecessor exactly once (the q_iter_hits
+    * single-reference discipline); the flat `dm`/`verts` CTEs are
+    * tiny re-inlined aggregates, not chained growth. */
+  private val iterKatzSql = {
+    val rounds = (1 to 8).map { i =>
+      val prev = if (i == 1) "x0" else s"x${i - 1}"
+      s"""x$i AS (SELECT t.v,
+         |    CAST(1000000 + (coalesce(c.raw, 0) // (2 * dm.dmax))
+         |      AS BIGINT) AS s
+         |  FROM verts t CROSS JOIN dm
+         |  LEFT JOIN (SELECT e.dst AS v, CAST(sum(p.s) AS BIGINT) AS raw
+         |             FROM e JOIN $prev p ON p.v = e.src GROUP BY 1) c
+         |    ON c.v = t.v)""".stripMargin
+    }.mkString(",\n")
+    s"""
+    WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'),
+    verts AS (SELECT DISTINCT src AS v FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    dm AS (SELECT max(d) AS dmax FROM
+             (SELECT CAST(count(*) AS BIGINT) AS d FROM e GROUP BY dst)),
+    x0 AS (SELECT v, CAST(1000000 AS BIGINT) AS s FROM verts),
+    $rounds
+    SELECT v, s AS katz_fp FROM x8 ORDER BY katz_fp DESC, v"""
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_iter_katz", iterKatz _, iterKatzSql),
     Q("q_iter_hits", iterHits _, iterHitsSql),
     Q("q_stream_iterate", streamIterate _, streamIterateSql),
     Q("q_iter_lpa", iterLpa _, iterLpaSql),

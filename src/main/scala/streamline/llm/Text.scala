@@ -754,6 +754,76 @@ object Text {
     FROM t JOIN r USING (word)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  /** q_llm_burstiness — per-word burstiness (Church–Gale): the
+    * variance-to-mean ratio of a word's per-document counts over ALL
+    * corpus documents (absent = 0) — VMR ≈ 1 marks Poisson "function
+    * word" behavior, VMR ≫ 1 marks content words that arrive in
+    * bursts; the standard corpus-linguistics axis that q_llm_zipf
+    * (rank–frequency) and q_llm_heaps (vocabulary growth) do not
+    * capture, and a practical stopword/keyword discriminator for
+    * quality scoring. Exactness: VMR = (n·Σx² − (Σx)²)/(n·Σx) with
+    * all moments exact integers in DECIMAL(38) (zeros contribute
+    * nothing, so NO densification is needed — just the 1-row doc
+    * count), the numerator ≥ 0 by Cauchy–Schwarz, both witnesses out
+    * as digit strings and the ratio ONE
+    * [[streamline.batch.Aggregates.exactRound6]] over the fraction
+    * reduced by a shared power of ten (den → ≤14 digits; VMR is
+    * bounded by the max per-doc count ≤ 10⁴, so the trimmed numerator
+    * stays long-safe; exact until den > 10¹⁴, ≤10⁻¹³ relative past —
+    * the q_win_acf/reducedR2 class). Scale: one corpus explode →
+    * map-side-combined (word, doc) count → word-keyed rollup; output
+    * is vocabulary-sized (at 100 TB a df floor bounds the emission —
+    * the q_llm_df_prune cut). */
+  private def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val wc = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .where($"word" =!= "")
+      .groupBy($"word", $"doc_id").agg(count(lit(1)).as("c"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val m = wc.groupBy($"word").agg(count(lit(1)).as("df"),
+        sum($"c").as("tf"), sum(d38($"c") * $"c").as("tf2"))
+      .crossJoin(broadcast(nDocs))
+    val num = d38($"n") * $"tf2" - d38($"tf") * $"tf"
+    val den = d38($"n") * $"tf"
+    def pow10(kc: Column) =
+      concat(lit("1"), call_function("repeat", lit("0"),
+        kc.cast("int"))).cast("decimal(38,0)")
+    val j = greatest(lit(0), length(den.cast("string")) - lit(14))
+    val numR = d38(call_function("div", num, pow10(j)))
+    val denR = d38(call_function("div", den, pow10(j)))
+    m.select($"word", $"df", $"tf",
+        num.cast("string").as("vmr_num"),
+        den.cast("string").as("vmr_den"),
+        streamline.batch.Aggregates.exactRound6(numR, denR).as("vmr"))
+      .orderBy($"word")
+  }
+
+  private val burstinessSql = """
+    WITH wc AS (SELECT word, doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY 1, 2),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    m AS (SELECT word, CAST(count(*) AS BIGINT) AS df,
+        CAST(sum(c) AS BIGINT) AS tf, sum(c::HUGEINT * c) AS tf2
+      FROM wc GROUP BY 1),
+    b AS (SELECT word, df, tf,
+        nd.n::HUGEINT * tf2 - tf::HUGEINT * tf AS num,
+        nd.n::HUGEINT * tf AS den
+      FROM m CROSS JOIN nd),
+    red AS (SELECT word, df, tf, num, den,
+        CAST(concat('1', repeat('0', CAST(greatest(0,
+          length(CAST(den AS VARCHAR)) - 14) AS INTEGER)))
+          AS HUGEINT) AS p
+      FROM b)
+    SELECT word, df, tf, CAST(num AS VARCHAR) AS vmr_num,
+      CAST(den AS VARCHAR) AS vmr_den,
+      """ + streamline.batch.Aggregates.exactRound6Sql(
+        "num // p", "den // p") + """ AS vmr
+    FROM red ORDER BY word"""
+
   /** q_llm_zipf — per-language rank–frequency (Zipf) profile in
     * OCTAVES: word frequencies ranked inside each language
     * (row_number over (n DESC, word) — a total tie order), ranks
@@ -1611,6 +1681,7 @@ object Text {
     FROM sc GROUP BY 1 ORDER BY 1"""
 
   val all: Seq[Q] = Seq(
+    Q("q_llm_burstiness", burstiness _, burstinessSql),
     Q("q_llm_backoff_lm", backoffLm _, backoffLmSql),
     Q("q_llm_ngram_entropy_rate", ngramEntropyRate _, ngramEntropyRateSql),
     Q("q_llm_template_prefix", templatePrefix _, templatePrefixSql),
