@@ -2360,6 +2360,203 @@ object Aggregates {
     FROM cls c LEFT JOIN cls pc ON pc.wk = c.wk - 1
     ORDER BY c.wk"""
 
+  /** q_agg_hill — Hill tail-index estimator per order priority over
+    * order totals: γ̂ = (1/k)·Σ_{i≤k} [ln x_(i) − ln x_(k+1)] over the
+    * k = ⌈n/10⌉ largest totals — THE standard heavy-tail exponent
+    * estimate (Pareto α ≈ 1/γ̂): q_agg_skew_kurt says "skewed",
+    * q_win_pareto says "concentrated", Hill says HOW heavy the tail
+    * actually is, which sets whether means/variances of the feed are
+    * even finite. Exactness: totals in integer cents, the
+    * transcendental through the DISTINCT-INTEGER ln side table (the
+    * entropy/psi/theil discipline — L₄ = round(10⁴·ln v) computed
+    * once per distinct cent value), the numerator Σ(L₄(xᵢ) −
+    * L₄(thr)) exact BIGINT, γ̂ ONE [[exactRound6]] over (num4,
+    * k·10⁴); the top-k and the threshold are DISCRETE rank selections
+    * on the (priority)-keyed descending sort (total tie order value
+    * DESC, orderkey ASC — selection reads VALUES at multiset ranks,
+    * so the tiebreak cannot change the result). Scale: one corpus
+    * pass to the scaled table, one keyed sort + rank filter,
+    * value-distinct ln broadcast — the q_agg_mad selection class. */
+  private def aggHill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderpriority".as("pri"), $"o_orderkey",
+        round($"o_totalprice" * 100).cast("bigint").as("v"))
+      .localCheckpoint(true) // ranked + side-table branches read it
+    val ranked = o
+      .withColumn("rn", row_number().over(Window.partitionBy($"pri")
+        .orderBy($"v".desc, $"o_orderkey".asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"pri")))
+      .withColumn("k", call_function("div", $"n" + lit(9L), lit(10L)))
+      .where($"rn" <= $"k" + lit(1L))
+      .localCheckpoint(true) // ln side table + numerator read it
+    val l = ranked.select($"v").distinct()
+      .select($"v", round(log($"v") * 10000).cast("long").as("l4"))
+    val withL = ranked.join(broadcast(l), "v")
+    val thr = withL.where($"rn" === $"k" + lit(1L))
+      .select($"pri".as("pri_t"), $"l4".as("lthr"), $"v".as("thr"))
+    withL.where($"rn" <= $"k")
+      .join(broadcast(thr), $"pri" === $"pri_t")
+      .groupBy($"pri")
+      .agg(max($"n").as("n"), max($"k").as("k"), max($"thr").as("thr"),
+        sum($"l4" - $"lthr").as("num4"))
+      .select($"pri", $"n", $"k", $"thr", $"num4",
+        exactRound6($"num4", $"k" * lit(10000L)).as("hill_gamma"))
+      .orderBy($"pri")
+  }
+
+  private val aggHillSql = """
+    WITH o AS (SELECT o_orderpriority AS pri, o_orderkey,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+    r AS (SELECT pri, v,
+        row_number() OVER (PARTITION BY pri
+          ORDER BY v DESC, o_orderkey ASC) AS rn,
+        CAST(count(*) OVER (PARTITION BY pri) AS BIGINT) AS n
+      FROM o),
+    rk AS (SELECT pri, v, rn, n, (n + 9) // 10 AS k FROM r
+           WHERE rn <= (n + 9) // 10 + 1),
+    l AS (SELECT v, CAST(round(ln(v) * 10000) AS BIGINT) AS l4
+          FROM (SELECT DISTINCT v FROM rk)),
+    thr AS (SELECT rk.pri, l.l4 AS lthr, rk.v AS thr
+            FROM rk JOIN l ON l.v = rk.v WHERE rk.rn = rk.k + 1)
+    SELECT rk.pri, CAST(max(rk.n) AS BIGINT) AS n,
+      CAST(max(rk.k) AS BIGINT) AS k,
+      CAST(max(t.thr) AS BIGINT) AS thr,
+      CAST(sum(l.l4 - t.lthr) AS BIGINT) AS num4,
+      """ + exactRound6Sql("CAST(sum(l.l4 - t.lthr) AS BIGINT)",
+        "max(rk.k) * 10000") + """ AS hill_gamma
+    FROM rk JOIN l ON l.v = rk.v JOIN thr t ON t.pri = rk.pri
+    WHERE rk.rn <= rk.k
+    GROUP BY rk.pri ORDER BY rk.pri"""
+
+  /** q_agg_mcnemar — McNemar's paired-proportion test on per-user
+    * purchasing between the corpus's FIRST and LAST observed days:
+    * among all users, b = purchased-first-day-only, c = purchased-
+    * last-day-only, χ² = (b − c)²/(b + c) — the PAIRED before/after
+    * test (each user is their own control) that q_agg_abtest's
+    * two-sample z and q_agg_chisq's independence test cannot express;
+    * the standard readout for "did the same population's daily
+    * behavior change" (the day grain keeps the panel genuinely
+    * sparse — a whole-half split saturates to everyone-active-in-
+    * both and the test degenerates to b = c = 0 at every scale).
+    * Exactness: days are the integral µs div, the two reference days
+    * a 1-row min/max broadcast, per-user presence flags keyed integer
+    * maxes, the discordant counts exact BIGINT, χ² ONE
+    * [[exactRound6]] — NULL on BOTH engines when b + c = 0 (no
+    * discordant pairs ⇒ the test is undefined). Scale: ONE
+    * map-side-combined corpus pass to per-user flags + a 1-row
+    * bounds broadcast; the final fold is a single 4-counter
+    * aggregate. */
+  private def aggMcnemar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_type",
+        floor(unix_micros($"ts").cast("double") / lit(86400000000.0))
+          .cast("long").as("day"))
+      .localCheckpoint(true) // the bounds probe and the fold read it
+    val mm = e.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val flags = e.crossJoin(broadcast(mm))
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase" &&
+          $"day" === $"lo", 1L).otherwise(0L)).as("p1"),
+        max(when($"event_type" === "purchase" &&
+          $"day" === $"hi", 1L).otherwise(0L)).as("p2"))
+    flags.agg(count(lit(1)).as("n_users"),
+        sum(when($"p1" === 1L && $"p2" === 1L, 1L).otherwise(0L))
+          .as("n_both"),
+        sum(when($"p1" === 1L && $"p2" === 0L, 1L).otherwise(0L))
+          .as("b"),
+        sum(when($"p1" === 0L && $"p2" === 1L, 1L).otherwise(0L))
+          .as("c"))
+      .select($"n_users", $"n_both", $"b", $"c",
+        when($"b" + $"c" === 0L, lit(null).cast("double"))
+          .otherwise(exactRound6(($"b" - $"c") * ($"b" - $"c"),
+            $"b" + $"c")).as("chi2"))
+  }
+
+  private val aggMcnemarSql = """
+    WITH e AS (SELECT user_id, event_type,
+        CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+          AS BIGINT) AS day FROM events),
+    mm AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+    f AS (SELECT user_id,
+        max(CASE WHEN event_type = 'purchase'
+          AND day = mm.lo THEN 1 ELSE 0 END) AS p1,
+        max(CASE WHEN event_type = 'purchase'
+          AND day = mm.hi THEN 1 ELSE 0 END) AS p2
+      FROM e CROSS JOIN mm GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+      CAST(coalesce(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 END), 0)
+        AS BIGINT) AS n_both,
+      CAST(coalesce(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 END), 0)
+        AS BIGINT) AS b,
+      CAST(coalesce(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 END), 0)
+        AS BIGINT) AS c,
+      CASE WHEN coalesce(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 END), 0)
+          + coalesce(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 END), 0) = 0
+        THEN NULL
+        ELSE """ + exactRound6Sql(
+          """(coalesce(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 END), 0)
+            - coalesce(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 END), 0))
+           * (coalesce(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 END), 0)
+            - coalesce(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 END), 0))""",
+          """coalesce(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 END), 0)
+            + coalesce(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 END), 0)"""
+        ) + """
+      END AS chi2
+    FROM f"""
+
+  /** q_agg_bowley — Bowley (quartile) skewness per event_type:
+    * (q3 + q1 − 2·q2)/(q3 − q1) over the DISCRETE quartile order
+    * statistics — the ROBUST skewness (bounded in [−1, 1], outlier-
+    * immune) next to q_agg_skew_kurt's moment skewness, which a
+    * single extreme reading owns; the q_agg_iqr machinery pointed at
+    * asymmetry instead of spread. Exactness: values integer 1e-4
+    * units, the three cuts DISCRETE rank selections (⌈n/4⌉,
+    * ⌊(n+1)/2⌋, n+1−⌈n/4⌉ — the mad/iqr multiset-rank discipline),
+    * the ratio ONE [[exactRound6]] — NULL on BOTH engines when
+    * q3 = q1 (degenerate spread). Scale: one keyed sort + rank
+    * filter, group-count-sized output — the selection class. */
+  private def aggBowley(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .select($"event_type", round($"value" * 10000).cast("bigint")
+        .as("v4"))
+    val ranked = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"v4".asc)))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy($"event_type")))
+    val kQ = call_function("div", $"n" + lit(3L), lit(4L))
+    val kM = call_function("div", $"n" + lit(1L), lit(2L))
+    ranked.groupBy($"event_type").agg(max($"n").as("n"),
+        min(when($"rn" === kQ, $"v4")).as("q1"),
+        min(when($"rn" === kM, $"v4")).as("q2"),
+        min(when($"rn" === $"n" + lit(1L) - kQ, $"v4")).as("q3"))
+      .select($"event_type", $"n", $"q1", $"q2", $"q3",
+        when($"q3" === $"q1", lit(null).cast("double"))
+          .otherwise(exactRound6($"q3" + $"q1" - lit(2L) * $"q2",
+            $"q3" - $"q1")).as("bowley_skew"))
+      .orderBy($"event_type")
+  }
+
+  private val aggBowleySql = """
+    WITH e AS (SELECT event_type,
+        CAST(round(value * 10000) AS BIGINT) AS v4 FROM events),
+    b AS (SELECT event_type, list_sort(list(v4)) AS vs,
+            CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+    cuts AS (SELECT event_type, n,
+        vs[CAST((n + 3) // 4 AS INTEGER)] AS q1,
+        vs[CAST((n + 1) // 2 AS INTEGER)] AS q2,
+        vs[CAST(n + 1 - (n + 3) // 4 AS INTEGER)] AS q3 FROM b)
+    SELECT event_type, n, q1, q2, q3,
+      CASE WHEN q3 = q1 THEN NULL
+        ELSE """ + exactRound6Sql("q3 + q1 - 2 * q2", "q3 - q1") + """
+      END AS bowley_skew
+    FROM cuts ORDER BY event_type"""
+
   /** q_agg_spearman — Spearman rank correlation between per-user
     * activity counts of every event-type pair: the ROBUST monotone-
     * association screen next to q_agg_corr's Pearson (which an
@@ -3019,6 +3216,9 @@ object Aggregates {
     streamline.Q("q_agg_forecast_baseline", aggForecastBaseline _,
       aggForecastBaselineSql),
     streamline.Q("q_agg_spearman", aggSpearman _, aggSpearmanSql),
+    streamline.Q("q_agg_hill", aggHill _, aggHillSql),
+    streamline.Q("q_agg_mcnemar", aggMcnemar _, aggMcnemarSql),
+    streamline.Q("q_agg_bowley", aggBowley _, aggBowleySql),
     streamline.Q("q_agg_iqr", aggIqr _, aggIqrSql),
     streamline.Q("q_agg_cuped", aggCuped _, aggCupedSql),
     streamline.Q("q_agg_theil", aggTheil _, aggTheilSql),

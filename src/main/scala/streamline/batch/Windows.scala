@@ -1955,7 +1955,89 @@ object Windows {
         THEN 1 ELSE 0 END AS BIGINT) AS breach_lo
     FROM t ORDER BY event_type, day"""
 
+  /** q_win_atr — 14-candle Average True Range on the per-(type, day)
+    * OHLC candles of q_win_ohlc: TR = max(high − low, |high − prev
+    * close|, |low − prev close|) and ATR = its trailing 14-candle
+    * mean — the level-free VOLATILITY gauge of technical analysis
+    * (and of ops monitoring: "how wide does this metric swing
+    * day-to-day, gaps included"), next to q_win_bollinger (which
+    * needs a level band) and q_win_rsi (direction). Candles exist
+    * only on ACTIVE days (the trading-calendar convention — no
+    * densification; a gap day simply contributes its open-vs-prior-
+    * close jump to TR). Exactness: values integer 1e-4 units, TR an
+    * integer greatest of differences, ATR ONE
+    * [[Aggregates.exactRound6]] over the 14-frame integer sum;
+    * warm-up rows (rn < 15 — TR needs a prev close and 14 full TRs
+    * must exist) are out of scope. Scale: the candle build is one
+    * (type, day)-keyed aggregate; lag + frame sum share one
+    * (type)-keyed candle sort — candle-table-sized, not
+    * corpus-sized. */
+  private def winAtr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byCandle = Window.partitionBy($"event_type", $"day")
+    val e = Tables.events(spark, dir)
+      .select($"event_type",
+        floor(unix_micros($"ts").cast("double") / lit(86400000000.0))
+          .cast("long").as("day"),
+        unix_micros($"ts").as("us"), $"event_id",
+        round($"value" * 10000).cast("bigint").as("v"))
+    val r = e.select($"event_type", $"day", $"v",
+      row_number().over(byCandle.orderBy($"us".asc, $"event_id".asc))
+        .as("rn"),
+      count(lit(1)).over(byCandle).as("n"))
+    val candles = r.groupBy($"event_type", $"day")
+      .agg(max($"v").as("high"), min($"v").as("low"),
+        max(when($"rn" === $"n", $"v")).as("close"))
+    val ord = Window.partitionBy($"event_type").orderBy($"day")
+    val tr = candles.select($"event_type", $"day", $"high", $"low",
+        lag($"close", 1).over(ord).as("pc"),
+        row_number().over(ord).as("rn"))
+      .select($"event_type", $"day", $"rn",
+        greatest($"high" - $"low", abs($"high" - $"pc"),
+          abs($"low" - $"pc")).as("tr"))
+    tr.select($"event_type", $"day", $"rn", $"tr",
+        sum($"tr").over(ord.rowsBetween(-13, 0)).as("str"))
+      .where($"rn" >= 15)
+      .select($"event_type", $"day", $"tr",
+        Aggregates.exactRound6($"str", lit(14L)).as("atr4"))
+      .orderBy($"event_type", $"day")
+  }
+
+  private val winAtrSql = """
+    WITH e AS (SELECT event_type,
+        CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+          AS BIGINT) AS day,
+        epoch_us(date_trunc('microseconds', ts)) AS us, event_id,
+        CAST(round(value * 10000) AS BIGINT) AS v
+      FROM events),
+    r AS (SELECT event_type, day, v,
+        row_number() OVER (PARTITION BY event_type, day
+          ORDER BY us, event_id) AS rn,
+        CAST(count(*) OVER (PARTITION BY event_type, day) AS BIGINT)
+          AS n
+      FROM e),
+    c AS (SELECT event_type, day,
+        CAST(max(v) AS BIGINT) AS high, CAST(min(v) AS BIGINT) AS low,
+        CAST(max(CASE WHEN rn = n THEN v END) AS BIGINT) AS close
+      FROM r GROUP BY 1, 2),
+    t AS (SELECT event_type, day,
+        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+        greatest(high - low,
+          abs(high - lag(close) OVER (PARTITION BY event_type
+            ORDER BY day)),
+          abs(low - lag(close) OVER (PARTITION BY event_type
+            ORDER BY day))) AS tr
+      FROM c),
+    s AS (SELECT event_type, day, rn, tr,
+        CAST(sum(tr) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS str
+      FROM t)
+    SELECT event_type, day, tr,
+      """ + Aggregates.exactRound6Sql("str", "14") + """ AS atr4
+    FROM s WHERE rn >= 15 ORDER BY event_type, day"""
+
   val all: Seq[Q] = Seq(
+    Q("q_win_atr", winAtr _, winAtrSql),
     Q("q_win_acf", winAcf _, winAcfSql),
     Q("q_win_bollinger", winBollinger _, winBollingerSql),
     Q("q_win_rsi", winRsi _, winRsiSql),
