@@ -2639,6 +2639,120 @@ object Aggregates {
            * sqrt(CAST(n AS DOUBLE) * sy2 - sy * sy)) AS rho
     FROM p ORDER BY t1, t2"""
 
+  /** q_stream_growth_accounting — the INGEST-TIME shape of
+    * q_agg_growth_accounting: purchase activity arrives as a FILE
+    * STREAM of four day-range shards (one per trigger, staged in
+    * ascending day order so mtimes feed oldest-first), and every
+    * micro-batch classifies ONLY its first-sighted (user, day) pairs
+    * against the ACCUMULATED history — per-user first day and
+    * prev-day presence — exactly the incremental state a production
+    * DAU-accounting pipeline keeps. Correctness argument (why the
+    * incremental verdicts equal the batch ones): classification of
+    * (u, d) reads only activity on days < d, and the day-range
+    * staging guarantees every earlier-day pair is in the accumulated
+    * union (same shard or an earlier one) when (u, d) first arrives —
+    * so each verdict is FINAL at first sighting and the oracle IS the
+    * batch oracle (the q_stream_dedup_incremental contract;
+    * GrowthStreamSpec drives the same drain over a different
+    * time-ordered shard count to pin batching invariance). Scale:
+    * per batch two keyed joins of the shard against the accumulated
+    * (user, day) table — O(delta ⋈ history index), never a history
+    * rescan; the final rollup is days-sized. */
+  private def streamGrowthAccounting(spark: SparkSession,
+                                     dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir("growthacc", dir)
+    val stage = s"$root/in"
+    val marker = new java.io.File(root, "_DONE")
+    val act0 = Tables.events(spark, dir)
+      .where($"event_type" === "purchase")
+      .select($"user_id",
+        floor(unix_micros($"ts").cast("double") / lit(86400000000.0))
+          .cast("long").as("day"))
+    if (!marker.exists()) {
+      streamline.stream.Streams.deleteRec(new java.io.File(root))
+      new java.io.File(root).mkdirs()
+      val b = act0.agg(min($"day").as("lo"), max($"day").as("hi")).head()
+      val (lo, span) = (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+      // four SEQUENTIAL single-file writes, one day-quartile each —
+      // ascending mtimes; the file source feeds oldest-first
+      for (i <- 0L until 4L)
+        act0.where(call_function("div", ($"day" - lit(lo)) * lit(4L),
+            lit(span)) === lit(i))
+          .coalesce(1).write.mode("append").parquet(stage)
+      marker.createNewFile(): Unit
+    }
+    streamGrowthDrain(spark, stage).orderBy($"day")
+  }
+
+  /** The foreachBatch drain itself, factored out (the
+    * streamIncrementalDrain discipline) so GrowthStreamSpec can run
+    * it over a different time-ordered sharding of the same activity. */
+  private[streamline] def streamGrowthDrain(spark: SparkSession,
+                                            stage: String): DataFrame = {
+    import spark.implicits._
+    val ckpt = streamline.util.Knobs.fastTmp +
+      s"/ck_growthacc_${java.util.UUID.randomUUID().toString.take(8)}"
+    var seen: DataFrame = null // accumulated distinct (user_id, day)
+    var cls: DataFrame = null // accumulated per-pair verdicts
+    streamline.stream.Streams.withStreamConfs(spark) {
+      try {
+        val q = spark.readStream.schema("user_id LONG, day LONG")
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              val batch = df.toDF().distinct()
+              val newPairs = (if (seen == null) batch
+                else batch.join(seen, Seq("user_id", "day"), "left_anti"))
+                .localCheckpoint(true)
+              // union INCLUDES this batch: a same-batch (u, d−1) must
+              // count as prev-day presence, and first days are final
+              // because staging is day-ordered
+              val union = (if (seen == null) newPairs
+                else seen.unionByName(newPairs)).localCheckpoint(true)
+              val firsts = union.groupBy($"user_id")
+                .agg(min($"day").as("f"))
+              val prev = union.select($"user_id",
+                ($"day" + lit(1L)).as("day"), lit(1L).as("wp"))
+              val classified = newPairs
+                .join(prev, Seq("user_id", "day"), "left")
+                .join(firsts, "user_id")
+                .select($"user_id", $"day",
+                  when($"f" === $"day", lit("new"))
+                    .when($"wp".isNotNull, lit("retained"))
+                    .otherwise(lit("resurrected")).as("cls"))
+                .localCheckpoint(true)
+              cls = if (cls == null) classified
+                else cls.unionByName(classified)
+              seen = union
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally streamline.stream.Streams.deleteRec(new java.io.File(ckpt))
+    }
+    require(seen != null, "stream fed no batches (stale checkpoint?)")
+    val byDay = cls.groupBy($"day").agg(count(lit(1)).as("active"),
+        sum(when($"cls" === "new", 1L).otherwise(0L)).as("new_users"),
+        sum(when($"cls" === "retained", 1L).otherwise(0L)).as("retained"),
+        sum(when($"cls" === "resurrected", 1L).otherwise(0L))
+          .as("resurrected"))
+      .localCheckpoint(true) // the prev-active attach reads it twice
+    byDay.join(byDay.select(($"day" + lit(1L)).as("day"),
+        $"active".as("prev_active")), Seq("day"), "left")
+      .select($"day", $"active", $"new_users", $"retained",
+        $"resurrected",
+        ($"prev_active" - $"retained").as("churned"),
+        when($"prev_active".isNull ||
+            $"prev_active" - $"retained" === 0L,
+          lit(null).cast("double"))
+          .otherwise(exactRound6($"new_users" + $"resurrected",
+            $"prev_active" - $"retained")).as("quick_ratio"))
+  }
+
   /** q_agg_forecast_baseline — naive-forecast backtest of each event
     * type's daily-count series: the MAE of the lag-1 naive forecast
     * and of the lag-7 seasonal-naive forecast, plus their ratio (the
@@ -3212,6 +3326,11 @@ object Aggregates {
 
   val all: Seq[streamline.Q] = Seq(
     streamline.Q("q_agg_growth_accounting", aggGrowthAccounting _,
+      aggGrowthAccountingSql),
+    // time-ordered sharding makes every incremental verdict final at
+    // first sighting ⇒ the oracle IS the batch oracle (the
+    // q_stream_dedup_incremental contract)
+    streamline.Q("q_stream_growth_accounting", streamGrowthAccounting _,
       aggGrowthAccountingSql),
     streamline.Q("q_agg_forecast_baseline", aggForecastBaseline _,
       aggForecastBaselineSql),
