@@ -61,6 +61,140 @@ object Similarity {
     FROM embeddings, p
     ORDER BY score DESC, vec_id ASC LIMIT 10"""
 
+  /** Exact 1-nearest-neighbor table over all-pairs cosine: for every
+    * vector, its nearest OTHER vector on the (round-6 score DESC,
+    * vec_id ASC) total order — shared by q_llm_knn_acc and
+    * q_llm_rnn_pairs. The all-pairs scan is the documented sf-scale
+    * exactness baseline (the q_llm_dedup_embed split); at 100 TB the
+    * candidate step moves to the LSH/IVF buckets of q_llm_knn_lsh /
+    * q_llm_knn_ivf and this table is what those paths approximate.
+    * The b-side is a broadcast of the (vec_id, embedding) projection
+    * — fixture-scale; the per-vector argmax is a plain `max` over the
+    * PACKED LONG key (s6 + 2·10⁶)·10¹¹ − idb (s6 = the 6-dp score in
+    * 1e-6 units; the (score DESC, idb ASC) total order collapsed into
+    * one comparable scalar) — a long max stays inside whole-stage
+    * codegen as a map-side-combined HashAggregate, so the all-pairs
+    * score stream NEVER materializes through a sort (the earlier
+    * struct max_by fell back to SortAggregate and sorted the 4M-row
+    * cross product — measured 4× slower at sf0.1; a row_number
+    * window was no better). Neighbor id and score decode back out of
+    * the key by integral division (non-negative ⇒ truncate == floor);
+    * the bound vec_id < 10¹¹ is documented here. The oracle keeps the
+    * equivalent window form. */
+  private def nnTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = 100000000000L // > any vec_id (packing radix)
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", $"label")
+    // the q_llm_dedup_embed block scheme instead of a broadcast cross
+    // join: replicating the probe side over hash blocks turns the
+    // all-pairs scan into a keyed SHUFFLE-HASH equi-join whose pair
+    // loop runs INSIDE whole-stage codegen across all block tasks —
+    // a BroadcastNestedLoopJoin materializes every (ea, eb) pair row
+    // through the join boundary instead (measured ~3× slower at
+    // sf0.1, cores notwithstanding)
+    val nBlocks = streamline.util.Knobs.dedupBlocks(spark)
+    val a = emb.select($"vec_id".as("ia"), $"embedding".as("ea"))
+      .withColumn("blk", explode(sequence(lit(0), lit(nBlocks - 1))))
+    val b = emb.select($"vec_id".as("ib"), $"embedding".as("eb"),
+      pmod(hash($"vec_id"), lit(nBlocks)).as("blk_b"))
+    // cosine is SYMMETRIC: score each unordered pair ONCE (i < j, the
+    // q_llm_dedup_embed shape) and explode BOTH directions into the
+    // argmax — half the cosine evaluations of the naive ordered scan.
+    // double round: s6 must be EXACTLY round(cos, 6)·10⁶ — the bare
+    // product round(cos,6)*1e6 sits one ulp off an integer and a cast
+    // would truncate to s6−1
+    val pairs = a.join(b.hint("shuffle_hash"),
+        $"blk" === $"blk_b" && $"ia" < $"ib")
+      .select($"ia", $"ib",
+        (round(round(Exprs.cosine($"ea", $"eb"), 6) * lit(1000000.0))
+          .cast("long") + lit(2000000L)).as("sb"))
+    val dirs = pairs.select(explode(array(
+        struct($"ia".as("src"), ($"sb" * lit(K) - $"ib").as("key")),
+        struct($"ib".as("src"), ($"sb" * lit(K) - $"ia").as("key"))))
+        .as("d"))
+      .select($"d.src".as("ida"), $"d.key".as("key"))
+    val best = dirs.groupBy($"ida").agg(max($"key").as("k"))
+    val sBig = call_function("div", $"k" + lit(K - 1), lit(K))
+    val labA = emb.select($"vec_id".as("ida"), $"label".as("la"))
+    val labB = emb.select($"vec_id".as("idb"), $"label".as("lb"))
+    best.select($"ida", (sBig * lit(K) - $"k").as("idb"),
+        ((sBig - lit(2000000L)).cast("double") / lit(1000000.0))
+          .as("s"))
+      .join(broadcast(labA), Seq("ida"))
+      .join(broadcast(labB), Seq("idb"))
+      .select($"ida", $"la", $"idb", $"lb", $"s")
+  }
+
+  private val nnTableCte = """
+    WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb, label
+      FROM embeddings),
+    p AS (SELECT a.vec_id AS ida, a.label AS la, b.vec_id AS idb,
+        b.label AS lb,
+        round(list_cosine_similarity(a.emb, b.emb), 6) AS s
+      FROM e a JOIN e b ON a.vec_id != b.vec_id),
+    nn AS (SELECT ida, la, idb, lb, s FROM
+      (SELECT *, row_number() OVER (PARTITION BY ida
+         ORDER BY s DESC, idb ASC) AS rn FROM p)
+      WHERE rn = 1)"""
+
+  /** q_llm_knn_acc — 1-NN label accuracy per label: for every vector,
+    * does its nearest neighbor carry the SAME label — the standard
+    * embedding-quality screen (label purity of the metric space)
+    * that decides whether an embedding column is good enough to
+    * cluster/dedup/search on, before any model is trained. Exactness:
+    * the shared [[nnTable]] total order; the accuracy ONE
+    * [[streamline.batch.Aggregates.exactRound6]] over exact integer
+    * counts. Scale: the all-pairs table is the exactness baseline
+    * (see [[nnTable]]); the rollup is labels-sized. */
+  private def knnAcc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    nnTable(spark, dir).groupBy($"la")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"la" === $"lb", 1L).otherwise(0L)).as("correct"))
+      .select($"la".cast("long").as("label"), $"n", $"correct",
+        streamline.batch.Aggregates.exactRound6($"correct", $"n")
+          .as("acc"))
+      .orderBy($"label")
+  }
+
+  private val knnAccSql = nnTableCte + """
+    SELECT CAST(la AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+      CAST(coalesce(sum(CASE WHEN la = lb THEN 1 END), 0) AS BIGINT)
+        AS correct,
+      """ + streamline.batch.Aggregates.exactRound6Sql(
+        "coalesce(sum(CASE WHEN la = lb THEN 1 END), 0)",
+        "count(*)") + """ AS acc
+    FROM nn GROUP BY la ORDER BY label"""
+
+  /** q_llm_rnn_pairs — RECIPROCAL nearest neighbors: unordered pairs
+    * where each vector is the other's 1-NN — the high-precision
+    * duplicate/match signal of entity resolution and semantic dedup
+    * (a one-way 1-NN can be a hub artifact; mutuality filters hubs
+    * out). Exactness: two rows of the shared [[nnTable]] joined on
+    * the reversed id pair, i < j for the unordered listing. Scale:
+    * the mutual join is keyed on the id pair — 1-NN-table-sized,
+    * corpus-linear. */
+  private def rnnPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nn = nnTable(spark, dir).select($"ida", $"idb", $"s")
+      .localCheckpoint(true) // both mutual-join sides read it
+    nn.as("x").join(nn.as("y"),
+        $"x.ida" === $"y.idb" && $"x.idb" === $"y.ida" &&
+          $"x.ida" < $"x.idb")
+      .select($"x.ida".as("id_a"), $"x.idb".as("id_b"),
+        $"x.s".as("score_ab"), $"y.s".as("score_ba"))
+      .orderBy($"id_a")
+  }
+
+  private val rnnPairsSql = nnTableCte + """
+    SELECT x.ida AS id_a, x.idb AS id_b, x.s AS score_ab,
+      y.s AS score_ba
+    FROM nn x JOIN nn y ON x.ida = y.idb AND x.idb = y.ida
+      AND x.ida < x.idb
+    ORDER BY id_a"""
+
   /** q_llm_knn_lsh — the ANN scale path: random-projection LSH; only
     * same-bucket pairs are scored. Implemented NATIVELY (no mllib in
     * the query path, matching the MinHash pipeline's style): per hash
@@ -830,6 +964,8 @@ object Similarity {
     Q("q_llm_mm_audio", mmAudio _, mmAudioSql),
     Q("q_llm_quantize", quantize _, quantizeSql),
     Q("q_llm_knn", knn _, knnSql),
+    Q("q_llm_knn_acc", knnAcc _, knnAccSql),
+    Q("q_llm_rnn_pairs", rnnPairs _, rnnPairsSql),
     Q.noOracle("q_llm_knn_lsh", knnLsh _),
     Q.noOracle("q_llm_knn_ivf", knnIvf _),
     Q("q_llm_dedup_embed", dedupEmbed _, dedupEmbedSql),
