@@ -2507,6 +2507,114 @@ object Aggregates {
       END AS chi2
     FROM f"""
 
+  /** q_agg_runs_test — Wald–Wolfowitz runs test per event type's
+    * daily-count series: dichotomize each day about the DISCRETE
+    * median (q_agg_bowley's ⌊(n+1)/2⌋ rank selection; equal-to-median
+    * days are excluded, the standard convention), count the runs of
+    * consecutive same-side days, and emit the run count against its
+    * null-hypothesis mean μ_R = 2·n₁·n₂/n + 1 and variance — the
+    * RANDOMNESS screen for a series (too few runs = trending/sticky,
+    * too many = oscillating) next to q_win_acf's per-lag view.
+    * Exactness: the sign sequence is pure integer, R = 1 + Σ(signᵗ ≠
+    * signᵗ⁻¹) over one keyed lag, μ_R ONE [[exactRound6]] over
+    * (2n₁n₂ + n, n), the variance numerator 2n₁n₂·(2n₁n₂ − n) in
+    * DECIMAL(38) emitted as its digit string plus ONE exactRound6
+    * over n²(n−1); degenerate splits (n₁ = 0 or n₂ = 0 ⇒ n ≤ 1 side)
+    * yield NULL moments on BOTH engines. Scale: grid + median
+    * selection share one (type)-keyed sort; the run walk is one lag
+    * over the bounded grid. */
+  private def aggRunsTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val e = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        floor(unix_micros($"ts").cast("double") / lit(86400000000.0))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // grid spine branches re-read it
+    val grid = e.select($"event_type").distinct()
+      .crossJoin(e.select($"day").distinct())
+      .join(e, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"c", lit(0L)).as("c"))
+      .localCheckpoint(true) // median + sign walk both read it
+    val byT = Window.partitionBy($"event_type")
+    val ranked = grid
+      .withColumn("rn", row_number().over(byT.orderBy($"c".asc)))
+      .withColumn("n", count(lit(1)).over(byT))
+    val med = ranked.groupBy($"event_type").agg(
+      min(when($"rn" === call_function("div", $"n" + lit(1L), lit(2L)),
+        $"c")).as("med"))
+    val signs = grid.join(broadcast(med), "event_type")
+      .where($"c" =!= $"med")
+      .select($"event_type", $"day",
+        when($"c" > $"med", 1L).otherwise(0L).as("sgn"))
+    val ord = Window.partitionBy($"event_type").orderBy($"day")
+    val runs = signs
+      .select($"event_type", $"sgn",
+        lag($"sgn", 1).over(ord).as("prev"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"sgn").as("n1"),
+        (lit(1L) + sum(when($"prev".isNotNull && $"sgn" =!= $"prev",
+          1L).otherwise(0L))).as("r"))
+    val n2 = $"n" - $"n1"
+    val vNum = d38(lit(2L)) * $"n1" * n2 *
+      (d38(lit(2L)) * $"n1" * n2 - $"n")
+    val vDen = d38($"n") * $"n" * ($"n" - 1)
+    runs.select($"event_type", $"n", $"n1", n2.as("n2"), $"r",
+        when($"n1" === 0L || n2 === 0L, lit(null).cast("double"))
+          .otherwise(exactRound6(lit(2L) * $"n1" * n2 + $"n", $"n"))
+          .as("mean_r"),
+        when($"n1" === 0L || n2 === 0L || $"n" === 1L,
+          lit(null).cast("string"))
+          .otherwise(vNum.cast("string")).as("var_num"),
+        when($"n1" === 0L || n2 === 0L || $"n" === 1L,
+          lit(null).cast("double"))
+          .otherwise(exactRound6(vNum, vDen)).as("var_r"))
+      .orderBy($"event_type")
+  }
+
+  private val aggRunsTestSql = """
+    WITH e AS (SELECT event_type,
+        CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+          AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+    grid AS (SELECT t.event_type, d.day, coalesce(e.c, 0) AS c
+      FROM (SELECT DISTINCT event_type FROM e) t
+      CROSS JOIN (SELECT DISTINCT day FROM e) d
+      LEFT JOIN e ON e.event_type = t.event_type AND e.day = d.day),
+    b AS (SELECT event_type, list_sort(list(c)) AS cs,
+            CAST(count(*) AS BIGINT) AS ng FROM grid GROUP BY 1),
+    med AS (SELECT event_type,
+              cs[CAST((ng + 1) // 2 AS INTEGER)] AS med FROM b),
+    s AS (SELECT g.event_type, g.day,
+            CASE WHEN g.c > m.med THEN 1 ELSE 0 END AS sgn
+          FROM grid g JOIN med m ON m.event_type = g.event_type
+          WHERE g.c != m.med),
+    w AS (SELECT event_type, sgn,
+            lag(sgn) OVER (PARTITION BY event_type ORDER BY day)
+              AS prev FROM s),
+    r AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(sgn) AS BIGINT) AS n1,
+            CAST(1 + coalesce(sum(CASE WHEN prev IS NOT NULL
+              AND sgn != prev THEN 1 END), 0) AS BIGINT) AS r
+          FROM w GROUP BY 1)
+    SELECT event_type, n, n1, n - n1 AS n2, r,
+      CASE WHEN n1 = 0 OR n - n1 = 0 THEN NULL
+        ELSE """ + exactRound6Sql("2 * n1 * (n - n1) + n", "n") + """
+      END AS mean_r,
+      CASE WHEN n1 = 0 OR n - n1 = 0 OR n = 1 THEN NULL
+        ELSE CAST(2::HUGEINT * n1 * (n - n1)
+          * (2::HUGEINT * n1 * (n - n1) - n) AS VARCHAR)
+      END AS var_num,
+      CASE WHEN n1 = 0 OR n - n1 = 0 OR n = 1 THEN NULL
+        ELSE """ + exactRound6Sql(
+          "2::HUGEINT * n1 * (n - n1) * (2::HUGEINT * n1 * (n - n1) - n)",
+          "n::HUGEINT * n * (n - 1)") + """
+      END AS var_r
+    FROM r ORDER BY event_type"""
+
   /** q_agg_bowley — Bowley (quartile) skewness per event_type:
     * (q3 + q1 − 2·q2)/(q3 − q1) over the DISCRETE quartile order
     * statistics — the ROBUST skewness (bounded in [−1, 1], outlier-
@@ -3338,6 +3446,7 @@ object Aggregates {
     streamline.Q("q_agg_hill", aggHill _, aggHillSql),
     streamline.Q("q_agg_mcnemar", aggMcnemar _, aggMcnemarSql),
     streamline.Q("q_agg_bowley", aggBowley _, aggBowleySql),
+    streamline.Q("q_agg_runs_test", aggRunsTest _, aggRunsTestSql),
     streamline.Q("q_agg_iqr", aggIqr _, aggIqrSql),
     streamline.Q("q_agg_cuped", aggCuped _, aggCupedSql),
     streamline.Q("q_agg_theil", aggTheil _, aggTheilSql),

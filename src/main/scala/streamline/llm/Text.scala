@@ -754,6 +754,103 @@ object Text {
     FROM t JOIN r USING (word)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  /** q_llm_kl_matrix — cross-source unigram KL divergence matrix:
+    * KL(a‖b) over Laplace-smoothed word distributions for every
+    * ordered source pair — the corpus-mix divergence number dataset
+    * cards quote ("how different is crawl A's language from crawl
+    * B's"), directly feeding the q_llm_mix / q_llm_dsir weighting
+    * decisions; the vocabulary-level complement of q_agg_psi's
+    * binned value drift and q_llm_vocab_overlap's set view (KL
+    * weights the overlap by probability mass, and its ASYMMETRY
+    * distinguishes "a is a subset of b" from the reverse). Exactness:
+    * the q_agg_psi discipline — smoothed p = (c+1)/(n+V) makes
+    * ln(p_a/p_b) a FOUR-term difference of L₄ = round(10⁴·ln v)
+    * values over DISTINCT INTEGERS (one side table, one ln per
+    * distinct count), and weighting by p_a over the common
+    * denominator n_a+V makes KL·(n_a+V)·10⁴ = Σ(c_a+1)·L₄diff an
+    * exact integer carried in DECIMAL(38), emitted as its digit
+    * string; KL is ONE
+    * [[streamline.batch.Aggregates.exactRound6]]. Scale: one corpus
+    * pass to the (source, word) count table; the grid, side table and
+    * pair join are all vocabulary-sized (×sources², which is tiny) —
+    * the corpus is never rescanned. */
+  private def klMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val wc = Tables.documents(spark, dir)
+      .select($"source", explode(split($"text", " ")).as("word"))
+      .where($"word" =!= "")
+      .groupBy($"source", $"word").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // vocab, totals and the grid read it
+    val vocab = wc.select($"word").distinct()
+      .localCheckpoint(true) // grid spine + V-count read it
+    val vCount = vocab.agg(count(lit(1)).as("v"))
+    val n = wc.groupBy($"source").agg(sum($"c").as("n"))
+    val grid = wc.select($"source").distinct().crossJoin(vocab)
+      .join(wc, Seq("source", "word"), "left")
+      .select($"source", $"word", coalesce($"c", lit(0L)).as("c"))
+      .join(broadcast(n), "source")
+      .crossJoin(broadcast(vCount))
+      .select($"source", $"word", $"c", ($"n" + $"v").as("nv"))
+      .localCheckpoint(true) // side table + both pair sides read it
+    val l = grid.select(($"c" + 1).as("v"))
+      .union(grid.select($"nv".as("v"))).distinct()
+      .select($"v", round(log($"v") * 10000).cast("long").as("l4"))
+      .localCheckpoint(true) // four broadcast branches read it
+    def side(tag: String) = grid
+      .join(broadcast(l.select($"v".as("vc"), $"l4".as("lc"))),
+        $"vc" === $"c" + 1)
+      .join(broadcast(l.select($"v".as("vn"), $"l4".as("ln"))),
+        $"vn" === $"nv")
+      .select($"source".as(s"src_$tag"), $"word",
+        $"c".as(s"c_$tag"), $"nv".as(s"nv_$tag"),
+        ($"lc" - $"ln").as(s"l_$tag"))
+    val terms = side("a").hint("shuffle_hash")
+      .join(side("b"), Seq("word"))
+      .where($"src_a" =!= $"src_b")
+      .groupBy($"src_a", $"src_b")
+      .agg(max($"nv_a").as("nva"),
+        sum(d38($"c_a" + 1) * ($"l_a" - $"l_b")).as("num4"))
+    terms.select($"src_a", $"src_b",
+        $"num4".cast("string").as("kl_num"),
+        streamline.batch.Aggregates.exactRound6($"num4",
+          d38($"nva") * lit(10000L)).as("kl"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  private val klMatrixSql = """
+    WITH wc AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY 1, 2),
+    vocab AS (SELECT DISTINCT word FROM wc),
+    vc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM wc
+          GROUP BY 1),
+    grid AS (SELECT s.source, w.word, coalesce(wc.c, 0) AS c,
+        n.n + vc.v AS nv
+      FROM (SELECT DISTINCT source FROM wc) s
+      CROSS JOIN vocab w
+      LEFT JOIN wc ON wc.source = s.source AND wc.word = w.word
+      JOIN n ON n.source = s.source CROSS JOIN vc),
+    l AS (SELECT v, CAST(round(ln(v) * 10000) AS BIGINT) AS l4 FROM
+      (SELECT DISTINCT c + 1 AS v FROM grid
+       UNION SELECT DISTINCT nv FROM grid)),
+    sides AS (SELECT g.source, g.word, g.c, g.nv,
+        lc.l4 - ln.l4 AS ldiff
+      FROM grid g JOIN l lc ON lc.v = g.c + 1
+                  JOIN l ln ON ln.v = g.nv),
+    t AS (SELECT a.source AS src_a, b.source AS src_b,
+        max(a.nv) AS nva,
+        sum((a.c + 1)::HUGEINT * (a.ldiff - b.ldiff)) AS num4
+      FROM sides a JOIN sides b ON a.word = b.word
+        AND a.source != b.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b, CAST(num4 AS VARCHAR) AS kl_num,
+      """ + streamline.batch.Aggregates.exactRound6Sql("num4",
+        "nva::HUGEINT * 10000") + """ AS kl
+    FROM t ORDER BY src_a, src_b"""
+
   /** q_llm_burstiness — per-word burstiness (Church–Gale): the
     * variance-to-mean ratio of a word's per-document counts over ALL
     * corpus documents (absent = 0) — VMR ≈ 1 marks Poisson "function
@@ -1682,6 +1779,7 @@ object Text {
 
   val all: Seq[Q] = Seq(
     Q("q_llm_burstiness", burstiness _, burstinessSql),
+    Q("q_llm_kl_matrix", klMatrix _, klMatrixSql),
     Q("q_llm_backoff_lm", backoffLm _, backoffLmSql),
     Q("q_llm_ngram_entropy_rate", ngramEntropyRate _, ngramEntropyRateSql),
     Q("q_llm_template_prefix", templatePrefix _, templatePrefixSql),
