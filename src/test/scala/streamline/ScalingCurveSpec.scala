@@ -138,7 +138,35 @@ class ScalingCurveSpec extends SparkSuite {
     "q_llm_ngram_entropy_rate", "q_llm_backoff_lm",
     // r17: mm_audio is synth+decode+extract in one typed
     // mapPartitions — map-only, must read linear in documents
-    "q_llm_mm_audio")
+    "q_llm_mm_audio",
+    // r17 session 2: the grid-collapse additions (acf / bollinger /
+    // atr / forecast_baseline / runs_test) run one map-side-combined
+    // corpus count then live on the bounded types×days grid — the
+    // blowup densifies counts, the grid stays fixed; must read linear
+    "q_win_acf", "q_win_bollinger", "q_win_atr",
+    "q_agg_forecast_baseline", "q_agg_runs_test",
+    // r17 session 2: spearman's ranks sort the users×types grid
+    // (users ×16 under the blowup) and its pair moments self-join
+    // that grid on user_id; growth accounting is keyed (user, day)
+    // set logic; hill / bowley are keyed sorts + rank selections;
+    // mcnemar one map-side flag fold — all must read linear
+    "q_agg_spearman", "q_agg_growth_accounting", "q_agg_hill",
+    "q_agg_bowley", "q_agg_mcnemar",
+    // r17 session 2: containment's prefix+positional-blocked join is
+    // the quadratic-risk class — blowup copies are vocabulary-
+    // disjoint (suffixed words) so cross-copy candidates are zero and
+    // the candidate table must read linear; burstiness / kl_matrix
+    // run on the (word)-keyed count table and the sources×vocab grid,
+    // both ×16 under the suffixed blowup.
+    // q_llm_knn_acc / q_llm_rnn_pairs are NOT witnessable here: their
+    // all-pairs 1-NN table is the documented quadratic exactness
+    // baseline (the q_llm_dedup_embed exclusion class — the measured
+    // scale paths are q_llm_knn_lsh / q_llm_knn_ivf); q_iter_katz
+    // sits with the other iterative queries outside the curve (the
+    // 8-superstep scheduling floor, not data, dominates at these
+    // sizes); q_stream_growth_accounting is a streaming drain —
+    // micro-batch floors belong to StreamScalingSpec's domain
+    "q_llm_containment", "q_llm_burstiness", "q_llm_kl_matrix")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
