@@ -2861,6 +2861,57 @@ object Aggregates {
             $"prev_active" - $"retained")).as("quick_ratio"))
   }
 
+  /** q_agg_stickiness — DAU/MAU stickiness per event type: the mean
+    * daily-active count over the corpus's calendar days divided by
+    * the distinct monthly actives — THE engagement ratio of product
+    * analytics ("what fraction of the user base shows up on an
+    * average day"), the companion readout to
+    * q_agg_growth_accounting's flow decomposition and
+    * q_agg_new_returning's mix. Exactness: stickiness =
+    * Σ_day dau(day) / (n_days · mau) — one exact integer fraction,
+    * ONE [[exactRound6]]; days with no actives for a type contribute
+    * zero to the numerator and the CALENDAR day count (global
+    * distinct days) is the denominator's day term, the standard
+    * convention. Scale: ONE corpus pass to the checkpointed distinct
+    * (type, user, day) activity table; dau and mau are two keyed
+    * rollups FROM it (never a second corpus scan); the final table is
+    * types-sized. */
+  private def aggStickiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val act = Tables.events(spark, dir)
+      .select($"event_type", $"user_id",
+        floor(unix_micros($"ts").cast("double") / lit(86400000000.0))
+          .cast("long").as("day"))
+      .distinct()
+      .localCheckpoint(true) // dau, mau and the day spine read it
+    val nDays = act.select($"day").distinct().agg(count(lit(1)).as("nd"))
+    val dau = act.groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("dau"))
+      .groupBy($"event_type").agg(sum($"dau").as("sum_dau"))
+    val mau = act.groupBy($"event_type")
+      .agg(count_distinct($"user_id").as("mau"))
+    dau.join(mau, "event_type").crossJoin(broadcast(nDays))
+      .select($"event_type", $"sum_dau", $"mau", $"nd".as("n_days"),
+        exactRound6($"sum_dau", $"nd" * $"mau").as("stickiness"))
+      .orderBy($"event_type")
+  }
+
+  private val aggStickinessSql = """
+    WITH act AS (SELECT DISTINCT event_type, user_id,
+        CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+          AS BIGINT) AS day FROM events),
+    nd AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS nd FROM act),
+    d AS (SELECT event_type, CAST(count(*) AS BIGINT) AS sum_dau
+          FROM act GROUP BY 1),
+    m AS (SELECT event_type,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM act GROUP BY 1)
+    SELECT d.event_type, d.sum_dau, m.mau, nd.nd AS n_days,
+      """ + exactRound6Sql("d.sum_dau", "nd.nd * m.mau") + """
+        AS stickiness
+    FROM d JOIN m ON m.event_type = d.event_type CROSS JOIN nd
+    ORDER BY d.event_type"""
+
   /** q_agg_forecast_baseline — naive-forecast backtest of each event
     * type's daily-count series: the MAE of the lag-1 naive forecast
     * and of the lag-7 seasonal-naive forecast, plus their ratio (the
@@ -3447,6 +3498,7 @@ object Aggregates {
     streamline.Q("q_agg_mcnemar", aggMcnemar _, aggMcnemarSql),
     streamline.Q("q_agg_bowley", aggBowley _, aggBowleySql),
     streamline.Q("q_agg_runs_test", aggRunsTest _, aggRunsTestSql),
+    streamline.Q("q_agg_stickiness", aggStickiness _, aggStickinessSql),
     streamline.Q("q_agg_iqr", aggIqr _, aggIqrSql),
     streamline.Q("q_agg_cuped", aggCuped _, aggCupedSql),
     streamline.Q("q_agg_theil", aggTheil _, aggTheilSql),

@@ -139,6 +139,29 @@ class AcfGrowthSpec extends SparkSuite {
       got.exists(_._6.exists(_ > 0)))
   }
 
+  test("stickiness matches a literal DAU/MAU fold") {
+    val act = Tables.events(spark, sfDir)
+      .select("event_type", "user_id", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        day(us(r.getTimestamp(2))))).distinct
+    val nDays = act.map(_._3).distinct.length.toLong
+    val expected = act.map(_._1).distinct.sorted.map { t =>
+      val xs = act.filter(_._1 == t)
+      val sumDau = xs.map(x => (x._3, x._2)).distinct.length.toLong
+      val mau = xs.map(_._2).distinct.length.toLong
+      (t, sumDau, mau, nDays,
+        r6(BigInt(sumDau), BigInt(nDays) * mau))
+    }
+    val got = SparkEntry.queries("q_agg_stickiness")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got === expected)
+    // the ratio is a genuine fraction: strictly between 0 and 1, and
+    // not all types equal
+    assert(got.forall(x => x._5 > 0 && x._5 < 1))
+    assert(got.map(_._5).distinct.size > 1)
+  }
+
   test("containment matches literal all-pairs; df cap is non-binding") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
