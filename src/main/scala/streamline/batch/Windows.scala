@@ -2036,7 +2036,54 @@ object Windows {
       """ + Aggregates.exactRound6Sql("str", "14") + """ AS atr4
     FROM s WHERE rn >= 15 ORDER BY event_type, day"""
 
+  /** q_win_wow — week-over-week growth per event type: weekly counts
+    * and the percentage change against the previous week — the most
+    * common dashboard delta, the DISCRETE counterpart of
+    * q_agg_trend's fitted slope (trend: the average direction; WoW:
+    * this week's actual move). Exactness: weeks are the integral
+    * day-div-7 (non-negative ⇒ truncate == floor both engines), the
+    * growth percentage ONE [[Aggregates.exactRound6]] over
+    * (100·(c − prev), prev) — signed numerator, HALF-AWAY ties, NULL
+    * on BOTH engines for the first observed week and for prev = 0.
+    * Scale: ONE map-side-combined corpus pass to the (type, week)
+    * count table; the lag is one keyed sort over the weeks-sized
+    * rollup. */
+  private def winWow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        call_function("div",
+          floor(unix_micros($"ts").cast("double") / lit(86400000000.0))
+            .cast("long"), lit(7L)).as("wk"))
+      .agg(count(lit(1)).as("c"))
+    val ord = Window.partitionBy($"event_type").orderBy($"wk")
+    w.select($"event_type", $"wk", $"c",
+        lag($"c", 1).over(ord).as("prev"))
+      .select($"event_type", $"wk", $"c", $"prev",
+        when($"prev".isNull || $"prev" === 0L,
+          lit(null).cast("double"))
+          .otherwise(Aggregates.exactRound6(
+            lit(100L) * ($"c" - $"prev"), $"prev")).as("wow_pct"))
+      .orderBy($"event_type", $"wk")
+  }
+
+  private val winWowSql = """
+    WITH w AS (SELECT event_type,
+        CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+          AS BIGINT) // 7 AS wk,
+        CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+    l AS (SELECT event_type, wk, c,
+        lag(c) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+      FROM w)
+    SELECT event_type, wk, c, prev,
+      CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+        ELSE """ + Aggregates.exactRound6Sql("100 * (c - prev)",
+          "prev") + """
+      END AS wow_pct
+    FROM l ORDER BY event_type, wk"""
+
   val all: Seq[Q] = Seq(
+    Q("q_win_wow", winWow _, winWowSql),
     Q("q_win_atr", winAtr _, winAtrSql),
     Q("q_win_acf", winAcf _, winAcfSql),
     Q("q_win_bollinger", winBollinger _, winBollingerSql),

@@ -139,6 +139,38 @@ class AcfGrowthSpec extends SparkSuite {
       got.exists(_._6.exists(_ > 0)))
   }
 
+  test("wow matches a literal weekly-lag walk") {
+    val rows = events()
+    val counts = rows.groupBy(x => (x._1, day(x._2) / 7))
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val expected = counts.keys.map(_._1).toSeq.distinct.sorted.flatMap {
+      t =>
+        val wks = counts.keys.filter(_._1 == t).map(_._2).toSeq.sorted
+        wks.zipWithIndex.map { case (w, i) =>
+          val c = counts((t, w))
+          val prev =
+            if (i == 0 || wks(i - 1) != w - 1) None
+            else Some(counts((t, w - 1)))
+          // NOTE: lag() takes the previous OBSERVED week, present or
+          // not adjacent — mirror that (fixture weeks are contiguous,
+          // pinned below, so the two readings coincide)
+          val prevObs = if (i == 0) None else Some(counts((t, wks(i - 1))))
+          assert(prev == prevObs) // contiguity witness
+          (t, w, c, prevObs,
+            prevObs.filter(_ != 0).map(p =>
+              r6(BigInt(100) * (c - p), BigInt(p))))
+        }
+    }
+    val got = SparkEntry.queries("q_win_wow")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(got === expected)
+    // growth genuinely moves in both directions
+    assert(got.flatMap(_._5).exists(_ > 0) &&
+      got.flatMap(_._5).exists(_ < 0))
+  }
+
   test("stickiness matches a literal DAU/MAU fold") {
     val act = Tables.events(spark, sfDir)
       .select("event_type", "user_id", "ts").collect()
