@@ -754,6 +754,68 @@ object Text {
     FROM t JOIN r USING (word)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  /** q_llm_source_entropy — per-source language-mix Shannon entropy
+    * (bits): a single-language crawl scores 0, a uniform k-language
+    * mix log₂ k — the crawl-HOMOGENEITY screen (mixed-language
+    * sources need language-aware routing before training) that
+    * q_agg_entropy's scaladoc names as the corpus-diversity
+    * instantiation of its statistic, and the scalar summary of
+    * q_llm_lang_profile's (lang, source) volume table [C].
+    * Exactness: the q_agg_entropy discipline verbatim — ln once per
+    * DISTINCT INTEGER on the tiny side table, rounded there to
+    * L₄ = round(10⁴·ln v); numerator Σ c·(L₄(n) − L₄(c)) exact
+    * BIGINT; ln 2 the literal 6931; entropy ONE
+    * [[streamline.batch.Aggregates.exactRound6]] over (num4,
+    * n·6931). Scale: ONE map-side-combined corpus pass to the
+    * checkpointed (source, lang) count table; everything after is
+    * sources×langs-sized with value-distinct broadcasts. */
+  private def sourceEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ct = Tables.documents(spark, dir)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // totals + distinct values + join read it
+    val tot = ct.groupBy($"source")
+      .agg(sum($"c").as("n"), count(lit(1)).as("k"))
+      .localCheckpoint(true) // distinct values + two joins read it
+    val vals = ct.select($"c".as("v")).distinct()
+      .union(tot.select($"n".as("v"))).distinct()
+    val l = vals.select($"v",
+      round(log($"v") * 10000).cast("long").as("l4"))
+    val num = ct
+      .join(broadcast(l.select($"v".as("c"), $"l4".as("lc"))), "c")
+      .join(tot.select($"source", $"n"), "source")
+      .join(broadcast(l.select($"v".as("n"), $"l4".as("ln4"))), "n")
+      .groupBy($"source")
+      .agg(sum($"c" * ($"ln4" - $"lc")).as("num4"))
+    tot.join(num, "source")
+      .select($"source", $"n".as("n_docs"), $"k".as("n_langs"),
+        $"num4",
+        streamline.batch.Aggregates.exactRound6($"num4",
+          $"n" * lit(6931L)).as("entropy_bits"))
+      .orderBy($"source")
+  }
+
+  private val sourceEntropySql = """
+    WITH ct AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        CAST(count(*) AS BIGINT) AS k FROM ct GROUP BY 1),
+    vals AS (SELECT DISTINCT c AS v FROM ct
+             UNION SELECT DISTINCT n FROM tot),
+    l AS (SELECT v, CAST(round(ln(v) * 10000) AS BIGINT) AS l4
+          FROM vals),
+    num AS (SELECT ct.source,
+        CAST(sum(ct.c * (ln4.l4 - lc.l4)) AS BIGINT) AS num4
+      FROM ct JOIN l lc ON lc.v = ct.c
+        JOIN tot t ON t.source = ct.source
+        JOIN l ln4 ON ln4.v = t.n
+      GROUP BY 1)
+    SELECT t.source, t.n AS n_docs, t.k AS n_langs, num.num4,
+      """ + streamline.batch.Aggregates.exactRound6Sql("num.num4",
+        "t.n::HUGEINT * 6931") + """ AS entropy_bits
+    FROM tot t JOIN num USING (source)
+    ORDER BY t.source"""
+
   /** q_llm_kl_matrix — cross-source unigram KL divergence matrix:
     * KL(a‖b) over Laplace-smoothed word distributions for every
     * ordered source pair — the corpus-mix divergence number dataset
@@ -1780,6 +1842,7 @@ object Text {
   val all: Seq[Q] = Seq(
     Q("q_llm_burstiness", burstiness _, burstinessSql),
     Q("q_llm_kl_matrix", klMatrix _, klMatrixSql),
+    Q("q_llm_source_entropy", sourceEntropy _, sourceEntropySql),
     Q("q_llm_backoff_lm", backoffLm _, backoffLmSql),
     Q("q_llm_ngram_entropy_rate", ngramEntropyRate _, ngramEntropyRateSql),
     Q("q_llm_template_prefix", templatePrefix _, templatePrefixSql),

@@ -56,6 +56,28 @@ class RunsKlSpec extends SparkSuite {
     assert(got.map(_._5).distinct.size > 1)
   }
 
+  test("source entropy matches a literal lang-mix side-table replay") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def l4(x: Long): Long = math.round(math.log(x.toDouble) * 10000)
+    val expected = docs.groupBy(_._1).toSeq.map { case (s, xs) =>
+      val cs = xs.groupBy(_._2).values.map(_.length.toLong).toSeq
+      val n = cs.sum
+      val num4 = cs.map(c => c * (l4(n) - l4(c))).sum
+      (s, n, cs.length.toLong, num4,
+        r6(BigInt(num4), BigInt(n) * 6931))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_llm_source_entropy")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got === expected)
+    // mixes genuinely differ and sit inside (0, log2 k]
+    assert(got.map(_._5).distinct.size > 1)
+    assert(got.forall(x => x._5 > 0 &&
+      x._5 <= math.log(x._3.toDouble) / math.log(2.0) + 1e-3))
+  }
+
   test("kl matrix matches a literal smoothed side-table replay") {
     val docs = Tables.documents(spark, sfDir)
       .select("source", "text").collect()
