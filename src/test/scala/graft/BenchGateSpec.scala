@@ -93,6 +93,21 @@ class BenchGateSpec extends AnyFunSuite {
       (Seq.empty, 0))
   }
 
+  test("core-basis gate: mismatched or missing basis disables history") {
+    // r17's false-red class: mins seeded at the 4-core default read
+    // 2-3x hot against a 32-core run (q_stream_cep_skip_past). The
+    // baseline records its basis once; any other run basis — or a
+    // legacy file without one — gets no history gate at all.
+    val b = Map("_basis_cpus" -> 32.0, "q_a" -> 1.0)
+    assert(Bench.basisGated(b, 32) == Map("q_a" -> 1.0)) // match: gated
+    assert(Bench.basisGated(b, 4).isEmpty)               // mismatch: off
+    assert(Bench.basisGated(Map("q_a" -> 1.0), 32).isEmpty) // legacy: off
+    assert(Bench.basisGated(Map.empty, 32).isEmpty)      // no file: off
+    // end to end: the 4-core run must not select q_a even at 3.5x
+    assert(Bench.pickSuspects(Seq("q_a" -> 3.5),
+      Bench.basisGated(b, 4), quiet) == (Seq.empty, 0))
+  }
+
   test("window throttle rule: under 40 MB/s or halved across the window") {
     assert(Bench.windowThrottled(120.0, 35.0))  // ceiling
     assert(Bench.windowThrottled(35.0, 120.0))  // ceiling, entering quiet
