@@ -50,21 +50,20 @@ class ParetoLiftSpec extends SparkSuite {
     assert(got.exists { case (_, (n, k, _, _)) => k < n })
   }
 
-  test("decile lift matches a hand-rolled ntile over the user table") {
+  test("decile lift matches a hand-rolled score-band cut over the user table") {
     val rows = Tables.events(spark, sfDir)
       .select("user_id", "event_type", "value").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
     val users = rows.groupBy(_._1).toSeq.map { case (u, rs) =>
       (u, rs.length.toLong,
         if (rs.exists(x => x._2 == "purchase" && x._3 > 95)) 1L else 0L)
-    }.sortBy { case (u, score, _) => (-score, u) }
-    // ntile(10): first (n mod 10) buckets get one extra row
-    val n = users.length
-    val base = n / 10; val extra = n % 10
-    val deciles = users.zipWithIndex.map { case ((_, _, conv), i) =>
-      val cut = extra * (base + 1)
-      val d = if (i < cut) i / (base + 1) else extra + (i - cut) / base
-      (d + 1L, conv)
+    }
+    // r18 score-band deciles: every user tied on a score shares the
+    // decile of the FIRST tied rank — min(10, 1 + 10·|higher|/n)
+    val n = users.length.toLong
+    val deciles = users.map { case (_, score, conv) =>
+      val above = users.count(_._2 > score).toLong
+      (math.min(10L, 1L + above * 10L / n), conv)
     }
     val nu = BigInt(n); val nc = BigInt(deciles.map(_._2).sum)
     val expected = deciles.groupBy(_._1).map { case (d, xs) =>

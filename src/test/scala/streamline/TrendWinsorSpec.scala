@@ -127,14 +127,13 @@ class TrendWinsorSpec extends SparkSuite {
     def deciles(half: Long): Map[Long, Int] = {
       val us = rows.filter(x => (if (x._2 * 2 < mm) 0L else 1L) == half)
         .groupBy(_._4).map { case (u, xs) => (u, xs.length.toLong) }
-        .toSeq.sortBy { case (u, c) => (-c, u) }
-      // literal ntile: the first n % 10 buckets get the extra row
-      val n = us.length
-      val (q, rem) = (n / 10, n % 10)
-      us.zipWithIndex.map { case ((u, _), i) =>
-        val cut = (q + 1) * rem
-        u -> (if (i < cut) i / (q + 1) + 1 else (i - cut) / q + rem + 1)
-      }.toMap
+      // r18 score-band deciles (the q_agg_lift cut): users tied on a
+      // count share min(10, 1 + 10·|strictly more active|/n_half)
+      val n = us.size.toLong
+      us.map { case (u, c) =>
+        val above = us.values.count(_ > c).toLong
+        u -> math.min(10L, 1L + above * 10L / n).toInt
+      }
     }
     val (early, late) = (deciles(0L), deciles(1L))
     val expected = early.keySet.intersect(late.keySet).toSeq
