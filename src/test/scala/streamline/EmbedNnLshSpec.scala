@@ -1,0 +1,117 @@
+package streamline
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Pins q_llm_knn_acc_lsh / q_llm_rnn_pairs_lsh (r18 — the bucketed
+  * scale twins of the exact 1-NN screens) against an INDEPENDENT
+  * in-JVM walk over the collected sf0.001 embeddings: sign-band
+  * buckets recomputed literally (8 bands × 4 sign bits over the raw
+  * float coordinates), candidates = same-(band, bucket) pairs, 1-NN
+  * the (score DESC, id ASC) optimum within candidates — so a slipped
+  * band index, a dropped candidate direction, or a self-pair leak
+  * cannot cancel against the DuckDB oracle (which shares the banding
+  * CTE shape with the queries). Also measures the split's honest
+  * price: bucketed 1-NN scores are ≤ the exact table's, and the
+  * covered-vector fraction is reported as recall floor. */
+class EmbedNnLshSpec extends SparkSuite {
+
+  private def r6(num: BigInt, den: BigInt): Double = {
+    val mag = (BigInt(2000000) * num.abs + den) / (2 * den)
+    (if (num < 0) -mag else mag).toDouble / 1e6
+  }
+
+  private def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = a(i).toDouble; val yi = b(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  private def embs() = Tables.embeddings(spark, sfDir)
+    .select("vec_id", "embedding", "label").collect()
+    .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+
+  /** Literal sign-band bucketed 1-NN: (ida, la, idb, lb, s). */
+  private def nnLsh(es: Array[(Long, Array[Float], Int)]) = {
+    val bits = 4
+    def buckets(e: Array[Float]): Seq[(Int, Int)] =
+      (0 until 8).map(b => (b,
+        (0 until bits).map(i => if (e(b * bits + i) > 0f) 1 << i else 0).sum))
+    val byBucket = es.flatMap { case (id, e, _) =>
+      buckets(e).map(bk => bk -> id)
+    }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val lab = es.map(x => x._1 -> x._3).toMap
+    val vec = es.map(x => x._1 -> x._2).toMap
+    es.flatMap { case (ida, ea, la) =>
+      val cands = buckets(ea).flatMap(bk => byBucket(bk)).toSet - ida
+      if (cands.isEmpty) None
+      else {
+        val best = cands.toSeq
+          .map(idb => (idb, round6(cos(ea, vec(idb)))))
+          .reduceLeft { (x, y) =>
+            if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x
+          }
+        Some((ida, la, best._1, lab(best._1), best._2))
+      }
+    }
+  }
+
+  test("bucketed 1-NN accuracy matches the literal banded walk") {
+    val es = embs()
+    val table = nnLsh(es)
+    val expected = table.groupBy(_._2).toSeq.map { case (l, xs) =>
+      val correct = xs.count(x => x._4 == x._2).toLong
+      (l.toLong, xs.length.toLong, correct,
+        r6(BigInt(correct), BigInt(xs.length)))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_llm_knn_acc_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === expected)
+    // the banding genuinely buckets: coverage is high but the walk is
+    // bucket-local (some vector sits alone in all 8 of its buckets at
+    // this sf, or finds a worse-than-global neighbor)
+    val covered = got.map(_._2).sum
+    info(s"covered $covered/${es.length} vectors")
+    assert(covered > es.length / 2)
+  }
+
+  test("bucketed 1-NN never beats the exact 1-NN score") {
+    val es = embs()
+    val exactBest = es.map { case (ida, ea, _) =>
+      ida -> es.filter(_._1 != ida)
+        .map { case (idb, eb, _) => round6(cos(ea, eb)) }.max
+    }.toMap
+    val bucketed = nnLsh(es)
+    assert(bucketed.forall { case (ida, _, _, _, s) =>
+      s <= exactBest(ida) })
+    val hit = bucketed.count { case (ida, _, _, _, s) =>
+      s == exactBest(ida) }
+    info(s"bucket-local 1-NN equals the exact 1-NN for " +
+      s"$hit/${bucketed.length} covered vectors")
+    assert(hit > bucketed.length / 2) // the screen is useful, not noise
+  }
+
+  test("bucketed reciprocal pairs match the literal mutual filter") {
+    val table = nnLsh(embs())
+    val m = table.map(x => x._1 -> (x._3, x._5)).toMap
+    val expected = table.collect {
+      case (ida, _, idb, _, s)
+        if ida < idb && m(idb)._1 == ida =>
+          (ida, idb, s, m(idb)._2)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_llm_rnn_pairs_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < table.length / 2)
+  }
+}
