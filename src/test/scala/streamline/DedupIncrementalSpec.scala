@@ -57,10 +57,10 @@ class DedupIncrementalSpec extends SparkSuite {
     import org.apache.spark.sql.functions.col
     val batch = SparkEntry.queries("q_llm_dedup_incremental")(spark, sfDir)
       .collect().toSeq
-    // default 4-shard staging (the declared query)
-    val stream4 = SparkEntry.queries("q_stream_dedup_incremental")(
+    // default 2-shard staging (the declared query; r18 shave)
+    val stream2 = SparkEntry.queries("q_stream_dedup_incremental")(
       spark, sfDir).collect().toSeq
-    assert(stream4 === batch, "4-shard streaming drain != batch witness")
+    assert(stream2 === batch, "2-shard streaming drain != batch witness")
     // a DIFFERENT sharding of the same delta must not change verdicts:
     // 7 shards (uneven, some possibly empty) through the same drain
     val tmp = java.nio.file.Files.createTempDirectory("dedupinc_spec")
