@@ -171,7 +171,13 @@ class ScalingCurveSpec extends SparkSuite {
     // Σ bucket² inside sign-band buckets; under the rotated-copy
     // blowup the occupancy-constant band-width contract (same knob
     // raise as dedup_embed_lsh) keeps the candidate table linear
-    "q_llm_knn_acc_lsh", "q_llm_rnn_pairs_lsh")
+    "q_llm_knn_acc_lsh", "q_llm_rnn_pairs_lsh",
+    // r18: the multimodal feature ops — synth+decode+extract is
+    // map-only; phash's planted families are id-derived, so blowup
+    // copies hash into fresh 16-bit band values and the banded
+    // candidate join must read linear (a band-value hot spot would
+    // blow Σ bucket² here); spectral is pure per-doc fan-out
+    "q_llm_mm_phash", "q_llm_mm_spectral")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
