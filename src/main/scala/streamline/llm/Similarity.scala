@@ -1047,7 +1047,10 @@ object Similarity {
     * keyed on (band, value) — Σ bucket² like every banded dedup, bare
     * id pairs through the distinct, band vectors re-attached via
     * shuffle-hash joins on doc_id (no corpus broadcast). */
-  private def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+  /** The hamming ≤ 3 pair table, factored out so the family-level
+    * clustering query composes on it (the jaccardPairs/dedupCluster
+    * split applied to the image modality). */
+  private def phashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val h = Tables.documents(spark, dir).select($"doc_id")
       .as[Long]
@@ -1125,7 +1128,11 @@ object Similarity {
       .agg(sum(bit_count($"ha".bitwiseXOR($"hb"))).as("hamming"))
       .where($"hamming" <= 3)
       .select($"ia".as("id_a"), $"ib".as("id_b"), $"hamming")
-      .orderBy($"id_a", $"id_b")
+  }
+
+  private def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    phashPairs(spark, dir).orderBy($"id_a", $"id_b")
   }
 
   private val mmPhashSql = """
@@ -1158,6 +1165,93 @@ object Similarity {
             GROUP BY 1, 2)
     SELECT ia AS id_a, ib AS id_b, hamming
     FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b"""
+
+  // Shared banding/candidate/hamming CTE chain for the image family
+  // oracle (identical to mmPhashSql up to the pair table).
+  private val phashPairsCte = """
+    WITH RECURSIVE cells AS (
+      SELECT d.doc_id, t.cx, u.cy,
+        ((((d.doc_id // 4) * 31 + t.cx * 17 + u.cy * 57) % 8191)
+          * (((d.doc_id // 4) * 31 + t.cx * 17 + u.cy * 57) % 8191))
+          % 8191 % 200
+        + CASE WHEN t.cx = 2 * (d.doc_id % 4) + 1
+                AND u.cy < (d.doc_id % 4) THEN 40 ELSE 0 END AS v
+      FROM documents d, unnest(range(0, 9)) AS t(cx),
+           unnest(range(0, 8)) AS u(cy)),
+    bits AS (
+      SELECT a.doc_id, a.cy // 2 AS band,
+        CASE WHEN b.v > a.v
+             THEN (1 << (CAST(a.cy % 2 AS INT) * 8 + CAST(a.cx AS INT)))
+             ELSE 0 END AS bit
+      FROM cells a JOIN cells b ON b.doc_id = a.doc_id
+        AND b.cy = a.cy AND b.cx = a.cx + 1
+      WHERE a.cx < 8),
+    h AS (SELECT doc_id, band, CAST(sum(bit) AS BIGINT) AS hv
+          FROM bits GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+             FROM h x JOIN h y ON x.band = y.band AND x.hv = y.hv
+               AND x.doc_id < y.doc_id),
+    ham AS (SELECT c.ia, c.ib,
+              CAST(sum(bit_count(xor(a.hv, b.hv))) AS BIGINT) AS hamming
+            FROM cand c JOIN h a ON a.doc_id = c.ia
+                        JOIN h b ON b.doc_id = c.ib AND b.band = a.band
+            GROUP BY 1, 2),
+    pairs AS (SELECT ia, ib FROM ham WHERE hamming <= 3)"""
+
+  /** q_llm_mm_phash_cluster — near-dup image FAMILIES: the end-to-end
+    * image-dedup decision on top of [[phashPairs]] (the
+    * jaccardPairs → q_llm_dedup_cluster split applied to the image
+    * modality — near-duplication is transitive in practice, so the
+    * pair graph clusters with the iterative min-label connected
+    * components of batch/Iterate.scala and exactly the min-id image
+    * per family is kept). Adds the family SIZE per doc — the column a
+    * curation dashboard ranks by ("this creative has 37 variants").
+    * Scale posture: pair generation is the banded hamming join
+    * (recall 1 by pigeonhole — so the clustering is over the TRUE
+    * ≤3-distance graph, not a sample), CC state is linear in paired
+    * docs only (singletons never enter the iteration), and the final
+    * decision is one join back onto the corpus keyed on doc_id. */
+  private def mmPhashCluster(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // materialize pair edges once: the CC loop reads its edge input
+    // twice (src→dst ∪ dst→src), and the banded hamming pipeline has
+    // no top-level exchange for ReuseExchange to collapse (the
+    // dedupCluster discipline); edges are output-sized
+    val edges = phashPairs(spark, dir)
+      .select($"id_a".as("src"), $"id_b".as("dst"))
+      .localCheckpoint(true)
+    val (cc, _) = streamline.batch.Iterate.connectedComponents(edges)
+    val cck = cc.select($"v".as("doc_id"), $"comp")
+      .localCheckpoint(true) // family rollup + corpus join both read it
+    val fam = cck.groupBy($"comp".as("canonical_id"))
+      .agg(count(lit(1)).as("fs"))
+    Tables.documents(spark, dir).select($"doc_id")
+      .join(cck, Seq("doc_id"), "left")
+      .withColumn("canonical_id", coalesce($"comp", $"doc_id"))
+      .join(fam, Seq("canonical_id"), "left")
+      .select($"doc_id", $"canonical_id",
+        when($"canonical_id" === $"doc_id", 1).otherwise(0).as("keep"),
+        coalesce($"fs", lit(1L)).as("family_size"))
+      .orderBy($"doc_id")
+  }
+
+  private val mmPhashClusterSql = phashPairsCte + """,
+    und AS (SELECT ia AS s, ib AS d FROM pairs
+            UNION ALL SELECT ib, ia FROM pairs),
+    reach AS (SELECT DISTINCT s AS v, s AS r FROM und
+              UNION
+              SELECT re.v, u.d AS r FROM reach re JOIN und u ON re.r = u.s),
+    comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+    fam AS (SELECT comp, CAST(count(*) AS BIGINT) AS fs
+            FROM comp GROUP BY 1)
+    SELECT d.doc_id AS doc_id,
+      coalesce(c.comp, d.doc_id) AS canonical_id,
+      CASE WHEN coalesce(c.comp, d.doc_id) = d.doc_id
+           THEN 1 ELSE 0 END AS keep,
+      coalesce(f.fs, 1) AS family_size
+    FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+      LEFT JOIN fam f ON f.comp = coalesce(c.comp, d.doc_id)
+    ORDER BY doc_id"""
 
   /** q_llm_mm_spectral — windowed audio feature extraction through
     * the REAL WAV codec (r18, judge r17 item 6 — the frame-level
@@ -1311,6 +1405,7 @@ object Similarity {
     Q("q_llm_knn_persist", knnPersist _, knnPersistSql),
     Q("q_llm_mm_audio", mmAudio _, mmAudioSql),
     Q("q_llm_mm_phash", mmPhash _, mmPhashSql),
+    Q("q_llm_mm_phash_cluster", mmPhashCluster _, mmPhashClusterSql),
     Q("q_llm_mm_spectral", mmSpectral _, mmSpectralSql),
     Q("q_llm_quantize", quantize _, quantizeSql),
     Q("q_llm_knn", knn _, knnSql),

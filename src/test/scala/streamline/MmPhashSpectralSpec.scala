@@ -61,6 +61,42 @@ class MmPhashSpectralSpec extends SparkSuite {
     assert(got.exists(_._3 == 0L) && got.exists(_._3 > 0L))
   }
 
+  test("phash families match a literal union-find over the pair graph") {
+    val ids = docIds()
+    val h = ids.map(id => id -> bands(id)).toMap
+    val pairs = for {
+      i <- ids.indices
+      j <- (i + 1) until ids.length
+      if (0 until 4).map(t =>
+        Integer.bitCount(h(ids(i))(t) ^ h(ids(j))(t))).sum <= 3
+    } yield (ids(i), ids(j))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = ids.map(i => i -> find(i)).toMap
+    val size = comp.values.groupBy(identity).map { case (c, xs) =>
+      c -> xs.size.toLong
+    }
+    val expected = ids.toSeq.map { i =>
+      (i, comp(i), if (comp(i) == i) 1 else 0, size(comp(i)))
+    }
+    val got = SparkEntry.queries("q_llm_mm_phash_cluster")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSeq
+    assert(got === expected)
+    // transitivity is real on this corpus: some family exceeds a pair
+    assert(got.exists(_._4 > 2L))
+    // and kept = exactly one per family plus singletons
+    assert(got.count(_._3 == 1) == comp.values.toSet.size)
+  }
+
   test("spectral windows match a literal sample walk") {
     val expected = docIds().toSeq.flatMap { id =>
       val n = 160 + (id % 41).toInt
