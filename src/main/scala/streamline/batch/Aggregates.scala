@@ -1753,7 +1753,9 @@ object Aggregates {
     * break. Exactness: counts stay BIGINT; conv = n_conv/n_users and
     * lift = (n_conv·N)/(n_users·C) are exact rationals through ONE
     * [[exactRound6]] each. */
-  private def aggLift(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-decile table (decile, nu, nc, n_users, n_conv) — factored
+    * out (r18) so the gains curve composes on the same histogram cut. */
+  private def liftDeciles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val u = Tables.events(spark, dir)
       .groupBy($"user_id").agg(count(lit(1)).as("score"),
@@ -1773,13 +1775,18 @@ object Aggregates {
         $"a.convs".as("convs"))
       .agg(coalesce(sum($"b.cnt"), lit(0L)).as("n_above"))
     val t = h.agg(sum($"cnt").as("nu"), sum($"convs").as("nc"))
-    val g = a.crossJoin(broadcast(t))
+    a.crossJoin(broadcast(t))
       .select(least(lit(10L), call_function("div",
           $"n_above" * lit(10L), $"nu") + lit(1L)).as("decile"),
         $"cnt", $"convs", $"nu", $"nc")
       .groupBy($"decile", $"nu", $"nc")
       .agg(sum($"cnt").as("n_users"), sum($"convs").as("n_conv"))
-    g.select($"decile", $"n_users", $"n_conv",
+  }
+
+  private def aggLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    liftDeciles(spark, dir)
+      .select($"decile", $"n_users", $"n_conv",
         exactRound6($"n_conv", $"n_users").as("conv_rate"),
         // factors to DECIMAL(38) BEFORE multiplying — n_conv·N in long
         // overflows at ~3·10⁹ users (ADVICE r15; q_agg_basket discipline)
@@ -1788,7 +1795,8 @@ object Aggregates {
       .orderBy($"decile")
   }
 
-  private val aggLiftSql = """
+  // Shared decile-table CTE chain for the lift and gains oracles.
+  private val liftDecilesCte = """
     WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS score,
             CAST(max(CASE WHEN event_type = 'purchase' AND value > 95
               THEN 1 ELSE 0 END) AS BIGINT) AS conv
@@ -1804,13 +1812,51 @@ object Aggregates {
     g AS (SELECT least(10, 1 + n_above * 10 // t.nu) AS decile,
             CAST(sum(cnt) AS BIGINT) AS n_users,
             CAST(sum(convs) AS BIGINT) AS n_conv
-          FROM a, t GROUP BY 1)
+          FROM a, t GROUP BY 1)"""
+
+  private val aggLiftSql = liftDecilesCte + """
     SELECT g.decile, g.n_users, g.n_conv,
       """ + exactRound6Sql("g.n_conv", "g.n_users") + """ AS conv_rate,
       """ + exactRound6Sql("g.n_conv::HUGEINT * t.nu",
         "g.n_users::HUGEINT * t.nc") + """
         AS lift
     FROM g, t ORDER BY g.decile"""
+
+  /** q_agg_lift_gains — the cumulative gains / capture curve over the
+    * same score-band deciles as [[aggLift]] (the other standard
+    * reading of a lift table: "the top k deciles hold x% of the
+    * population and capture y% of the converters" — the targeting /
+    * budget-allocation view). For each decile: cumulative users and
+    * converters through it, pop_share = cum_users/N and
+    * capture = cum_conv/C as exact rationals through ONE
+    * [[exactRound6]] each. Cumulation is a theta self-join on the
+    * ≤10-row decile table — metadata-scale, and NO window node
+    * anywhere (the r18 lift discipline; monotone capture ≥ pop_share
+    * ordering on the score-sorted deciles is the curve's defining
+    * property, witnessed in ParetoLiftSpec). */
+  private def aggLiftGains(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = liftDeciles(spark, dir)
+      .localCheckpoint(true) // both theta sides read it
+    g.as("a").join(g.as("b"), $"b.decile" <= $"a.decile")
+      .groupBy($"a.decile".as("decile"), $"a.nu".as("nu"),
+        $"a.nc".as("nc"))
+      .agg(sum($"b.n_users").as("cum_users"),
+        sum($"b.n_conv").as("cum_conv"))
+      .select($"decile", $"cum_users", $"cum_conv",
+        exactRound6($"cum_users", $"nu").as("pop_share"),
+        exactRound6($"cum_conv", $"nc").as("capture"))
+      .orderBy($"decile")
+  }
+
+  private val aggLiftGainsSql = liftDecilesCte + """,
+    c AS (SELECT x.decile, CAST(sum(y.n_users) AS BIGINT) AS cum_users,
+            CAST(sum(y.n_conv) AS BIGINT) AS cum_conv
+          FROM g x JOIN g y ON y.decile <= x.decile GROUP BY 1)
+    SELECT c.decile, c.cum_users, c.cum_conv,
+      """ + exactRound6Sql("c.cum_users", "t.nu") + """ AS pop_share,
+      """ + exactRound6Sql("c.cum_conv", "t.nc") + """ AS capture
+    FROM c, t ORDER BY c.decile"""
 
   /** q_agg_basket — association-rule mining over order baskets (the
     * market-basket / "frequently bought together" staple; Apriori's
@@ -3569,6 +3615,7 @@ object Aggregates {
     streamline.Q("q_agg_hhi", aggHhi _, aggHhiSql),
     streamline.Q("q_agg_transition", aggTransition _, aggTransitionSql),
     streamline.Q("q_agg_lift", aggLift _, aggLiftSql),
+    streamline.Q("q_agg_lift_gains", aggLiftGains _, aggLiftGainsSql),
     streamline.Q("q_agg_basket", aggBasket _, aggBasketSql),
     streamline.Q("q_agg_seasonality", aggSeasonality _, aggSeasonalitySql),
     streamline.Q("q_agg_corr_matrix", aggCorrMatrix _, aggCorrMatrixSql),

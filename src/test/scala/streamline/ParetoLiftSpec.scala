@@ -79,4 +79,37 @@ class ParetoLiftSpec extends SparkSuite {
     // non-degenerate: conversion rates vary across deciles
     assert(got.values.map(_._3).toSet.size > 1)
   }
+
+  test("gains curve matches a literal cumulation of the decile walk") {
+    val rows = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val users = rows.groupBy(_._1).toSeq.map { case (u, rs) =>
+      (u, rs.length.toLong,
+        if (rs.exists(x => x._2 == "purchase" && x._3 > 95)) 1L else 0L)
+    }
+    val n = users.length.toLong
+    val deciles = users.map { case (_, score, conv) =>
+      val above = users.count(_._2 > score).toLong
+      (math.min(10L, 1L + above * 10L / n), conv)
+    }
+    val nc = deciles.map(_._2).sum
+    val byDec = deciles.groupBy(_._1)
+      .map { case (d, xs) => d -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    val expected = byDec.keys.toSeq.sorted.map { d =>
+      val cumU = byDec.filter(_._1 <= d).values.map(_._1).sum
+      val cumC = byDec.filter(_._1 <= d).values.map(_._2).sum
+      (d, cumU, cumC, r6(BigInt(cumU), BigInt(n)),
+        r6(BigInt(cumC), BigInt(nc)))
+    }
+    val got = SparkEntry.queries("q_agg_lift_gains")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got === expected)
+    // the curve is a genuine cumulation: strictly increasing, closing
+    // at the full population and full capture
+    assert(got.last._2 == n && got.last._3 == nc)
+    assert(got.last._4 == 1.0 && got.last._5 == 1.0)
+    assert(got.sliding(2).forall(p => p(0)._2 < p(1)._2))
+  }
 }
