@@ -1052,8 +1052,19 @@ object Similarity {
     * split applied to the image modality). */
   private def phashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val h = Tables.documents(spark, dir).select($"doc_id")
-      .as[Long]
+    val h = phashBands(spark, Tables.documents(spark, dir)
+      .select($"doc_id"))
+    phashPairsFrom(spark, h)
+  }
+
+  /** The synth→decode→dHash stage over an arbitrary (doc_id) frame —
+    * factored (r18) so the ingest-time drain bands its delta shard and
+    * its frozen base index through the SAME plan as the batch query
+    * (the signBanded sharing discipline). */
+  private[streamline] def phashBands(spark: SparkSession,
+                                     ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.as[Long]
       .mapPartitions { it =>
         val codec = new PpmDecoder
         it.flatMap { id =>
@@ -1109,6 +1120,11 @@ object Similarity {
         }
       }
       .toDF("doc_id", "band", "hv")
+  }
+
+  private def phashPairsFrom(spark: SparkSession,
+                             h: DataFrame): DataFrame = {
+    import spark.implicits._
     val a = h.select($"doc_id".as("ia"), $"band", $"hv")
     val b = h.select($"doc_id".as("ib"), $"band".as("band_b"),
       $"hv".as("hv_b"))
@@ -1252,6 +1268,136 @@ object Similarity {
     FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
       LEFT JOIN fam f ON f.comp = coalesce(c.comp, d.doc_id)
     ORDER BY doc_id"""
+
+  /** Per-delta-doc image-dedup verdict against a frozen band index —
+    * the [[embedProbe]] shape on the hamming metric: banded
+    * candidates (delta band rows ⋈ base index on (band, value)),
+    * exact hamming over the re-attached 4-band vectors, best match =
+    * (hamming ASC, base id ASC), kept/dropped verdict per delta doc.
+    * Recall 1 by pigeonhole at threshold 3 — the probe decision is
+    * exact, not approximate. */
+  private[streamline] def phashProbe(spark: SparkSession,
+      deltaBands: DataFrame, baseBands: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cand = deltaBands.as("d").hint("shuffle_hash")
+      .join(baseBands.as("b"),
+        $"d.band" === $"b.band" && $"d.hv" === $"b.hv")
+      .select($"d.doc_id".as("vid"), $"b.doc_id".as("bid")).distinct()
+    val ham = cand
+      .hint("shuffle_hash")
+      .join(deltaBands.select($"doc_id".as("vid"), $"band".as("ba"),
+        $"hv".as("ha")), "vid")
+      .hint("shuffle_hash")
+      .join(baseBands.select($"doc_id".as("bid2"), $"band".as("bb"),
+        $"hv".as("hb")), $"bid" === $"bid2" && $"ba" === $"bb")
+      .groupBy($"vid", $"bid")
+      .agg(sum(bit_count($"ha".bitwiseXOR($"hb"))).as("hamming"))
+      .where($"hamming" <= 3)
+    val best = ham.withColumn("rn", row_number().over(
+        Window.partitionBy($"vid").orderBy($"hamming".asc, $"bid".asc)))
+      .where($"rn" === 1)
+    deltaBands.select($"doc_id").distinct()
+      .join(best.select($"vid".as("doc_id"), $"bid", $"hamming"),
+        Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"bid".isNotNull, "dropped").otherwise("kept").as("verdict"),
+        coalesce($"bid", lit(-1L)).as("match_id"),
+        coalesce($"hamming", lit(-1L)).as("hamming"))
+  }
+
+  /** q_stream_dedup_phash — LIVE-INGEST image dedup (r18): the image
+    * sibling of q_stream_dedup_embed / q_stream_dedup_incremental,
+    * completing the ingest-time story for every dedup modality (text
+    * exact+jaccard, embeddings, images). The delta image shard
+    * arrives as a FILE STREAM (staged doc ids — at 100 TB the payload
+    * column comes from storage, the mm_* posture), and every
+    * micro-batch decodes, bands, and probes the FROZEN base dHash
+    * band index through the same [[phashBands]] + [[phashProbe]] plan
+    * a batch run would use. Delta docs are disjoint across shards and
+    * the probe is per-doc independent, so the appended union over ANY
+    * file batching equals the batch split — the oracle IS the batch
+    * decision on the same base/delta split (synthesis closed form,
+    * never bytes), and MmPhashSpectralSpec re-drains over a different
+    * shard count to pin batching invariance. Per-batch work is
+    * shard × index keyed joins; nothing is driver-collected. */
+  private def streamDedupPhash(spark: SparkSession,
+                               dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamline.util.Scratch.dir("dedupph", dir)
+    val stage = s"$root/in"
+    val marker = new java.io.File(root, "_DONE")
+    if (!marker.exists()) {
+      streamline.stream.Streams.deleteRec(new java.io.File(root))
+      new java.io.File(root).mkdirs()
+      // delta = id % 20 ≤ 4: four WHOLE planted families per stride
+      // (their mates arrive in the same ingest wave ⇒ kept) plus one
+      // lone member-0 whose mates sit in the base (⇒ dropped) — both
+      // verdict branches live on every fixture
+      Tables.documents(spark, dir).where($"doc_id" % 20 <= 4)
+        .select($"doc_id")
+        .repartition(2) // two shard files -> two micro-batches (r18)
+        .write.parquet(stage)
+      marker.createNewFile(): Unit
+    }
+    val baseIdx = phashBands(spark, Tables.documents(spark, dir)
+      .where($"doc_id" % 20 > 4).select($"doc_id"))
+      .localCheckpoint(true)
+    streamPhashDrain(spark, stage, baseIdx).orderBy($"doc_id")
+  }
+
+  /** The foreachBatch drain, factored out so MmPhashSpectralSpec can
+    * run it over a different sharding of the same delta (the
+    * streamIncrementalDrain discipline). */
+  private[streamline] def streamPhashDrain(spark: SparkSession,
+      stage: String, baseIdx: DataFrame): DataFrame = {
+    val ckpt = streamline.util.Knobs.fastTmp +
+      s"/ck_dedupph_${java.util.UUID.randomUUID().toString.take(8)}"
+    var acc: DataFrame = null
+    streamline.stream.Streams.withStreamConfs(spark) {
+      try {
+        val q = spark.readStream.schema("doc_id LONG")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val verdicts =
+              phashProbe(spark, phashBands(spark, df.toDF()), baseIdx)
+                .localCheckpoint(true)
+            acc = if (acc == null) verdicts else acc.unionByName(verdicts)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally
+        streamline.stream.Streams.deleteRec(new java.io.File(ckpt))
+    }
+    require(acc != null, "stream fed no batches (stale checkpoint?)")
+    acc
+  }
+
+  private val streamDedupPhashSql = phashPairsCte.replace(
+    "WITH RECURSIVE", "WITH") + """,
+    dham AS (SELECT c.vid, c.bid,
+              CAST(sum(bit_count(xor(a.hv, b.hv))) AS BIGINT) AS hamming
+             FROM (SELECT DISTINCT x.doc_id AS vid, y.doc_id AS bid
+                   FROM h x JOIN h y ON x.band = y.band AND x.hv = y.hv
+                   WHERE x.doc_id % 20 <= 4 AND y.doc_id % 20 > 4) c
+               JOIN h a ON a.doc_id = c.vid
+               JOIN h b ON b.doc_id = c.bid AND b.band = a.band
+             GROUP BY 1, 2),
+    best AS (SELECT vid, bid, hamming, row_number() OVER
+               (PARTITION BY vid ORDER BY hamming ASC, bid ASC) AS rn
+             FROM dham WHERE hamming <= 3)
+    SELECT d0.doc_id,
+      CASE WHEN b.bid IS NOT NULL THEN 'dropped' ELSE 'kept' END
+        AS verdict,
+      coalesce(b.bid, -1) AS match_id,
+      coalesce(b.hamming, -1) AS hamming
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <= 4) d0
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.vid = d0.doc_id
+    ORDER BY d0.doc_id"""
 
   /** q_llm_mm_spectral — windowed audio feature extraction through
     * the REAL WAV codec (r18, judge r17 item 6 — the frame-level
@@ -1406,6 +1552,7 @@ object Similarity {
     Q("q_llm_mm_audio", mmAudio _, mmAudioSql),
     Q("q_llm_mm_phash", mmPhash _, mmPhashSql),
     Q("q_llm_mm_phash_cluster", mmPhashCluster _, mmPhashClusterSql),
+    Q("q_stream_dedup_phash", streamDedupPhash _, streamDedupPhashSql),
     Q("q_llm_mm_spectral", mmSpectral _, mmSpectralSql),
     Q("q_llm_quantize", quantize _, quantizeSql),
     Q("q_llm_knn", knn _, knnSql),

@@ -97,6 +97,46 @@ class MmPhashSpectralSpec extends SparkSuite {
     assert(got.count(_._3 == 1) == comp.values.toSet.size)
   }
 
+  test("streaming phash ingest matches the literal probe, invariant to sharding") {
+    import org.apache.spark.sql.functions.col
+    val ids = docIds()
+    val h = ids.map(id => id -> bands(id)).toMap
+    val (delta, base) = ids.partition(_ % 20 <= 4)
+    val expected = delta.toSeq.map { d =>
+      val matches = base.flatMap { b =>
+        val ham = (0 until 4).map(t =>
+          Integer.bitCount(h(d)(t) ^ h(b)(t))).sum
+        if (ham <= 3) Some((ham.toLong, b)) else None
+      }
+      if (matches.isEmpty) (d, "kept", -1L, -1L)
+      else {
+        val (ham, bid) = matches.min
+        (d, "dropped", bid, ham)
+      }
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_stream_dedup_phash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === expected)
+    // both verdicts live on this corpus
+    assert(got.exists(_._2 == "dropped") && got.exists(_._2 == "kept"))
+    // a DIFFERENT sharding of the same delta must not change verdicts
+    val tmp = java.nio.file.Files.createTempDirectory("dedupph_spec")
+    try {
+      val root = s"$tmp/in"
+      Tables.documents(spark, sfDir).where(col("doc_id") % 20 <= 4)
+        .select(col("doc_id")).repartition(3).write.parquet(root)
+      val baseIdx = llm.Similarity.phashBands(spark,
+        Tables.documents(spark, sfDir).where(col("doc_id") % 20 > 4)
+          .select(col("doc_id"))).localCheckpoint(true)
+      val stream3 = llm.Similarity.streamPhashDrain(spark, root, baseIdx)
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(stream3 === expected, "3-shard drain != literal probe")
+    } finally stream.Streams.deleteRec(tmp.toFile)
+  }
+
   test("spectral windows match a literal sample walk") {
     val expected = docIds().toSeq.flatMap { id =>
       val n = 160 + (id % 41).toInt

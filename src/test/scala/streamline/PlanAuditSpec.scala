@@ -25,7 +25,8 @@ class PlanAuditSpec extends SparkSuite {
       // streaming compositions registered from batch modules (r11):
       // calling their fn runs a full streaming drain, not a lazy plan
       Set("q_stream_proto", "q_stream_proto_descriptor", "q_stream_iterate",
-        "q_stream_dedup_incremental", "q_stream_dedup_embed")
+        "q_stream_dedup_incremental", "q_stream_dedup_embed",
+        "q_stream_dedup_phash")
 
   private val cartesianOk = Set("q_join_cross")
 
