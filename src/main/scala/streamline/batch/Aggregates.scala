@@ -1838,7 +1838,11 @@ object Aggregates {
     import spark.implicits._
     val g = liftDeciles(spark, dir)
       .localCheckpoint(true) // both theta sides read it
-    g.as("a").join(g.as("b"), $"b.decile" <= $"a.decile")
+    // broadcast the ≤10-row build side explicitly: without the hint
+    // the theta join planned a CartesianProduct (PlanAuditSpec's one
+    // forbidden node) — a BroadcastNestedLoopJoin over the decile
+    // table is constant work at any corpus scale
+    g.as("a").join(broadcast(g.as("b")), $"b.decile" <= $"a.decile")
       .groupBy($"a.decile".as("decile"), $"a.nu".as("nu"),
         $"a.nc".as("nc"))
       .agg(sum($"b.n_users").as("cum_users"),
