@@ -176,8 +176,15 @@ class ScalingCurveSpec extends SparkSuite {
     // map-only; phash's planted families are id-derived, so blowup
     // copies hash into fresh 16-bit band values and the banded
     // candidate join must read linear (a band-value hot spot would
-    // blow Σ bucket² here); spectral is pure per-doc fan-out
-    "q_llm_mm_phash", "q_llm_mm_spectral")
+    // blow Σ bucket² here); spectral is pure per-doc fan-out.
+    // q_llm_mm_phash_cluster sits with the iterative family OUTSIDE
+    // the curve (the superstep scheduling floor, not data, dominates
+    // at these sizes — the q_iter_cc exclusion; its superstep-count
+    // constancy is what the graph-iteration test below witnesses)
+    "q_llm_mm_phash", "q_llm_mm_spectral",
+    // r18: the gains curve shares lift's shape — one corpus pass to
+    // the per-user table, then everything value-distinct
+    "q_agg_lift_gains")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 

@@ -84,7 +84,12 @@ class StreamScalingSpec extends SparkSuite {
     // the accumulated index, and the per-batch delta joins must all
     // read linear in the wall-clock bar (the drain is foreachBatch —
     // stateless in the state store, the dedup_incremental precedent)
-    "q_stream_growth_accounting")
+    "q_stream_growth_accounting",
+    // r18: the image-ingest dedup drain — stateless foreachBatch
+    // probe of a frozen band index (the dedup_embed precedent); its
+    // witness is the wall-clock bar over the 16x staging + band +
+    // probe lifecycle
+    "q_stream_dedup_phash")
 
   /** Runs the query under a progress listener; returns (seconds, max
     * numRowsTotal across all stateful operators and micro-batches). */
