@@ -649,7 +649,10 @@ object Similarity {
       stage: String, baseIdx: DataFrame): DataFrame = {
     val ckpt = streamline.util.Knobs.fastTmp +
       s"/ck_dedupembs_${java.util.UUID.randomUUID().toString.take(8)}"
-    var acc: DataFrame = null
+    // AtomicReference: foreachBatch runs on the streaming-execution
+    // thread; the post-awaitTermination read is on the caller thread.
+    // The handoff needs an explicit memory barrier (r18 ADVICE).
+    val acc = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
     streamline.stream.Streams.withStreamConfs(spark) {
       try {
         val q = spark.readStream
@@ -664,7 +667,8 @@ object Similarity {
             val verdicts =
               embedProbe(spark, signBanded(spark, df.toDF()), baseIdx)
                 .localCheckpoint(true)
-            acc = if (acc == null) verdicts else acc.unionByName(verdicts)
+            acc.updateAndGet(prev =>
+              if (prev == null) verdicts else prev.unionByName(verdicts)): Unit
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -672,8 +676,8 @@ object Similarity {
       } finally
         streamline.stream.Streams.deleteRec(new java.io.File(ckpt))
     }
-    require(acc != null, "stream fed no batches (stale checkpoint?)")
-    acc
+    require(acc.get() != null, "stream fed no batches (stale checkpoint?)")
+    acc.get()
   }
 
   // Bucket arithmetic interpolated from the same knob default as the
@@ -1353,7 +1357,10 @@ object Similarity {
       stage: String, baseIdx: DataFrame): DataFrame = {
     val ckpt = streamline.util.Knobs.fastTmp +
       s"/ck_dedupph_${java.util.UUID.randomUUID().toString.take(8)}"
-    var acc: DataFrame = null
+    // AtomicReference: foreachBatch runs on the streaming-execution
+    // thread; the post-awaitTermination read is on the caller thread.
+    // The handoff needs an explicit memory barrier (r18 ADVICE).
+    val acc = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
     streamline.stream.Streams.withStreamConfs(spark) {
       try {
         val q = spark.readStream.schema("doc_id LONG")
@@ -1365,7 +1372,8 @@ object Similarity {
             val verdicts =
               phashProbe(spark, phashBands(spark, df.toDF()), baseIdx)
                 .localCheckpoint(true)
-            acc = if (acc == null) verdicts else acc.unionByName(verdicts)
+            acc.updateAndGet(prev =>
+              if (prev == null) verdicts else prev.unionByName(verdicts)): Unit
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -1373,8 +1381,8 @@ object Similarity {
       } finally
         streamline.stream.Streams.deleteRec(new java.io.File(ckpt))
     }
-    require(acc != null, "stream fed no batches (stale checkpoint?)")
-    acc
+    require(acc.get() != null, "stream fed no batches (stale checkpoint?)")
+    acc.get()
   }
 
   private val streamDedupPhashSql = phashPairsCte.replace(

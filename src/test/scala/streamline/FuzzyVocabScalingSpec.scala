@@ -58,9 +58,14 @@ class FuzzyVocabScalingSpec extends SparkSuite {
     assert(r1.length == 3000 && r16.length == 48000)
     assert(r1.forall(_._3 == 1L) && r16.forall(_._3 == 1L))
     assert(!r16.exists(p => p._1.contains("gamma")))
-    // pair count is exactly linear; wall time within the standard
-    // 2x-of-linear envelope (+1 s jitter floor)
-    assert(t16 <= 2.0 * 16 * t1 + 1.0,
+    // The exact candidate-pair counts above ARE the linearity witness
+    // (r18 ADVICE): an unguarded stop-token would blow the pair count
+    // long before it shows in wall time. The wall-clock envelope is
+    // only a loose backstop — t1 is sub-second here, so floor it
+    // (momentarily fast t1 on a loaded host must not flake) and use a
+    // wide jitter allowance.
+    val t1Floor = math.max(t1, 0.5)
+    assert(t16 <= 2.0 * 16 * t1Floor + 2.0,
       f"super-linear fuzzy scaling: t1=$t1%.2f t16=$t16%.2f")
   }
 }
