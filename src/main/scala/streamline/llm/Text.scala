@@ -1839,7 +1839,140 @@ object Text {
         "CAST(count(*) AS BIGINT) * 10000") + """ AS avg_logscore
     FROM sc GROUP BY 1 ORDER BY 1"""
 
+  /** q_llm_boilerplate — CCNet/RefinedWeb-style line-frequency
+    * boilerplate removal: hash-count every LINE of every page across
+    * the corpus, then drop the lines that appear in more than a
+    * handful of distinct documents (nav bars, footers, cookie banners
+    * — the repeated chrome a crawl carries on every page of a site).
+    * The corpus text is flat words, so the page structure is
+    * synthesized deterministically the dedup_url way: every doc gets a
+    * per-source nav line, its words are folded into 8-word content
+    * lines, and every third doc gets a per-source footer line. The
+    * remover must find the boilerplate through the REAL frequency
+    * pass — per-line distinct-doc counts — while the oracle rebuilds
+    * the same synthesis independently, so a counting bug cannot cancel
+    * out. (Short trailing content lines from the small vocabulary also
+    * recur across docs and get dropped — the threshold catches real
+    * repeated text, not just the planted chrome; both branches are
+    * spec-asserted.) Scale posture: explode → ONE map-side-combined
+    * distinct-doc count per line → ONE shuffled join back on the line
+    * key (corpus-linear, the dedup_weight posture — the line-frequency
+    * table is corpus-sized, never broadcast); the line table is
+    * checkpointed so the frequency branch and the join don't re-explode
+    * the corpus. At 100 TB the count is per-shard with an absolute
+    * threshold, exactly CCNet's published recipe. */
+  private def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", words($"text").as("ws"))
+      .select($"doc_id", explode(concat(
+        array(concat(lit("nav "), $"source", lit(" home about contact"))),
+        transform(
+          sequence(lit(0), ceil(size($"ws") / lit(8.0)).cast("int") - 1),
+          i => array_join(slice($"ws", i * lit(8) + 1, lit(8)), " ")),
+        when($"doc_id" % 3 === 0, array(concat(
+            lit("copyright "), $"source", lit(" all rights reserved"))))
+          .otherwise(array().cast("array<string>")))).as("line"))
+      .localCheckpoint(true) // frequency branch + join both read it
+    val lineDf = lines.groupBy($"line")
+      .agg(countDistinct($"doc_id").as("df"))
+    val lw = size(words($"line")).cast("long")
+    lines.join(lineDf.hint("shuffle_hash"), "line")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"df" <= 4, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"df" <= 4, lw).otherwise(0L)).as("kept_words"),
+        sum(lw).as("tot_words"))
+      .select($"doc_id", $"n_lines", $"n_kept", $"kept_words",
+        streamline.batch.Aggregates.exactRound6(
+          $"tot_words" - $"kept_words", $"tot_words").as("boiler_frac"))
+      .orderBy($"doc_id")
+  }
+
+  private val boilerplateSql = """
+    WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+               FROM documents),
+    lines AS (
+      SELECT doc_id, 'nav ' || source || ' home about contact' AS line
+      FROM d
+      UNION ALL
+      SELECT doc_id, array_to_string(ws[8*i+1 : 8*i+8], ' ') AS line
+      FROM d, unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS t(i)
+      UNION ALL
+      SELECT doc_id, 'copyright ' || source || ' all rights reserved'
+      FROM d WHERE doc_id % 3 = 0),
+    df AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1),
+    j AS (SELECT l.doc_id, df.df,
+            CAST(len(string_split(l.line, ' ')) AS BIGINT) AS lw
+          FROM lines l JOIN df USING (line)),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(coalesce(sum(CASE WHEN df <= 4 THEN 1 END), 0)
+                AS BIGINT) AS n_kept,
+              CAST(coalesce(sum(CASE WHEN df <= 4 THEN lw END), 0)
+                AS BIGINT) AS kept_words,
+              CAST(sum(lw) AS BIGINT) AS tot_words
+            FROM j GROUP BY 1)
+    SELECT doc_id, n_lines, n_kept, kept_words,
+      """ + streamline.batch.Aggregates.exactRound6Sql(
+        "tot_words - kept_words", "tot_words") + """ AS boiler_frac
+    FROM agg ORDER BY doc_id"""
+
+  /** q_llm_encoding — encoding-hygiene screen, the byte-level pass a
+    * crawl pipeline runs before any tokenization: count C0 control
+    * characters (excluding tab/newline/CR), U+FFFD replacement
+    * characters (the scar a broken charset transcode leaves), and
+    * NBSPs, then report the length after scrubbing (controls and
+    * replacement chars dropped, NBSP normalized to a plain space) and
+    * a clean/dirty verdict. Artifacts are planted deterministically by
+    * doc_id residue (the dedup_url discipline — the fixture text is
+    * clean ASCII): %4==1 gets a BEL prefix, %4==2 two trailing U+FFFDs,
+    * %4==3 an NBSP prefix, %4==0 stays clean, so all verdict branches
+    * occur. The screen must find them through REAL regex scans over
+    * the raw string while the oracle derives every count from the
+    * planting rule alone — a regex bug cannot cancel out. Pure per-row
+    * codegen projection; nothing shuffles. */
+  private def encoding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ctrlRe = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+    val raw = when($"doc_id" % 4 === 1, concat(lit("\u0007"), $"text"))
+      .when($"doc_id" % 4 === 2, concat($"text", lit("\uFFFD\uFFFD")))
+      .when($"doc_id" % 4 === 3, concat(lit("\u00A0"), $"text"))
+      .otherwise($"text")
+    Tables.documents(spark, dir)
+      .select($"doc_id", raw.as("raw"))
+      .select($"doc_id",
+        size(regexp_extract_all($"raw", lit(ctrlRe), lit(0)))
+          .cast("long").as("n_ctrl"),
+        size(regexp_extract_all($"raw", lit("\uFFFD"), lit(0)))
+          .cast("long").as("n_repl"),
+        size(regexp_extract_all($"raw", lit("\u00A0"), lit(0)))
+          .cast("long").as("n_nbsp"),
+        length(regexp_replace(regexp_replace(regexp_replace($"raw",
+            ctrlRe, ""), "\uFFFD", ""), "\u00A0", " "))
+          .cast("long").as("clean_len"))
+      .withColumn("verdict",
+        when($"n_ctrl" + $"n_repl" + $"n_nbsp" === 0, lit("clean"))
+          .otherwise(lit("dirty")))
+      .orderBy($"doc_id")
+  }
+
+  // Oracle derived from the planting rule, not from parsing (the
+  // dedup_url trick): counts by residue, clean length from the clean
+  // fixture text (+1 for the NBSP→space normalization, which KEEPS a
+  // character).
+  private val encodingSql = """
+    SELECT doc_id,
+      CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_ctrl,
+      CAST(CASE WHEN doc_id % 4 = 2 THEN 2 ELSE 0 END AS BIGINT) AS n_repl,
+      CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS BIGINT) AS n_nbsp,
+      CAST(length(text) + CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END
+        AS BIGINT) AS clean_len,
+      CASE WHEN doc_id % 4 = 0 THEN 'clean' ELSE 'dirty' END AS verdict
+    FROM documents ORDER BY doc_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_llm_boilerplate", boilerplate _, boilerplateSql),
+    Q("q_llm_encoding", encoding _, encodingSql),
     Q("q_llm_burstiness", burstiness _, burstinessSql),
     Q("q_llm_kl_matrix", klMatrix _, klMatrixSql),
     Q("q_llm_source_entropy", sourceEntropy _, sourceEntropySql),

@@ -1,0 +1,82 @@
+package streamline
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Pins q_llm_boilerplate and q_llm_encoding against in-JVM
+  * recomputations over the collected sf0.001 corpus (plain Scala
+  * collections — independent of both the distributed line-frequency
+  * pass and the DuckDB oracle), and asserts the planted-signal traps:
+  * every branch of each screen actually occurs on this corpus.
+  */
+class BoilerplateEncodingSpec extends SparkSuite {
+
+  /** exactRound6 in plain Long math (num ≥ 0 here). */
+  private def round6(num: Long, den: Long): Double =
+    ((2000000L * num + den) / (2L * den)) / 1e6
+
+  test("boilerplate line-frequency pass matches a literal recount; " +
+    "threshold catches planted chrome AND naturally repeated text") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def linesOf(id: Long, src: String, text: String): Seq[String] = {
+      val ws = text.split(" ").toSeq
+      val content = ws.grouped(8).map(_.mkString(" ")).toSeq
+      val nav = s"nav $src home about contact"
+      val footer = if (id % 3 == 0)
+        Seq(s"copyright $src all rights reserved") else Seq.empty
+      nav +: content :++ footer
+    }
+    val df = docs.flatMap { case (id, src, t) =>
+      linesOf(id, src, t).distinct.map(_ -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = docs.map { case (id, src, t) =>
+      val ls = linesOf(id, src, t)
+      val kept = ls.filter(l => df(l) <= 4)
+      val keptW = kept.map(_.split(" ").length.toLong).sum
+      val totW = ls.map(_.split(" ").length.toLong).sum
+      (id, ls.size.toLong, kept.size.toLong, keptW,
+        round6(totW - keptW, totW))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_llm_boilerplate")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq === expected.toSeq)
+    // both branches of the planted signal: the nav chrome is dropped
+    // everywhere, yet every doc keeps at least one content line
+    assert(got.forall { case (_, nLines, nKept, _, _) => nKept < nLines })
+    assert(got.forall(_._3 > 0))
+    // the threshold catches REAL repeated text too, not just the
+    // planted chrome: some dropped line is neither nav nor footer
+    // (short trailing chunks recur across the small-vocabulary corpus)
+    val organicDropped = df.exists { case (l, n) =>
+      n > 4 && !l.startsWith("nav ") && !l.startsWith("copyright ")
+    }
+    assert(organicDropped, "no organic boilerplate line on this corpus")
+  }
+
+  test("encoding screen matches the planting rule per residue; both " +
+    "verdict branches occur") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.map { case (id, t) =>
+      val r = id % 4
+      (id, if (r == 1) 1L else 0L, if (r == 2) 2L else 0L,
+        if (r == 3) 1L else 0L,
+        t.length.toLong + (if (r == 3) 1L else 0L),
+        if (r == 0) "clean" else "dirty")
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_llm_encoding")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(got.toSeq === expected.toSeq)
+    assert(got.exists(_._6 == "clean") && got.exists(_._6 == "dirty"))
+    // the fixture text itself is clean ASCII — the screen's zero counts
+    // on %4==0 docs are a real negative, not a vacuous one
+    assert(docs.forall { case (_, t) =>
+      t.forall(c => c >= ' ' && c <= '~') })
+  }
+}
