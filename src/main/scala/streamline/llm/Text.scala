@@ -1970,7 +1970,67 @@ object Text {
       CASE WHEN doc_id % 4 = 0 THEN 'clean' ELSE 'dirty' END AS verdict
     FROM documents ORDER BY doc_id"""
 
+  /** q_llm_pii — structural PII detection + masking (the Dolma-style
+    * anonymization pass, beyond q_llm_redact's word denylist): find
+    * emails, NANP phone numbers and IPv4 addresses by REAL regex scans
+    * and replace each with a typed placeholder. PII is planted
+    * deterministically by doc_id residue on the digit-free fixture
+    * text (%5==1 a doc-id-derived email, ==2 a doc-id-derived phone,
+    * ==3 a doc-id-derived IP, ==4 email AND IP, ==0 clean — all
+    * branches occur and the planted strings VARY per doc, so a
+    * memorized constant can't pass). The oracle derives counts and the
+    * masked string from the planting rule alone and never runs a
+    * regex, so a pattern bug cannot cancel out. Pure per-row codegen
+    * projection; nothing shuffles — the 100 TB shape is a map-only
+    * pass fused into the scan. */
+  private def pii(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val raw = concat($"text",
+      when($"doc_id" % 5 === 1, concat(lit(" contact user"),
+        $"doc_id".cast("string"), lit("@example.com")))
+        .when($"doc_id" % 5 === 2, concat(lit(" call 415-555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+        .when($"doc_id" % 5 === 3, concat(lit(" host 10.0."),
+          ($"doc_id" % 256).cast("string"), lit("."),
+          (($"doc_id" * 7) % 256).cast("string")))
+        .when($"doc_id" % 5 === 4, lit(" mail ops@corp.io from 172.16.0.9"))
+        .otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select($"doc_id", raw.as("raw"))
+      .select($"doc_id",
+        size(regexp_extract_all($"raw", lit(emailRe), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all($"raw", lit(phoneRe), lit(0)))
+          .cast("long").as("n_phone"),
+        size(regexp_extract_all($"raw", lit(ipRe), lit(0)))
+          .cast("long").as("n_ip"),
+        regexp_replace(regexp_replace(regexp_replace($"raw",
+          emailRe, "[EMAIL]"), ipRe, "[IP]"), phoneRe, "[PHONE]")
+          .as("masked"))
+      .orderBy($"doc_id")
+  }
+
+  private val piiSql = """
+    SELECT doc_id,
+      CAST(CASE WHEN doc_id % 5 IN (1, 4) THEN 1 ELSE 0 END AS BIGINT)
+        AS n_email,
+      CAST(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS BIGINT)
+        AS n_phone,
+      CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN 1 ELSE 0 END AS BIGINT)
+        AS n_ip,
+      text || CASE doc_id % 5
+        WHEN 1 THEN ' contact [EMAIL]'
+        WHEN 2 THEN ' call [PHONE]'
+        WHEN 3 THEN ' host [IP]'
+        WHEN 4 THEN ' mail [EMAIL] from [IP]'
+        ELSE '' END AS masked
+    FROM documents ORDER BY doc_id"""
+
   val all: Seq[Q] = Seq(
+    Q("q_llm_pii", pii _, piiSql),
     Q("q_llm_boilerplate", boilerplate _, boilerplateSql),
     Q("q_llm_encoding", encoding _, encodingSql),
     Q("q_llm_burstiness", burstiness _, burstinessSql),

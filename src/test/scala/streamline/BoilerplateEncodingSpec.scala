@@ -79,4 +79,36 @@ class BoilerplateEncodingSpec extends SparkSuite {
     assert(docs.forall { case (_, t) =>
       t.forall(c => c >= ' ' && c <= '~') })
   }
+
+  test("pii screen matches the planting rule per residue; masking is " +
+    "complete") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.map { case (id, t) =>
+      val suffix = (id % 5) match {
+        case 1 => " contact [EMAIL]"
+        case 2 => " call [PHONE]"
+        case 3 => " host [IP]"
+        case 4 => " mail [EMAIL] from [IP]"
+        case _ => ""
+      }
+      (id, if (id % 5 == 1 || id % 5 == 4) 1L else 0L,
+        if (id % 5 == 2) 1L else 0L,
+        if (id % 5 == 3 || id % 5 == 4) 1L else 0L, t + suffix)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_llm_pii")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.toSeq === expected.toSeq)
+    // every PII form was actually found somewhere (the detector is not
+    // vacuously agreeing with an all-zero rule)
+    assert(got.exists(_._2 > 0) && got.exists(_._3 > 0) &&
+      got.exists(_._4 > 0) && got.exists(r => r._2 == 0 && r._4 == 0))
+    // scrub completeness: no masked doc retains an '@' or a digit (the
+    // fixture text is digit-free, so any digit would be leaked PII)
+    assert(got.forall { case (_, _, _, _, m) =>
+      !m.contains('@') && !m.exists(_.isDigit) })
+  }
 }
