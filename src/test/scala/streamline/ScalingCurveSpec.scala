@@ -184,7 +184,14 @@ class ScalingCurveSpec extends SparkSuite {
     "q_llm_mm_phash", "q_llm_mm_spectral",
     // r18: the gains curve shares lift's shape — one corpus pass to
     // the per-user table, then everything value-distinct
-    "q_agg_lift_gains")
+    "q_agg_lift_gains",
+    // r19: boilerplate's line-frequency pass is the dedup_weight
+    // shape (explode → keyed distinct-doc count → keyed join back);
+    // blowup content lines are vocabulary-disjoint per copy and the
+    // per-source nav/footer hot lines only densify their one df row —
+    // the join is many-to-one so the hot key cannot fan out; linear.
+    // encoding / pii are pure per-row regex projections — map-only
+    "q_llm_boilerplate", "q_llm_encoding", "q_llm_pii")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
