@@ -1996,7 +1996,7 @@ object Text {
         .when($"doc_id" % 5 === 3, concat(lit(" host 10.0."),
           ($"doc_id" % 256).cast("string"), lit("."),
           (($"doc_id" * 7) % 256).cast("string")))
-        .when($"doc_id" % 5 === 4, lit(" mail ops@corp.io from 172.16.0.9"))
+        .when($"doc_id" % 5 === 4, lit(" mail ops@example.net from 172.16.0.9"))
         .otherwise(lit("")))
     Tables.documents(spark, dir)
       .select($"doc_id", raw.as("raw"))
