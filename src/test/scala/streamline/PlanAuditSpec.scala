@@ -75,7 +75,11 @@ class PlanAuditSpec extends SparkSuite {
         // the embedding/hash table is the first 100 TB OOM
         // (q_llm_rnn_pairs_lsh shares the twin's table behind a
         // localCheckpoint, so its visible plan is not auditable here)
-        "q_llm_knn_acc_lsh", "q_llm_mm_phash").foreach { name =>
+        "q_llm_knn_acc_lsh", "q_llm_mm_phash",
+        // r19: boilerplate's line-frequency table is corpus-sized
+        // (one row per distinct line) — it must re-attach over the
+        // exploded line table as shuffle-hash, never broadcast
+        "q_llm_boilerplate").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastExchange"),
