@@ -688,6 +688,11 @@ object Dedup {
     val stage = s"$root/in"
     val marker = new java.io.File(root, "_DONE")
     if (!marker.exists()) {
+      // r19 ADVICE: the r18 key rename (dedupinc -> dedupinc2) left
+      // old-layout stages orphaned — best-effort sweep of the legacy
+      // un-sharded scratch root before staging the current one.
+      streamline.stream.Streams.deleteRec(new java.io.File(
+        streamline.util.Scratch.dir("dedupinc", dir)))
       streamline.stream.Streams.deleteRec(new java.io.File(root))
       new java.io.File(root).mkdirs()
       Tables.documents(spark, dir).where($"doc_id" % 5 === 0)
