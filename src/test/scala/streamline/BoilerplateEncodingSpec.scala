@@ -14,27 +14,35 @@ class BoilerplateEncodingSpec extends SparkSuite {
   private def round6(num: Long, den: Long): Double =
     ((2000000L * num + den) / (2L * den)) / 1e6
 
+  private def linesOf(id: Long, src: String, text: String): Seq[String] = {
+    // limit -1: keep trailing empty tokens, mirroring Spark split
+    // and DuckDB string_split exactly (Java's default drops them)
+    val ws = text.split(" ", -1).toSeq
+    val content = ws.grouped(8).map(_.mkString(" ")).toSeq
+    val nav = s"nav $src home about contact"
+    val footer = if (id % 3 == 0)
+      Seq(s"copyright $src all rights reserved") else Seq.empty
+    nav +: content :++ footer
+  }
+
+  /** Distinct-doc frequency of every synthesized line (the reference
+    * for both the standalone screen and the composed pipeline). */
+  private def lineDf(docs: Array[(Long, String, String)]) =
+    docs.flatMap { case (id, src, t) =>
+      linesOf(id, src, t).distinct.map(_ -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+
   test("boilerplate line-frequency pass matches a literal recount; " +
     "threshold catches planted chrome AND naturally repeated text") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "source", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    def linesOf(id: Long, src: String, text: String): Seq[String] = {
-      val ws = text.split(" ").toSeq
-      val content = ws.grouped(8).map(_.mkString(" ")).toSeq
-      val nav = s"nav $src home about contact"
-      val footer = if (id % 3 == 0)
-        Seq(s"copyright $src all rights reserved") else Seq.empty
-      nav +: content :++ footer
-    }
-    val df = docs.flatMap { case (id, src, t) =>
-      linesOf(id, src, t).distinct.map(_ -> id)
-    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val df = lineDf(docs)
     val expected = docs.map { case (id, src, t) =>
       val ls = linesOf(id, src, t)
       val kept = ls.filter(l => df(l) <= 4)
-      val keptW = kept.map(_.split(" ").length.toLong).sum
-      val totW = ls.map(_.split(" ").length.toLong).sum
+      val keptW = kept.map(_.split(" ", -1).length.toLong).sum
+      val totW = ls.map(_.split(" ", -1).length.toLong).sum
       (id, ls.size.toLong, kept.size.toLong, keptW,
         round6(totW - keptW, totW))
     }.sortBy(_._1)
@@ -110,5 +118,52 @@ class BoilerplateEncodingSpec extends SparkSuite {
     // fixture text is digit-free, so any digit would be leaked PII)
     assert(got.forall { case (_, _, _, _, m) =>
       !m.contains('@') && !m.exists(_.isDigit) })
+  }
+
+  test("hygiene pipeline funnel matches the literal per-stage recount; " +
+    "every stage does real work") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val df = lineDf(docs)
+    // per-doc hygiene facts from the synthesis + planting rules (the
+    // engine finds them through the real line pass and regex scans;
+    // tests above pin detector==rule per doc, this pins the FUNNEL)
+    case class D(id: Long, nLines: Long, nKept: Long, keptW: Long,
+                 totW: Long, encFatal: Boolean, piiHits: Long)
+    val ds = docs.map { case (id, src, t) =>
+      val ls = linesOf(id, src, t)
+      val kept = ls.filter(l => df(l) <= 4)
+      D(id, ls.size.toLong, kept.size.toLong,
+        kept.map(_.split(" ", -1).length.toLong).sum,
+        ls.map(_.split(" ", -1).length.toLong).sum,
+        id % 4 == 1 || id % 4 == 2,
+        (id % 5) match { case 4 => 2L; case 0 => 0L; case _ => 1L })
+    }
+    val surv1 = ds.filter(_.nKept > 0)
+    val surv2 = surv1.filterNot(_.encFatal)
+    val expected = Seq(
+      (1, "boilerplate", ds.length.toLong, surv1.length.toLong,
+        ds.map(_.totW).sum, surv1.map(_.keptW).sum,
+        ds.map(d => d.nLines - d.nKept).sum),
+      (2, "encoding", surv1.length.toLong, surv2.length.toLong,
+        surv1.map(_.keptW).sum, surv2.map(_.keptW).sum,
+        (surv1.length - surv2.length).toLong),
+      (3, "pii", surv2.length.toLong, surv2.length.toLong,
+        surv2.map(_.keptW).sum, surv2.map(_.keptW).sum,
+        surv2.map(_.piiHits).sum))
+    val got = SparkEntry.queries("q_llm_hygiene_pipeline")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expected)
+    // non-degenerate funnel: boilerplate dropped words but no docs,
+    // encoding dropped docs, pii flagged hits on survivors
+    assert(got(0)._6 < got(0)._5 && got(0)._4 == got(0)._3)
+    assert(got(1)._4 < got(1)._3 && got(1)._7 > 0)
+    assert(got(2)._7 > 0 && got(2)._4 == got(2)._3)
+    // stage chaining: docs_out/words_out of stage N are docs_in/words_in
+    // of stage N+1
+    assert(got(0)._4 == got(1)._3 && got(1)._4 == got(2)._3)
+    assert(got(1)._6 == got(2)._5)
   }
 }
