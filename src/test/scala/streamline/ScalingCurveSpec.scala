@@ -191,7 +191,12 @@ class ScalingCurveSpec extends SparkSuite {
     // per-source nav/footer hot lines only densify their one df row —
     // the join is many-to-one so the hot key cannot fan out; linear.
     // encoding / pii are pure per-row regex projections — map-only
-    "q_llm_boilerplate", "q_llm_encoding", "q_llm_pii")
+    "q_llm_boilerplate", "q_llm_encoding", "q_llm_pii",
+    // r20: the composed hygiene pass — boilerplate's line pass plus
+    // two map screens and a doc-keyed join; every stage is the
+    // linear shape its standalone parent witnesses above, and the
+    // stage summaries are single-row aggs; must read linear
+    "q_llm_hygiene_pipeline")
 
   private def dirs: Map[Int, String] = ScaleFixtures.dirs
 
