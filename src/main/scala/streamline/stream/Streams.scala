@@ -1554,13 +1554,21 @@ object Streams {
     * emitted, so the result is arrival-order independent; duplicates in
     * the fixture all arrive within one batch (watermark still 0), so the
     * finite-input result equals DISTINCT. */
-  private def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Plan factored like [[joinStreamStreamPlan]]: the dedup store is a
+    * second keyed-state TYPE (key + expiry timestamp, no value rows)
+    * for RocksdbHeavyStateSpec to witness under both providers. */
+  private[streamline] def streamDedupPlan(spark: SparkSession,
+                                          dir: String): DataFrame = {
     import spark.implicits._
-    val st = eventsStream(spark, dir)
+    eventsStream(spark, dir)
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select($"user_id", $"event_type")
-    runToTable(spark, "dedup", "append", st)
+  }
+
+  private def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    runToTable(spark, "dedup", "append", streamDedupPlan(spark, dir))
       .orderBy($"user_id", $"event_type")
   }
 

@@ -28,9 +28,11 @@ class RocksdbHeavyStateSpec extends SparkSuite {
     walk(new java.io.File(s"$ck/state")).map(_.getName)
   }
 
-  /** Drain the declared join plan into a memory sink with a retained
-    * checkpoint; returns (rows, checkpointDir). Caller deletes. */
-  private def drain(tag: String, provider: Option[String]) = {
+  /** Drain a declared streaming plan into a memory sink with a
+    * retained checkpoint; returns (rows, checkpointDir). Caller
+    * deletes. */
+  private def drainPlan(tag: String, provider: Option[String],
+      plan: org.apache.spark.sql.DataFrame, sortCols: Seq[String]) = {
     val ck = streamline.util.Knobs.fastTmp +
       s"/ck_rocksheavy_${tag}_" +
       java.util.UUID.randomUUID().toString.take(8)
@@ -39,8 +41,7 @@ class RocksdbHeavyStateSpec extends SparkSuite {
     try {
       val name = s"rocksheavy_$tag"
       streamline.stream.Streams.withStreamConfs(spark) {
-        val q = streamline.stream.Streams
-          .joinStreamStreamPlan(spark, sfDir)
+        val q = plan
           .writeStream.format("memory").queryName(name)
           .outputMode("append")
           .option("checkpointLocation", ck)
@@ -48,13 +49,18 @@ class RocksdbHeavyStateSpec extends SparkSuite {
           .start()
         q.awaitTermination()
       }
-      (spark.table(name).orderBy("user_id", "id1", "id2")
+      (spark.table(name).orderBy(sortCols.head, sortCols.tail: _*)
         .collect().toSeq, ck)
     } finally before match {
       case Some(v) => spark.conf.set(providerKey, v)
       case None    => spark.conf.unset(providerKey)
     }
   }
+
+  private def drain(tag: String, provider: Option[String]) =
+    drainPlan(tag, provider,
+      streamline.stream.Streams.joinStreamStreamPlan(spark, sfDir),
+      Seq("user_id", "id1", "id2"))
 
   test("stream-stream join state under RocksDB: result equality, " +
       "zip snapshots, no conf leak") {
@@ -79,6 +85,36 @@ class RocksdbHeavyStateSpec extends SparkSuite {
         "default provider must write .delta join-state files")
       assert(spark.conf.getOption(providerKey) == confBefore,
         "provider override leaked out of the heavy-state drains")
+    } finally {
+      streamline.stream.Streams.deleteRec(new java.io.File(ckHdfs))
+      streamline.stream.Streams.deleteRec(new java.io.File(ckRocks))
+    }
+  }
+
+  test("streaming dedup state under RocksDB: result equality and " +
+      "zip snapshots") {
+    // second keyed-state TYPE: dropDuplicatesWithinWatermark keeps a
+    // (key -> expiry) store, no value rows — exercises a different
+    // column-family layout than the join's four stores
+    def run(tag: String, provider: Option[String]) =
+      drainPlan(tag, provider,
+        streamline.stream.Streams.streamDedupPlan(spark, sfDir),
+        Seq("user_id", "event_type"))
+    val (hdfsRows, ckHdfs) = run("dedup_hdfs", None)
+    val (rocksRows, ckRocks) = run("dedup_rocks", Some(
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider"))
+    try {
+      assert(rocksRows.nonEmpty && rocksRows == hdfsRows,
+        "RocksDB dedup drain must emit the identical distinct keys")
+      assert(rocksRows == SparkEntry.queries("q_stream_dedup")(
+        spark, sfDir).collect().toSeq,
+        "spec drain drifted from the declared q_stream_dedup")
+      val rockFiles = stateFiles(ckRocks)
+      assert(rockFiles.exists(_.endsWith(".zip")) &&
+        !rockFiles.exists(_.endsWith(".delta")),
+        s"expected RocksDB zip snapshots for the dedup state, got: " +
+          s"${rockFiles.take(20)}")
     } finally {
       streamline.stream.Streams.deleteRec(new java.io.File(ckHdfs))
       streamline.stream.Streams.deleteRec(new java.io.File(ckRocks))
