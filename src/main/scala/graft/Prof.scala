@@ -9,12 +9,25 @@ object Prof {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runToken = java.util.UUID.randomUUID().toString.take(8)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // same tmpfs scratch posture as Bench: profiling numbers must not
+      // ride the host's intermittent block-device write throttle
+      .config("spark.local.dir",
+        streamline.util.Knobs.fastTmp + s"/local_prof_$runToken")
+      .config("spark.sql.streaming.checkpointLocation",
+        streamline.util.Knobs.fastTmp + s"/ck_prof_$runToken")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Ad-hoc session confs for A/B runs: GRAFT_PROF_CONF="k=v,k=v".
+    sys.env.get("GRAFT_PROF_CONF").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     val qs = if (args.nonEmpty) args.toSeq
       else Seq("q_iter_cc", "q_iter_delta", "q_iter_pagerank",
         "q_llm_dedup_cluster")

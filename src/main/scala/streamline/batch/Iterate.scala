@@ -1,6 +1,6 @@
 package streamline.batch
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import streamline.{Q, Tables}
 
@@ -93,6 +93,58 @@ object Iterate {
     (cur, iters)
   }
 
+  /** Eager localCheckpoint that OBSERVES the aggregate `metricCol`
+    * during the materialization job itself (a CollectMetrics node rides
+    * the checkpoint pass), returning the checkpointed frame and the
+    * observed value. Loops that need a per-superstep convergence scalar
+    * read it from here instead of running a second aggregation action —
+    * one job per superstep, not two (the separate metric action
+    * measured 20-30% of warm loop time at harness scale; on a cluster
+    * it is a full extra stage launch per superstep). */
+  private def ckptObserving(df: DataFrame,
+      metricCol: Column): (DataFrame, Any) = {
+    val obs = Observation()
+    val out = df.observe(obs, metricCol.as("m")).localCheckpoint(true)
+    (out, obs.get("m"))
+  }
+
+  /** [[fixpoint]] with the convergence metric fused into the superstep
+    * materialization via [[ckptObserving]] — identical iteration
+    * semantics (same metric values ⇒ same superstep count ⇒ same fixed
+    * point), half the actions per superstep. `metricCol` must be an
+    * aggregate expression whose value strictly changes while work
+    * remains and that is defined on zero rows (e.g.
+    * `coalesce(sum(c), 0L)`). The closure-metric [[fixpoint]] stays for
+    * callers whose metric is not a single Column. */
+  def fixpointObserved(init: DataFrame, maxIter: Int,
+      requireConverged: Boolean = false)(step: DataFrame => DataFrame)(
+      metricCol: Column): (DataFrame, Int) = {
+    val verbose = sys.props.get("graft.iter.verbose")
+      .orElse(sys.env.get("GRAFT_ITER_VERBOSE")).contains("true")
+    var t0 = System.nanoTime()
+    def lap(tag: String, it: Int): Unit = if (verbose) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[iter] $tag%-10s #$it%-3d ${(t1 - t0) / 1e3}%.0f us")
+      t0 = t1
+    }
+    var (cur, m) = ckptObserving(init, metricCol)
+    lap("init+m", 0)
+    var iters = 0
+    while (iters < maxIter) {
+      val (next, m2) = ckptObserving(step(cur), metricCol)
+      lap("step+m", iters + 1)
+      iters += 1
+      if (m2 == m) return (next, iters)
+      cur = next
+      m = m2
+    }
+    if (requireConverged)
+      throw new IllegalStateException(
+        s"fixpoint did not converge within $maxIter supersteps " +
+          s"(metric still moving: $m); raise maxIter or audit the step")
+    (cur, iters)
+  }
+
   /** Connected components by min-label propagation over an undirected
     * edge list `(src, dst)`: every vertex converges to the smallest
     * vertex id reachable from it. Deterministic for any partitioning
@@ -157,7 +209,8 @@ object Iterate {
       comp.union(fromNeighbors)
         .groupBy($"v").agg(min($"comp").as("comp"))
     }
-    val (fixed, iters) = fixpoint(init, maxIter, requireConverged = true) { comp =>
+    val (fixed, iters) = fixpointObserved(init, maxIter,
+        requireConverged = true) { comp =>
       // TWO propagate hops per superstep, then one path-halving jump.
       // Convergence here is gated by how far min-label information
       // travels per superstep (one edge-hop per propagate); the r13
@@ -178,14 +231,14 @@ object Iterate {
       val lut = propagated.select($"v".as("lv"), $"comp".as("lcomp"))
       propagated.join(stateSide(lut), $"comp" === $"lv")
         .select($"v", least($"comp", $"lcomp").as("comp"))
-    } { df =>
+    } {
       // Σ labels strictly decreases until the fixed point; kept as
       // Long end to end — a Double image aliases distinct sums above
       // ~2^53, faking convergence on billion-vertex id spaces.
       // coalesce: sum() over zero rows is NULL — an empty edge set
       // (e.g. a month filter matching no orders) must converge to an
       // empty result, not NPE on the non-nullable Long decode.
-      df.agg(coalesce(sum($"comp"), lit(0L))).as[Long].head()
+      coalesce(sum($"comp"), lit(0L))
     }
     undirected.unpersist()
     (fixed, iters)
@@ -205,19 +258,28 @@ object Iterate {
     * [[fixpoint]]. */
   def deltaIterate(initSolution: DataFrame, key: String, maxIter: Int)(
       step: (DataFrame, DataFrame) => DataFrame): (DataFrame, Int) = {
-    var solution = initSolution.localCheckpoint(true)
-    var workset = solution
+    // Emptiness of the init workset and of every delta is OBSERVED
+    // during the frame's own checkpoint materialization (ckptObserving)
+    // instead of a separate isEmpty action per superstep — the old
+    // shape ran 2 extra jobs per superstep (delta.isEmpty + the
+    // loop-top workset.isEmpty re-check) purely to read a row count
+    // the materialization already knew.
+    val (solution0, n0) = ckptObserving(initSolution, count(lit(1)))
+    var solution = solution0
+    var workset = solution0
+    var worksetRows = n0.asInstanceOf[Long]
     var iters = 0
-    while (iters < maxIter && !workset.isEmpty) {
-      val delta = step(solution, workset).localCheckpoint(true)
+    while (iters < maxIter && worksetRows > 0L) {
+      val (delta, nd) = ckptObserving(step(solution, workset), count(lit(1)))
       iters += 1
-      if (delta.isEmpty) return (solution, iters)
+      if (nd.asInstanceOf[Long] == 0L) return (solution, iters)
       // the delta is frontier-sized (what CHANGED last superstep) —
       // broadcast it into the solution-replacement anti-join
       solution = solution.join(stateSide(delta), Seq(key), "left_anti")
         .union(delta)
         .localCheckpoint(true)
       workset = delta
+      worksetRows = nd.asInstanceOf[Long]
     }
     (solution, iters)
   }
@@ -765,7 +827,7 @@ object Iterate {
   private def minLabelFixpoint(init: DataFrame, e: DataFrame): DataFrame = {
     val spark = init.sparkSession
     import spark.implicits._
-    fixpoint(init, 100, requireConverged = true) { comp =>
+    fixpointObserved(init, 100, requireConverged = true) { comp =>
       val fromIn = e.join(stateSide(comp), e("src") === comp("v"))
         .select(e("dst").as("v"), comp("comp"))
       // No mid-step localCheckpoint (unlike the undirected CC loop):
@@ -781,8 +843,8 @@ object Iterate {
       val lut = prop.select($"v".as("lv"), $"comp".as("lcomp"))
       prop.join(stateSide(lut), $"comp" === $"lv")
         .select($"v", least($"comp", $"lcomp").as("comp"))
-    } { df =>
-      df.agg(coalesce(sum($"comp"), lit(0L))).as[Long].head()
+    } {
+      coalesce(sum($"comp"), lit(0L))
     }._1
   }
 
@@ -822,16 +884,18 @@ object Iterate {
     withIterConfs(spark) {
       var edges = edges0.select($"src", $"dst").distinct()
         .localCheckpoint(true)
-      var verts = edges.select($"src".as("v"))
-        .union(edges.select($"dst".as("v"))).distinct()
-        .localCheckpoint(true)
+      // remaining-vertex counts ride the verts checkpoints (observe),
+      // not separate count() actions — one job saved per outer round.
+      val (verts0, nv0) = ckptObserving(edges.select($"src".as("v"))
+        .union(edges.select($"dst".as("v"))).distinct(), count(lit(1)))
+      var verts = verts0
       val found = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var rounds = 0
-      var remaining = verts.count()
+      var remaining = nv0.asInstanceOf[Long]
       while (remaining > 0 && rounds < maxRounds) {
         rounds += 1
         // (1) trim to the cyclic core.
-        val (core, _) = fixpoint(verts, 200) { vs =>
+        val (core, _) = fixpointObserved(verts, 200) { vs =>
           val live = edges
             .join(stateSide(vs.select($"v".as("sv"))), $"src" === $"sv",
               "left_semi")
@@ -845,8 +909,8 @@ object Iterate {
             .union(live.select($"dst".as("v"), lit(1).as("side")))
             .groupBy($"v").agg(countDistinct($"side").as("ns"))
             .where($"ns" === 2).select($"v")
-        } { df =>
-          df.agg(coalesce(sum($"v"), lit(0L))).as[Long].head()
+        } {
+          coalesce(sum($"v"), lit(0L))
         }
         found += verts.except(core).select($"v", $"v".as("scc_id"))
           .localCheckpoint(true)
@@ -881,9 +945,11 @@ object Iterate {
           .select($"v", $"comp".as("scc_id"))
           .localCheckpoint(true)
         found += scc
-        verts = core.except(scc.select($"v")).localCheckpoint(true)
+        val (verts2, nv2) =
+          ckptObserving(core.except(scc.select($"v")), count(lit(1)))
+        verts = verts2
         edges = e
-        remaining = verts.count()
+        remaining = nv2.asInstanceOf[Long]
       }
       // Round count is bounded by condensation-DAG depth — O(V) on a
       // chain-of-cycles graph, so the cap IS reachable on adversarial
@@ -1224,25 +1290,40 @@ object Iterate {
       .select($"v", call_function("div", lit(SCALE), $"nh").as("s"))
       .localCheckpoint(true)
     var a: DataFrame = h // placeholder; overwritten in superstep 1
+    // The L1 total of each raw half-step is OBSERVED during the raw
+    // table's checkpoint materialization (the job already sums every
+    // row) and re-enters the normalize select as a literal — the old
+    // crossJoin(broadcast(agg)) spelling launched one extra aggregation
+    // job per half-step (16 per query) purely to recompute that total.
+    // Values are bit-identical: same sum over the same materialized
+    // rows. Raw tables stay checkpointed for the same reason as before
+    // (the next half-step's broadcast must build from a leaf, not
+    // re-run the edge join).
+    def normalized(raw: DataFrame, tot: Any): DataFrame = {
+      val totLit = tot match {
+        // empty graph: sum over zero rows observes null; raw has zero
+        // rows so the divisor value is never read — any non-null
+        // stand-in keeps the div expression type-resolvable.
+        case null => lit(java.math.BigDecimal.ONE)
+        case d: java.math.BigDecimal => lit(d)
+        case other => lit(other.toString).cast("decimal(38,0)")
+      }
+      raw.select($"v",
+        call_function("div", $"raw" * lit(SCALE), totLit).as("s"))
+    }
     for (_ <- 1 to 8) {
-      // raw tables are checkpointed BEFORE their total probes: the
-      // normalize step reads each twice (rows + 1-row total), and
-      // un-checkpointed DAG branches would re-run the edge join
-      // (the derived-stats re-execution class)
-      val araw = edges.join(stateSide(h), $"v" === $"src")
-        .groupBy($"dst").agg(sum(d38($"s")).as("raw"))
-        .select($"dst".as("v"), $"raw")
-        .localCheckpoint(true)
-      a = araw.crossJoin(broadcast(araw.agg(sum($"raw").as("tot"))))
-        .select($"v",
-          call_function("div", $"raw" * lit(SCALE), $"tot").as("s"))
-      val hraw = edges.join(stateSide(a), $"v" === $"dst")
-        .groupBy($"src").agg(sum(d38($"s")).as("raw"))
-        .select($"src".as("v"), $"raw")
-        .localCheckpoint(true)
-      h = hraw.crossJoin(broadcast(hraw.agg(sum($"raw").as("tot"))))
-        .select($"v",
-          call_function("div", $"raw" * lit(SCALE), $"tot").as("s"))
+      val (araw, atot) = ckptObserving(
+        edges.join(stateSide(h), $"v" === $"src")
+          .groupBy($"dst").agg(sum(d38($"s")).as("raw"))
+          .select($"dst".as("v"), $"raw"),
+        sum($"raw"))
+      a = normalized(araw, atot)
+      val (hraw, htot) = ckptObserving(
+        edges.join(stateSide(a), $"v" === $"dst")
+          .groupBy($"src").agg(sum(d38($"s")).as("raw"))
+          .select($"src".as("v"), $"raw"),
+        sum($"raw"))
+      h = normalized(hraw, htot)
     }
     edges.unpersist()
     a.select(lit("auth").as("side"), $"v", $"s".as("score_fp"))
@@ -1310,8 +1391,16 @@ object Iterate {
       .select($"o_custkey".as("src"),
         ($"l_suppkey" + lit(1000000L)).as("dst"))
       .distinct().persist()
-    val dmax = edges.groupBy($"dst").agg(count(lit(1)).as("d"))
-      .agg(max($"d").as("dmax"))
+    // d_max is a loop-constant scalar: compute it ONCE and inline it as
+    // a literal — the old crossJoin(broadcast(dmax)) spelling re-ran
+    // the two-stage degree aggregation as a broadcast build inside
+    // every superstep (8 extra jobs per query for one unchanging
+    // number). Empty graph: max over zero rows is null; verts is empty
+    // then too, so the divisor is never read — 1 keeps the expression
+    // well-typed.
+    val dmaxV = Option(edges.groupBy($"dst").agg(count(lit(1)).as("d"))
+      .agg(max($"d").as("dmax")).head().get(0))
+      .fold(1L)(_.asInstanceOf[Long])
     val verts = edges.select($"src".as("v"))
       .union(edges.select($"dst".as("v"))).distinct()
       .localCheckpoint(true) // every superstep's left join reads it
@@ -1321,9 +1410,8 @@ object Iterate {
         .groupBy($"dst").agg(sum($"s").as("raw"))
         .select($"dst".as("v"), $"raw")
       x = verts.join(contrib, Seq("v"), "left")
-        .crossJoin(broadcast(dmax))
         .select($"v", (lit(SCALE) + call_function("div",
-          coalesce($"raw", lit(0L)), lit(2L) * $"dmax")).as("s"))
+          coalesce($"raw", lit(0L)), lit(2L * dmaxV))).as("s"))
         .localCheckpoint(true)
     }
     edges.unpersist()
