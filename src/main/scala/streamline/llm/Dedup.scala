@@ -687,12 +687,15 @@ object Dedup {
     val root = streamline.util.Scratch.dir(s"dedupinc$shards", dir)
     val stage = s"$root/in"
     val marker = new java.io.File(root, "_DONE")
+    // r19 ADVICE: the r18 key rename (dedupinc -> dedupinc2) left
+    // old-layout stages orphaned — best-effort sweep of the legacy
+    // un-sharded scratch root. Unconditional (r20 ADVICE): a machine
+    // already staged under the NEW layout would otherwise keep the
+    // orphaned legacy directory forever (deleteRec is a no-op on a
+    // missing dir, so this costs one stat call when already clean).
+    streamline.stream.Streams.deleteRec(new java.io.File(
+      streamline.util.Scratch.dir("dedupinc", dir)))
     if (!marker.exists()) {
-      // r19 ADVICE: the r18 key rename (dedupinc -> dedupinc2) left
-      // old-layout stages orphaned — best-effort sweep of the legacy
-      // un-sharded scratch root before staging the current one.
-      streamline.stream.Streams.deleteRec(new java.io.File(
-        streamline.util.Scratch.dir("dedupinc", dir)))
       streamline.stream.Streams.deleteRec(new java.io.File(root))
       new java.io.File(root).mkdirs()
       Tables.documents(spark, dir).where($"doc_id" % 5 === 0)

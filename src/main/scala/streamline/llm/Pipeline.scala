@@ -546,10 +546,22 @@ object Pipeline {
       round(log((($"c_en" + 1.0) * lit((nAll + v).toDouble)) /
           (($"c_all" + 1.0) * lit((nEn + v).toDouble))), 8)
         .cast("decimal(18,8)").as("lr"))
+    // localCheckpoint (eager), not persist: the scores table feeds the
+    // count, the cut probe AND the returned plan. The old persist +
+    // unpersist-before-return shape released the cache but left the
+    // returned plan lazy — the caller's final execution then re-derived
+    // scores from the raw corpus, re-running the whole operator
+    // (measured ~40% of bench time). A checkpointed leaf is both
+    // leak-free (blocks follow the DataFrame's lifetime via the
+    // ContextCleaner, nothing stays in the session cache catalog) and
+    // recompute-free. The doc count rides the checkpoint job as an
+    // observed metric instead of a separate count() action.
+    val scoresObs = org.apache.spark.sql.Observation()
     val scores = words.join(broadcast(lr), "w")
       .groupBy($"doc_id").agg(sum($"lr").as("s"))
-      .persist()
-    val n = scores.count()
+      .observe(scoresObs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val n = scoresObs.get("n").asInstanceOf[Long]
     val k = (n / 4).toInt
     // the k-th (score desc, doc_id asc) row defines the cut; fetching
     // it is ONE driver row, and limit(k) plans as TakeOrdered
@@ -564,17 +576,16 @@ object Pipeline {
     val out = scores.select($"doc_id", $"s".cast("double").as("score"),
         selected.as("selected"))
       .orderBy($"doc_id")
-    // ALL operator-internal caches released before returning (the
-    // cacheReuse discipline, Relational.scala cacheReuse): a returned
-    // query must not pin doc-count-sized storage for the session's
-    // lifetime. The caller's final execution re-derives `scores` from
-    // the lazy plan — one extra corpus pass, deterministic by the
-    // decimal-rounded log-ratio discipline (order-independent sums and
-    // a driver-literal cut, so the recompute cannot diverge from the
-    // cut fetched above). Pinned leak-free in LlmSelectionSpec.
+    // ALL operator-internal session caches released before returning
+    // (the cacheReuse discipline, Relational.scala cacheReuse): a
+    // returned query must not pin doc-count-sized storage in the
+    // session cache catalog. `scores` itself is a checkpointed leaf
+    // whose blocks the ContextCleaner drops with the returned
+    // DataFrame, so the final execution reads the materialized rows
+    // instead of re-deriving them from the corpus. Pinned leak-free in
+    // LlmSelectionSpec.
     counts.unpersist()
     words.unpersist()
-    scores.unpersist()
     out
   }
 

@@ -1348,13 +1348,21 @@ object Text {
         val (l, r, c) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step, l, r, c))
+        // NO per-step checkpoint (r21): each merge adds ONE Project
+        // (a literal replace) over the vocabulary-sized leaf, so the
+        // lineage grows linearly — ten stacked replaces over a few
+        // hundred rows re-execute in microseconds, while the old
+        // per-step localCheckpoint paid a full materialization job per
+        // merge (2 actions per step instead of 1; ~40% of warm train
+        // time). This is NOT the fixpoint exponential-plan case: the
+        // step references seqs once, so no doubling. The final table
+        // is checkpointed below for the encode join.
         seqs = seqs.select($"word", $"freq",
           replace($"seq", lit(s"[$l][$r]"), lit(s"[$l$r]")).as("seq"))
-          .localCheckpoint(true)
         step += 1
       }
     }
-    (merges.result(), seqs)
+    (merges.result(), seqs.localCheckpoint(true))
   }
 
   private def bpeTrain(spark: SparkSession, dir: String): DataFrame = {

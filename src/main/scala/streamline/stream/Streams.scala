@@ -2386,9 +2386,12 @@ object Streams {
     // generations under `root` are rebuilt per run regardless — only
     // the immutable staged INPUT is cached).
     val stageDone = new java.io.File(tmp, "_DONE")
+    // legacy-root sweep runs UNCONDITIONALLY (r20 ADVICE): a machine
+    // already staged under the new layout would otherwise keep the
+    // orphaned old 4-file root forever; no-op when already clean.
+    deleteRec(new java.io.File(
+      streamline.util.Scratch.dir("retract_ev", dir)))
     if (!stageDone.exists()) {
-      deleteRec(new java.io.File(
-        streamline.util.Scratch.dir("retract_ev", dir)))
       deleteRec(new java.io.File(tmp))
       ev.repartition(2).write.parquet(tmp)
       stageDone.createNewFile(): Unit

@@ -65,11 +65,17 @@ class RocksdbHeavyStateSpec extends SparkSuite {
   test("stream-stream join state under RocksDB: result equality, " +
       "zip snapshots, no conf leak") {
     val confBefore = spark.conf.getOption(providerKey)
-    val (hdfsRows, ckHdfs) = drain("hdfs", None)
-    val (rocksRows, ckRocks) = drain("rocks", Some(
-      "org.apache.spark.sql.execution.streaming.state." +
-        "RocksDBStateStoreProvider"))
+    // checkpoints register as created so the ONE finally below cleans
+    // whatever exists even when the second drain itself throws (r20
+    // ADVICE: the first drain's retained checkpoint used to leak then)
+    val created = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
+      val (hdfsRows, ckHdfs) = drain("hdfs", None)
+      created += ckHdfs
+      val (rocksRows, ckRocks) = drain("rocks", Some(
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider"))
+      created += ckRocks
       assert(rocksRows.nonEmpty && rocksRows == hdfsRows,
         "RocksDB join drain must emit the identical matched pairs")
       val declared = SparkEntry.queries("q_join_stream_stream")(
@@ -85,10 +91,8 @@ class RocksdbHeavyStateSpec extends SparkSuite {
         "default provider must write .delta join-state files")
       assert(spark.conf.getOption(providerKey) == confBefore,
         "provider override leaked out of the heavy-state drains")
-    } finally {
-      streamline.stream.Streams.deleteRec(new java.io.File(ckHdfs))
-      streamline.stream.Streams.deleteRec(new java.io.File(ckRocks))
-    }
+    } finally created.foreach(p =>
+      streamline.stream.Streams.deleteRec(new java.io.File(p)))
   }
 
   test("streaming dedup state under RocksDB: result equality and " +
@@ -100,11 +104,15 @@ class RocksdbHeavyStateSpec extends SparkSuite {
       drainPlan(tag, provider,
         streamline.stream.Streams.streamDedupPlan(spark, sfDir),
         Seq("user_id", "event_type"))
-    val (hdfsRows, ckHdfs) = run("dedup_hdfs", None)
-    val (rocksRows, ckRocks) = run("dedup_rocks", Some(
-      "org.apache.spark.sql.execution.streaming.state." +
-        "RocksDBStateStoreProvider"))
+    // same one-finally cleanup discipline as the join test above
+    val created = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
+      val (hdfsRows, ckHdfs) = run("dedup_hdfs", None)
+      created += ckHdfs
+      val (rocksRows, ckRocks) = run("dedup_rocks", Some(
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider"))
+      created += ckRocks
       assert(rocksRows.nonEmpty && rocksRows == hdfsRows,
         "RocksDB dedup drain must emit the identical distinct keys")
       assert(rocksRows == SparkEntry.queries("q_stream_dedup")(
@@ -115,9 +123,7 @@ class RocksdbHeavyStateSpec extends SparkSuite {
         !rockFiles.exists(_.endsWith(".delta")),
         s"expected RocksDB zip snapshots for the dedup state, got: " +
           s"${rockFiles.take(20)}")
-    } finally {
-      streamline.stream.Streams.deleteRec(new java.io.File(ckHdfs))
-      streamline.stream.Streams.deleteRec(new java.io.File(ckRocks))
-    }
+    } finally created.foreach(p =>
+      streamline.stream.Streams.deleteRec(new java.io.File(p)))
   }
 }
