@@ -525,8 +525,17 @@ object Pipeline {
   private def dsirHashed(spark: SparkSession, dir: String): DataFrame =
     dsirImpl(spark, dir, dsirHashBucket)
 
-  private def dsirImpl(spark: SparkSession, dir: String,
-      feature: Column => Column): DataFrame = {
+  /** The UNMATERIALIZED per-document score plan of [[dsirImpl]],
+    * factored out so PlanAuditSpec can keep pinning the scale contract
+    * it carries — the vocabulary-/4096-bucket-sized log-ratio table
+    * must BROADCAST back over the corpus scan (a corpus shuffle for a
+    * model-sized side is the 100 TB anti-shape). Since r21 that join
+    * executes during the operator's scores materialization and is no
+    * longer visible in the RETURNED plan (a checkpointed leaf), so the
+    * audit reads it from here. Returns (words, counts, scoresPlan)
+    * with words/counts persisted — the caller owns the unpersists. */
+  private[streamline] def dsirScoresPlan(spark: SparkSession, dir: String,
+      feature: Column => Column): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     // persisted across the two passes (count model, then score): the
     // operator's four actions otherwise re-scan and re-explode the
@@ -546,6 +555,19 @@ object Pipeline {
       round(log((($"c_en" + 1.0) * lit((nAll + v).toDouble)) /
           (($"c_all" + 1.0) * lit((nEn + v).toDouble))), 8)
         .cast("decimal(18,8)").as("lr"))
+    (words, counts,
+      words.join(broadcast(lr), "w")
+        .groupBy($"doc_id").agg(sum($"lr").as("s")))
+  }
+
+  /** Exposed for PlanAuditSpec: the hashed twin's feature map. */
+  private[streamline] def dsirFeatures(hashed: Boolean): Column => Column =
+    if (hashed) dsirHashBucket else identity
+
+  private def dsirImpl(spark: SparkSession, dir: String,
+      feature: Column => Column): DataFrame = {
+    import spark.implicits._
+    val (words, counts, scoresPlan) = dsirScoresPlan(spark, dir, feature)
     // localCheckpoint (eager), not persist: the scores table feeds the
     // count, the cut probe AND the returned plan. The old persist +
     // unpersist-before-return shape released the cache but left the
@@ -557,8 +579,7 @@ object Pipeline {
     // recompute-free. The doc count rides the checkpoint job as an
     // observed metric instead of a separate count() action.
     val scoresObs = org.apache.spark.sql.Observation()
-    val scores = words.join(broadcast(lr), "w")
-      .groupBy($"doc_id").agg(sum($"lr").as("s"))
+    val scores = scoresPlan
       .observe(scoresObs, count(lit(1)).as("n"))
       .localCheckpoint(true)
     val n = scoresObs.get("n").asInstanceOf[Long]

@@ -46,17 +46,37 @@ class PlanAuditSpec extends SparkSuite {
     // single-row-sized: the corpus side must never shuffle for them.
     Seq("q_llm_df_prune" -> "BroadcastHashJoin",
         "q_llm_ngram_lm" -> "BroadcastHashJoin",
-        // r11: DSIR's per-word log-ratio table is vocabulary-sized and
-        // must broadcast back over the corpus scan
-        "q_llm_dsir" -> "BroadcastHashJoin",
-        // r12: the hashed twin's table is <=4096 rows BY CONSTRUCTION —
-        // losing the broadcast here would be strictly worse than dsir
-        "q_llm_dsir_hashed" -> "BroadcastHashJoin",
         "q_agg_hist" -> "BroadcastNestedLoopJoin").foreach {
       case (name, shape) =>
         val plan = SparkEntry.queries(name)(spark, sfDir)
           .queryExecution.executedPlan.toString
         assert(plan.contains(shape), s"$name lost its $shape")
+    }
+    // r11/r12: DSIR's per-word (plain) / 4096-bucket (hashed) log-ratio
+    // table is model-sized and must broadcast back over the corpus
+    // scan. Since r21 that join executes during the operator's scores
+    // materialization (the returned plan is a select over the
+    // checkpointed leaf — strictly better: NOTHING joins or re-scans
+    // the corpus at emit time), so the broadcast contract is audited on
+    // the factored scores plan and the no-rescan contract on the
+    // returned plan.
+    Seq(false, true).foreach { hashed =>
+      val name = if (hashed) "q_llm_dsir_hashed" else "q_llm_dsir"
+      val (words, counts, scoresPlan) = streamline.llm.Pipeline
+        .dsirScoresPlan(spark, sfDir,
+          streamline.llm.Pipeline.dsirFeatures(hashed))
+      try {
+        val inner = scoresPlan.queryExecution.executedPlan.toString
+        assert(inner.contains("BroadcastHashJoin"),
+          s"$name lost its model-side BroadcastHashJoin")
+        assert(!inner.contains("SortMergeJoin"),
+          s"$name corpus side must not shuffle for a model-sized table")
+      } finally { words.unpersist(); counts.unpersist() }
+      val outer = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(outer.contains("ExistingRDD") && !outer.contains("FileScan"),
+        s"$name returned plan must read the materialized scores leaf, " +
+          s"not re-derive from parquet: $outer")
     }
   }
 
