@@ -499,7 +499,7 @@ object Joins {
     // util/Knobs); it is baked into the scratch path so a conf change
     // can never re-register files written with a different count.
     val nBuckets = streamline.util.Knobs.bucketCount(spark)
-    val base = s"/tmp/graft_bucketed/b$nBuckets/" +
+    val base = s"${streamline.util.Scratch.root}/graft_bucketed/b$nBuckets/" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val marker = java.nio.file.Paths.get(s"$base/_DONE")
     if (bucketedFor == base &&

@@ -33,9 +33,9 @@ object ScaleFixtures {
   private def cleanup(m: Map[Int, String]): Unit = {
     m.values.foreach(d =>
       stream.Streams.deleteRec(new java.io.File(d)))
-    // streaming witnesses key their scratch under java.io.tmpdir by the
-    // MANGLED source-dir path (util.Scratch.dir) — sweep those too
-    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    // streaming witnesses key their scratch under the Scratch root by
+    // the MANGLED source-dir path (util.Scratch.dir) — sweep those too
+    val tmp = new java.io.File(util.Scratch.root)
     val mangled = m.values
       .map(_.replaceAll("[^A-Za-z0-9._-]", "_")).toSeq
     // Scratch.dir names are exactly `graft_<query>_<mangledSrcDir>` —
