@@ -76,4 +76,13 @@ class KnobsSpec extends SparkSuite {
     assert(a != b)
     assert(a.contains("graft_x_"))
   }
+
+  test("scratch roots at the fast ephemeral dir") {
+    // The explicit per-witness scratch (sink rewrites, staged sources,
+    // checkpointLocation roots) must share Bench's fast-tmp posture —
+    // a regression back to bare java.io.tmpdir puts every staged write
+    // and state checkpoint back on the throttled block device.
+    assert(Scratch.root == Knobs.fastTmp)
+    assert(Scratch.dir("x", "/d").startsWith(Knobs.fastTmp + "/"))
+  }
 }
