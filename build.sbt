@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the forked program's one-line JSON from
+// stdout; sbt's default logger prefixes every forwarded line with
+// "[info] ", which breaks line-oriented parsers. StdoutOutput makes the
+// forked JVM inherit this process's stdout so program output is emitted
+// bare, starting at column 0.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -28,3 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The 881-test suite runs one shared local[4] session through heavy
+// streaming/RocksDB suites plus 16x scale fixtures; heap pressure on
+// the scheduler event loop stops the SparkContext (observed once as a
+// StreamScalingSpec context-shutdown failure in a driver run). Give the
+// test JVM more headroom than the bench default (last -Xmx wins).
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "12g")}"

@@ -122,12 +122,33 @@ object Knobs {
     * both are plain confs this helper never overrides
     * (`graft.fastTmp` = explicit override; unset ⇒ /dev/shm when
     * writable, else java.io.tmpdir). */
+  /** tmpfs is RAM: scratch placed there competes with the JVM heap and
+    * the OS page cache. The auto-pick therefore requires this much
+    * usable space on /dev/shm (default 16 GiB — several times the
+    * harness's worst observed scratch footprint) and falls back to
+    * java.io.tmpdir below it. Resolved ONCE per JVM so a run whose
+    * scratch grows never splits across two roots mid-flight; an
+    * explicit `graft.fastTmp` is honored unconditionally. Durability
+    * note: tmpfs does not survive a host restart — the recovery
+    * witnesses exercise stop/restart of the QUERY within one host
+    * lifetime, which tmpfs supports; a deployment that needs
+    * restart-durable checkpoints points `graft.fastTmp` (or the plain
+    * Spark confs) at reliable shared storage. */
+  private[streamline] def pickFastTmp(shm: java.io.File,
+                                minFree: Long): Option[String] =
+    if (shm.isDirectory && shm.canWrite && shm.getUsableSpace >= minFree)
+      Some(shm.getPath + "/graft")
+    else None
+
+  private lazy val autoTmp: String = {
+    val minFree = sys.props.get("graft.fastTmp.minFreeBytes")
+      .map(_.toLong).getOrElse(16L << 30)
+    pickFastTmp(new java.io.File("/dev/shm"), minFree)
+      .getOrElse(sys.props("java.io.tmpdir"))
+  }
+
   def fastTmp: String = {
-    val pick = sys.props.get("graft.fastTmp").getOrElse {
-      val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft"
-      else sys.props("java.io.tmpdir")
-    }
+    val pick = sys.props.get("graft.fastTmp").getOrElse(autoTmp)
     val f = new java.io.File(pick)
     f.mkdirs()
     pick

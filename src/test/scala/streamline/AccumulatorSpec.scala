@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * and rejected rows never reach the output. */
 class AccumulatorSpec extends SparkSuite {
 
-  import graft.SparkTestBase.spark.implicits._
+  val sparkI = graft.SparkTestBase.spark
+  import sparkI.implicits._
 
   test("malformed rows are counted and excluded, clean rows pass") {
     val acc = spark.sparkContext.longAccumulator("test_malformed")

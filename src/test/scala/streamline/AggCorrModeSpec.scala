@@ -2,7 +2,7 @@ package streamline
 
 import graft.{SparkEntry, SparkSuite}
 import org.apache.spark.sql.functions._
-import graft.SparkTestBase.spark.implicits._
+import graft.TestImplicits._
 
 /** q_agg_corr / q_agg_mode (SURVEY.md §2.4): the exact-moment-sum
   * statistics must agree with Spark's built-in (merge-order-dependent)

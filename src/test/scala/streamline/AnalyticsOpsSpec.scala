@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * fresh), and resample spine/ffill structure. */
 class AnalyticsOpsSpec extends SparkSuite {
 
-  import graft.SparkTestBase.spark.implicits._
+  val sparkI = graft.SparkTestBase.spark
+  import sparkI.implicits._
 
   private def gini(vals: Seq[Double]): Double = {
     // same rank form as q_agg_gini, computed directly

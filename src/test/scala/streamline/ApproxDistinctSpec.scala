@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * stuck on the sparse exact-counting path would prove nothing). */
 class ApproxDistinctSpec extends SparkSuite {
 
-  import graft.SparkTestBase.spark.implicits._
+  val sparkI = graft.SparkTestBase.spark
+  import sparkI.implicits._
 
   test("HLL++ estimate within 4 rsd of exact per-group distinct at sf0.01") {
     val dir = "/root/testdata/sf0.01"

@@ -19,7 +19,8 @@ class BpeTrainSpec extends SparkSuite {
   }
 
   test("q_llm_bpe_train matches an in-JVM merge loop") {
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     val freqs = Tables.documents(spark, sfDir)
       .select($"text").as[String].collect()
       .flatMap(_.split(' '))
@@ -56,7 +57,8 @@ class BpeTrainSpec extends SparkSuite {
   }
 
   test("q_llm_bpe_encode token counts equal the in-JVM encode") {
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     val texts = Tables.documents(spark, sfDir)
       .select($"doc_id", $"text").as[(Long, String)].collect()
     // Re-derive the final word -> n_symbols cache with the same

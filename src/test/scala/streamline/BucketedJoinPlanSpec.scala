@@ -12,7 +12,8 @@ import streamline.batch.Joins
 class BucketedJoinPlanSpec extends SparkSuite {
 
   test("bucketed sort-merge join has no shuffle exchange under the join") {
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     Joins.bucketedTables(spark, sfDir)
     val joined = spark.table("graft_b_orders").hint("merge")
       .join(spark.table("graft_b_customer"), $"o_custkey" === $"c_custkey")
@@ -30,7 +31,8 @@ class BucketedJoinPlanSpec extends SparkSuite {
 
   test("q_agg_bucketed equals the plain shuffled aggregation result") {
     import org.apache.spark.sql.functions._
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     val got = SparkEntry.queries("q_agg_bucketed")(spark, sfDir).collect()
     val plain = Tables.orders(spark, sfDir)
       .groupBy($"o_custkey")
@@ -61,7 +63,8 @@ class BucketedJoinPlanSpec extends SparkSuite {
 
   test("q_join_bucketed equals the plain shuffled join result") {
     import org.apache.spark.sql.functions._
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     val got = SparkEntry.queries("q_join_bucketed")(spark, sfDir).collect()
     val plain = Tables.orders(spark, sfDir)
       .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")

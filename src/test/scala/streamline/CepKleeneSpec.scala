@@ -9,7 +9,8 @@ import streamline.batch.Cep.{CepEv, CepMatch}
   * the FIRST element, and greedy non-overlap after a match. */
 class CepKleeneSpec extends SparkSuite {
 
-  import graft.SparkTestBase.spark.implicits._
+  val sparkI = graft.SparkTestBase.spark
+  import sparkI.implicits._
 
   private val MIN = 60L * 1000 * 1000 // one minute in µs
   private def ev(u: Long, id: Long, t: String, m: Long) =
@@ -59,7 +60,8 @@ class CepKleeneSpec extends SparkSuite {
 class CepRelaxedSpec extends graft.SparkSuite {
   import streamline.batch.Cep
   import Cep.{CepAbs, CepEv, CepRel}
-  import graft.SparkTestBase.spark.implicits._
+  val sparkI = graft.SparkTestBase.spark
+  import sparkI.implicits._
 
   private val MIN = 60L * 1000 * 1000
   private def ev(u: Long, id: Long, t: String, tsMin: Long) =

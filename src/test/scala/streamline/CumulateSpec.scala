@@ -31,7 +31,8 @@ class CumulateSpec extends SparkSuite {
     Timestamp.valueOf(s).getTime * 1000000L
 
   test("cumulate carries over empty slices and stops at the slice bound") {
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cum").toString
     val rows = Seq(
       (1L, nanos("2024-03-01 00:30:00"), 7L, "click", 1.0, "{}"),

@@ -20,7 +20,8 @@ import graft.{SparkEntry, SparkSuite}
 class CusumSpec extends SparkSuite {
 
   test("cusum closed form equals the brute-force recursion, incl. first-row alarms") {
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     val spark = graft.SparkTestBase.spark
     val dir = java.nio.file.Files.createTempDirectory("graft_cusum").toString
     // (event_id, ts, user_id, event_type, value, props); ts ns-epoch.

@@ -10,7 +10,8 @@ import graft.{SparkEntry, SparkSuite}
   * estimate for 8 bands × 4 bits at cos≈0.35 is ~0.7). */
 class DedupEmbedLshSpec extends SparkSuite {
 
-  import graft.SparkTestBase.spark.implicits._
+  val sparkI = graft.SparkTestBase.spark
+  import sparkI.implicits._
 
   test("LSH pairs are a subset of the exact pairs, with bounded recall loss") {
     val exact = SparkEntry.queries("q_llm_dedup_embed")(spark, sfDir)

@@ -1,7 +1,7 @@
 package streamline
 
 import graft.SparkSuite
-import graft.SparkTestBase.spark.implicits._
+import graft.TestImplicits._
 import org.apache.spark.api.java.Optional
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}

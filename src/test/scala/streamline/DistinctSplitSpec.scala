@@ -1,7 +1,7 @@
 package streamline
 
 import graft.SparkSuite
-import graft.SparkTestBase.spark.implicits._
+import graft.TestImplicits._
 import org.apache.spark.sql.functions._
 
 /** Pins q_agg_distinct_split (SURVEY.md §2.4): the two-phase bucketed

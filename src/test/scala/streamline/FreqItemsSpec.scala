@@ -9,7 +9,8 @@ import streamline.agg.FreqItemsAgg.freq_items
   * order, which is what licenses the no-oracle declaration. */
 class FreqItemsSpec extends SparkSuite {
 
-  import graft.SparkTestBase.spark.implicits._
+  val sparkI = graft.SparkTestBase.spark
+  import sparkI.implicits._
 
   private def sketch(words: Seq[String], k: Int, parts: Int)
       : Map[String, (Long, Long, Long)] =

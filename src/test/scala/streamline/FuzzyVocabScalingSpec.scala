@@ -22,7 +22,8 @@ class FuzzyVocabScalingSpec extends SparkSuite {
     * has df 6000·k > the 5000 cap at every scale. Two extra names
     * share ONLY "common" at lev distance 1 — the documented miss. */
   private def vocab(k: Int): DataFrame = {
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     val planted = spark.range(6000L * k).select(
       concat(lit("common alpha"), ($"id" / 2).cast("long"),
         lit(" beta"), ($"id" / 2).cast("long"),

@@ -11,7 +11,8 @@ import graft.{SparkEntry, SparkSuite}
 class HistEditDistSpec extends SparkSuite {
 
   test("q_agg_hist matches a Scala recount (16 equi-width buckets)") {
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     val p = Tables.lineitem(spark, sfDir)
       .select($"l_extendedprice").as[Double].collect()
       .map(v => math.round(v * 100)) // same half-up as round(): v > 0
@@ -40,7 +41,8 @@ class HistEditDistSpec extends SparkSuite {
   }
 
   test("q_fn_editdist matches a Wagner–Fischer DP incl. the -1 bound") {
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     val rows = Tables.part(spark, sfDir)
       .select($"p_partkey", $"p_name", $"p_brand", $"p_type")
       .as[(Long, String, String, String)].collect().toSeq

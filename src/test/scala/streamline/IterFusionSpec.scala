@@ -13,7 +13,8 @@ import streamline.batch.Iterate
   * and (b) agree with the unfused closure-metric combinator step for
   * step. */
 class IterFusionSpec extends SparkSuite {
-  import graft.SparkTestBase.spark.implicits._
+  val sparkI = graft.SparkTestBase.spark
+  import sparkI.implicits._
 
   test("Observation completes under an eager localCheckpoint (no separate action)") {
     val obs = Observation()

@@ -15,7 +15,8 @@ import streamline.batch.Iterate
   * verdict, next-round item 5; timings recorded in SURVEY §7.38). */
 class IterSkewSpec extends SparkSuite {
 
-  import graft.SparkTestBase.spark.implicits._
+  val sparkI = graft.SparkTestBase.spark
+  import sparkI.implicits._
 
   // hub vertex 1 owns 6000 of ~20000 edges (~30%); the rest is a
   // seeded random graph over 20k vertices plus a long chain so the

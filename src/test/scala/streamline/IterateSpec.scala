@@ -7,7 +7,8 @@ import streamline.batch.Iterate
   * min-label connected components (SURVEY.md §2.14). */
 class IterateSpec extends SparkSuite {
 
-  import graft.SparkTestBase.spark.implicits._
+  val sparkI = graft.SparkTestBase.spark
+  import sparkI.implicits._
 
   private def cc(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
     val df = edges.toDF("src", "dst")

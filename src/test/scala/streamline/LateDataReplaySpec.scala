@@ -14,7 +14,8 @@ import graft.SparkSuite
   * next-round item 4). */
 class LateDataReplaySpec extends SparkSuite {
 
-  import graft.SparkTestBase.spark.implicits._
+  val sparkI = graft.SparkTestBase.spark
+  import sparkI.implicits._
 
   // the scenario embedded in Stateful.streamLate / streamLateSide:
   // batch 1 = three on-time events, batch 2 = one event 2h20m late

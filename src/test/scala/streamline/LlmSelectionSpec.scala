@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * exact quarter cut) independently of the oracle hash. */
 class LlmSelectionSpec extends SparkSuite {
 
-  import graft.SparkTestBase.spark.implicits._
+  val sparkI = graft.SparkTestBase.spark
+  import sparkI.implicits._
 
   test("semdedup prunes exactly the vectors with a lower-id close neighbor") {
     val embs = Tables.embeddings(spark, sfDir)

@@ -29,7 +29,8 @@ class SimhashSpec extends SparkSuite {
 class MinHashNearDupSpec extends SparkSuite {
 
   test("MinHashLSH finds a planted near-duplicate pair") {
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     val doc = Tables.documents(spark, sfDir)
       .select($"doc_id", $"text").as[(Long, String)].head()
     // Plant: the original doc and a copy with one word changed.
@@ -73,7 +74,8 @@ class WeightedAvgSpec extends SparkSuite {
 class CosineExprSpec extends SparkSuite {
 
   test("CosineSim matches a reference implementation (eval + codegen)") {
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     val a = Array(1.0f, 2.0f, 3.0f)
     val b = Array(-1.0f, 0.5f, 2.0f)
     def ref(x: Array[Float], y: Array[Float]): Double = {
@@ -123,7 +125,8 @@ class QuantizeErrorSpec extends SparkSuite {
     // query serializes q to CSV per SURVEY §2.12, so the list-shape
     // contract lives here.
     import org.apache.spark.sql.functions._
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     val rows = streamline.llm.Similarity.quantizeCodes(spark, sfDir)
       .join(Tables.embeddings(spark, sfDir), "vec_id")
       .select($"vec_id", $"scale", $"q", $"embedding")

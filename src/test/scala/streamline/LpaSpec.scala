@@ -1,7 +1,7 @@
 package streamline
 
 import graft.SparkSuite
-import graft.SparkTestBase.spark.implicits._
+import graft.TestImplicits._
 import streamline.batch.Iterate
 
 /** Pins q_iter_lpa (SURVEY.md §2.14): the label-propagation step must

@@ -28,7 +28,8 @@ class LshRecallSpec extends SparkSuite {
     // in practice collide in at least one of the two tables — assert
     // total recall of the strongly-near set, the property that makes
     // LSH a usable candidate generator.
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     val vecs = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding")
       .as[(Long, Seq[Float])].collect()

@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * here on the physical plan and on per-partition contents. */
 class PartitioningSpec extends SparkSuite {
 
-  import graft.SparkTestBase.spark.implicits._
+  val sparkI = graft.SparkTestBase.spark
+  import sparkI.implicits._
 
   test("repartition(col) plans a hashpartitioning exchange and colocates keys") {
     val df = spark.range(0, 1000).select(($"id" % 37).as("k"))

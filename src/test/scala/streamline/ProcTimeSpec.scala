@@ -11,7 +11,8 @@ import org.apache.spark.sql.streaming.Trigger
   * windows equal the input counts, whatever the batch timing. */
 class ProcTimeSpec extends SparkSuite {
 
-  import graft.SparkTestBase.spark.implicits._
+  val sparkI = graft.SparkTestBase.spark
+  import sparkI.implicits._
 
   test("rows are window-assigned exactly once across spaced batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -41,7 +41,8 @@ class PropertySpec extends SparkSuite {
   /** Write a generated corpus as a documents table the declared queries
     * can read (same schema as Tables.documentsSchema). */
   private def writeDocs(rows: Seq[(Long, String)]): String = {
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     val dir = Files.createTempDirectory("graft_prop").toString
     rows.toDF("doc_id", "text")
       .selectExpr("doc_id", "text", "'en' AS lang", "'gen' AS source",

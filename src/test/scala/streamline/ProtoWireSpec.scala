@@ -96,7 +96,8 @@ class ProtoWireSpec extends SparkSuite {
   }
 
   test("the declared query round-trips events row-for-row") {
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     val df = graft.SparkEntry.queries("q_source_proto")(spark, sfDir)
     val viaProto = df.select($"event_id", $"user_id", $"event_type", $"value")
       .as[(Long, Long, String, Double)].collect().sortBy(_._1)

@@ -1,7 +1,7 @@
 package streamline
 
 import graft.{SparkEntry, SparkSuite}
-import graft.SparkTestBase.spark.implicits._
+import graft.TestImplicits._
 import org.apache.spark.sql.functions._
 
 /** q_stream_retract_hist (SURVEY.md §2.9): the histogram-over-updating-

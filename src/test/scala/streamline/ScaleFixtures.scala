@@ -50,7 +50,8 @@ object ScaleFixtures {
   }
 
   private def build(k: Int): String = {
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     val dir = Files.createTempDirectory(s"graft_scale_${k}x_").toString
     for (f <- new java.io.File(sfDir).listFiles()
          if f.getName.endsWith(".parquet"))

@@ -284,7 +284,8 @@ class ScalingCurveSpec extends SparkSuite {
     // plus the standard wall-clock bound on the declared queries —
     // including q_stream_iterate, whose contracted-batch redesign this
     // pins end to end (scratch deleted per point: full lifecycle).
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     import org.apache.spark.sql.functions.lit
     def monthEdges(dir: String) = {
       val month = Tables.orders(spark, dir)

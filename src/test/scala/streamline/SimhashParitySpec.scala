@@ -13,7 +13,8 @@ import streamline.llm.Simhash
   * the oracle perimeter (round-10 verdict, next-round item 4). */
 class SimhashParitySpec extends SparkSuite {
 
-  import graft.SparkTestBase.spark.implicits._
+  val sparkI = graft.SparkTestBase.spark
+  import sparkI.implicits._
 
   // the same word split the query uses; recomputed driver-side
   private lazy val sigs: Map[Long, Long] =

@@ -38,7 +38,8 @@ class SkewJoinPlanSpec extends SparkSuite {
 
   test("salted join spreads the hot key over all salts") {
     import org.apache.spark.sql.functions._
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     // The salt column is internal to q_join_salted; re-derive the salted
     // fact here and check the hot key occupies every salt bucket.
     val nSalt = 8

@@ -15,7 +15,8 @@ class SpansSpec extends SparkSuite {
   private val K = 8
 
   private def docs: Seq[(Long, Array[String])] = {
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     Tables.documents(spark, sfDir)
       .select($"doc_id", $"text").as[(Long, String)]
       .collect().toSeq
@@ -23,7 +24,8 @@ class SpansSpec extends SparkSuite {
   }
 
   test("kgrams column matches Scala sliding windows") {
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     val got = Tables.documents(spark, sfDir)
       .select($"doc_id", Spans.kgrams($"text", K).as("g"))
       .as[(Long, Seq[String])].collect().toMap

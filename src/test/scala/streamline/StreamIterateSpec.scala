@@ -14,7 +14,8 @@ import streamline.batch.Iterate
   * pins the invariance the composition claims. */
 class StreamIterateSpec extends SparkSuite {
 
-  import graft.SparkTestBase.spark.implicits._
+  val sparkI = graft.SparkTestBase.spark
+  import sparkI.implicits._
 
   // two components bridged later by a straggler edge + an isolated pair:
   // the bridge edge landing in a LATE batch is the interesting case

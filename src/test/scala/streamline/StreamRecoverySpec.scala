@@ -84,7 +84,8 @@ class StreamRecoverySpec extends SparkSuite {
     // continues on the rewritten checkpoint. Final output must equal
     // the uninterrupted batch reference with nothing lost, duplicated,
     // or mis-bucketed.
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     import streamline.util.Det._
     val root = Files.createTempDirectory("graft_double").toString
     val (stage1, ck1) = (s"$root/in1", s"$root/ck1")

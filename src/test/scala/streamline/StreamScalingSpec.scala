@@ -93,7 +93,20 @@ class StreamScalingSpec extends SparkSuite {
 
   /** Runs the query under a progress listener; returns (seconds, max
     * numRowsTotal across all stateful operators and micro-batches). */
-  private def run(name: String, dir: String): (Double, Long) = {
+  private def run(name: String, dir: String,
+                  pinnedConfs: Map[String, String] = Map.empty)
+      : (Double, Long) =
+    // a transient context death (state-store commit race → scheduler
+    // loop stop) must cost one retried drain, not the whole suite; the
+    // pinned confs are re-applied INSIDE the retried body because a
+    // rebuilt session starts from defaults (the RocksDB provider test
+    // would otherwise silently retry on the default store).
+    withReviveRetry {
+      pinnedConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      runOnce(name, dir)
+    }
+
+  private def runOnce(name: String, dir: String): (Double, Long) = {
     val maxRows = new java.util.concurrent.atomic.AtomicLong(0)
     val done = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new StreamingQueryListener {
@@ -168,7 +181,8 @@ class StreamScalingSpec extends SparkSuite {
       val failures = Seq("q_stream_retract_hist", "q_join_stream_stream")
         .flatMap { q =>
           val m = Seq(1, 16).map { k =>
-            val rs = Seq.fill(2)(run(q, ScaleFixtures.dirs(k)))
+            val rs = Seq.fill(2)(
+              run(q, ScaleFixtures.dirs(k), Map(key -> rocks)))
             k -> ((rs.map(_._1).min, rs.map(_._2).max))
           }.toMap
           val (t1, r1) = m(1); val (t16, r16) = m(16)

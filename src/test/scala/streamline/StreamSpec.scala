@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 class StreamLateSpec extends SparkSuite {
 
   test("q_stream_late: the late row is dropped by the watermark") {
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     val out = SparkEntry.queries("q_stream_late")(spark, sfDir)
       .select($"w_start".cast("string"), $"n").as[(String, Long)]
       .collect().toMap
@@ -20,7 +21,8 @@ class StreamLateSpec extends SparkSuite {
   }
 
   test("q_stream_late_side captures exactly the dropped late rows") {
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     val side = SparkEntry.queries("q_stream_late_side")(spark, sfDir)
       .select($"w_start".cast("string"), $"n_late").as[(String, Long)]
       .collect().toSeq
@@ -32,7 +34,8 @@ class StreamLateSpec extends SparkSuite {
 class StreamBatchEquivSpec extends SparkSuite {
 
   test("streaming tumble equals batch tumble over closed windows") {
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     val streamed = SparkEntry.queries("q_stream_tumble")(spark, sfDir)
     // Append mode emits exactly the windows the final watermark closed
     // (end <= floor_ms(max ts) - 10 min); mirror that filter on the

@@ -13,7 +13,8 @@ import graft.{SparkEntry, SparkSuite}
 class VocabSpec extends SparkSuite {
 
   private def docs: Seq[(Long, String, Array[String])] = {
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang", $"text").as[(Long, String, String)]
       .collect().toSeq
@@ -58,7 +59,8 @@ class VocabSpec extends SparkSuite {
   }
 
   test("q_llm_df_prune hapax rule fires on a synthetic corpus") {
-    import graft.SparkTestBase.spark.implicits._
+    val sparkI = graft.SparkTestBase.spark
+    import sparkI.implicits._
     // 10 docs sharing common tokens; 'rare' appears in exactly one doc
     // (hapax, df=1 < 2 → dropped) and 'dup' in two (kept); 'stop' is in
     // all 10 (df·100 = 1000 > 78·10 → dropped as a stopword).
