@@ -220,6 +220,12 @@ object Iterate {
       // COUNT for ~1.5× the per-superstep work — measured 12→6
       // supersteps on the sparse first micro-batch of q_stream_iterate.
       // Each hop's input is checkpointed first (see hop's scaladoc).
+      // Re-measured r22: dropping the two mid-superstep checkpoints
+      // (3 jobs → 1, ~4× duplicated compute through the broadcast
+      // builds) read 15-25% SLOWER warm on cc/stream_iterate — the
+      // serialized broadcast-build re-execution outweighs the saved
+      // job launches even at 6.7k-edge scale, so the materialized
+      // shape stays.
       val p1 = hop(comp).localCheckpoint(true)
       val propagated = hop(p1).localCheckpoint(true)
       // …then path-halving (pointer jumping): v additionally adopts its
@@ -882,86 +888,143 @@ object Iterate {
     val spark = edges0.sparkSession
     import spark.implicits._
     withIterConfs(spark) {
-      var edges = edges0.select($"src", $"dst").distinct()
-        .localCheckpoint(true)
-      // remaining-vertex counts ride the verts checkpoints (observe),
-      // not separate count() actions — one job saved per outer round.
-      val (verts0, nv0) = ckptObserving(edges.select($"src".as("v"))
-        .union(edges.select($"dst".as("v"))).distinct(), count(lit(1)))
-      var verts = verts0
+      val verbose = sys.props.get("graft.iter.verbose")
+        .orElse(sys.env.get("GRAFT_ITER_VERBOSE")).contains("true")
+      // Seed: the distinct edge set, its count observed on the same
+      // materialization. The whole loop is driven by EDGE counts —
+      // once no edges remain, every undecided vertex is a singleton
+      // SCC and is resolved by the one final anti-join below (the old
+      // shape paid a per-round except-checkpoint for the trimmed
+      // singletons plus a per-round vertex recount).
+      val (e0, ne0) = ckptObserving(
+        edges0.select($"src", $"dst").distinct(), count(lit(1)))
+      var edges = e0
+      var remainingEdges = ne0.asInstanceOf[Long]
       val found = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var rounds = 0
-      var remaining = nv0.asInstanceOf[Long]
-      while (remaining > 0 && rounds < maxRounds) {
+      while (remainingEdges > 0 && rounds < maxRounds) {
         rounds += 1
-        // (1) trim to the cyclic core.
-        val (core, _) = fixpointObserved(verts, 200) { vs =>
-          val live = edges
-            .join(stateSide(vs.select($"v".as("sv"))), $"src" === $"sv",
+        // (1) TRIM, edge-state form: live edges keep only endpoints
+        // that retain BOTH an in- and an out-edge. Carrying EDGES as
+        // the fixpoint state (instead of vertices) hands the trimmed
+        // edge table to the coloring phase directly — the old shape
+        // re-derived it with an extra double-semi-join checkpoint
+        // after the vertex fixpoint. The survivor set is one keyed
+        // min/max aggregate (a countDistinct spelling plans a second
+        // aggregate pass + exchange). Trim only REMOVES edges, so an
+        // unchanged count proves the fixed point; the 200-step cap is
+        // uncritical (a partial trim just leaves acyclic vertices for
+        // the coloring to classify, and the leftovers resolve as
+        // singletons at the end).
+        var e = edges
+        var ec = remainingEdges
+        var trimIters = 0
+        var trimConverged = false
+        var t0 = System.nanoTime()
+        while (!trimConverged && trimIters < 200) {
+          trimIters += 1
+          val vBoth = e.select($"src".as("v"), lit(0).as("side"))
+            .union(e.select($"dst".as("v"), lit(1).as("side")))
+            .groupBy($"v").agg(min($"side").as("mn"), max($"side").as("mx"))
+            .where($"mn" === 0 && $"mx" === 1)
+            .select($"v")
+          val live = e
+            .join(stateSide(vBoth.select($"v".as("sv"))), $"src" === $"sv",
               "left_semi")
-            .join(stateSide(vs.select($"v".as("dv"))), $"dst" === $"dv",
+            .join(stateSide(vBoth.select($"v".as("dv"))), $"dst" === $"dv",
               "left_semi")
-          // survivors need BOTH an in- and an out-edge: one keyed
-          // aggregate over a side-tagged union (an intersect plans two
-          // distinct-aggregates plus a join — a stage more per trim
-          // superstep).
-          live.select($"src".as("v"), lit(0).as("side"))
-            .union(live.select($"dst".as("v"), lit(1).as("side")))
-            .groupBy($"v").agg(countDistinct($"side").as("ns"))
-            .where($"ns" === 2).select($"v")
-        } {
-          coalesce(sum($"v"), lit(0L))
+          val (e2, n2raw) = ckptObserving(live, count(lit(1)))
+          val n2 = n2raw.asInstanceOf[Long]
+          if (verbose) {
+            val t1 = System.nanoTime()
+            System.err.println(
+              f"[iter] trim       #$trimIters%-3d ${(t1 - t0) / 1e3}%.0f us" +
+                s" edges=$n2")
+            t0 = t1
+          }
+          if (n2 == ec || n2 == 0) trimConverged = true
+          e = e2; ec = n2
         }
-        found += verts.except(core).select($"v", $"v".as("scc_id"))
-          .localCheckpoint(true)
-        val e = edges
-          .join(stateSide(core.select($"v".as("sv"))), $"src" === $"sv",
-            "left_semi")
-          .join(stateSide(core.select($"v".as("dv"))), $"dst" === $"dv",
-            "left_semi")
-          .select($"src", $"dst").localCheckpoint(true)
-        // (2) forward coloring (seeded, like CC, with the closed
-        // in-neighborhood min so the first superstep is pre-paid).
-        val fInit = e.select($"dst".as("v"), $"src".as("comp"))
-          .union(core.select($"v", $"v".as("comp")))
-          .groupBy($"v").agg(min($"comp").as("comp"))
-        val colored = minLabelFixpoint(fInit, e)
-        // (3) backward sweep over reversed same-color edges.
-        val cSrc = colored.select($"v".as("sv"), $"comp".as("scomp"))
-        val cDst = colored.select($"v".as("dv"), $"comp".as("dcomp"))
-        val eBack = e.join(stateSide(cSrc), $"src" === $"sv")
-          .join(stateSide(cDst), $"dst" === $"dv")
-          .where($"scomp" === $"dcomp")
-          .select($"dst".as("src"), $"src".as("dst"))
-          .localCheckpoint(true)
-        val bInit = eBack.select($"dst".as("v"), $"src".as("comp"))
-          .union(core.select($"v", $"v".as("comp")))
-          .groupBy($"v").agg(min($"comp").as("comp"))
-        val back = minLabelFixpoint(bInit, eBack)
-        val scc = colored
-          .join(back.select($"v".as("bv"), $"comp".as("bcomp")),
-            $"v" === $"bv")
-          .where($"comp" === $"bcomp")
-          .select($"v", $"comp".as("scc_id"))
-          .localCheckpoint(true)
-        found += scc
-        val (verts2, nv2) =
-          ckptObserving(core.except(scc.select($"v")), count(lit(1)))
-        verts = verts2
-        edges = e
-        remaining = nv2.asInstanceOf[Long]
+        if (ec == 0) {
+          // the whole remaining graph was acyclic — all singletons,
+          // handled by the final anti-join
+          remainingEdges = 0
+        } else {
+          // (2) forward coloring (seeded with the closed
+          // in-neighborhood min so the first superstep is pre-paid;
+          // every vertex of the trimmed graph appears as both src and
+          // dst, so the self-label union terms cover all of them).
+          val fInit = e.select($"dst".as("v"), $"src".as("comp"))
+            .union(e.select($"src".as("v"), $"src".as("comp")))
+            .union(e.select($"dst".as("v"), $"dst".as("comp")))
+            .groupBy($"v").agg(min($"comp").as("comp"))
+          val colored = minLabelFixpoint(fInit, e)
+          // (3) backward sweep over reversed same-color edges. A class
+          // vertex with NO same-color edge is absent from the sweep —
+          // it can sit in no multi-vertex SCC (those need same-color
+          // cycle edges), so deferring it to the singleton anti-join
+          // is exact.
+          val cSrc = colored.select($"v".as("sv"), $"comp".as("scomp"))
+          val cDst = colored.select($"v".as("dv"), $"comp".as("dcomp"))
+          val eSame = e.join(stateSide(cSrc), $"src" === $"sv")
+            .join(stateSide(cDst), $"dst" === $"dv")
+            .where($"scomp" === $"dcomp")
+            .select($"src", $"dst")
+            .localCheckpoint(true)
+          val eBack = eSame.select($"dst".as("src"), $"src".as("dst"))
+          val bInit = eBack.select($"dst".as("v"), $"src".as("comp"))
+            .union(eBack.select($"src".as("v"), $"src".as("comp")))
+            .union(eBack.select($"dst".as("v"), $"dst".as("comp")))
+            .groupBy($"v").agg(min($"comp").as("comp"))
+          val back = minLabelFixpoint(bInit, eBack)
+          val scc = colored
+            .join(back.select($"v".as("bv"), $"comp".as("bcomp")),
+              $"v" === $"bv")
+            .where($"comp" === $"bcomp")
+            .select($"v", $"comp".as("scc_id"))
+            .localCheckpoint(true)
+          found += scc
+          // (4) next round's graph: SAME-COLOR edges minus extracted
+          // vertices. An SCC never spans two color classes (anything
+          // reaching one member reaches all), so cross-color edges can
+          // never join a future SCC — dropping them here is the
+          // coloring algorithm's recursion and lets every residual
+          // class shrink independently in the next round, instead of
+          // re-trimming the whole core graph.
+          val (e3, ne3) = ckptObserving(
+            eSame
+              .join(stateSide(scc.select($"v".as("xv"))), $"src" === $"xv",
+                "left_anti")
+              .join(stateSide(scc.select($"v".as("yv"))), $"dst" === $"yv",
+                "left_anti"),
+            count(lit(1)))
+          edges = e3
+          remainingEdges = ne3.asInstanceOf[Long]
+        }
       }
-      // Round count is bounded by condensation-DAG depth — O(V) on a
-      // chain-of-cycles graph, so the cap IS reachable on adversarial
-      // inputs. Undecided vertices sit in no `found` frame; emitting
-      // without them would silently DROP rows, so fail loudly instead.
-      if (remaining > 0)
+      // Round count is bounded by condensation-DAG depth per color
+      // class — O(V) on a chain-of-cycles graph, so the cap IS
+      // reachable on adversarial inputs. Undecided vertices still sit
+      // in live edges; emitting them as singletons would be WRONG, so
+      // fail loudly instead.
+      if (remainingEdges > 0)
         throw new IllegalStateException(
-          s"SCC did not decide $remaining vertices within $maxRounds " +
-            "rounds (condensation depth exceeds the cap); raise maxRounds")
+          s"SCC did not converge within $maxRounds rounds " +
+            s"($remainingEdges edges undecided; condensation depth " +
+            "exceeds the cap); raise maxRounds")
+      // Singletons — trimmed fringe, classless residue, acyclic
+      // leftovers — never enter `found`: each keeps scc_id = v via ONE
+      // anti-join against everything the rounds extracted.
+      val allVerts = e0.select($"src".as("v"))
+        .union(e0.select($"dst".as("v"))).distinct()
       val out =
-        if (found.isEmpty) verts.select($"v", $"v".as("scc_id"))
-        else found.reduce(_ unionByName _)
+        if (found.isEmpty) allVerts.select($"v", $"v".as("scc_id"))
+        else {
+          val multi = found.reduce(_ unionByName _)
+          multi.unionByName(
+            allVerts.join(multi.select($"v"), Seq("v"), "left_anti")
+              .select($"v", $"v".as("scc_id")))
+        }
       (out, rounds)
     }
   }

@@ -903,9 +903,21 @@ object Windows {
       .where(size($"win") === 21)
       .withColumn("s", array_sort($"win"))
       .withColumn("med4", element_at($"s", 11))
-      .withColumn("mad4", element_at(
-        array_sort(transform($"s", x => abs(x - element_at($"s", 11)))),
-        11))
+      // MAD without the lambda (r22): higher-order `transform` is a
+      // CodegenFallback — interpreted per row, measured ~26 µs/row =
+      // ~2.6 s of this query's 3.2 s at sf0.1. Exact replacement: for
+      // sorted s and m = s[11], the k smallest |s_j − m| always form a
+      // CONTIGUOUS window of s containing position 11 (deviations fall
+      // moving toward m from either side), so the 11th-smallest
+      // deviation is the min over the eleven length-11 windows
+      // [j, j+10] ∋ 11 of that window's max deviation
+      // max(s[j+10] − m, m − s[j]) — a pure least/greatest expression
+      // tree, whole-stage codegen'd, value-identical to the sorted
+      // deviations' element 11.
+      .withColumn("mad4",
+        (1 to 11).map(j => greatest(
+          element_at($"s", j + 10) - $"med4",
+          $"med4" - element_at($"s", j))).reduce(least(_, _)))
       .where(abs($"v4" - $"med4") * lit(10000L) > $"mad4" * lit(44478L))
       .select($"user_id", $"event_id", $"v4", $"med4", $"mad4")
       .orderBy($"user_id", $"event_id")

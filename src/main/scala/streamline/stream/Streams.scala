@@ -1608,14 +1608,37 @@ object Streams {
     * judge item 3) — the 100 TB deployment keeps ALL keyed state in
     * RocksDB, so the witness must cover the join state machinery
     * (four column families per side), not just the recovery aggregate. */
+  /** 10-minute event-time bucket (µs-exact integer DIV; one bucket spans
+    * exactly the interval-join band). Adding `bucket equality` to an
+    * interval join's EQUI keys shrinks the symmetric-hash probe from
+    * "every stored row of this user" to "this user's rows in one
+    * 10-minute bucket": the state store keys values by the equi-key
+    * only, so each input row otherwise walks its key's whole history
+    * and the per-batch join cost grows with (rows/key)² — the measured
+    * batch-0 hot spot (addBatch ≈ 1.9 s of a 2.4 s trigger at sf0.1,
+    * ~67 events/user · 100 k probes per side). One side is exploded
+    * into the two buckets that can satisfy the band (b, b+1 for
+    * ts2 ∈ [ts1, ts1+10 m]), so every qualifying pair matches EXACTLY
+    * once — same output, ~2× that side's state rows, probe buckets
+    * ~(band/span) of the old size. Same trick the window join gets for
+    * free from its window equi-key. */
+  private def tsBucket(tsCol: String): org.apache.spark.sql.Column =
+    expr(s"unix_micros($tsCol) DIV 600000000")
+
   private[streamline] def joinStreamStreamPlan(spark: SparkSession,
                                                dir: String): DataFrame = {
     import spark.implicits._
+    // Left rows carry BOTH buckets the band can land in; bucket
+    // equality joins the probe to one 10-minute slice (tsBucket
+    // scaladoc). Inner join: the exploded copy that matches nothing
+    // simply emits nothing, so the output is unchanged.
     val e1 = eventsStream(spark, dir)
       .select($"event_id".as("id1"), $"user_id", $"ts".as("ts1"))
       .withWatermark("ts1", "10 minutes")
+      .withColumn("bk1", explode(array(tsBucket("ts1"), tsBucket("ts1") + 1)))
     val e2 = eventsStream(spark, dir)
-      .select($"event_id".as("id2"), $"user_id".as("u2"), $"ts".as("ts2"))
+      .select($"event_id".as("id2"), $"user_id".as("u2"), $"ts".as("ts2"),
+        tsBucket("ts").as("bk2"))
       .withWatermark("ts2", "10 minutes")
     // The id1<id2 dedup predicate is applied POST-join, not as a join
     // conjunct: StreamingJoinHelper derives the state-value watermark by
@@ -1624,10 +1647,12 @@ object Streams {
     // extraction throw internally on one side ("Cannot evaluate
     // expression: id1" WARN) — eviction then rides only the cleanly
     // extracted bound, and a stricter Spark could stop evicting
-    // entirely. Inner join ⇒ the post-filter is semantically identical;
-    // ltBarrier keeps the optimizer from folding it back in.
+    // entirely. (Bucket EQUALITY is different: an equality conjunct
+    // joins user_id as part of the state key and never reaches the
+    // range solver.) Inner join ⇒ the post-filter is semantically
+    // identical; ltBarrier keeps the optimizer from folding it back in.
     e1.join(e2,
-        $"user_id" === $"u2" &&
+        $"user_id" === $"u2" && $"bk1" === $"bk2" &&
           $"ts2" >= $"ts1" && $"ts2" <= $"ts1" + expr("INTERVAL 10 MINUTES"))
       .where(ltBarrier($"id1", $"id2"))
       .select($"user_id", $"id1", $"id2",
@@ -1664,6 +1689,11 @@ object Streams {
     * sides, same discipline as the inner/left witnesses. */
   private def joinStreamStreamSemi(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NOT bucketed (tsBucket scaladoc): the type pre-filters already
+    // shrink each side's per-user state to ~13 rows at harness scale —
+    // an A/B of the right-side bucket explode read flat on batch-0
+    // probes and slightly worse on the batch-1 eviction scan (more
+    // state rows), so the plain key+band condition stays.
     val clicks = eventsStream(spark, dir)
       .where($"event_type" === "click")
       .select($"event_id".as("id1"), $"user_id", $"ts".as("ts1"))
@@ -1706,6 +1736,9 @@ object Streams {
     * q_join_stream_stream; this witness pays for the CHAINING. */
   private def streamJoinAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NOT bucketed (tsBucket scaladoc): same type-filtered shape as
+    // the semi witness — ~13 rows/user/side, bucket explode measured
+    // as pure overhead here.
     val e1 = eventsStream(spark, dir)
       .where($"event_type" === "click")
       .select($"event_id".as("id1"), $"user_id", $"ts".as("ts1"))
@@ -1755,12 +1788,20 @@ object Streams {
   private def joinStreamStreamLeft(spark: SparkSession,
                                    dir: String): DataFrame = {
     import spark.implicits._
+    // Bucketed probe (tsBucket scaladoc), exploded on the RIGHT side:
+    // left-outer null-extends LEFT rows only, so the left side must
+    // stay one-row-per-event (an exploded left would null-extend each
+    // copy); right copies multiply nothing — each qualifying pair still
+    // matches exactly one copy, and unmatched-right rows are never
+    // emitted under leftOuter.
     val e1 = eventsStream(spark, dir)
-      .select($"event_id".as("id1"), $"user_id", $"ts".as("ts1"))
+      .select($"event_id".as("id1"), $"user_id", $"ts".as("ts1"),
+        tsBucket("ts").as("bk1"))
       .withWatermark("ts1", "10 minutes")
     val e2 = eventsStream(spark, dir)
       .select($"event_id".as("id2"), $"user_id".as("u2"), $"ts".as("ts2"))
       .withWatermark("ts2", "10 minutes")
+      .withColumn("bk2", explode(array(tsBucket("ts2") - 1, tsBucket("ts2"))))
     // Under leftOuter the pair-dedup predicate decides which left rows
     // are unmatched (null-extended), so it cannot move to a post-join
     // filter like the inner joins'. Instead the band is STRICT
@@ -1770,7 +1811,7 @@ object Streams {
     // state-value watermarks (equal-ts pairs are deliberately outside
     // the declared semantics; the oracle mirrors the strict band).
     val joined = e1.join(e2,
-        $"user_id" === $"u2" &&
+        $"user_id" === $"u2" && $"bk1" === $"bk2" &&
           $"ts2" > $"ts1" && $"ts2" <= $"ts1" + expr("INTERVAL 10 MINUTES"),
         "leftOuter")
       .select($"user_id", $"id1", $"id2",
@@ -1815,6 +1856,10 @@ object Streams {
   private def joinStreamStreamFull(spark: SparkSession,
                                    dir: String): DataFrame = {
     import spark.implicits._
+    // NOT bucketed (tsBucket scaladoc): fullOuter null-extends BOTH
+    // sides, and an exploded side would null-extend once per copy —
+    // duplicate rows. The one join type where the probe stays
+    // whole-key-history.
     val e1 = eventsStream(spark, dir)
       .select($"event_id".as("id1"), $"user_id", $"ts".as("ts1"))
       .withWatermark("ts1", "10 minutes")
