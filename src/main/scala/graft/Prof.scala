@@ -22,6 +22,22 @@ object Prof {
         streamline.util.Knobs.fastTmp + s"/ck_prof_$runToken")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-micro-batch cost split for EVERY streaming query of the run
+    // (the witnesses with custom drains never pass through runToTable's
+    // verbose hook): a session-wide progress listener under the same
+    // opt-in flag.
+    if (sys.env.get("GRAFT_STREAM_VERBOSE").contains("true"))
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = {
+            val p = e.progress
+            System.err.println(s"[streamprof] ${p.name} batch=${p.batchId} " +
+              s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+          }
+        })
     // Ad-hoc session confs for A/B runs: GRAFT_PROF_CONF="k=v,k=v".
     sys.env.get("GRAFT_PROF_CONF").foreach(_.split(",").filter(_.nonEmpty)
       .foreach { kv =>

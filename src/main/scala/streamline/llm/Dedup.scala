@@ -618,26 +618,29 @@ object Dedup {
       .join(base.as("b").hint("shuffle_hash"), $"d.h" === $"b.h", "left")
       .groupBy($"d.doc_id".as("doc_id"))
       .agg(min($"b.doc_id").as("exact_match"))
-    val dg = delta.select($"doc_id", explode($"sh").as("p"))
-    val bg = base.select($"doc_id".as("bid"), explode($"sh").as("p"))
-    // keyed equi-join on gram hash; shuffle-hash so the two exploded
+    val dg = delta.select($"doc_id", size($"sh").as("na"),
+      explode($"sh").as("p"))
+    val bg = base.select($"doc_id".as("bid"), size($"sh").as("nb"),
+      explode($"sh").as("p"))
+    // Keyed equi-join on gram hash; shuffle-hash so the two exploded
     // gram streams shuffle by gram and the probe never broadcasts a
-    // corpus-sized index
-    val cand = dg.hint("shuffle_hash").join(bg, "p")
-      .select($"doc_id", $"bid").distinct()
-    val inter = size(array_intersect($"sa.sh", $"sb.sh"))
-    // Shuffle-hash re-attach (r15, same rationale as jaccardPairs): at
-    // 100 TB the base-corpus shingle index can never be a broadcast
-    // build; keyed on doc id, exchanges reused, pair stream builds.
-    val near = cand.as("c").hint("shuffle_hash")
-      .join(delta.as("sa"), $"sa.doc_id" === $"c.doc_id")
-      .hint("shuffle_hash")
-      .join(base.as("sb"), $"sb.doc_id" === $"c.bid")
-      .where(inter * lit(3) >= size($"sa.sh") + size($"sb.sh"))
-      .select($"c.doc_id".as("doc_id"), $"c.bid".as("bid"),
-        round(inter.cast("double") /
-          (size($"sa.sh") + size($"sb.sh") - inter).cast("double"), 6)
-          .as("jac"))
+    // corpus-sized index. The SHARED-GRAM COUNT of a pair IS its
+    // intersection size — both sides explode DISTINCT shingle sets, so
+    // each common gram contributes exactly one (doc, bid) row (r22;
+    // the old shape deduped the pair stream, re-attached both 50-
+    // element arrays through two more corpus-keyed joins and ran an
+    // array_intersect per pair — measured as the probe's dominant
+    // cost at ~180k candidate pairs per 500-doc delta on the
+    // small-vocabulary corpus). Set sizes ride the explode, so the
+    // τ-filter and the exact Jaccard need no array ever again.
+    val near = dg.hint("shuffle_hash").join(bg, "p")
+      .groupBy($"doc_id", $"bid")
+      .agg(count(lit(1)).as("inter"), max($"na").as("na"),
+        max($"nb").as("nb"))
+      .where($"inter" * lit(3) >= $"na" + $"nb")
+      .select($"doc_id", $"bid",
+        round($"inter".cast("double") /
+          ($"na" + $"nb" - $"inter").cast("double"), 6).as("jac"))
     val best = near.withColumn("rn", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"jac".desc, $"bid".asc)))
       .where($"rn" === 1).select($"doc_id", $"bid", $"jac")
@@ -724,6 +727,15 @@ object Dedup {
     // thread; the post-awaitTermination read is on the caller thread.
     // The handoff needs an explicit memory barrier (r18 ADVICE).
     val acc = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    // The probe inside foreachBatch is STATELESS batch work — the
+    // small state-store partition count withStreamConfs pins (sized to
+    // per-partition state-store fixed cost) starves its six keyed
+    // joins of parallelism for no state in return. Capture the
+    // session's batch shuffle sizing here and restore it around each
+    // probe; batches run sequentially on the execution thread, and the
+    // streaming plan itself (file scan -> foreachBatch) has no
+    // exchange, so the engine never reads the conf mid-flight.
+    val probeParts = spark.conf.get("spark.sql.shuffle.partitions")
     // withStreamConfs = the one shared witness lifecycle (small
     // state-store partition count, checkpoint checksum manager off,
     // both restored even if plan construction or start() throws).
@@ -736,10 +748,18 @@ object Dedup {
           .option("checkpointLocation", ckpt)
           .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             // materialize within the batch scope — the batch df is not
-            // valid after the micro-batch commits
-            val verdicts =
-              incrementalProbe(spark, incShingled(df.toDF()), base)
-                .localCheckpoint(true)
+            // valid after the micro-batch commits. The shingled delta
+            // is checkpointed FIRST (r22): the probe references it in
+            // three join sites (md5 probe, gram explode, verify
+            // re-attach), each of which would otherwise re-read the
+            // shard and re-run the interpreted shingle lambdas.
+            val inner = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", probeParts)
+            val verdicts = try {
+              val delta = incShingled(df.toDF()).localCheckpoint(true)
+              incrementalProbe(spark, delta, base).localCheckpoint(true)
+            } finally
+              spark.conf.set("spark.sql.shuffle.partitions", inner)
             acc.updateAndGet(prev =>
               if (prev == null) verdicts else prev.unionByName(verdicts)): Unit
           }
