@@ -66,8 +66,13 @@ object Stateful {
   /** q_stream_late — watermark semantics witness: a two-batch
     * MemoryStream where the second batch carries an event far behind
     * the watermark; the late row must NOT appear in the windowed
-    * counts. Not SQL-expressible ⇒ declared without oracle; also
-    * asserted in unit tests. */
+    * counts. Oracled (r22, closing the long-standing no-oracle gap)
+    * by a WATERMARK-SIMULATION batch SQL over the same literal rows:
+    * after batch 1 the watermark is floor_ms(max batch-1 ts) − delay,
+    * and Spark's late filter drops a batch-2 row iff its window END ≤
+    * that watermark (WatermarkSupport.watermarkPredicateForData), so
+    * the oracle keeps batch-1 rows plus batch-2 rows whose window end
+    * clears it — the simulation, not a hardcoded answer. */
   private def streamLate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -100,6 +105,20 @@ object Stateful {
       .groupBy($"w_start").agg(max($"n").as("n"))
       .orderBy($"w_start")
   }
+
+  private val streamLateSql = """
+    WITH ev AS (SELECT * FROM (VALUES
+        (TIMESTAMP '2024-03-01 10:15:00', 1),
+        (TIMESTAMP '2024-03-01 11:10:00', 1),
+        (TIMESTAMP '2024-03-01 12:00:00', 1),
+        (TIMESTAMP '2024-03-01 09:30:00', 2)) AS t(ts, batch)),
+    wm AS (SELECT date_trunc('millisecond', max(ts)) - INTERVAL 10 MINUTE
+             AS w FROM ev WHERE batch = 1),
+    kept AS (SELECT ts FROM ev WHERE batch = 1
+          OR date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm))
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+      CAST(count(*) AS BIGINT) AS n
+    FROM kept GROUP BY 1 ORDER BY w_start"""
 
   case class ToRow(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class ToState(n: Long, sum: BigDecimal, last_ms: Long)
@@ -253,8 +272,9 @@ object Stateful {
     * rows, the lenient pass (1 day allowed lateness) still counts them,
     * and the per-window difference IS the side output — the windows and
     * counts of the rows the strict watermark rejected. Witnessed on the
-    * same two-batch MemoryStream scenario as q_stream_late; not
-    * SQL-expressible ⇒ no oracle, asserted in StreamSpec. */
+    * same two-batch MemoryStream scenario as q_stream_late; oracled
+    * (r22) by the same watermark-simulation batch SQL, once per
+    * watermark delay, differenced per window. */
   private def streamLateSide(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -294,6 +314,26 @@ object Stateful {
       .where($"n_late" > 0)
       .orderBy($"w_start")
   }
+
+  private val streamLateSideSql = """
+    WITH ev AS (SELECT * FROM (VALUES
+        (TIMESTAMP '2024-03-01 10:15:00', 1),
+        (TIMESTAMP '2024-03-01 11:10:00', 1),
+        (TIMESTAMP '2024-03-01 12:00:00', 1),
+        (TIMESTAMP '2024-03-01 09:30:00', 2)) AS t(ts, batch)),
+    wm AS (SELECT date_trunc('millisecond', max(ts)) AS m
+           FROM ev WHERE batch = 1),
+    strict AS (SELECT date_trunc('hour', ts) AS w, count(*) AS n FROM ev
+          WHERE batch = 1 OR date_trunc('hour', ts) + INTERVAL 1 HOUR
+            > (SELECT m - INTERVAL 10 MINUTE FROM wm) GROUP BY 1),
+    lenient AS (SELECT date_trunc('hour', ts) AS w, count(*) AS n FROM ev
+          WHERE batch = 1 OR date_trunc('hour', ts) + INTERVAL 1 HOUR
+            > (SELECT m - INTERVAL 1 DAY FROM wm) GROUP BY 1)
+    SELECT CAST(l.w AS TIMESTAMP) AS w_start,
+      CAST(l.n - coalesce(s.n, 0) AS BIGINT) AS n_late
+    FROM lenient l LEFT JOIN strict s ON l.w = s.w
+    WHERE l.n - coalesce(s.n, 0) > 0
+    ORDER BY w_start"""
 
   case class CwRow(user_id: Long, ts: Long, event_id: Long, value: Double)
   case class CwState(buf: List[CwRow], nextWin: Long)
@@ -1209,6 +1249,6 @@ object Stateful {
     Q("q_stream_funnel", streamFunnel _, streamFunnelSql),
     Q("q_stream_timeout", streamTimeout _, streamTimeoutSql),
     Q("q_join_temporal", joinTemporal _, joinTemporalSql),
-    Q.noOracle("q_stream_late", streamLate _),
-    Q.noOracle("q_stream_late_side", streamLateSide _))
+    Q("q_stream_late", streamLate _, streamLateSql),
+    Q("q_stream_late_side", streamLateSide _, streamLateSideSql))
 }

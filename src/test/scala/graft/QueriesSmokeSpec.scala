@@ -11,9 +11,11 @@ class QueriesSmokeSpec extends SparkSuite {
 
   test("every declared query has an oracle or is an allowed omission") {
     val omitted = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // q_stream_late / q_stream_late_side gained watermark-simulation
+    // oracles in r22 and left this set.
     val allowed = Set("q_agg_approx_distinct", "q_agg_approx_quantile", "q_llm_dedup_near",
       "q_llm_simhash", "q_llm_simhash_pairs", "q_llm_knn_lsh",
-      "q_llm_knn_ivf", "q_stream_late", "q_stream_late_side",
+      "q_llm_knn_ivf",
       "q_agg_sketch_theta", "q_agg_freq_items", "q_agg_sketch_algebra", "q_stream_sketch")
     assert(omitted == allowed)
   }

@@ -128,7 +128,9 @@ class PlanAuditSpec extends SparkSuite {
       "q_agg_sketch_theta", "q_agg_sketch_algebra", "q_agg_freq_items",
       "q_llm_dedup_near", "q_llm_knn_ivf", "q_llm_knn_lsh",
       "q_llm_simhash", "q_llm_simhash_pairs",
-      "q_stream_late", "q_stream_late_side", "q_stream_sketch")
+      // q_stream_late / q_stream_late_side gained watermark-simulation
+      // oracles in r22 and left this set.
+      "q_stream_sketch")
     assert(omitted === sanctioned,
       s"extra omissions: ${omitted -- sanctioned}; " +
         s"now-oracled: ${sanctioned -- omitted}")
