@@ -108,6 +108,48 @@ class BenchGateSpec extends AnyFunSuite {
       Bench.basisGated(b, 4), quiet) == (Seq.empty, 0))
   }
 
+  test("baseline min edits carry their seeding readings (ledger discipline)") {
+    // The committed workflow seeds a bench_baseline.json min only from
+    // two AGREEING quiet first-pass full-run readings; this was prose
+    // until r22. Mechanical form: every baseline key is either frozen
+    // in the ledger's _legacy list (value carried from rounds <= 21) or
+    // maps to its seeding readings — >= 2 of them, within 10% of each
+    // other, whose min IS the committed value. Editing a min without
+    // recording its readings (or while leaving the key in _legacy with
+    // a changed value impossible to distinguish — hence the exact-cover
+    // check) fails here.
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import scala.jdk.CollectionConverters._
+    val om = new ObjectMapper()
+    val baseline = om.readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        "bench_baseline.json")))
+    val ledger = om.readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        "bench_baseline_readings.json")))
+    val mins = baseline.properties().asScala
+      .map(e => e.getKey -> e.getValue.asDouble())
+      .toMap - "_basis_cpus"
+    val legacy = ledger.get("_legacy").elements().asScala
+      .map(_.asText()).toSet
+    val seeded = ledger.properties().asScala.map(_.getKey)
+      .filterNot(_.startsWith("_")).toSet
+    assert(legacy.intersect(seeded).isEmpty,
+      s"keys both legacy and seeded: ${legacy.intersect(seeded)}")
+    val covered = legacy ++ seeded
+    assert(mins.keySet == covered,
+      s"uncovered mins: ${mins.keySet -- covered}; " +
+        s"stale ledger keys: ${covered -- mins.keySet}")
+    seeded.foreach { k =>
+      val rs = ledger.get(k).elements().asScala.map(_.asDouble()).toSeq
+      assert(rs.size >= 2, s"$k: a fresh min needs >= 2 quiet readings")
+      assert(rs.max <= 1.10 * rs.min + 1e-9,
+        s"$k: readings disagree beyond 10%: $rs")
+      assert(math.abs(rs.min - mins(k)) < 1e-9,
+        s"$k: committed min ${mins(k)} != min of readings ${rs.min}")
+    }
+  }
+
   test("window throttle rule: under 40 MB/s or halved across the window") {
     assert(Bench.windowThrottled(120.0, 35.0))  // ceiling
     assert(Bench.windowThrottled(35.0, 120.0))  // ceiling, entering quiet
