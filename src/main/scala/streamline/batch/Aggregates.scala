@@ -1891,11 +1891,18 @@ object Aggregates {
     val n = baskets.agg(count(lit(1)).as("baskets"))
     val item = baskets.select(explode($"ps").as("p"))
       .groupBy($"p").agg(count(lit(1)).as("n1"))
+    // i<j pairs via DOUBLE posexplode (r22): the old nested-transform
+    // spelling built the pair structs through higher-order lambdas,
+    // which Spark evaluates interpreted (CodegenFallback) — measured
+    // ~2× slower than generating k² position pairs in whole-stage
+    // codegen and filtering i<j, despite the larger row count (basket
+    // size ≤ 17 here, so k² stays map-side-bounded; same multiset of
+    // pairs, verified element-for-element).
     val pairs = baskets
-      .select(explode(flatten(transform($"ps", (x, i) =>
-        transform(slice($"ps", i + 2, size($"ps")),
-          y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
-      .groupBy($"pr.p1".as("p1"), $"pr.p2".as("p2"))
+      .select($"ps", posexplode($"ps").as(Seq("i", "p1")))
+      .select($"i", $"p1", posexplode($"ps").as(Seq("j", "p2")))
+      .where($"i" < $"j")
+      .groupBy($"p1", $"p2")
       .agg(count(lit(1)).as("n12"))
     val top = pairs
       .orderBy($"n12".desc, $"p1".asc, $"p2".asc).limit(20)

@@ -1,10 +1,11 @@
 package streamline.expr
 
 import org.apache.spark.sql.{Column, GraftShim}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions with whole-stage codegen — the witness of
   * the reference lineage's codegen'd scalar-function surface (Flink 1.x
@@ -136,7 +137,73 @@ case class EuclidDist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** xxhash64 of every word 3-shingle of a single-space-separated text,
+  * in document order — the codegen'd replacement for the interpreted
+  * `transform(shingles3(text), s => xxhash64(s))` higher-order tree
+  * (HOFs are CodegenFallback, evaluated per element per row; measured
+  * as a visible slice of every shingle-pipeline query). Byte-exact
+  * with that spelling: `split(text, " ")` (limit −1, empties kept)
+  * makes word k the bytes between single 0x20 separators, so shingle k
+  * = w[k]+" "+w[k+1]+" "+w[k+2] is EXACTLY the original text's bytes
+  * from the start of word k to the end of word k+2 — hashed zero-copy
+  * with Spark's own XXH64 at the xxhash64 default seed 42.
+  * ShingleExprSpec pins bitwise agreement with the HOF spelling. */
+case class HashedShingles3(child: Expression) extends UnaryExpression {
+
+  // Input is StringType by construction (document text columns).
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hashed_shingles3"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Exprs.hashedShingles3Eval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"streamline.expr.Exprs.hashedShingles3Eval($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HashedShingles3 = copy(child = newChild)
+}
+
 object Exprs {
+  /** Eval body of [[HashedShingles3]], shared by the interpreted and
+    * generated paths (the codegen emits one static call per row). */
+  def hashedShingles3Eval(s: UTF8String): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < n) {
+      if (s.getByte(i) == 0x20) spaces += 1
+      i += 1
+    }
+    val words = spaces + 1
+    val m = math.max(words - 2, 0)
+    val out = new Array[Long](m)
+    if (m > 0) {
+      // starts(k) = first byte of word k
+      val starts = new Array[Int](words)
+      starts(0) = 0
+      var w = 1
+      i = 0
+      while (i < n) {
+        if (s.getByte(i) == 0x20) { starts(w) = i + 1; w += 1 }
+        i += 1
+      }
+      var k = 0
+      while (k < m) {
+        val from = starts(k)
+        // end of word k+2: the byte before word k+3's start, or EOS
+        val to = if (k + 3 < words) starts(k + 3) - 1 else n
+        out(k) = XXH64.hashUnsafeBytes(base, off + from, to - from, 42L)
+        k += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   /** Column-API entry points for the custom expressions. */
   def revenue(price: Column, discount: Column): Column =
     GraftShim.column(Revenue(GraftShim.expression(price.cast("double")),
@@ -149,4 +216,7 @@ object Exprs {
   def euclid(a: Column, b: Column): Column =
     GraftShim.column(EuclidDist(GraftShim.expression(a),
       GraftShim.expression(b)))
+
+  def hashedShingles3(text: Column): Column =
+    GraftShim.column(HashedShingles3(GraftShim.expression(text)))
 }

@@ -75,7 +75,7 @@ object Dedup {
     val nBands = 4
     val sh = Tables.documents(spark, dir)
       .select($"doc_id", array_distinct(
-        transform(shingles3($"text"), s => xxhash64(s))).as("sh"))
+        streamline.expr.Exprs.hashedShingles3($"text")).as("sh"))
     val banded = sh.select($"doc_id", explode(
         transform(sequence(lit(0), lit(nBands - 1)),
           b => struct(b.as("band"),
@@ -151,7 +151,7 @@ object Dedup {
     // At 100 TB the same move is a persisted intermediate table.
     val sh = Tables.documents(spark, dir)
       .select($"doc_id", array_sort(array_distinct(
-        transform(shingles3($"text"), s => xxhash64(s)))).as("sh"))
+        streamline.expr.Exprs.hashedShingles3($"text"))).as("sh"))
       .localCheckpoint(true)
     val pref = sh.select($"doc_id",
       slice($"sh", lit(1),
@@ -231,7 +231,7 @@ object Dedup {
     import spark.implicits._
     val sh = Tables.documents(spark, dir)
       .select($"doc_id", array_sort(array_distinct(
-        transform(shingles3($"text"), s => xxhash64(s)))).as("sh"))
+        streamline.expr.Exprs.hashedShingles3($"text"))).as("sh"))
       .localCheckpoint(true)
     // pos is 0-indexed; prefix = positions 0..⌊0.3n⌋ (size ⌊0.3n⌋+1)
     val ex = sh.select($"doc_id", size($"sh").as("n"),
@@ -343,7 +343,7 @@ object Dedup {
     import spark.implicits._
     val sh = Tables.documents(spark, dir)
       .select($"doc_id", explode(array_distinct(
-        transform(shingles3($"text"), s => xxhash64(s)))).as("g"))
+        streamline.expr.Exprs.hashedShingles3($"text"))).as("g"))
     val bench = sh.where($"doc_id" % 50 === 0)
       .select($"doc_id".as("bench_id"), $"g")
     sh.where($"doc_id" % 50 =!= 0)
@@ -376,7 +376,7 @@ object Dedup {
       Tables.documents(spark, dir)
         .where(pred($"doc_id"))
         .select($"doc_id", explode(array_distinct(
-          transform(shingles3($"text"), s => xxhash64(s)))).as("g"))
+          streamline.expr.Exprs.hashedShingles3($"text"))).as("g"))
     val bench = grams(_ % 50 === 0)
       .select($"doc_id".as("bench_id"), $"g").localCheckpoint(true)
     val benchVocab = bench.select($"g").distinct()
@@ -430,7 +430,7 @@ object Dedup {
     import spark.implicits._
     val sh = Tables.documents(spark, dir)
       .select($"doc_id", explode(array_distinct(
-        transform(shingles3($"text"), s => xxhash64(s)))).as("g"))
+        streamline.expr.Exprs.hashedShingles3($"text"))).as("g"))
     val bench = sh.where($"doc_id" % 50 === 0)
       .select($"doc_id".as("bench_id"), $"g")
     // Build phase (one distributed agg → driver-held filter → broadcast).
@@ -600,7 +600,7 @@ object Dedup {
   private[streamline] def incShingled(df: DataFrame): DataFrame =
     df.select(col("doc_id"), md5(col("text")).as("h"),
       array_sort(array_distinct(
-        transform(shingles3(col("text")), s => xxhash64(s)))).as("sh"))
+        streamline.expr.Exprs.hashedShingles3(col("text")))).as("sh"))
 
   /** The frozen-index probe shared by the batch witness
     * (q_llm_dedup_incremental) and the per-micro-batch streaming ingest
